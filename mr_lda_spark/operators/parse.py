@@ -1,0 +1,231 @@
+"""ParseCorpus equivalent (SURVEY.md §3.1) as composable DataFrame ops.
+
+The reference runs 4 chained MapReduce jobs (tokenize → title index →
+term index → document encode, ParseCorpus.java:104-139).  Here the same
+program is one lazy DataFrame plan with two materialization points (the
+dictionary and the encoded corpus); Catalyst handles partial/final
+aggregation, predicate pushdown and column pruning that the reference
+hand-implements with combiners (TokenizeCombiner, ParseCorpus.java:302-342).
+
+Scale notes (100 TB corpus, 1000 executors):
+- tokenize/term_stats is a single shuffle on ``term`` with map-side
+  partial aggregation — the same shape as the reference's combiner but
+  spill-safe via Tungsten.
+- dictionary id assignment is the reference's deliberate 1-reducer
+  bottleneck (ParseCorpus.java:511); ``assign_dense_ids`` replaces it
+  with a range-partitioned sort + per-partition offsets (all-parallel,
+  one tiny driver collect of partition counts).  The vocabulary is
+  orders of magnitude smaller than the corpus, so this never dominates.
+- encode joins the corpus against the dictionary with an explicit
+  broadcast (J1) — dictionary is ≤ tens of MB even at V=10M.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_TOKEN_PATTERN = r"\s+"
+
+
+def tokenize(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    stopwords: Sequence[str] | None = None,
+    token_pattern: str = DEFAULT_TOKEN_PATTERN,
+) -> DataFrame:
+    """P1–P3: whitespace tokenization + stop-word filter.
+
+    Reference: StringTokenizer default + pluggable Lucene analyzer
+    (ParseCorpus.java:182-207) and broadcast stop list
+    (ParseCorpus.java:733-746).  The stop filter is an `isin` on a
+    literal list → Catalyst folds it into the scan-side filter; for
+    very large stop lists use a broadcast anti-join instead.
+
+    Returns one row per token occurrence: (doc_id, term).
+    """
+    tokens = docs.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), token_pattern)).alias("term"),
+    ).filter(F.col("term") != "")
+    if stopwords:
+        tokens = tokens.filter(~F.col("term").isin(list(stopwords)))
+    return tokens
+
+
+def term_stats(tokens: DataFrame) -> DataFrame:
+    """A2: per-term corpus statistics (df, tf).
+
+    Reference emits (term, (1, tf_doc)) then combiner+reducer sum
+    (ParseCorpus.java:212-218,302-342); Catalyst's partial/final
+    HashAggregate does the same with no user code.
+    """
+    return tokens.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+
+
+def filter_df_range(
+    stats: DataFrame,
+    num_docs: int,
+    min_df_frac: float = 0.0,
+    max_df_frac: float = 1.0,
+) -> DataFrame:
+    """P4: document-frequency range predicate (ParseCorpus.java:455-467;
+    thresholds computed from fractions at ParseCorpus.java:123-126)."""
+    lo = min_df_frac * num_docs
+    hi = max_df_frac * num_docs
+    return stats.filter((F.col("df") >= F.lit(lo)) & (F.col("df") <= F.lit(hi)))
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    order_by: Sequence,
+    id_col: str = "term_id",
+    scalable: bool = True,
+    num_range_partitions: int | None = None,
+) -> DataFrame:
+    """O1+O2: total order + sequential dense 1-based ids.
+
+    The reference gets the total order from a 1-reducer shuffle sort and
+    assigns ids with a single-threaded counter (ParseCorpus.java:465-490).
+
+    ``scalable=True`` (default): range-partition on the sort keys, sort
+    within partitions, then id = per-partition row_number + cumulative
+    offset of earlier partitions (offsets are a tiny driver-side
+    collect).  Fully parallel, same ids, deterministic.
+
+    ``scalable=False``: plain global window row_number — simpler plan,
+    single-partition sort, fine for small dims.
+    """
+    order_by = list(order_by)
+    if not scalable:
+        w = Window.orderBy(*order_by)
+        return df.withColumn(id_col, F.row_number().over(w).cast("int"))
+
+    n_parts = num_range_partitions or max(
+        2, df.sparkSession.sparkContext.defaultParallelism
+    )
+    ranged = df.repartitionByRange(n_parts, *order_by)
+    with_pid = ranged.withColumn("__pid", F.spark_partition_id())
+    # Tiny collect: one (pid, count) row per partition.
+    counts = dict(
+        with_pid.groupBy("__pid").count().collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_expr = F.coalesce(
+        *[
+            F.when(F.col("__pid") == pid, F.lit(off))
+            for pid, off in sorted(offsets.items())
+        ],
+        F.lit(0),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy(*order_by)
+    return (
+        with_pid.withColumn(
+            id_col, (F.row_number().over(w) + offset_expr).cast("int")
+        )
+        .drop("__pid")
+    )
+
+
+def build_dictionary(
+    stats: DataFrame,
+    num_docs: int,
+    min_df_frac: float = 0.0,
+    max_df_frac: float = 1.0,
+    scalable: bool = True,
+) -> DataFrame:
+    """Term dictionary: df-range filter then ids 1..V by (df desc,
+    tf desc, term asc).
+
+    The reference orders by (-df, -tf) with arbitrary tie order
+    (ParseCorpus.java:465-466); we add ``term asc`` as the final key so
+    ids are fully deterministic (SURVEY.md §5 implication 4).  Index 0
+    stays reserved (README.md:61): ids are 1-based.
+    """
+    filtered = filter_df_range(stats, num_docs, min_df_frac, max_df_frac)
+    order = [F.col("df").desc(), F.col("tf").desc(), F.col("term").asc()]
+    dictionary = assign_dense_ids(filtered, order, "term_id", scalable=scalable)
+    return dictionary.select("term_id", "term", "df", "tf")
+
+
+def build_title_index(docs: DataFrame, title_col: str = "title") -> DataFrame:
+    """Title index: dense 1-based doc ids by title order
+    (ParseCorpus.java:698-710 runs this single-threaded in the driver —
+    here it's the same parallel ranked-id assignment as terms)."""
+    titles = docs.select(title_col).distinct()
+    return assign_dense_ids(
+        titles, [F.col(title_col).asc()], "doc_id", scalable=True
+    ).select(F.col("doc_id").cast("long").alias("doc_id"), title_col)
+
+
+def doc_term_counts(tokens: DataFrame) -> DataFrame:
+    """A1: per-document bag-of-words (HMapSIW.increment per token,
+    ParseCorpus.java:180-207)."""
+    return tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("term_count"))
+
+
+def encode_corpus(tokens: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """J1 + P5: dictionary-encode the corpus, dropping OOV terms
+    (inner-join semantics of IndexDocumentMapper, ParseCorpus.java:580-591).
+    Documents whose every term is OOV simply produce no rows — the
+    COLLAPSED_DOCUMENTS drop is implicit.
+
+    Returns the tall encoded corpus (doc_id, term_id, term_count).
+    """
+    counts = doc_term_counts(tokens)
+    return (
+        counts.join(F.broadcast(dictionary.select("term", "term_id")), "term", "inner")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("term_id"),
+            F.col("term_count").cast("int").alias("term_count"),
+        )
+    )
+
+
+def corpus_to_doc_form(corpus_tall: DataFrame) -> DataFrame:
+    """Tall → document form: positionally-aligned arrays sorted by
+    term_id (the Document record of Document.java:18-37).  One shuffle
+    on doc_id; at scale this is the partitioning we keep for the whole
+    EM loop so the E-step never reshuffles."""
+    return (
+        corpus_tall.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("term_id", "term_count"))
+            ).alias("pairs")
+        )
+        .select(
+            "doc_id",
+            F.col("pairs.term_id").alias("term_ids"),
+            F.col("pairs.term_count").alias("term_counts"),
+            F.lit(None).cast("array<double>").alias("gamma"),
+        )
+    )
+
+
+def parse_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    stopwords: Sequence[str] | None = None,
+    min_df_frac: float = 0.0,
+    max_df_frac: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """The whole ParseCorpus program (4 reference jobs → one plan with
+    two materialization points).  Returns (dictionary, corpus_tall)."""
+    tokens = tokenize(docs, text_col, doc_id_col, stopwords)
+    num_docs = docs.select(doc_id_col).distinct().count()
+    stats = term_stats(tokens)
+    dictionary = build_dictionary(stats, num_docs, min_df_frac, max_df_frac)
+    corpus = encode_corpus(tokens, dictionary)
+    return dictionary, corpus

@@ -1,0 +1,68 @@
+"""Sources/sinks (SURVEY.md §2.1).
+
+The reference reads raw text ("docId \\t w1 w2 ..." one doc per line,
+README.md:38-43) and SequenceFiles; all persisted tables here are
+Parquet (snappy) — the S2/S3 mapping in SURVEY.md §2.1.  Multi-sink
+jobs (S5, MultipleOutputs) become several ``df.write`` calls off one
+cached lineage; empty-output suppression (S4) and small-file merge
+(S7) are moot under Parquet + AQE coalesce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_raw_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """S1: text corpus scan — one document per line ``title\\tbody``.
+
+    Mirrors ParseCorpus.java:167-183 (tab-split projection P1: malformed
+    lines without a tab are dropped rather than throwing — the filter is
+    pushed into the scan).
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t", 2)
+    return (
+        lines.filter(F.col("value").contains("\t"))
+        .select(
+            F.trim(parts.getItem(0)).alias("title"),
+            parts.getItem(1).alias("body"),
+        )
+    )
+
+
+def read_raw_corpus_poly(spark: SparkSession, path: str, n_languages: int) -> DataFrame:
+    """Polylingual raw scan: ``docId \\t text_lang0 \\t text_lang1 ...``
+    with literal ``null`` for a missing language
+    (polylda/ParseCorpus.java:309-323 → P6 missing-language filter).
+
+    Returns one row per (title, lang, body) with absent languages dropped.
+    """
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), "\t")
+    per_lang = [
+        F.struct(
+            F.lit(i).alias("lang"),
+            F.when(parts.getItem(i + 1) == F.lit("null"), F.lit(None))
+            .otherwise(parts.getItem(i + 1))
+            .alias("body"),
+        )
+        for i in range(n_languages)
+    ]
+    return (
+        lines.select(
+            F.trim(parts.getItem(0)).alias("title"),
+            F.explode(F.array(*per_lang)).alias("lb"),
+        )
+        .select("title", F.col("lb.lang").alias("lang"), F.col("lb.body").alias("body"))
+        .filter(F.col("body").isNotNull())
+    )
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by=None) -> None:
+    """S3 sink: Parquet, snappy (block-compressed SequenceFile equivalent)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
