@@ -1,0 +1,216 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (100 TB corpus):
+- exact dedup is one hash-shuffle on a 128-bit digest — never on the
+  raw text (the digest is computed map-side so only 16 bytes shuffle).
+- MinHash/LSH: signatures are computed per-doc with zero shuffle; the
+  only shuffles are the band-bucket self-join (keys are (band, hash) —
+  high cardinality, well distributed) and the final per-pair verify.
+  Bucket skew (a degenerate hot bucket) is capped via a bucket-size
+  limit before the pair explosion, the standard guard at scale.
+- SimHash: per-doc bit-vote aggregation, one narrow shuffle on
+  (doc_id, bit); output is a single 32-bit value per doc.
+- n-gram Jaccard verify joins only candidate pairs — never all pairs.
+
+All hashes are md5-derived (hex → bigint) so the DuckDB oracle can
+reproduce them bit-for-bit; at production scale you'd swap in
+xxhash64 via the same expression shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators.textops import shingles
+
+
+def _hash64(col, seed: int):
+    """Deterministic 60-bit hash from md5 — reproducible in ANSI SQL:
+    ('0x' || substr(md5(seed||':'||x),1,15))::BIGINT."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), col))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: one row per distinct text with the canonical
+    (min) doc_id and the copy count."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Tall MinHash signature table: (doc_id, seed, minhash).
+
+    shingle → per-seed hash → min per (doc, seed).  One shuffle
+    (the groupBy); the seed dimension is generated per-row with
+    ``explode(sequence(...))`` so no join is needed.
+    """
+    sh = shingles(docs, text_col, shingle_n).select("doc_id", "shingle").distinct()
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    )
+    hashed = seeded.select(
+        "doc_id",
+        "seed",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+def minhash_band_buckets(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH banding: hash each band of the signature to a bucket key.
+    Returns (doc_id, band, band_key)."""
+    banded = signatures.withColumn(
+        "band", (F.col("seed") / rows_per_band).cast("int")
+    )
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list("minhash")).alias("sig"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(",", F.col("sig").cast("array<string>"))).alias(
+                "band_key"
+            ),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    buckets: DataFrame, max_bucket_size: int = 1000
+) -> DataFrame:
+    """Self-join band buckets → candidate pairs (a < b).
+
+    ``max_bucket_size`` caps degenerate hot buckets before the O(n²)
+    pair explosion — at 100 TB a boilerplate shingle can put millions of
+    docs in one bucket; dropping those buckets (they would be caught by
+    the verify step's cheaper exact/threshold paths) bounds the join.
+    """
+    sized = buckets.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
+    ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = sized.select("band", "band_key", F.col("doc_id").alias("a"))
+    b = sized.select("band", "band_key", F.col("doc_id").alias("b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    docs: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only.
+
+    |A∩B| via a (shingle-set ⋈ candidates) count; |A∪B| = |A|+|B|−|A∩B|.
+    The candidate set is tiny relative to the corpus, so both joins
+    broadcast in practice.
+    """
+    sets = shingles(docs, text_col, shingle_n).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        candidates.join(
+            sets.select(F.col("doc_id").alias("a"), "shingle"), "a"
+        )
+        .join(sets.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def near_duplicates_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: (a, b, jaccard) near-dup pairs."""
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    buckets = minhash_band_buckets(sigs, rows_per_band)
+    cands = lsh_candidate_pairs(buckets)
+    return jaccard_verify(docs, cands, text_col, shingle_n, threshold)
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over term-frequency-weighted 32-bit token hashes.
+
+    Classic Charikar scheme: each token votes ±count on each bit of its
+    hash; the fingerprint sets bits with positive vote sums.  Shuffles
+    only (doc_id, bit) vote rows.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    counts = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    hashed = counts.withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    )
+    votes = hashed.select(
+        "doc_id",
+        "cnt",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(h >> bit) & 1") == 1, F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("vote"),
+    )
+    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )

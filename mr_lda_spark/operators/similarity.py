@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+- ``cosine_topk``: exact brute force — broadcast the (small) query set
+  against the full corpus, rank per query.  Dot products stay JVM-side
+  via higher-order functions (zip_with/aggregate) — no Python.
+- ``lsh_topk``: random-hyperplane LSH buckets as the scale path — each
+  vector lands in a handful of buckets, the candidate join is
+  bucket-local, then exact re-rank.  Recall < 1 by design; the oracle
+  for this one is the exact path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Plan: broadcast-join queries × corpus (no shuffle of the corpus),
+    per-row dot/norms in codegen'd higher-order functions, then a rank
+    window partitioned by query id.  Scales linearly in corpus size;
+    the window is per-query so no global sort ever happens.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cos", round_to).alias("cos_sim"),
+        )
+    )
+
+
+def hyperplane_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: sign pattern of ``n_planes`` projections
+    → one integer bucket per vector.  Planes are a seeded numpy draw
+    embedded as literals (tiny: n_planes × dim doubles), so the whole
+    op is a narrow projection — zero shuffle."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    v = _as_double(F.col(vec_col))
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in planes[i]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), bucket.alias("bucket"), F.col(vec_col)
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-rank within the bucket.  The bucket join shuffles
+    only (bucket, id, vec) — at scale, bucket count 2^n_planes is tuned
+    so buckets fit in a task."""
+    cb = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
+    qb = hyperplane_buckets(queries, n_planes, dim, seed, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        "bucket",
+        F.col(vec_col).alias("qvec"),
+    )
+    cands = (
+        cb.join(qb, "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(_as_double(F.col(vec_col)), _as_double(F.col("qvec")))
+                / (_norm(_as_double(F.col(vec_col))) * _norm(_as_double(F.col("qvec"))))
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos_sim"))
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its tokenizer/stop-list machinery,
+ParseCorpus.java:182-207), these are the standard corpus-curation ops a
+100 TB pretraining pipeline needs: token counting, quality scoring,
+language ID, document fingerprinting.  Everything is built-in-function
+only (JVM-side, whole-stage codegen) — no Python UDFs in any hot path;
+every op is embarrassingly parallel per document (no shuffle at all
+except where noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish word/number/symbol splitter (shared with the DuckDB oracle —
+# plain character classes so Java regex and RE2 agree).
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language-ID heuristic.  Deliberately minimal & deterministic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "los", "de", "que"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "les", "des", "et", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per doc."""
+    text = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(_tokens(text)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0)).alias("re_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score.
+
+    Classic Gopher/C4-style cheap filters: length, mean word length,
+    stop-word density, digit/symbol density.  All arithmetic stays in
+    codegen; score is rounded for cross-engine determinism.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    digit_chars = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    mean_word_len = (n_chars - (n_tok - 1)) / n_tok  # chars minus spaces
+    stop_ratio = stop_hits / n_tok
+    digit_ratio = digit_chars / n_chars
+    score = (
+        F.when(n_tok < 5, 0.0)
+        .otherwise(
+            0.5 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+            + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+            + 0.2 * (1 - F.least(digit_ratio * 10, F.lit(1.0)))
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: count function-word hits per language,
+    argmax with a fixed priority order for ties.  The real-world version
+    swaps the marker lists for char-n-gram profiles; the plan shape
+    (per-row map over a broadcast-literal list) is identical."""
+    toks = _tokens(F.col(text_col))
+
+    def _hits(words):
+        # nb: the lambda must be unary — F.filter treats a second
+        # parameter as the element-index column.
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    hit_cols = {lang: _hits(words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[hit_cols[lang] for lang in langs])
+    pred = F.lit(None).cast("string")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Explode each doc into its n-token shingles (1-based positions so
+    the DuckDB oracle matches exactly).  Docs shorter than n tokens are
+    dropped."""
+    toks = _tokens(F.col(text_col))
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("toks", i + j) for j in range(n)]
+    )
+    return with_toks.select(
+        "doc_id",
+        F.explode(F.transform(idx, lambda i: shingle(i))).alias("shingle"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: min-hash over n-gram shingles (the 1-hash
+    special case of MinHash — a winnowing-style content fingerprint).
+    Identical / near-identical docs collide; no shuffle besides the
+    per-doc groupBy."""
+    sh = shingles(docs, text_col, n)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
+        F.count_distinct(F.col("shingle")).alias("n_shingles"),
+    )

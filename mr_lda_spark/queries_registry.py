@@ -1,0 +1,533 @@
+"""Registry mapping every implemented operator (SURVEY.md §2 + the
+training-data-pipeline extensions) to a Spark callable and, where
+SQL-expressible, an equivalent DuckDB oracle query.
+
+Conventions (driver contract):
+- every callable takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased identically in Spark and SQL;
+- floats that cross an engine boundary are rounded explicitly;
+- md5-derived hashes are used (not murmur) so both engines agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import dedup, display, parse, similarity, textops
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+# Shared parameters — keep the Spark ops and the SQL text in lockstep.
+STOPWORDS = ("the", "a")
+MIN_DF_FRAC = 0.02
+TOPK_TERMS = 20
+SIM_QUERIES = 5  # vec_id < 5 are the ANN query vectors
+SIM_K = 3
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from mr_lda_spark.session import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# ParseCorpus pipeline (SURVEY.md §2.2–§2.5: P1-P5, A1-A2, O1-O2, J1)
+# --------------------------------------------------------------------------
+
+_SQL_TOKENS = """
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+"""
+
+_SQL_TOKENS_STOPPED = f"""
+  SELECT * FROM ({_SQL_TOKENS}) WHERE term <> '' AND term NOT IN ('the', 'a')
+"""
+
+
+@register(
+    "parse_term_stats",
+    f"""
+    SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+    FROM ({_SQL_TOKENS}) WHERE term <> ''
+    GROUP BY term
+    """,
+)
+def parse_term_stats(spark, sf_dir):
+    """A2: per-term corpus (df, tf) — partial+final hash agg."""
+    docs = _t(spark, sf_dir, "documents")
+    return parse.term_stats(parse.tokenize(docs))
+
+
+@register(
+    "parse_term_dict",
+    f"""
+    WITH stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
+    )
+    SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, term ASC) AS INT)
+             AS term_id,
+           term, df, tf
+    FROM stats
+    WHERE df >= 0.02 * (SELECT count(*) FROM documents)
+    """,
+)
+def parse_term_dict(spark, sf_dir):
+    """O1+O2: ranked dictionary, dense 1-based ids (df desc, tf desc)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs, stopwords=STOPWORDS)
+    stats = parse.term_stats(tokens)
+    return parse.build_dictionary(stats, docs.count(), min_df_frac=MIN_DF_FRAC)
+
+
+@register(
+    "parse_encoded_corpus",
+    f"""
+    WITH stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
+    ), dict AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY df DESC, tf DESC, term ASC) AS INT)
+               AS term_id
+      FROM stats
+      WHERE df >= 0.02 * (SELECT count(*) FROM documents)
+    )
+    SELECT t.doc_id, d.term_id, CAST(count(*) AS INT) AS term_count
+    FROM ({_SQL_TOKENS_STOPPED}) t JOIN dict d USING (term)
+    GROUP BY 1, 2
+    """,
+)
+def parse_encoded_corpus(spark, sf_dir):
+    """J1+P5+A1: dictionary-encoded corpus (broadcast inner join)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs, stopwords=STOPWORDS)
+    stats = parse.term_stats(tokens)
+    dictionary = parse.build_dictionary(stats, docs.count(), min_df_frac=MIN_DF_FRAC)
+    return parse.encode_corpus(tokens, dictionary)
+
+
+@register(
+    "parse_doc_stats",
+    f"""
+    WITH stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
+    ), dict AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY df DESC, tf DESC, term ASC) AS INT)
+               AS term_id
+      FROM stats
+      WHERE df >= 0.02 * (SELECT count(*) FROM documents)
+    ), enc AS (
+      SELECT t.doc_id, d.term_id, count(*) AS term_count
+      FROM ({_SQL_TOKENS_STOPPED}) t JOIN dict d USING (term)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, count(*) AS n_terms, CAST(sum(term_count) AS BIGINT) AS n_tokens
+    FROM enc GROUP BY doc_id
+    """,
+)
+def parse_doc_stats(spark, sf_dir):
+    """P5/P7: per-doc type/token counts post-encoding (collapsed docs
+    drop out by producing no rows)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs, stopwords=STOPWORDS)
+    stats = parse.term_stats(tokens)
+    dictionary = parse.build_dictionary(stats, docs.count(), min_df_frac=MIN_DF_FRAC)
+    corpus = parse.encode_corpus(tokens, dictionary)
+    return corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_count").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "top_terms_per_lang",
+    f"""
+    WITH tok AS (
+      SELECT d.lang, t.term
+      FROM documents d
+      JOIN ({_SQL_TOKENS}) t USING (doc_id)
+      WHERE t.term <> ''
+    ), agg AS (
+      SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    )
+    SELECT * FROM (
+      SELECT lang, term, tf,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY tf DESC, term ASC) AS INT) AS rank
+      FROM agg
+    ) WHERE rank <= 5
+    """,
+)
+def top_terms_per_lang(spark, sf_dir):
+    """O3/O5: per-group top-k via rank window (DisplayTopic shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs)
+    joined = tokens.join(docs.select("doc_id", "lang"), "doc_id")
+    agg = joined.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "term", "tf", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# General relational operators on the TPC-H-ish tables
+# (scan/filter pushdown, partial agg, broadcast + shuffle joins, top-k)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: filter pushdown + grouped partial/final agg.
+    Money sums go through DECIMAL so both engines agree exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: broadcast dim join + shuffle fact join + top-k."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "region_nation_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(c.c_custkey) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def region_nation_rollup(spark, sf_dir):
+    """Broadcast snowflake joins (J2 shape) + grouped agg."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "events_hourly",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark, sf_dir):
+    """Time-bucketed aggregation (the batch twin of the streaming
+    tumbling-window query in mr_lda_spark.streaming)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deduplication (exact + MinHash/LSH + SimHash + n-gram Jaccard)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_SQL_SHINGLES = """
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents),
+       unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+"""
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES}))
+    SELECT doc_id, CAST(seed AS INT) AS seed,
+           min(('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT)
+             AS minhash
+    FROM sh, unnest(range(0, 8)) AS s(seed)
+    GROUP BY 1, 2
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signature table (8 hashes over 3-gram shingles)."""
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=8, shingle_n=3
+    )
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH counts AS (
+      SELECT doc_id, term, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term <> ''
+      GROUP BY 1, 2
+    ), hashed AS (
+      SELECT doc_id, cnt,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+      FROM counts
+    ), votes AS (
+      SELECT doc_id, bit,
+             sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN cnt ELSE -cnt END)
+               AS s
+      FROM hashed, unnest(range(0, 32)) AS b(bit)
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END)
+             AS simhash
+    FROM votes GROUP BY 1
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id, min(md5(shingle)) AS fingerprint,
+           count(DISTINCT shingle) AS n_shingles
+    FROM ({_SQL_SHINGLES})
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprints(spark, sf_dir):
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+             AS re_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    return textops.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+               AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tok AS INT) AS n_tokens,
+           round((n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE), 6)
+             AS mean_word_len,
+           round(stop_hits / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+           round(digit_chars / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+           round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+             0.5 * least(n_tok / 100.0, 1.0)
+             + 0.3 * least(stop_hits / CAST(n_tok AS DOUBLE) * 5, 1.0)
+             + 0.2 * (1 - least(digit_chars / CAST(n_chars AS DOUBLE) * 10, 1.0))
+           END, 6) AS quality_score
+    FROM base
+    """,
+)
+def text_quality(spark, sf_dir):
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+_LANG_SQL_HITS = ", ".join(
+    "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS hits_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang
+    )
+    for lang, words in textops.LANG_MARKERS.items()
+)
+_LANG_SQL_BEST = "greatest({})".format(
+    ", ".join(f"hits_{lang}" for lang in textops.LANG_MARKERS)
+)
+_LANG_SQL_PRED = "CASE WHEN {} = 0 THEN 'und' {} END".format(
+    _LANG_SQL_BEST,
+    " ".join(
+        f"WHEN hits_{lang} = {_LANG_SQL_BEST} THEN '{lang}'"
+        for lang in textops.LANG_MARKERS
+    ),
+)
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH h AS (SELECT doc_id, {_LANG_SQL_HITS} FROM documents)
+    SELECT doc_id,
+           {", ".join(f"CAST(hits_{lang} AS INT) AS hits_{lang}" for lang in textops.LANG_MARKERS)},
+           {_LANG_SQL_PRED} AS pred_lang
+    FROM h
+    """,
+)
+def text_language_id(spark, sf_dir):
+    return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {SIM_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q, e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           round(cos, 4) AS cos_sim
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {SIM_K}
+    """,
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Exact brute-force ANN baseline: broadcast queries, codegen dot
+    products, per-query rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.cosine_topk(emb, queries, k=SIM_K)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
+    return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
