@@ -1,0 +1,400 @@
+"""Native variational-EM LDA — the reference's VariationalInference
+re-expressed Spark-first (SURVEY.md §3.2, §7 path B).
+
+One EM iteration in the reference is one MapReduce job: an E-step map
+phase (per-doc coordinate ascent on φ/γ, DocumentMapper.java:184-259),
+a combiner/reducer M-step (log-space φ aggregation into β,
+TermCombiner.java / TermReducer.java), and a driver-side Newton–Raphson
+α update (VariationalInference.java:409-511).  Here:
+
+- E-step: ``mapInPandas`` over the doc-form corpus.  γ is carried as a
+  column on the corpus DataFrame (the Spark analogue of γ embedded in
+  the Document record), so the E-step input partitioning is reused
+  every iteration — no per-iteration shuffle of the corpus.
+- φ sufficient statistics are accumulated **per partition** inside the
+  kernel (dense (V+1,K) log-space matrix — the in-mapper combiner of
+  DocumentMapper.java:263-313, but spill-free since it's bounded by
+  model size, not corpus size) and emitted as a handful of rows per
+  partition; the cross-partition combine is a relational logsumexp
+  (one small shuffle of ~partitions×V rows, grouped by term).
+- α sufficient statistics and the ELBO are partition-aggregated the
+  same way (A6/A7 — counters become plain aggregations).
+- M-step finalization (η smoothing, per-topic normalizer, digamma
+  transform, TermReducer.java:157-235) happens driver-side on the
+  model-sized (V,K) matrix, which is then broadcast for the next
+  iteration — exactly the reference's DistributedCache β broadcast
+  (J3), with the same scale caveat and the same remedy (shuffle-join
+  the tall β instead of broadcasting once V×K outgrows the driver).
+
+Scale: corpus-sized data (docs × terms) only ever flows through one
+cached, partition-stable DataFrame; everything model-sized (α, β, φ
+stats) is either broadcast or a narrow aggregation.  100 iterations ⇒
+lineage is cut with localCheckpoint each iteration.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mr_lda_spark.functions.alpha import update_alpha_vector
+from mr_lda_spark.functions.special import digamma, gammaln
+
+DEFAULT_LOG_ETA = math.log(1e-12)  # Settings.java:58
+
+# Union schema for the single-pass E-step output: 'doc' rows carry the
+# next corpus (terms + new gamma + per-doc ELBO); 'phi' rows carry one
+# term's partition-local log-phi-sum K-vector (id = term_id); 'alpha'
+# rows carry one partition's alpha-sufficient-statistic K-vector.
+_ESTEP_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("term_counts", T.ArrayType(T.IntegerType())),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+        T.StructField("ll", T.DoubleType()),
+    ]
+)
+
+
+@dataclass
+class LdaState:
+    """Driver-side model state snapshot for one iteration."""
+
+    alpha: np.ndarray  # (K,)
+    elog_beta: np.ndarray  # (V+1, K): E[log beta], row 0 unused
+    elbo: float = float("-inf")
+    history: list = field(default_factory=list)
+
+
+def init_elog_beta(num_terms: int, num_topics: int, seed: int) -> np.ndarray:
+    """Seeded replacement for the reference's per-task Math.random() β
+    init (retrieveBeta, DocumentMapper.java:446-463 — deliberately made
+    deterministic here, SURVEY.md §7.3): log of a normalized positive
+    random matrix."""
+    rng = np.random.default_rng(seed)
+    raw = rng.random((num_terms + 1, num_topics)) + 2.0 * rng.random(
+        (num_terms + 1, num_topics)
+    ) / max(num_terms, 1)
+    log_raw = np.log(raw)
+    # Normalize per topic in log space so rows are E[log beta]-shaped.
+    norm = log_raw[1:].max(axis=0) + np.log(
+        np.exp(log_raw[1:] - log_raw[1:].max(axis=0)).sum(axis=0)
+    )
+    return log_raw - norm
+
+
+def _estep_kernel(
+    alpha: np.ndarray,
+    elog_beta: np.ndarray,
+    max_gamma_iter: int,
+    learning: bool,
+    random_start_gamma: bool,
+):
+    """Build the mapInPandas function for one E-step pass.
+
+    Per document (DocumentMapper.java:184-259 semantics):
+      γ⁰ = carried γ, else α + N/K
+      repeat max_gamma_iter times:             # reference: fixed 100
+        dg = ψ(γ);  logγ' = log α
+        per term w:  logφ_w = E[log β_w] + dg  (K-vector)
+                     logφ_w -= logsumexp(logφ_w)
+                     ELBO_φ += c_w · φ_w · (E[log β_w] − logφ_w)
+                     logγ' = logaddexp(logγ', logφ_w + log c_w)
+        γ = exp(logγ')
+      doc ELBO = L_α + Σ lnΓ(γ) − lnΓ(Σγ) + ELBO_φ
+    """
+    K = len(alpha)
+    l_alpha = float(gammaln(alpha.sum()) - gammaln(alpha).sum())
+    log_alpha = np.log(alpha)
+
+    def run(batches):
+        V1 = elog_beta.shape[0]
+        phi_acc = np.full((V1, K), -np.inf) if learning else None
+        alpha_ss = np.zeros(K)
+        seen_any = False
+
+        for pdf in batches:
+            out_docs = {
+                "kind": [],
+                "doc_id": [],
+                "term_ids": [],
+                "term_counts": [],
+                "vec": [],
+                "ll": [],
+            }
+            for row in pdf.itertuples(index=False):
+                terms = np.asarray(row.term_ids, dtype=np.int64)
+                counts = np.asarray(row.term_counts, dtype=np.float64)
+                if terms.size == 0:
+                    continue  # P7 empty-content guard
+                seen_any = True
+                n_tokens = counts.sum()
+                g = getattr(row, "gamma", None)
+                if g is not None and not random_start_gamma and len(g) == K:
+                    gamma = np.asarray(g, dtype=np.float64).copy()
+                else:
+                    gamma = alpha + n_tokens / K
+
+                elb = elog_beta[terms]  # (n, K)
+                log_counts = np.log(counts)[:, None]
+                ll_phi = 0.0
+                for _ in range(max_gamma_iter):
+                    dg = digamma(gamma)
+                    lp = elb + dg[None, :]  # (n, K)
+                    norm = lp.max(axis=1)
+                    norm = norm + np.log(
+                        np.exp(lp - norm[:, None]).sum(axis=1)
+                    )
+                    lpn = lp - norm[:, None]
+                    ll_phi = float(
+                        (counts[:, None] * np.exp(lpn) * (elb - lpn)).sum()
+                    )
+                    stacked = np.vstack([log_alpha[None, :], lpn + log_counts])
+                    m = stacked.max(axis=0)
+                    log_gamma = m + np.log(
+                        np.exp(stacked - m[None, :]).sum(axis=0)
+                    )
+                    gamma = np.exp(log_gamma)
+
+                sum_gamma = gamma.sum()
+                ll_gamma = float(gammaln(gamma).sum() - gammaln(sum_gamma))
+                doc_ll = l_alpha + ll_gamma + ll_phi
+                alpha_ss += digamma(gamma) - digamma(sum_gamma)
+
+                if learning:
+                    # In-mapper combine: fold this doc's log-phi into the
+                    # partition-local dense accumulator (log space).
+                    contrib = lpn + log_counts
+                    cur = phi_acc[terms]
+                    hi = np.maximum(cur, contrib)
+                    lo = np.minimum(cur, contrib)
+                    with np.errstate(invalid="ignore"):
+                        merged = hi + np.log1p(np.exp(lo - hi))
+                    merged = np.where(np.isneginf(cur), contrib, merged)
+                    phi_acc[terms] = merged
+
+                out_docs["kind"].append("doc")
+                out_docs["doc_id"].append(int(row.doc_id))
+                out_docs["term_ids"].append(row.term_ids)
+                out_docs["term_counts"].append(row.term_counts)
+                out_docs["vec"].append([float(x) for x in gamma])
+                out_docs["ll"].append(doc_ll)
+            if out_docs["doc_id"]:
+                yield pd.DataFrame(out_docs)
+
+        if not seen_any:
+            return
+        tail = {
+            "kind": [],
+            "doc_id": [],
+            "term_ids": [],
+            "term_counts": [],
+            "vec": [],
+            "ll": [],
+        }
+        if learning:
+            nonzero = np.where(~np.all(np.isneginf(phi_acc), axis=1))[0]
+            for t in nonzero:
+                tail["kind"].append("phi")
+                tail["doc_id"].append(int(t))
+                tail["term_ids"].append(None)
+                tail["term_counts"].append(None)
+                tail["vec"].append([float(x) for x in phi_acc[t]])
+                tail["ll"].append(None)
+        tail["kind"].append("alpha")
+        tail["doc_id"].append(-1)
+        tail["term_ids"].append(None)
+        tail["term_counts"].append(None)
+        tail["vec"].append([float(x) for x in alpha_ss])
+        tail["ll"].append(None)
+        yield pd.DataFrame(tail)
+
+    return run
+
+
+def _mstep_beta(
+    phi_rows: list,
+    num_terms: int,
+    num_topics: int,
+    log_eta: np.ndarray | None,
+) -> np.ndarray:
+    """M-step finalization on the model-sized matrix
+    (TermReducer.java:157-235 semantics): λ_kv = logaddexp(log η_kv,
+    Σ_partitions logφ), then E[log β] = ψ(e^λ) − ψ(Σ_v e^λ)."""
+    K = num_topics
+    lam = np.full((num_terms + 1, K), -np.inf)
+    for term_id, vec in phi_rows:
+        contrib = np.asarray(vec)
+        cur = lam[term_id]
+        hi = np.maximum(cur, contrib)
+        lo = np.minimum(cur, contrib)
+        with np.errstate(invalid="ignore"):
+            merged = hi + np.log1p(np.exp(lo - hi))
+        lam[term_id] = np.where(np.isneginf(cur), contrib, merged)
+
+    if log_eta is None:
+        log_eta = np.full((num_terms + 1, K), DEFAULT_LOG_ETA)
+    lam = np.logaddexp(log_eta, lam)
+    lam_exp = np.exp(lam[1:])  # rows 1..V
+    norm = lam_exp.sum(axis=0)  # (K,)
+    elog = np.full((num_terms + 1, K), DEFAULT_LOG_ETA)
+    elog[1:] = digamma(lam_exp) - digamma(norm)[None, :]
+    return elog
+
+
+def train(
+    spark: SparkSession,
+    corpus_doc: DataFrame,
+    num_terms: int,
+    num_topics: int,
+    max_iterations: int = 30,  # Settings.java:43
+    max_gamma_iter: int = 50,  # reference fixes 100 (Settings.java:54)
+    alpha_init: float | np.ndarray | None = None,
+    symmetric_alpha: bool = False,
+    log_eta: np.ndarray | None = None,
+    seed: int = 42,
+    converge: float = 1e-6,  # Settings.java:56
+    random_start_gamma: bool = False,
+) -> tuple[DataFrame, LdaState]:
+    """Run the EM loop.  Returns (corpus with final γ column, state).
+
+    ``corpus_doc`` must have columns (doc_id, term_ids, term_counts)
+    and optionally gamma (resume — the reference's -modelindex).
+    """
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    K = num_topics
+    if alpha_init is None:
+        alpha = np.full(K, 1.0 / K)  # VariationalInference.java:159-160 spirit
+    elif np.isscalar(alpha_init):
+        alpha = np.full(K, float(alpha_init))
+    else:
+        alpha = np.asarray(alpha_init, dtype=np.float64).copy()
+
+    elog_beta = init_elog_beta(num_terms, K, seed)
+    state = LdaState(alpha=alpha, elog_beta=elog_beta)
+
+    if "gamma" not in corpus_doc.columns:
+        corpus_doc = corpus_doc.withColumn(
+            "gamma", F.lit(None).cast("array<double>")
+        )
+    current = corpus_doc.select("doc_id", "term_ids", "term_counts", "gamma")
+    current = current.localCheckpoint()
+    num_docs = current.count()
+
+    prev_elbo = None
+    for it in range(max_iterations):
+        kernel = _estep_kernel(
+            state.alpha,
+            state.elog_beta,
+            max_gamma_iter,
+            learning=True,
+            random_start_gamma=random_start_gamma and it == 0,
+        )
+        out = current.mapInPandas(kernel, schema=_ESTEP_SCHEMA)
+        out = out.persist()
+
+        # Model-sized pulls: partition-partial phi stats + alpha stats.
+        phi_rows = [
+            (r["doc_id"], r["vec"])
+            for r in out.filter(F.col("kind") == "phi").select("doc_id", "vec").collect()
+        ]
+        tail = (
+            out.filter(F.col("kind") == "alpha")
+            .select("vec")
+            .collect()
+        )
+        alpha_ss = np.sum([np.asarray(r["vec"]) for r in tail], axis=0)
+        elbo = (
+            out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
+        )
+
+        next_corpus = (
+            out.filter(F.col("kind") == "doc")
+            .select(
+                "doc_id",
+                "term_ids",
+                "term_counts",
+                F.col("vec").alias("gamma"),
+            )
+            .localCheckpoint()  # cut lineage; materializes doc rows
+        )
+        out.unpersist()
+        current = next_corpus
+
+        # M-step: beta from phi stats; alpha by Newton-Raphson.
+        state.elog_beta = _mstep_beta(phi_rows, num_terms, K, log_eta)
+        if symmetric_alpha:
+            # Keep alpha symmetric: update the scalar via the vector
+            # machinery on the summed statistic, reference-style.
+            from mr_lda_spark.functions.alpha import update_alpha_scalar
+
+            a = update_alpha_scalar(K, num_docs, float(state.alpha[0]), float(alpha_ss.sum()))
+            state.alpha = np.full(K, a)
+        else:
+            state.alpha = update_alpha_vector(num_docs, state.alpha, alpha_ss)
+
+        state.elbo = float(elbo)
+        state.history.append(float(elbo))
+        if (
+            prev_elbo is not None
+            and abs((elbo - prev_elbo) / prev_elbo) <= converge
+        ):
+            break
+        prev_elbo = elbo
+
+    return current, state
+
+
+def infer(
+    spark: SparkSession,
+    corpus_doc: DataFrame,
+    state: LdaState,
+    max_gamma_iter: int = 50,
+) -> DataFrame:
+    """Test/held-out mode (-test: learning=false, single γ-only pass —
+    VariationalInferenceOptions.java:166-178).  Returns (doc_id, gamma,
+    doc_ll)."""
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    kernel = _estep_kernel(
+        state.alpha,
+        state.elog_beta,
+        max_gamma_iter,
+        learning=False,
+        random_start_gamma=False,
+    )
+    if "gamma" not in corpus_doc.columns:
+        corpus_doc = corpus_doc.withColumn(
+            "gamma", F.lit(None).cast("array<double>")
+        )
+    out = corpus_doc.select(
+        "doc_id", "term_ids", "term_counts", "gamma"
+    ).mapInPandas(kernel, schema=_ESTEP_SCHEMA)
+    return out.filter(F.col("kind") == "doc").select(
+        "doc_id", F.col("vec").alias("gamma"), F.col("ll").alias("doc_ll")
+    )
+
+
+def beta_dataframe(spark: SparkSession, state: LdaState) -> DataFrame:
+    """Materialize E[log β] as the tall BETA table (schemas.BETA)."""
+    rows = [
+        (int(k), int(v), float(state.elog_beta[v, k]))
+        for v in range(1, state.elog_beta.shape[0])
+        for k in range(state.elog_beta.shape[1])
+    ]
+    from mr_lda_spark.schemas import BETA
+
+    return spark.createDataFrame(
+        [(k, v, b) for (k, v, b) in rows], schema=BETA
+    )

@@ -528,6 +528,84 @@ def similarity_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=SIM_K)
 
 
+# --------------------------------------------------------------------------
+# LDA (non-SQL-expressible: iterative variational EM → rows-only check)
+# --------------------------------------------------------------------------
+
+LDA_K = 4
+LDA_ITERS = 3
+LDA_SEED = 42
+
+
+def _lda_setup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs, stopwords=STOPWORDS)
+    stats = parse.term_stats(tokens)
+    dictionary = parse.build_dictionary(stats, docs.count(), min_df_frac=MIN_DF_FRAC)
+    corpus_doc = parse.corpus_to_doc_form(parse.encode_corpus(tokens, dictionary))
+    return dictionary, corpus_doc
+
+
+@register("lda_train_topics")
+def lda_train_topics(spark, sf_dir):
+    """Native VB-EM training (E-step mapInPandas + relational M-step +
+    Newton-Raphson alpha), then DisplayTopic: top-5 terms per topic.
+    Iterative + stochastic-init → no SQL oracle (rows-only check)."""
+    from mr_lda_spark.plans import lda as lda_plan
+
+    dictionary, corpus_doc = _lda_setup(spark, sf_dir)
+    num_terms = dictionary.count()
+    _, state = lda_plan.train(
+        spark,
+        corpus_doc,
+        num_terms=num_terms,
+        num_topics=LDA_K,
+        max_iterations=LDA_ITERS,
+        max_gamma_iter=15,
+        seed=LDA_SEED,
+    )
+    beta = lda_plan.beta_dataframe(spark, state)
+    return display.top_terms_per_topic(beta, dictionary, k=5)
+
+
+@register("lda_doc_topics")
+def lda_doc_topics(spark, sf_dir):
+    """Held-out inference (test mode): per-doc topic posterior γ,
+    normalized, for the first 50 docs."""
+    from mr_lda_spark.plans import lda as lda_plan
+
+    dictionary, corpus_doc = _lda_setup(spark, sf_dir)
+    num_terms = dictionary.count()
+    _, state = lda_plan.train(
+        spark,
+        corpus_doc,
+        num_terms=num_terms,
+        num_topics=LDA_K,
+        max_iterations=LDA_ITERS,
+        max_gamma_iter=15,
+        seed=LDA_SEED,
+    )
+    gamma = lda_plan.infer(spark, corpus_doc, state, max_gamma_iter=15).filter(
+        F.col("doc_id") < 50
+    )
+    return display.display_document(gamma)
+
+
+@register("lda_mllib_topics")
+def lda_mllib_topics(spark, sf_dir):
+    """Path A cross-check: MLlib online-VB LDA, top-5 terms per topic
+    in the same output schema as the native path."""
+    from mr_lda_spark.plans import mllib_lda
+
+    dictionary, corpus_doc = _lda_setup(spark, sf_dir)
+    num_terms = dictionary.count()
+    model, _ = mllib_lda.train_mllib(
+        corpus_doc, num_terms, LDA_K, max_iterations=10, seed=LDA_SEED
+    )
+    beta = mllib_lda.mllib_beta(model, spark)
+    return display.top_terms_per_topic(beta, dictionary, k=5)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -61,6 +61,32 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``mr_lda_spark`` importable on executors.
+
+    Python workers don't inherit the driver's ``sys.path`` mutations,
+    so any closure referencing package modules (the E-step kernel)
+    needs the package distributed.  Zip it once per session and
+    ``addPyFile`` it — the same mechanism that deploys this engine to a
+    real cluster (spark-submit --py-files).
+    """
+    flag = "mr_lda_spark.shipped"
+    jconf = spark.sparkContext.getLocalProperty(flag)
+    if jconf == "1":
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="mr_lda_spark_ship_")
+    zip_base = os.path.join(staging, "mr_lda_spark")
+    shutil.make_archive(
+        zip_base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir="mr_lda_spark"
+    )
+    spark.sparkContext.addPyFile(zip_base + ".zip")
+    spark.sparkContext.setLocalProperty(flag, "1")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
