@@ -177,6 +177,60 @@ def near_duplicates_minhash(
     return jaccard_verify(docs, cands, text_col, shingle_n, threshold)
 
 
+def jaccard_near_dupes_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index
+    self-join on shingles (never a cross join): pairs that share at
+    least one shingle are scored |A∩B| / |A∪B|.
+
+    At scale, ``max_shingle_df`` drops boilerplate shingles that occur
+    in more than N docs before the pair explosion (the candidate pairs
+    they would generate are found through their rarer shingles or the
+    MinHash path).
+    """
+    sets = shingles(docs, text_col, shingle_n).distinct()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    join_side = sets
+    if max_shingle_df is not None:
+        rare = (
+            sets.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("sdf"))
+            .filter(F.col("sdf") <= max_shingle_df)
+            .select("shingle")
+        )
+        join_side = sets.join(rare, "shingle")
+    common = (
+        join_side.select(F.col("doc_id").alias("a"), "shingle")
+        .join(join_side.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a"
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash over term-frequency-weighted 32-bit token hashes.
 

@@ -157,6 +157,31 @@ def build_dictionary(
     return dictionary.select("term_id", "term", "df", "tf")
 
 
+def build_dictionary_per_lang(
+    tokens_with_lang: DataFrame,
+    min_df: int = 1,
+) -> DataFrame:
+    """J4 support: per-language term dictionaries (polylda's
+    `term_lang<i>` files, polylda/ParseCorpus.java:715-827).
+
+    Ids are dense 1..V_l *within each language* via a lang-partitioned
+    rank window — naturally parallel across languages (the reference
+    runs one single-reducer sort per language).
+    Input: (doc_id, lang, term) token occurrences.
+    """
+    stats = tokens_with_lang.groupBy("lang", "term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count(F.lit(1)).alias("tf"),
+    )
+    stats = stats.filter(F.col("df") >= min_df)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("df").desc(), F.col("tf").desc(), F.col("term").asc()
+    )
+    return stats.withColumn("term_id", F.row_number().over(w).cast("int")).select(
+        "lang", "term_id", "term", "df", "tf"
+    )
+
+
 def build_title_index(docs: DataFrame, title_col: str = "title") -> DataFrame:
     """Title index: dense 1-based doc ids by title order
     (ParseCorpus.java:698-710 runs this single-threaded in the driver —

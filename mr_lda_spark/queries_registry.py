@@ -322,6 +322,67 @@ def events_hourly(spark, sf_dir):
     )
 
 
+@register(
+    "events_sessionize",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL
+                       OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sid AS (
+      SELECT *,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_epoch,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sid GROUP BY 1, 2
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via lag + running-sum
+    islands — the batch twin of streaming session_window."""
+    from mr_lda_spark.streaming import events as se
+
+    return se.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@register(
+    "events_hourly_stream",
+    """
+    SELECT event_type,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_stream(spark, sf_dir):
+    """Genuine Structured Streaming execution (file source →
+    watermarked tumbling window → availableNow drain to memory sink);
+    the oracle is the batch-equivalent SQL."""
+    import uuid
+
+    from mr_lda_spark.streaming import events as se
+
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_stream_to_batch(se.hourly_agg_stream(stream), name)
+
+
 # --------------------------------------------------------------------------
 # Deduplication (exact + MinHash/LSH + SimHash + n-gram Jaccard)
 # --------------------------------------------------------------------------
@@ -409,6 +470,53 @@ def text_fingerprints(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_jaccard_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join,
+    threshold 0.2)."""
+    return dedup.jaccard_near_dupes_exact(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register("dedup_minhash_near_dupes")
+def dedup_minhash_near_dupes(spark, sf_dir):
+    """Full MinHash → LSH banding → candidate pairs → exact Jaccard
+    verify pipeline (rows-only: the LSH candidate set is
+    probe-order-free but band parameters are engine-internal)."""
+    return dedup.near_duplicates_minhash(
+        _t(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register("similarity_lsh_topk")
+def similarity_lsh_topk(spark, sf_dir):
+    """Approximate ANN: random-hyperplane LSH buckets + bucket-local
+    exact re-rank (rows-only; recall < 1 by design vs the exact
+    cosine_topk oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.lsh_topk(emb, queries, k=SIM_K, n_planes=6)
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -494,6 +602,52 @@ def text_language_id(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Multimodal (binary payload columns; decode stubbed, plumbing real)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_media_stats",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_media_stats(spark, sf_dir):
+    """Typed-metadata media table synthesized over binary payloads;
+    byte-length stats stay JVM-side (no decode)."""
+    from mr_lda_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id", "kind", F.length("payload").cast("int").alias("n_bytes")
+    )
+
+
+@register("multimodal_image_features")
+def multimodal_image_features(spark, sf_dir):
+    """Arrow-batched image decode→featurize kernel (deterministic fake
+    decode; rows-only check)."""
+    from mr_lda_spark.operators import multimodal as mm
+
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_image_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("feature_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
 
@@ -526,6 +680,34 @@ def similarity_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
     return similarity.cosine_topk(emb, queries, k=SIM_K)
+
+
+@register(
+    "parse_term_dict_per_lang",
+    f"""
+    WITH tok AS (
+      SELECT t.doc_id, d.lang, t.term
+      FROM ({_SQL_TOKENS}) t JOIN documents d USING (doc_id)
+      WHERE t.term <> ''
+    ), stats AS (
+      SELECT lang, term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(row_number() OVER (PARTITION BY lang
+                                   ORDER BY df DESC, tf DESC, term ASC) AS INT)
+             AS term_id,
+           term, df, tf
+    FROM stats
+    """,
+)
+def parse_term_dict_per_lang(spark, sf_dir):
+    """J4: per-language dictionaries (polylda term_lang<i> files) via a
+    lang-partitioned rank window — parallel across languages where the
+    reference runs one single-reducer sort each."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return parse.build_dictionary_per_lang(tokens)
 
 
 # --------------------------------------------------------------------------
@@ -604,6 +786,59 @@ def lda_mllib_topics(spark, sf_dir):
     )
     beta = mllib_lda.mllib_beta(model, spark)
     return display.top_terms_per_topic(beta, dictionary, k=5)
+
+
+@register("polylda_topics")
+def polylda_topics(spark, sf_dir):
+    """Polylingual LDA: per-language betas, shared gamma.  Documents
+    sharing (doc_id % 150) form one multilingual doc; languages 'en'
+    and 'es'.  Returns top-3 terms per (lang, topic).  Rows-only."""
+    from mr_lda_spark.plans import polylda as poly_plan
+
+    langs = ["en", "es"]
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin(langs))
+        .withColumn("poly_doc_id", F.col("doc_id") % 150)
+    )
+    tokens = parse.tokenize(docs, doc_id_col="poly_doc_id").join(
+        docs.select(F.col("poly_doc_id").alias("doc_id"), "lang").distinct(),
+        "doc_id",
+    )
+    lang_expr = F.lit(None).cast("int")
+    for i, lang in enumerate(langs):
+        lang_expr = F.when(F.col("lang") == lang, F.lit(i)).otherwise(lang_expr)
+    tokens = tokens.withColumn("lang", lang_expr)
+    dicts = parse.build_dictionary_per_lang(tokens)
+    tall = (
+        tokens.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .join(F.broadcast(dicts.select("lang", "term", "term_id")), ["lang", "term"])
+        .select(
+            "doc_id", "lang", "term_id",
+            F.col("term_count").cast("int").alias("term_count"),
+        )
+    )
+    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(langs))
+    num_terms = [dicts.filter(F.col("lang") == i).count() for i in range(len(langs))]
+    _, state = poly_plan.train_poly(
+        spark, corpus, num_terms, num_topics=LDA_K,
+        max_iterations=LDA_ITERS, max_gamma_iter=10, seed=LDA_SEED,
+    )
+    rows = []
+    for lang_i, eb in enumerate(state.elog_betas):
+        import numpy as np
+
+        for k in range(LDA_K):
+            top = np.argsort(-eb[1:, k])[:3] + 1
+            for rank, tid in enumerate(top, 1):
+                rows.append((lang_i, k, rank, int(tid), float(eb[tid, k])))
+    out = spark.createDataFrame(
+        rows, schema="lang int, topic int, rank int, term_id int, log_beta double"
+    )
+    return out.join(
+        F.broadcast(dicts.select("lang", "term_id", "term")), ["lang", "term_id"]
+    ).select("lang", "topic", "rank", "term_id", "term", F.round("log_beta", 6).alias("log_beta"))
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,138 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.8) — these are the
+"arrives free in Spark" additions: tumbling-window aggregation with
+watermarked late-data handling, and session windows.  Each streaming
+query has a batch twin with identical semantics (the registry exposes
+the batch twin with a DuckDB oracle; the streaming tests assert
+stream ≡ batch on the same input).
+
+Scale: the parquet source here stands in for Kafka/Kinesis; watermarks
+bound state, and the aggregation keys (event_type × hour, user session)
+are high-cardinality enough to distribute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (see session.read_table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _with_ts(df: DataFrame) -> DataFrame:
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events parquet (nanos → micros timestamps,
+    same normalization as the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        # The source wants a directory; select just the events table.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _with_ts(raw)
+
+
+def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type with watermarked state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_batch(
+    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+) -> DataFrame:
+    """Drain a streaming query into an in-memory sink (availableNow:
+    process everything, then stop) and return the result as a batch
+    DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: a session ends after ``gap_minutes`` of
+    user inactivity (classic islands via lag + running sum — the batch
+    twin of ``session_window``).
+
+    Returns (user_id, session_id, session_start_epoch, session_end_epoch,
+    n_events, sum_value).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            gap.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(gap) > gap_minutes * 60),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    with_sid = flagged.withColumn(
+        "session_id", F.sum("new_session").over(w)
+    )
+    return with_sid.groupBy("user_id", "session_id").agg(
+        F.unix_timestamp(F.min("ts")).alias("session_start_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("session_end_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming session windows via the built-in session_window
+    (stateful, watermark-bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,61 @@
+"""Informed prior: seeded words must dominate their seeded topic."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import parse
+from mr_lda_spark.operators.informed_prior import (
+    eta_from_rows,
+    parse_informed_prior,
+)
+from mr_lda_spark.plans import lda
+
+
+def test_parse_informed_prior(spark, documents, tmp_path):
+    tokens = parse.tokenize(documents)
+    dictionary = parse.build_dictionary(
+        parse.term_stats(tokens), documents.count()
+    )
+    prior_file = tmp_path / "prior.txt"
+    prior_file.write_text("spark query\njoin merge notaword\n")
+    eta = parse_informed_prior(spark, str(prior_file), dictionary)
+    rows = {(r["topic"], r["term_id"]) for r in eta.collect()}
+    terms = {r["term"]: r["term_id"] for r in dictionary.collect()}
+    assert (0, terms["spark"]) in rows
+    assert (0, terms["query"]) in rows
+    assert (1, terms["join"]) in rows
+    # OOV seed word dropped, not fatal.
+    assert len(rows) == 4
+
+
+def test_informed_prior_steers_topics(spark, documents):
+    tokens = parse.tokenize(documents)
+    dictionary = parse.build_dictionary(
+        parse.term_stats(tokens), documents.count()
+    )
+    corpus_doc = parse.corpus_to_doc_form(
+        parse.encode_corpus(tokens, dictionary)
+    )
+    num_terms = dictionary.count()
+    terms = {r["term"]: r["term_id"] for r in dictionary.collect()}
+    K = 3
+    seed_words = ["spark", "query"]
+    eta_rows = spark.createDataFrame(
+        [(0, terms[w]) for w in seed_words], schema="topic int, term_id int"
+    )
+    log_eta = eta_from_rows(eta_rows, num_terms, K)
+    _, state = lda.train(
+        spark,
+        corpus_doc,
+        num_terms,
+        K,
+        max_iterations=3,
+        max_gamma_iter=10,
+        log_eta=log_eta,
+        seed=5,
+    )
+    # Seeded words' beta mass must concentrate in topic 0.
+    for w in seed_words:
+        row = state.elog_beta[terms[w]]
+        assert int(np.argmax(row)) == 0, (w, row)

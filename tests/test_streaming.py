@@ -1,0 +1,57 @@
+"""Streaming ≡ batch equivalence on the events table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.session import read_table
+from mr_lda_spark.streaming import events as se
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hourly_stream_matches_batch(spark):
+    stream = se.read_events_stream(spark, SF)
+    agg = se.hourly_agg_stream(stream)
+    result = se.run_stream_to_batch(agg, "hourly_test")
+
+    batch = read_table(spark, SF, "events").groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    got = sorted(tuple(r) for r in result.collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want
+
+
+def test_sessionize_batch_properties(spark):
+    ev = read_table(spark, SF, "events")
+    sessions = se.sessionize(ev, gap_minutes=30)
+    rows = sessions.collect()
+    assert rows
+    # Sessions partition the events: counts add up.
+    assert sum(r["n_events"] for r in rows) == ev.count()
+    # No session spans a gap: end-start bounded sanity.
+    for r in rows:
+        assert r["session_end_epoch"] >= r["session_start_epoch"]
+
+
+def test_session_stream_matches_batch_starts(spark):
+    """Streaming session_window vs batch islands: same (user, start,
+    n_events) sets."""
+    stream = se.read_events_stream(spark, SF)
+    result = se.run_stream_to_batch(
+        se.sessionize_stream(stream, gap_minutes=30), "sessions_test"
+    )
+    batch = se.sessionize(read_table(spark, SF, "events"), gap_minutes=30)
+    got = sorted(
+        (r["user_id"], r["session_start_epoch"], r["n_events"], r["sum_value"])
+        for r in result.collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_epoch"], r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    )
+    assert got == want
