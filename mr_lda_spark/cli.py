@@ -1,0 +1,235 @@
+"""CLI mirroring the reference's five entry points (SURVEY.md §2.10) so
+a Mr.LDA user can switch tool-for-tool:
+
+  cc.mrlda.ParseCorpus          → mr_lda_spark.cli parse
+  cc.mrlda.VariationalInference → mr_lda_spark.cli train
+  cc.mrlda.InformedPrior        → mr_lda_spark.cli informed-prior
+  cc.mrlda.DisplayTopic         → mr_lda_spark.cli display-topic
+  cc.mrlda.DisplayDocument      → mr_lda_spark.cli display-document
+
+Flag names follow the reference options classes
+(ParseCorpusOptions.java:54-114, VariationalInferenceOptions.java:55-120)
+with conventional dashes.  Outputs are Parquet tables in the engine
+schemas plus JSON sidecars for model-sized state (alpha).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _spark(app):
+    from mr_lda_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def cmd_parse(args) -> None:
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import parse
+    from mr_lda_spark.sources.corpus import read_raw_corpus, write_table
+
+    spark = _spark("mrlda-parse")
+    if args.format == "raw":
+        raw = read_raw_corpus(spark, args.input)
+        titles = parse.build_title_index(raw, "title")
+        docs = raw.join(titles, "title").select(
+            "doc_id", F.col("body").alias("text")
+        )
+        write_table(titles, os.path.join(args.output, "title"))
+    else:
+        docs = spark.read.parquet(args.input).select(
+            F.col(args.doc_id_col).alias("doc_id"),
+            F.col(args.text_col).alias("text"),
+        )
+
+    stopwords = None
+    if args.stoplist:
+        with open(args.stoplist) as fh:
+            stopwords = [w.strip() for w in fh if w.strip()]
+
+    tokens = parse.tokenize(docs, stopwords=stopwords)
+    num_docs = docs.count()
+    stats = parse.term_stats(tokens)
+    dictionary = parse.build_dictionary(
+        stats,
+        num_docs,
+        min_df_frac=args.minimum_document_frequency,
+        max_df_frac=args.maximum_document_frequency,
+    )
+    corpus = parse.encode_corpus(tokens, dictionary)
+    write_table(dictionary, os.path.join(args.output, "term"))
+    write_table(corpus, os.path.join(args.output, "document"))
+    print(
+        json.dumps(
+            {
+                "documents": num_docs,
+                "vocabulary": dictionary.count(),
+                "encoded_cells": corpus.count(),
+                "output": args.output,
+            }
+        )
+    )
+
+
+def cmd_train(args) -> None:
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import parse as parse_ops
+    from mr_lda_spark.plans import lda
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-train")
+    corpus_tall = spark.read.parquet(os.path.join(args.input, "document"))
+    corpus_doc = parse_ops.corpus_to_doc_form(corpus_tall)
+    num_terms = args.term or spark.read.parquet(
+        os.path.join(args.input, "term")
+    ).count()
+
+    log_eta = None
+    if args.informed_prior:
+        from mr_lda_spark.operators.informed_prior import eta_from_rows
+
+        eta = spark.read.parquet(args.informed_prior)
+        log_eta = eta_from_rows(eta, num_terms, args.topic)
+
+    final_corpus, state = lda.train(
+        spark,
+        corpus_doc,
+        num_terms=num_terms,
+        num_topics=args.topic,
+        max_iterations=args.iteration,
+        max_gamma_iter=args.gamma_iteration,
+        symmetric_alpha=args.symmetric_alpha,
+        log_eta=log_eta,
+        seed=args.seed,
+        random_start_gamma=args.random_start,
+    )
+    out = args.output
+    write_table(
+        lda.beta_dataframe(spark, state), os.path.join(out, f"beta-{len(state.history)}")
+    )
+    write_table(
+        final_corpus.select("doc_id", "gamma"),
+        os.path.join(out, f"gamma-{len(state.history)}"),
+    )
+    with open(os.path.join(out, f"alpha-{len(state.history)}.json"), "w") as fh:
+        json.dump(
+            {
+                "alpha": state.alpha.tolist(),
+                "elbo_history": state.history,
+                "iterations": len(state.history),
+            },
+            fh,
+        )
+    print(
+        json.dumps(
+            {
+                "iterations": len(state.history),
+                "final_elbo": state.elbo,
+                "alpha_sum": float(state.alpha.sum()),
+                "output": out,
+            }
+        )
+    )
+
+
+def cmd_informed_prior(args) -> None:
+    from mr_lda_spark.operators.informed_prior import parse_informed_prior
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-informed-prior")
+    dictionary = spark.read.parquet(args.index)
+    eta = parse_informed_prior(spark, args.input, dictionary)
+    write_table(eta, args.output)
+    print(json.dumps({"seed_entries": eta.count(), "output": args.output}))
+
+
+def cmd_display_topic(args) -> None:
+    from mr_lda_spark.operators.display import top_terms_per_topic
+
+    spark = _spark("mrlda-display-topic")
+    beta = spark.read.parquet(args.input)
+    term_dict = spark.read.parquet(args.index) if args.index else None
+    top = top_terms_per_topic(beta, term_dict, k=args.top_display)
+    for row in top.orderBy("topic", "rank").collect():
+        term = row["term"] if "term" in row.__fields__ else row["term_id"]
+        print(f"topic {row['topic']}\t{term}\t{row['log_beta']:.6f}")
+
+
+def cmd_display_document(args) -> None:
+    from mr_lda_spark.operators.display import display_document
+
+    spark = _spark("mrlda-display-document")
+    gamma = spark.read.parquet(args.input)
+    out = display_document(gamma).orderBy("doc_id").limit(args.limit)
+    for row in out.collect():
+        dist = " ".join(f"{x:.4f}" for x in row["topic_distribution"])
+        print(f"{row['doc_id']}\t{dist}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mr_lda_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("parse", help="ParseCorpus equivalent")
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--format", choices=["raw", "parquet"], default="parquet")
+    pp.add_argument("--text-col", default="text")
+    pp.add_argument("--doc-id-col", default="doc_id")
+    pp.add_argument("--stoplist", default=None)
+    pp.add_argument(
+        "--minimum-document-frequency", type=float, default=0.0
+    )
+    pp.add_argument(
+        "--maximum-document-frequency", type=float, default=1.0
+    )
+    pp.set_defaults(fn=cmd_parse)
+
+    pt = sub.add_parser("train", help="VariationalInference equivalent")
+    pt.add_argument("--input", required=True, help="parse output dir")
+    pt.add_argument("--output", required=True)
+    pt.add_argument("--topic", type=int, required=True)
+    pt.add_argument("--term", type=int, default=None)
+    pt.add_argument("--iteration", type=int, default=30)
+    pt.add_argument("--gamma-iteration", type=int, default=50)
+    pt.add_argument("--symmetric-alpha", action="store_true")
+    pt.add_argument("--random-start", action="store_true")
+    pt.add_argument("--informed-prior", default=None)
+    pt.add_argument("--seed", type=int, default=42)
+    pt.set_defaults(fn=cmd_train)
+
+    pi = sub.add_parser("informed-prior", help="InformedPrior equivalent")
+    pi.add_argument("--input", required=True)
+    pi.add_argument("--output", required=True)
+    pi.add_argument("--index", required=True, help="term dictionary parquet")
+    pi.set_defaults(fn=cmd_informed_prior)
+
+    pdt = sub.add_parser("display-topic", help="DisplayTopic equivalent")
+    pdt.add_argument("--input", required=True, help="beta parquet")
+    pdt.add_argument("--index", default=None, help="term dictionary parquet")
+    pdt.add_argument("--top-display", type=int, default=10)
+    pdt.set_defaults(fn=cmd_display_topic)
+
+    pdd = sub.add_parser("display-document", help="DisplayDocument equivalent")
+    pdd.add_argument("--input", required=True, help="gamma parquet")
+    pdd.add_argument("--limit", type=int, default=20)
+    pdd.set_defaults(fn=cmd_display_document)
+
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

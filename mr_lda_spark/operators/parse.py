@@ -112,27 +112,26 @@ def assign_dense_ids(
     )
     ranged = df.repartitionByRange(n_parts, *order_by)
     with_pid = ranged.withColumn("__pid", F.spark_partition_id())
-    # Tiny collect: one (pid, count) row per partition.
-    counts = dict(
-        with_pid.groupBy("__pid").count().collect()
-    )
-    offsets, acc = {}, 0
+    # Tiny collect: one (pid, count) row per partition → cumulative
+    # offsets, joined back as a broadcast dim (a CASE chain would blow
+    # up the expression tree at cluster partition counts).
+    counts = dict(with_pid.groupBy("__pid").count().collect())
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    offset_expr = F.coalesce(
-        *[
-            F.when(F.col("__pid") == pid, F.lit(off))
-            for pid, off in sorted(offsets.items())
-        ],
-        F.lit(0),
-    ) if offsets else F.lit(0)
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        offsets or [(0, 0)], schema="__pid int, __offset long"
+    )
     w = Window.partitionBy("__pid").orderBy(*order_by)
     return (
-        with_pid.withColumn(
-            id_col, (F.row_number().over(w) + offset_expr).cast("int")
+        with_pid.join(F.broadcast(offsets_df), "__pid", "left")
+        .withColumn(
+            id_col,
+            (F.row_number().over(w) + F.coalesce("__offset", F.lit(0))).cast("int"),
         )
-        .drop("__pid")
+        .drop("__pid", "__offset")
     )
 
 

@@ -1,0 +1,75 @@
+"""End-to-end CLI test: the reference's five-entry-point workflow
+(parse → informed-prior → train → display) on a raw text corpus."""
+
+import json
+import os
+import subprocess
+import sys
+
+import duckdb
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ, PYTHONPATH=REPO, SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "-m", "mr_lda_spark.cli", *args],
+        cwd=cwd,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+@pytest.mark.slow
+def test_cli_full_workflow(tmp_path):
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 100"
+    ).fetchall()
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("".join(f"doc{d}\t{t}\n" for d, t in rows))
+    (tmp_path / "stop.txt").write_text("the\na\n")
+    (tmp_path / "prior.txt").write_text("spark query\njoin merge\n")
+
+    out = _run(
+        [
+            "parse", "--input", "corpus.txt", "--output", "./out",
+            "--format", "raw", "--stoplist", "stop.txt",
+        ],
+        tmp_path,
+    )
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["documents"] == 100 and stats["vocabulary"] > 0
+
+    _run(
+        ["informed-prior", "--input", "prior.txt", "--output", "./eta",
+         "--index", "./out/term"],
+        tmp_path,
+    )
+    out = _run(
+        ["train", "--input", "./out", "--output", "./model", "--topic", "2",
+         "--iteration", "2", "--gamma-iteration", "5",
+         "--informed-prior", "./eta"],
+        tmp_path,
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["iterations"] == 2
+
+    out = _run(
+        ["display-topic", "--input", "./model/beta-2", "--index", "./out/term",
+         "--top-display", "2"],
+        tmp_path,
+    )
+    lines = [l for l in out.splitlines() if l.startswith("topic")]
+    assert len(lines) == 4  # 2 topics x 2 terms
+
+    out = _run(
+        ["display-document", "--input", "./model/gamma-2", "--limit", "2"],
+        tmp_path,
+    )
+    assert len([l for l in out.splitlines() if "\t" in l]) >= 2
