@@ -24,15 +24,20 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_orders",
     "events_hourly",
+    "events_sessionize",
+    "events_cube",
+    "orders_running_total",
     "parse_term_dict",
     "parse_encoded_corpus",
     "top_terms_per_lang",
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_simhash",
+    "dedup_jaccard_pairs",
     "text_quality",
     "text_language_id",
     "similarity_cosine_topk",
+    "lda_train_topics",
 ]
 
 
@@ -65,6 +70,11 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
+    # Engine-reported LDA throughput (BASELINE.md instrumentation
+    # mirror: sec/iteration at fixed K and sweep count).
+    lda_metrics = _lda_per_iteration(spark, sf_dir)
+    per_query.update(lda_metrics)
+
     print(
         json.dumps(
             {
@@ -76,6 +86,33 @@ def main() -> None:
             }
         )
     )
+
+
+def _lda_per_iteration(spark, sf_dir: str) -> dict[str, float]:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from mr_lda_spark.operators import parse
+    from mr_lda_spark.plans import lda
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tokens = parse.tokenize(docs)
+    dictionary = parse.build_dictionary(parse.term_stats(tokens), docs.count())
+    corpus_doc = parse.corpus_to_doc_form(parse.encode_corpus(tokens, dictionary))
+    num_terms = dictionary.count()
+    t0 = time.perf_counter()
+    iters = 3
+    lda.train(
+        spark,
+        corpus_doc,
+        num_terms=num_terms,
+        num_topics=8,
+        max_iterations=iters,
+        max_gamma_iter=25,
+        converge=0.0,
+        seed=1,
+    )
+    dt = time.perf_counter() - t0
+    return {"lda_sec_per_iteration_k8": round(dt / iters, 3)}
 
 
 if __name__ == "__main__":

@@ -36,20 +36,31 @@ def tokenize(
     doc_id_col: str = "doc_id",
     stopwords: Sequence[str] | None = None,
     token_pattern: str = DEFAULT_TOKEN_PATTERN,
+    analyzer=None,
 ) -> DataFrame:
     """P1–P3: whitespace tokenization + stop-word filter.
 
     Reference: StringTokenizer default + pluggable Lucene analyzer
-    (ParseCorpus.java:182-207) and broadcast stop list
+    (ParseCorpus.java:182-207, U1 `-analyzer`) and broadcast stop list
     (ParseCorpus.java:733-746).  The stop filter is an `isin` on a
     literal list → Catalyst folds it into the scan-side filter; for
     very large stop lists use a broadcast anti-join instead.
 
+    ``analyzer``: optional ``str -> list[str]`` Python callable — the
+    U1 extension point.  The default (None) stays JVM-side regex; a
+    custom analyzer runs as a UDF (slower, documented trade-off, same
+    as the reference's reflective Lucene analyzers).
+
     Returns one row per token occurrence: (doc_id, term).
     """
+    if analyzer is not None:
+        tok_udf = F.udf(analyzer, "array<string>")
+        token_col = tok_udf(F.col(text_col))
+    else:
+        token_col = F.split(F.col(text_col), token_pattern)
     tokens = docs.select(
         F.col(doc_id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), token_pattern)).alias("term"),
+        F.explode(token_col).alias("term"),
     ).filter(F.col("term") != "")
     if stopwords:
         tokens = tokens.filter(~F.col("term").isin(list(stopwords)))

@@ -122,73 +122,84 @@ def _estep_kernel(
         seen_any = False
 
         for pdf in batches:
-            out_docs = {
-                "kind": [],
-                "doc_id": [],
-                "term_ids": [],
-                "term_counts": [],
-                "vec": [],
-                "ll": [],
-            }
-            for row in pdf.itertuples(index=False):
-                terms = np.asarray(row.term_ids, dtype=np.int64)
-                counts = np.asarray(row.term_counts, dtype=np.float64)
-                if terms.size == 0:
-                    continue  # P7 empty-content guard
-                seen_any = True
-                n_tokens = counts.sum()
-                g = getattr(row, "gamma", None)
-                if g is not None and not random_start_gamma and len(g) == K:
-                    gamma = np.asarray(g, dtype=np.float64).copy()
-                else:
-                    gamma = alpha + n_tokens / K
+            # ---- Batch-vectorized E-step: pad every doc in the Arrow
+            # batch to (B, n_max) and run all coordinate-ascent sweeps
+            # as whole-batch tensor ops (no per-doc Python loop).
+            term_lists = [
+                np.asarray(t, dtype=np.int64) for t in pdf["term_ids"]
+            ]
+            count_lists = [
+                np.asarray(c, dtype=np.float64) for c in pdf["term_counts"]
+            ]
+            keep = [i for i, t in enumerate(term_lists) if t.size > 0]  # P7
+            if not keep:
+                continue
+            seen_any = True
+            B = len(keep)
+            lens = np.array([term_lists[i].size for i in keep])
+            n_max = int(lens.max())
+            terms_pad = np.zeros((B, n_max), dtype=np.int64)
+            counts_pad = np.zeros((B, n_max))
+            for j, i in enumerate(keep):
+                terms_pad[j, : lens[j]] = term_lists[i]
+                counts_pad[j, : lens[j]] = count_lists[i]
+            valid = counts_pad > 0
+            with np.errstate(divide="ignore"):
+                log_counts = np.where(valid, np.log(counts_pad), -np.inf)
 
-                elb = elog_beta[terms]  # (n, K)
-                log_counts = np.log(counts)[:, None]
-                ll_phi = 0.0
-                for _ in range(max_gamma_iter):
-                    dg = digamma(gamma)
-                    lp = elb + dg[None, :]  # (n, K)
-                    norm = lp.max(axis=1)
-                    norm = norm + np.log(
-                        np.exp(lp - norm[:, None]).sum(axis=1)
-                    )
-                    lpn = lp - norm[:, None]
-                    ll_phi = float(
-                        (counts[:, None] * np.exp(lpn) * (elb - lpn)).sum()
-                    )
-                    stacked = np.vstack([log_alpha[None, :], lpn + log_counts])
-                    m = stacked.max(axis=0)
-                    log_gamma = m + np.log(
-                        np.exp(stacked - m[None, :]).sum(axis=0)
-                    )
-                    gamma = np.exp(log_gamma)
+            n_tokens = counts_pad.sum(axis=1)  # (B,)
+            gamma = np.tile(alpha, (B, 1)) + n_tokens[:, None] / K
+            gammas_in = pdf["gamma"].iloc if "gamma" in pdf.columns else None
+            if gammas_in is not None and not random_start_gamma:
+                for j, i in enumerate(keep):
+                    g = pdf["gamma"].iloc[i]
+                    if g is not None and len(g) == K:
+                        gamma[j] = np.asarray(g, dtype=np.float64)
 
-                sum_gamma = gamma.sum()
-                ll_gamma = float(gammaln(gamma).sum() - gammaln(sum_gamma))
-                doc_ll = l_alpha + ll_gamma + ll_phi
-                alpha_ss += digamma(gamma) - digamma(sum_gamma)
+            elb = elog_beta[terms_pad]  # (B, n_max, K)
+            lpn = None
+            for _ in range(max_gamma_iter):
+                dg = digamma(gamma)  # (B, K)
+                lp = elb + dg[:, None, :]
+                m = lp.max(axis=2, keepdims=True)
+                norm = m + np.log(np.exp(lp - m).sum(axis=2, keepdims=True))
+                lpn = lp - norm  # (B, n_max, K)
+                contrib = lpn + log_counts[:, :, None]
+                stacked = np.concatenate(
+                    [np.tile(log_alpha, (B, 1, 1)), contrib], axis=1
+                )
+                ms = stacked.max(axis=1)
+                gamma = np.exp(
+                    ms + np.log(np.exp(stacked - ms[:, None, :]).sum(axis=1))
+                )
+            ll_phi = (
+                counts_pad[:, :, None] * np.exp(lpn) * (elb - lpn)
+            ).sum(axis=(1, 2))
 
-                if learning:
-                    # In-mapper combine: fold this doc's log-phi into the
-                    # partition-local dense accumulator (log space).
-                    contrib = lpn + log_counts
-                    cur = phi_acc[terms]
-                    hi = np.maximum(cur, contrib)
-                    lo = np.minimum(cur, contrib)
-                    with np.errstate(invalid="ignore"):
-                        merged = hi + np.log1p(np.exp(lo - hi))
-                    merged = np.where(np.isneginf(cur), contrib, merged)
-                    phi_acc[terms] = merged
+            sum_gamma = gamma.sum(axis=1)
+            ll_gamma = gammaln(gamma).sum(axis=1) - gammaln(sum_gamma)
+            doc_ll = l_alpha + ll_gamma + ll_phi
+            alpha_ss += (
+                digamma(gamma) - digamma(sum_gamma)[:, None]
+            ).sum(axis=0)
 
-                out_docs["kind"].append("doc")
-                out_docs["doc_id"].append(int(row.doc_id))
-                out_docs["term_ids"].append(row.term_ids)
-                out_docs["term_counts"].append(row.term_counts)
-                out_docs["vec"].append([float(x) for x in gamma])
-                out_docs["ll"].append(doc_ll)
-            if out_docs["doc_id"]:
-                yield pd.DataFrame(out_docs)
+            if learning:
+                # In-mapper combine (A3): indexed log-space scatter-add
+                # of this batch's log-phi into the partition accumulator.
+                contrib = (lpn + log_counts[:, :, None])[valid]  # (nnz, K)
+                flat_terms = terms_pad[valid]
+                np.logaddexp.at(phi_acc, flat_terms, contrib)
+
+            yield pd.DataFrame(
+                {
+                    "kind": "doc",
+                    "doc_id": pdf["doc_id"].iloc[keep].astype("int64").values,
+                    "term_ids": [term_lists[i] for i in keep],
+                    "term_counts": [count_lists[i].astype("int32") for i in keep],
+                    "vec": list(gamma),
+                    "ll": doc_ll,
+                }
+            )
 
         if not seen_any:
             return
@@ -228,10 +239,21 @@ def _mstep_beta(
 ) -> np.ndarray:
     """M-step finalization on the model-sized matrix
     (TermReducer.java:157-235 semantics): λ_kv = logaddexp(log η_kv,
-    Σ_partitions logφ), then E[log β] = ψ(e^λ) − ψ(Σ_v e^λ)."""
+    logφ_kv), then E[log β] = ψ(e^λ) − ψ(Σ_v e^λ).
+
+    ``phi_rows`` is either the relationally-combined tall form
+    [(term_id, topic, log_phi)] or partition-partial K-vectors
+    [(term_id, vec)] (the polylda path) — partials are logaddexp-merged
+    here.
+    """
     K = num_topics
     lam = np.full((num_terms + 1, K), -np.inf)
-    for term_id, vec in phi_rows:
+    for row in phi_rows:
+        if len(row) == 3:
+            term_id, topic, v = row
+            lam[term_id, topic] = np.logaddexp(lam[term_id, topic], v)
+            continue
+        term_id, vec = row
         contrib = np.asarray(vec)
         cur = lam[term_id]
         hi = np.maximum(cur, contrib)
@@ -303,10 +325,25 @@ def train(
         out = current.mapInPandas(kernel, schema=_ESTEP_SCHEMA)
         out = out.persist()
 
-        # Model-sized pulls: partition-partial phi stats + alpha stats.
+        # Cross-partition phi combine happens RELATIONALLY (A4/A5:
+        # logsumexp grouped by (term, topic)) so the driver only ever
+        # pulls the model-sized V×K result — with P partitions the
+        # partials are P×V rows, which must never hit the driver.
+        from mr_lda_spark.functions.logmath import logsumexp_agg
+
+        phi_partials = (
+            out.filter(F.col("kind") == "phi")
+            .select(
+                F.col("doc_id").cast("int").alias("term_id"),
+                F.posexplode("vec").alias("topic", "log_phi"),
+            )
+        )
+        phi_combined = logsumexp_agg(
+            phi_partials, ["term_id", "topic"], "log_phi", "log_phi_sum"
+        )
         phi_rows = [
-            (r["doc_id"], r["vec"])
-            for r in out.filter(F.col("kind") == "phi").select("doc_id", "vec").collect()
+            (r["term_id"], r["topic"], r["log_phi_sum"])
+            for r in phi_combined.collect()
         ]
         tail = (
             out.filter(F.col("kind") == "alpha")

@@ -323,6 +323,151 @@ def events_hourly(spark, sf_dir):
 
 
 @register(
+    "setops_custkeys",
+    """
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'both' AS op, o_custkey FROM (SELECT o_custkey FROM y95
+                                         INTERSECT SELECT o_custkey FROM y96)
+    UNION ALL
+    SELECT 'only_1995' AS op, o_custkey FROM (SELECT o_custkey FROM y95
+                                              EXCEPT SELECT o_custkey FROM y96)
+    """,
+)
+def setops_custkeys(spark, sf_dir):
+    """Set operations (§2.6 — absent in the reference, free in Spark):
+    INTERSECT / EXCEPT / UNION ALL over yearly customer activity."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    both = y95.intersect(y96).select(F.lit("both").alias("op"), "o_custkey")
+    only95 = y95.exceptAll(y96).distinct().select(
+        F.lit("only_1995").alias("op"), "o_custkey"
+    )
+    return both.unionAll(only95)
+
+
+@register(
+    "events_cube",
+    """
+    SELECT event_type,
+           CAST(extract(hour FROM ts) AS INT) AS hod,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, CAST(extract(hour FROM ts) AS INT))
+    """,
+)
+def events_cube(spark, sf_dir):
+    """Grouping sets / CUBE (§2.8 — absent in the reference): totals,
+    per-type, per-hour, and per-(type,hour) in one pass."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "hod", F.hour("ts").cast("int")
+    )
+    return e.cube("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+@register(
+    "orders_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2)
+             AS running_total
+    FROM orders
+    """,
+)
+def orders_running_total(spark, sf_dir):
+    """Running-sum analytic window (per-customer cumulative spend)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "lineitem_moving_avg",
+    """
+    SELECT l_partkey, l_orderkey, l_linenumber,
+           round(avg(l_extendedprice) OVER (PARTITION BY l_partkey
+                                            ORDER BY l_shipdate, l_orderkey,
+                                                     l_linenumber
+                                            ROWS BETWEEN 2 PRECEDING
+                                                     AND CURRENT ROW), 4)
+             AS moving_avg_price
+    FROM lineitem
+    """,
+)
+def lineitem_moving_avg(spark, sf_dir):
+    """Sliding-frame window: 3-row moving average price per part."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_extendedprice").over(w), 4).alias("moving_avg_price"),
+    )
+
+
+@register(
+    "join_semi_anti",
+    """
+    SELECT 'with_orders' AS op, c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'no_orders' AS op, c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_semi_anti(spark, sf_dir):
+    """Broadcast semi/anti joins (the P3 stop-word filter shape, §2.3:
+    'broadcast anti-join in spirit') over customers × orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = c.join(F.broadcast(o), "c_custkey", "left_semi").select(
+        F.lit("with_orders").alias("op"), "c_custkey"
+    )
+    anti = c.join(F.broadcast(o), "c_custkey", "left_anti").select(
+        F.lit("no_orders").alias("op"), "c_custkey"
+    )
+    return semi.unionAll(anti)
+
+
+@register(
     "events_sessionize",
     """
     WITH ordered AS (

@@ -1,0 +1,65 @@
+"""Plan-shape regression guards: the physical plans that make these
+operators scale must not silently degrade (SURVEY.md §4 — what Catalyst
+gives us is only a win if we keep the plans in the shapes that use it).
+"""
+
+import pytest
+
+from mr_lda_spark import queries_registry as qr
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(spark, name):
+    df = qr.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString(), df
+
+
+def _explain(spark, name):
+    import io
+    from contextlib import redirect_stdout
+
+    df = qr.QUERIES[name](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _explain(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, "shipdate filter not pushed"
+    # Column pruning: only the 6 needed columns reach the scan.
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_q3_broadcast_dim_join(spark):
+    plan = _explain(spark, "q3_top_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, "segment filter not pushed"
+
+
+def test_encode_corpus_broadcasts_dictionary(spark):
+    plan = _explain(spark, "parse_encoded_corpus")
+    assert "BroadcastHashJoin" in plan, "dictionary join must broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    plan = _explain(spark, "top_terms_per_lang")
+    assert "WindowGroupLimit" in plan, "rank-limit pushdown lost"
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    plan = _explain(spark, "similarity_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "LessThan(vec_id,5)" in plan, "query-side filter not pushed"
+
+
+def test_events_hourly_partial_agg(spark):
+    plan = _explain(spark, "events_hourly")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    # exactly one exchange for the single groupBy
+    assert plan.count("Exchange hashpartitioning") <= 2
