@@ -146,12 +146,18 @@ def assign_dense_ids(
     )
 
 
+# Below this many dictionary rows a single-partition rank window is
+# cheaper than the range-partitioned path (which costs a sampling job,
+# a per-partition count collect, and an offsets join).
+SMALL_DICT_ROWS = 4_000_000
+
+
 def build_dictionary(
     stats: DataFrame,
     num_docs: int,
     min_df_frac: float = 0.0,
     max_df_frac: float = 1.0,
-    scalable: bool = True,
+    scalable: bool | str = "auto",
 ) -> DataFrame:
     """Term dictionary: df-range filter then ids 1..V by (df desc,
     tf desc, term asc).
@@ -160,9 +166,15 @@ def build_dictionary(
     (ParseCorpus.java:465-466); we add ``term asc`` as the final key so
     ids are fully deterministic (SURVEY.md §5 implication 4).  Index 0
     stays reserved (README.md:61): ids are 1-based.
+
+    ``scalable='auto'`` counts the filtered stats (V rows — cheap) and
+    picks the single-partition window below SMALL_DICT_ROWS, else the
+    all-parallel range-partitioned path.  Both produce identical ids.
     """
     filtered = filter_df_range(stats, num_docs, min_df_frac, max_df_frac)
     order = [F.col("df").desc(), F.col("tf").desc(), F.col("term").asc()]
+    if scalable == "auto":
+        scalable = filtered.count() >= SMALL_DICT_ROWS
     dictionary = assign_dense_ids(filtered, order, "term_id", scalable=scalable)
     return dictionary.select("term_id", "term", "df", "tf")
 

@@ -119,6 +119,7 @@ def _estep_kernel(
         V1 = elog_beta.shape[0]
         phi_acc = np.full((V1, K), -np.inf) if learning else None
         alpha_ss = np.zeros(K)
+        ll_partial = 0.0
         seen_any = False
 
         for pdf in batches:
@@ -179,6 +180,7 @@ def _estep_kernel(
             sum_gamma = gamma.sum(axis=1)
             ll_gamma = gammaln(gamma).sum(axis=1) - gammaln(sum_gamma)
             doc_ll = l_alpha + ll_gamma + ll_phi
+            ll_partial += float(doc_ll.sum())
             alpha_ss += (
                 digamma(gamma) - digamma(sum_gamma)[:, None]
             ).sum(axis=0)
@@ -220,12 +222,16 @@ def _estep_kernel(
                 tail["term_counts"].append(None)
                 tail["vec"].append([float(x) for x in phi_acc[t]])
                 tail["ll"].append(None)
-        tail["kind"].append("alpha")
-        tail["doc_id"].append(-1)
-        tail["term_ids"].append(None)
-        tail["term_counts"].append(None)
-        tail["vec"].append([float(x) for x in alpha_ss])
-        tail["ll"].append(None)
+        for kind, vec in (
+            ("alpha", [float(x) for x in alpha_ss]),
+            ("elbo", [ll_partial]),
+        ):
+            tail["kind"].append(kind)
+            tail["doc_id"].append(-1)
+            tail["term_ids"].append(None)
+            tail["term_counts"].append(None)
+            tail["vec"].append(vec)
+            tail["ll"].append(None)
         yield pd.DataFrame(tail)
 
     return run
@@ -325,35 +331,41 @@ def train(
         out = current.mapInPandas(kernel, schema=_ESTEP_SCHEMA)
         out = out.persist()
 
-        # Cross-partition phi combine happens RELATIONALLY (A4/A5:
-        # logsumexp grouped by (term, topic)) so the driver only ever
-        # pulls the model-sized V×K result — with P partitions the
-        # partials are P×V rows, which must never hit the driver.
-        from mr_lda_spark.functions.logmath import logsumexp_agg
-
-        phi_partials = (
-            out.filter(F.col("kind") == "phi")
-            .select(
-                F.col("doc_id").cast("int").alias("term_id"),
-                F.posexplode("vec").alias("topic", "log_phi"),
+        # One unified stats pull (the reference's kind-branched
+        # combiner, TermCombiner.java:19-35): phi partials combine by
+        # logsumexp, alpha/elbo partials by plain sum, all in one
+        # relational pass → ONE collect of model-sized rows per
+        # iteration.  With P partitions the partials are ≤ P×(V+2)
+        # rows; the shuffle reduces them to V×K + K + 1 before any
+        # driver pull.
+        stats = out.filter(F.col("kind") != "doc").select(
+            "kind",
+            F.col("doc_id").cast("int").alias("id"),
+            F.posexplode("vec").alias("pos", "v"),
+        )
+        maxes = stats.groupBy("kind", "id", "pos").agg(F.max("v").alias("__max"))
+        combined = (
+            stats.join(maxes, ["kind", "id", "pos"])
+            .groupBy("kind", "id", "pos")
+            .agg(
+                (
+                    F.first("__max")
+                    + F.log(F.sum(F.exp(F.col("v") - F.col("__max"))))
+                ).alias("lse"),
+                F.sum("v").alias("s"),
             )
-        )
-        phi_combined = logsumexp_agg(
-            phi_partials, ["term_id", "topic"], "log_phi", "log_phi_sum"
-        )
-        phi_rows = [
-            (r["term_id"], r["topic"], r["log_phi_sum"])
-            for r in phi_combined.collect()
-        ]
-        tail = (
-            out.filter(F.col("kind") == "alpha")
-            .select("vec")
             .collect()
         )
-        alpha_ss = np.sum([np.asarray(r["vec"]) for r in tail], axis=0)
-        elbo = (
-            out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
-        )
+        phi_rows = []
+        alpha_ss = np.zeros(K)
+        elbo = 0.0
+        for r in combined:
+            if r["kind"] == "phi":
+                phi_rows.append((r["id"], r["pos"], r["lse"]))
+            elif r["kind"] == "alpha":
+                alpha_ss[r["pos"]] += r["s"]
+            else:  # elbo
+                elbo += r["s"]
 
         next_corpus = (
             out.filter(F.col("kind") == "doc")
