@@ -88,6 +88,11 @@ def cmd_train(args) -> None:
     spark = _spark("mrlda-train")
     corpus_tall = spark.read.parquet(os.path.join(args.input, "document"))
     corpus_doc = parse_ops.corpus_to_doc_form(corpus_tall)
+    if args.model_index:
+        # Resume (-modelindex): join the gamma snapshot back onto the
+        # corpus so training warm-starts from iteration N's posterior.
+        gamma = spark.read.parquet(args.model_index).select("doc_id", "gamma")
+        corpus_doc = corpus_doc.drop("gamma").join(gamma, "doc_id", "left")
     num_terms = args.term or spark.read.parquet(
         os.path.join(args.input, "term")
     ).count()
@@ -203,6 +208,11 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--symmetric-alpha", action="store_true")
     pt.add_argument("--random-start", action="store_true")
     pt.add_argument("--informed-prior", default=None)
+    pt.add_argument(
+        "--model-index",
+        default=None,
+        help="gamma-<i> snapshot dir to resume from (reference -modelindex)",
+    )
     pt.add_argument("--seed", type=int, default=42)
     pt.set_defaults(fn=cmd_train)
 

@@ -112,83 +112,110 @@ def _poly_estep_kernel(
         seen = False
 
         for pdf in batches:
-            out = {k: [] for k in (
-                "kind", "doc_id", "lang", "lang_term_ids",
-                "lang_term_counts", "vec", "ll",
-            )}
-            for row in pdf.itertuples(index=False):
-                lang_terms = [np.asarray(a, dtype=np.int64) for a in row.lang_term_ids]
-                lang_counts = [
-                    np.asarray(a, dtype=np.float64) for a in row.lang_term_counts
-                ]
-                n_total = sum(c.sum() for c in lang_counts)
-                if n_total == 0:
+            # Batch-vectorized like plans.lda: per language, pad the
+            # docs that HAVE that language to (B_l, n_max_l) tensors;
+            # the shared gamma couples languages inside each sweep.
+            # Gamma accumulates in exp space (sums of non-negative
+            # c·phi terms — stable without the log-space chain).
+            lang_terms = [[] for _ in range(L)]
+            lang_counts = [[] for _ in range(L)]
+            doc_rows = []
+            for i, row in enumerate(pdf.itertuples(index=False)):
+                tl = [np.asarray(a, dtype=np.int64) for a in row.lang_term_ids]
+                cl = [np.asarray(a, dtype=np.float64) for a in row.lang_term_counts]
+                if sum(c.sum() for c in cl) == 0:
                     continue
-                seen = True
-                g = getattr(row, "gamma", None)
-                gamma = (
-                    np.asarray(g, dtype=np.float64).copy()
-                    if g is not None and len(g) == K
-                    else alpha + n_total / K
+                doc_rows.append((i, row, tl, cl))
+            if not doc_rows:
+                continue
+            seen = True
+            B = len(doc_rows)
+
+            # Per-language padded views (idx maps back into the batch).
+            lang_pack = []
+            for lang in range(L):
+                idx = [j for j, (_, _, tl, _) in enumerate(doc_rows) if tl[lang].size]
+                if not idx:
+                    lang_pack.append(None)
+                    continue
+                lens = [doc_rows[j][2][lang].size for j in idx]
+                n_max = max(lens)
+                t_pad = np.zeros((len(idx), n_max), dtype=np.int64)
+                c_pad = np.zeros((len(idx), n_max))
+                for r, j in enumerate(idx):
+                    t_pad[r, : lens[r]] = doc_rows[j][2][lang]
+                    c_pad[r, : lens[r]] = doc_rows[j][3][lang]
+                valid = c_pad > 0
+                with np.errstate(divide="ignore"):
+                    log_c = np.where(valid, np.log(c_pad), -np.inf)
+                lang_pack.append(
+                    (np.array(idx), t_pad, c_pad, log_c, valid,
+                     elog_betas[lang][t_pad])
                 )
-                elbs = [
-                    elog_betas[lang][lang_terms[lang]] if lang_terms[lang].size else None
-                    for lang in range(L)
-                ]
-                lpns = [None] * L
-                ll_phi = 0.0
-                for _ in range(max_gamma_iter):
-                    dg = digamma(gamma)
-                    parts = [log_alpha[None, :]]
-                    ll_phi = 0.0
-                    for lang in range(L):
-                        if elbs[lang] is None:
-                            continue
-                        lp = elbs[lang] + dg[None, :]
-                        norm = lp.max(axis=1)
-                        norm = norm + np.log(
-                            np.exp(lp - norm[:, None]).sum(axis=1)
-                        )
-                        lpn = lp - norm[:, None]
-                        counts = lang_counts[lang]
-                        ll_phi += float(
-                            (counts[:, None] * np.exp(lpn) * (elbs[lang] - lpn)).sum()
-                        )
-                        lpns[lang] = lpn + np.log(counts)[:, None]
-                        parts.append(lpns[lang])
-                    stacked = np.vstack(parts)
-                    m = stacked.max(axis=0)
-                    gamma = np.exp(
-                        m + np.log(np.exp(stacked - m[None, :]).sum(axis=0))
+
+            n_total = np.zeros(B)
+            for pack in lang_pack:
+                if pack is None:
+                    continue
+                idx, _, c_pad, _, _, _ = pack
+                n_total[idx] += c_pad.sum(axis=1)
+            gamma = np.tile(alpha, (B, 1)) + n_total[:, None] / K
+            for j, (i, row, _, _) in enumerate(doc_rows):
+                g = getattr(row, "gamma", None)
+                if g is not None and len(g) == K:
+                    gamma[j] = np.asarray(g, dtype=np.float64)
+
+            lpns = [None] * L
+            ll_phi = np.zeros(B)
+            for _ in range(max_gamma_iter):
+                dg = digamma(gamma)
+                new_gamma = np.tile(alpha, (B, 1))
+                ll_phi = np.zeros(B)
+                for lang in range(L):
+                    pack = lang_pack[lang]
+                    if pack is None:
+                        continue
+                    idx, t_pad, c_pad, log_c, valid, elb = pack
+                    lp = elb + dg[idx][:, None, :]
+                    m = lp.max(axis=2, keepdims=True)
+                    norm = m + np.log(np.exp(lp - m).sum(axis=2, keepdims=True))
+                    lpn = lp - norm
+                    phi = np.exp(lpn)
+                    ll_phi[idx] += (c_pad[:, :, None] * phi * (elb - lpn)).sum(
+                        axis=(1, 2)
+                    )
+                    new_gamma[idx] += (c_pad[:, :, None] * phi).sum(axis=1)
+                    lpns[lang] = lpn + log_c[:, :, None]
+                gamma = new_gamma
+
+            sum_gamma = gamma.sum(axis=1)
+            ll_gamma = gammaln(gamma).sum(axis=1) - gammaln(sum_gamma)
+            doc_ll = l_alpha + ll_gamma + ll_phi
+            alpha_ss += (digamma(gamma) - digamma(sum_gamma)[:, None]).sum(axis=0)
+
+            if learning:
+                for lang in range(L):
+                    pack = lang_pack[lang]
+                    if pack is None or lpns[lang] is None:
+                        continue
+                    _, t_pad, _, _, valid, _ = pack
+                    np.logaddexp.at(
+                        phi_accs[lang], t_pad[valid], lpns[lang][valid]
                     )
 
-                sum_gamma = gamma.sum()
-                ll_gamma = float(gammaln(gamma).sum() - gammaln(sum_gamma))
-                alpha_ss += digamma(gamma) - digamma(sum_gamma)
-
-                if learning:
-                    for lang in range(L):
-                        if lpns[lang] is None:
-                            continue
-                        acc = phi_accs[lang]
-                        terms = lang_terms[lang]
-                        contrib = lpns[lang]
-                        cur = acc[terms]
-                        hi = np.maximum(cur, contrib)
-                        lo = np.minimum(cur, contrib)
-                        with np.errstate(invalid="ignore"):
-                            merged = hi + np.log1p(np.exp(lo - hi))
-                        acc[terms] = np.where(np.isneginf(cur), contrib, merged)
-
-                out["kind"].append("doc")
-                out["doc_id"].append(int(row.doc_id))
-                out["lang"].append(-1)
-                out["lang_term_ids"].append(row.lang_term_ids)
-                out["lang_term_counts"].append(row.lang_term_counts)
-                out["vec"].append([float(x) for x in gamma])
-                out["ll"].append(l_alpha + ll_gamma + ll_phi)
-            if out["doc_id"]:
-                yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                {
+                    "kind": "doc",
+                    "doc_id": [int(r.doc_id) for _, r, _, _ in doc_rows],
+                    "lang": -1,
+                    "lang_term_ids": [r.lang_term_ids for _, r, _, _ in doc_rows],
+                    "lang_term_counts": [
+                        r.lang_term_counts for _, r, _, _ in doc_rows
+                    ],
+                    "vec": list(gamma),
+                    "ll": doc_ll,
+                }
+            )
 
         if not seen:
             return

@@ -1,0 +1,33 @@
+"""Raw corpus sources: tab-split (P1) and polylingual null-language
+handling (P6)."""
+
+from mr_lda_spark.sources.corpus import read_raw_corpus, read_raw_corpus_poly
+
+
+def test_read_raw_corpus_tab_split(spark, tmp_path):
+    f = tmp_path / "corpus.txt"
+    f.write_text(
+        "docA\thello world foo\n"
+        "malformed line without tab\n"
+        "docB\tbar baz\n"
+    )
+    rows = read_raw_corpus(spark, str(f)).collect()
+    got = {r["title"]: r["body"] for r in rows}
+    assert got == {"docA": "hello world foo", "docB": "bar baz"}
+
+
+def test_read_raw_corpus_poly_null_language(spark, tmp_path):
+    f = tmp_path / "poly.txt"
+    f.write_text(
+        "doc1\thello world\tbonjour monde\n"
+        "doc2\tnull\tsalut\n"  # language 0 missing (literal null, P6)
+        "doc3\tonly english\tnull\n"
+    )
+    rows = read_raw_corpus_poly(spark, str(f), n_languages=2).collect()
+    got = {(r["title"], r["lang"]): r["body"] for r in rows}
+    assert got == {
+        ("doc1", 0): "hello world",
+        ("doc1", 1): "bonjour monde",
+        ("doc2", 1): "salut",
+        ("doc3", 0): "only english",
+    }
