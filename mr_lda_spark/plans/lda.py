@@ -72,6 +72,11 @@ class LdaState:
     elog_beta: np.ndarray  # (V+1, K): E[log beta], row 0 unused
     elbo: float = float("-inf")
     history: list = field(default_factory=list)
+    # Engine-reported instrumentation (BASELINE.md: mirrors the
+    # reference's per-iteration counters, VariationalInference.java:255-275).
+    iter_seconds: list = field(default_factory=list)
+    perplexity_history: list = field(default_factory=list)
+    total_tokens: float = 0.0
 
 
 def init_elog_beta(num_terms: int, num_topics: int, seed: int) -> np.ndarray:
@@ -291,6 +296,7 @@ def train(
     seed: int = 42,
     converge: float = 1e-6,  # Settings.java:56
     random_start_gamma: bool = False,
+    snapshot_dir: str | None = None,
 ) -> tuple[DataFrame, LdaState]:
     """Run the EM loop.  Returns (corpus with final γ column, state).
 
@@ -318,9 +324,24 @@ def train(
     current = corpus_doc.select("doc_id", "term_ids", "term_counts", "gamma")
     current = current.localCheckpoint()
     num_docs = current.count()
+    state.total_tokens = float(
+        current.select(
+            F.aggregate(
+                F.transform("term_counts", lambda c: c.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("n")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+        or 0.0
+    )
+
+    import time as _time
 
     prev_elbo = None
     for it in range(max_iterations):
+        iter_t0 = _time.perf_counter()
         kernel = _estep_kernel(
             state.alpha,
             state.elog_beta,
@@ -394,6 +415,16 @@ def train(
 
         state.elbo = float(elbo)
         state.history.append(float(elbo))
+        state.iter_seconds.append(round(_time.perf_counter() - iter_t0, 3))
+        if state.total_tokens > 0:
+            # Per-token perplexity from the variational bound — the
+            # standard held-out-style metric the reference tracks via
+            # its LOG_LIKELIHOOD counter.
+            state.perplexity_history.append(
+                float(np.exp(-elbo / state.total_tokens))
+            )
+        if snapshot_dir is not None:
+            _write_snapshot(spark, snapshot_dir, it + 1, current, state)
         if (
             prev_elbo is not None
             and abs((elbo - prev_elbo) / prev_elbo) <= converge
@@ -402,6 +433,31 @@ def train(
         prev_elbo = elbo
 
     return current, state
+
+
+def _write_snapshot(
+    spark: SparkSession, out_dir: str, iteration: int, corpus: DataFrame, state: LdaState
+) -> None:
+    """Per-iteration snapshot set (the reference's alpha-<i> / beta-<i>
+    / gamma-<i> directories, VariationalInference.java:346-379): gamma
+    parquet + alpha/instrumentation JSON.  Beta is model-sized and
+    recoverable from state; written on demand via beta_dataframe."""
+    import json
+    import os
+
+    corpus.select("doc_id", "gamma").write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"gamma-{iteration}")
+    )
+    with open(os.path.join(out_dir, f"alpha-{iteration}.json"), "w") as fh:
+        json.dump(
+            {
+                "alpha": state.alpha.tolist(),
+                "elbo": state.elbo,
+                "iter_seconds": state.iter_seconds,
+                "perplexity": state.perplexity_history,
+            },
+            fh,
+        )
 
 
 def infer(

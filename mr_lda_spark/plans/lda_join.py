@@ -1,0 +1,304 @@
+"""Shuffle-join variational EM — the scale path for models too large to
+broadcast (SURVEY.md §7.3 "β broadcast at scale").
+
+The reference ships ALL of β to every mapper's heap
+(DocumentMapper.java:475-536) and hits an OOM wall the paper
+acknowledges (the disabled truncation code, TermReducer.java:34-38).
+Spark can do the join MapReduce couldn't: here β is a *DataFrame*
+(term_id, beta ARRAY<DOUBLE>[K]) that never touches the driver:
+
+per iteration:
+  1. corpus_tall ⋈ beta on term_id  (shuffle join; corpus side is
+     pre-partitioned by term_id once and reused every iteration)
+  2. regroup by doc_id → doc rows carrying their terms' β slices
+  3. mapInPandas E-step (same sweeps as plans.lda, β read from rows)
+     → γ/doc-ll rows + per-(doc,term) φ rows
+  4. M-step fully relational: logsumexp φ by (term, topic) → η smooth →
+     per-topic normalizer → E[log β'] via an Arrow-batched digamma
+     kernel → next β DataFrame (localCheckpoint, still distributed)
+  5. α stats/ELBO via plain aggregations; only K+1 numbers reach the
+     driver.
+
+Cost model vs broadcast mode: two extra corpus-sized shuffles per
+iteration (the β join and the φ aggregation) — the honest price when
+V×K ∉ executor memory.  Use broadcast mode (plans.lda) below that
+threshold.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mr_lda_spark.functions.alpha import update_alpha_vector
+from mr_lda_spark.functions.special import digamma, gammaln
+from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA, LdaState, init_elog_beta
+
+_JOIN_ESTEP_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("id", T.LongType()),  # doc_id | term_id
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+        T.StructField("ll", T.DoubleType()),
+    ]
+)
+
+
+def beta_init_dataframe(
+    spark: SparkSession, num_terms: int, num_topics: int, seed: int
+) -> DataFrame:
+    """Seeded initial E[log β] as a tall DataFrame.  Built driver-side
+    here for determinism/test parity with broadcast mode; a from-data
+    init (e.g. seeded hash of (term, topic)) drops even this one-time
+    driver materialization."""
+    mat = init_elog_beta(num_terms, num_topics, seed)
+    rows = [(int(v), [float(x) for x in mat[v]]) for v in range(1, num_terms + 1)]
+    return spark.createDataFrame(rows, schema="term_id int, beta array<double>")
+
+
+def _join_estep_kernel(alpha: np.ndarray, max_gamma_iter: int):
+    """E-step over doc rows that carry their own β slices
+    (terms, counts, betas aligned arrays)."""
+    K = len(alpha)
+    l_alpha = float(gammaln(alpha.sum()) - gammaln(alpha).sum())
+    log_alpha = np.log(alpha)
+
+    def run(batches):
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            term_lists = [np.asarray(t, dtype=np.int64) for t in pdf["term_ids"]]
+            count_lists = [np.asarray(c, dtype=np.float64) for c in pdf["term_counts"]]
+            beta_lists = [np.asarray(list(b), dtype=np.float64) for b in pdf["betas"]]
+            keep = [i for i, t in enumerate(term_lists) if t.size > 0]
+            if not keep:
+                continue
+            B = len(keep)
+            lens = np.array([term_lists[i].size for i in keep])
+            n_max = int(lens.max())
+            terms_pad = np.zeros((B, n_max), dtype=np.int64)
+            counts_pad = np.zeros((B, n_max))
+            elb = np.full((B, n_max, K), DEFAULT_LOG_ETA)
+            for j, i in enumerate(keep):
+                terms_pad[j, : lens[j]] = term_lists[i]
+                counts_pad[j, : lens[j]] = count_lists[i]
+                elb[j, : lens[j]] = beta_lists[i]
+            valid = counts_pad > 0
+            with np.errstate(divide="ignore"):
+                log_counts = np.where(valid, np.log(counts_pad), -np.inf)
+
+            n_tokens = counts_pad.sum(axis=1)
+            gamma = np.tile(alpha, (B, 1)) + n_tokens[:, None] / K
+            if "gamma" in pdf.columns:
+                for j, i in enumerate(keep):
+                    g = pdf["gamma"].iloc[i]
+                    if g is not None and len(g) == K:
+                        gamma[j] = np.asarray(g, dtype=np.float64)
+
+            lpn = None
+            for _ in range(max_gamma_iter):
+                dg = digamma(gamma)
+                lp = elb + dg[:, None, :]
+                m = lp.max(axis=2, keepdims=True)
+                norm = m + np.log(np.exp(lp - m).sum(axis=2, keepdims=True))
+                lpn = lp - norm
+                contrib = lpn + log_counts[:, :, None]
+                stacked = np.concatenate(
+                    [np.tile(log_alpha, (B, 1, 1)), contrib], axis=1
+                )
+                ms = stacked.max(axis=1)
+                gamma = np.exp(
+                    ms + np.log(np.exp(stacked - ms[:, None, :]).sum(axis=1))
+                )
+            ll_phi = (counts_pad[:, :, None] * np.exp(lpn) * (elb - lpn)).sum(
+                axis=(1, 2)
+            )
+            sum_gamma = gamma.sum(axis=1)
+            ll_gamma = gammaln(gamma).sum(axis=1) - gammaln(sum_gamma)
+            doc_ll = l_alpha + ll_gamma + ll_phi
+            alpha_contrib = digamma(gamma) - digamma(sum_gamma)[:, None]
+
+            # Doc rows: γ (+ α contribution folded into 'vec2' via a
+            # second row kind to stay relational).
+            doc_ids = pdf["doc_id"].iloc[keep].astype("int64").values
+            yield pd.DataFrame(
+                {
+                    "kind": "doc",
+                    "id": doc_ids,
+                    "vec": list(gamma),
+                    "ll": doc_ll,
+                }
+            )
+            yield pd.DataFrame(
+                {
+                    "kind": "alpha",
+                    "id": doc_ids,
+                    "vec": list(alpha_contrib),
+                    "ll": 0.0,
+                }
+            )
+            # φ rows: one per (doc, term) — the honest shuffle volume
+            # of join mode; combined relationally right after.
+            contrib = lpn + log_counts[:, :, None]
+            flat_terms = terms_pad[valid]
+            flat_vecs = contrib[valid]
+            yield pd.DataFrame(
+                {
+                    "kind": "phi",
+                    "id": flat_terms.astype("int64"),
+                    "vec": list(flat_vecs),
+                    "ll": 0.0,
+                }
+            )
+
+    return run
+
+
+def train_beta_join(
+    spark: SparkSession,
+    corpus_tall: DataFrame,
+    num_terms: int,
+    num_topics: int,
+    max_iterations: int = 10,
+    max_gamma_iter: int = 50,
+    alpha_init=None,
+    seed: int = 42,
+    converge: float = 1e-6,
+    shuffle_partitions: int | None = None,
+) -> tuple[DataFrame, LdaState]:
+    """EM loop with distributed β.  ``corpus_tall`` is the encoded
+    corpus (doc_id, term_id, term_count).  Returns (gamma DataFrame,
+    state with driver-collected β — collected ONLY for API parity; the
+    loop itself never pulls β)."""
+    from mr_lda_spark.functions.logmath import logsumexp_agg
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    K = num_topics
+    alpha = (
+        np.full(K, 1.0 / K)
+        if alpha_init is None
+        else np.full(K, float(alpha_init))
+        if np.isscalar(alpha_init)
+        else np.asarray(alpha_init, dtype=np.float64).copy()
+    )
+    state = LdaState(alpha=alpha, elog_beta=np.zeros((0, K)))
+
+    # Pre-partition the corpus by term_id ONCE; every iteration's β
+    # join then reuses this partitioning (no corpus re-shuffle).
+    tall = corpus_tall.repartition(
+        shuffle_partitions or spark.sparkContext.defaultParallelism, "term_id"
+    ).localCheckpoint()
+    num_docs = tall.select("doc_id").distinct().count()
+    state.total_tokens = float(
+        tall.agg(F.sum("term_count")).collect()[0][0] or 0.0
+    )
+
+    beta_df = beta_init_dataframe(spark, num_terms, K, seed).repartition(
+        shuffle_partitions or spark.sparkContext.defaultParallelism, "term_id"
+    ).localCheckpoint()
+    gamma_df = None
+
+    digamma_udf = F.pandas_udf(
+        lambda s: pd.Series(digamma(s.to_numpy())), "double"
+    )
+
+    prev_elbo = None
+    for _ in range(max_iterations):
+        joined = tall.join(beta_df, "term_id")
+        docs = joined.groupBy("doc_id").agg(
+            F.collect_list("term_id").alias("term_ids"),
+            F.collect_list("term_count").alias("term_counts"),
+            F.collect_list("beta").alias("betas"),
+        )
+        if gamma_df is not None:
+            docs = docs.join(gamma_df, "doc_id", "left")
+        kernel = _join_estep_kernel(state.alpha, max_gamma_iter)
+        out = docs.mapInPandas(kernel, schema=_JOIN_ESTEP_SCHEMA).persist()
+
+        # --- M-step: fully relational β' ---
+        phi = out.filter(F.col("kind") == "phi").select(
+            F.col("id").cast("int").alias("term_id"),
+            F.posexplode("vec").alias("topic", "log_phi"),
+        )
+        lam = logsumexp_agg(phi, ["term_id", "topic"], "log_phi", "lse")
+        lam = lam.select(
+            "term_id",
+            "topic",
+            # η smoothing (uninformed): λ = logaddexp(log η, Σφ)
+            F.greatest(F.col("lse"), F.lit(DEFAULT_LOG_ETA)).alias("hi"),
+            F.least(F.col("lse"), F.lit(DEFAULT_LOG_ETA)).alias("lo"),
+        ).select(
+            "term_id",
+            "topic",
+            (F.col("hi") + F.log1p(F.exp(F.col("lo") - F.col("hi")))).alias(
+                "log_lambda"
+            ),
+        )
+        norms = logsumexp_agg(lam, ["topic"], "log_lambda", "log_norm")
+        beta_next = (
+            lam.join(F.broadcast(norms), "topic")
+            .select(
+                "term_id",
+                "topic",
+                (
+                    digamma_udf(F.exp("log_lambda"))
+                    - digamma_udf(F.exp("log_norm"))
+                ).alias("elog"),
+            )
+            .groupBy("term_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("topic", "elog"))).alias("p")
+            )
+            .select("term_id", F.col("p.elog").alias("beta"))
+        )
+        beta_next = beta_next.repartition(
+            shuffle_partitions or spark.sparkContext.defaultParallelism, "term_id"
+        ).localCheckpoint()
+
+        # --- α stats + ELBO: plain aggregations, K+1 numbers pulled ---
+        alpha_rows = (
+            out.filter(F.col("kind") == "alpha")
+            .select(F.posexplode("vec").alias("k", "v"))
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"))
+            .collect()
+        )
+        alpha_ss = np.zeros(K)
+        for r in alpha_rows:
+            alpha_ss[r["k"]] = r["s"]
+        elbo = (
+            out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
+        )
+        gamma_df = (
+            out.filter(F.col("kind") == "doc")
+            .select(F.col("id").alias("doc_id"), F.col("vec").alias("gamma"))
+            .localCheckpoint()
+        )
+        out.unpersist()
+        beta_df = beta_next
+
+        state.alpha = update_alpha_vector(num_docs, state.alpha, alpha_ss)
+        state.elbo = float(elbo)
+        state.history.append(float(elbo))
+        if state.total_tokens > 0:
+            state.perplexity_history.append(
+                float(math.exp(-elbo / state.total_tokens))
+            )
+        if prev_elbo is not None and abs((elbo - prev_elbo) / prev_elbo) <= converge:
+            break
+        prev_elbo = elbo
+
+    # API parity: expose β as a matrix (model-sized pull; the loop
+    # above never needed it on the driver).
+    mat = np.full((num_terms + 1, K), DEFAULT_LOG_ETA)
+    for r in beta_df.collect():
+        mat[r["term_id"]] = np.asarray(r["beta"])
+    state.elog_beta = mat
+    return gamma_df, state

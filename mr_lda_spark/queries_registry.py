@@ -918,6 +918,31 @@ def lda_doc_topics(spark, sf_dir):
     return display.display_document(gamma)
 
 
+@register("lda_join_mode_topics")
+def lda_join_mode_topics(spark, sf_dir):
+    """Shuffle-join E-step (distributed beta — the scale path for
+    V*K beyond broadcast): same output shape as lda_train_topics.
+    Rows-only."""
+    from mr_lda_spark.plans import lda as lda_plan
+    from mr_lda_spark.plans import lda_join
+
+    dictionary, corpus_doc = _lda_setup(spark, sf_dir)
+    num_terms = dictionary.count()
+    tall = corpus_doc.select(
+        "doc_id", F.explode(F.arrays_zip("term_ids", "term_counts")).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.term_ids").alias("term_id"),
+        F.col("z.term_counts").alias("term_count"),
+    )
+    _, state = lda_join.train_beta_join(
+        spark, tall, num_terms, LDA_K,
+        max_iterations=2, max_gamma_iter=10, seed=LDA_SEED,
+    )
+    beta = lda_plan.beta_dataframe(spark, state)
+    return display.top_terms_per_topic(beta, dictionary, k=5)
+
+
 @register("lda_mllib_topics")
 def lda_mllib_topics(spark, sf_dir):
     """Path A cross-check: MLlib online-VB LDA, top-5 terms per topic

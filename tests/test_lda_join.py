@@ -1,0 +1,55 @@
+"""Join-mode (distributed β) EM must agree with broadcast mode."""
+
+import numpy as np
+import pytest
+
+from mr_lda_spark.operators import parse
+from mr_lda_spark.plans import lda, lda_join
+
+K = 3
+ITERS = 3
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, documents):
+    tokens = parse.tokenize(documents)
+    dictionary = parse.build_dictionary(parse.term_stats(tokens), documents.count())
+    tall = parse.encode_corpus(tokens, dictionary)
+    return tall, dictionary.count()
+
+
+def test_join_mode_matches_broadcast_mode(spark, encoded):
+    tall, num_terms = encoded
+    corpus_doc = parse.corpus_to_doc_form(tall)
+
+    _, s_bc = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=ITERS, max_gamma_iter=10, seed=21, converge=0.0,
+    )
+    gamma_df, s_join = lda_join.train_beta_join(
+        spark, tall, num_terms, K,
+        max_iterations=ITERS, max_gamma_iter=10, seed=21, converge=0.0,
+        shuffle_partitions=8,
+    )
+
+    # Same math, different reduction orders → tight but not bitwise.
+    np.testing.assert_allclose(
+        np.array(s_join.history), np.array(s_bc.history), rtol=1e-8
+    )
+    np.testing.assert_allclose(s_join.alpha, s_bc.alpha, rtol=1e-6)
+    np.testing.assert_allclose(
+        s_join.elog_beta[1:], s_bc.elog_beta[1:], rtol=1e-6, atol=1e-8
+    )
+    assert gamma_df.count() == corpus_doc.count()
+
+
+def test_join_mode_elbo_monotone(spark, encoded):
+    tall, num_terms = encoded
+    _, state = lda_join.train_beta_join(
+        spark, tall, num_terms, K,
+        max_iterations=ITERS, max_gamma_iter=10, seed=5, converge=0.0,
+        shuffle_partitions=8,
+    )
+    h = state.history
+    for a, b in zip(h, h[1:]):
+        assert b >= a - abs(a) * 1e-6, h
