@@ -78,6 +78,58 @@ def cosine_topk(
     )
 
 
+def embedding_near_dupes(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 0,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
+    a < b and cosine ≥ threshold.
+
+    ``n_planes=0``: exact all-pairs (self cross join) — the oracle
+    path, quadratic, for modest partitions.  ``n_planes>0``: LSH
+    bucket-local pairs only (the scale path; near-dup pairs at high
+    thresholds land in the same hyperplane bucket with high
+    probability).
+    """
+    left = embeddings.select(
+        F.col(id_col).alias("a"), _as_double(F.col(vec_col)).alias("va")
+    )
+    right = embeddings.select(
+        F.col(id_col).alias("b"), _as_double(F.col(vec_col)).alias("vb")
+    )
+    if n_planes > 0:
+        lb = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
+        left = lb.select(
+            F.col("vec_id").alias("a"),
+            "bucket",
+            _as_double(F.col(vec_col)).alias("va"),
+        )
+        right = lb.select(
+            F.col("vec_id").alias("b"),
+            "bucket",
+            _as_double(F.col(vec_col)).alias("vb"),
+        )
+        pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+    else:
+        pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    scored = pairs.select(
+        "a",
+        "b",
+        (
+            _dot(F.col("va"), F.col("vb"))
+            / (_norm(F.col("va")) * _norm(F.col("vb")))
+        ).alias("cos"),
+    )
+    return scored.filter(F.col("cos") >= threshold).select(
+        "a", "b", F.round("cos", 4).alias("cos_sim")
+    )
+
+
 def hyperplane_buckets(
     embeddings: DataFrame,
     n_planes: int = 8,

@@ -297,6 +297,7 @@ def train(
     converge: float = 1e-6,  # Settings.java:56
     random_start_gamma: bool = False,
     snapshot_dir: str | None = None,
+    truncate_beta: int | None = None,
 ) -> tuple[DataFrame, LdaState]:
     """Run the EM loop.  Returns (corpus with final γ column, state).
 
@@ -403,6 +404,19 @@ def train(
 
         # M-step: beta from phi stats; alpha by Newton-Raphson.
         state.elog_beta = _mstep_beta(phi_rows, num_terms, K, log_eta)
+        if truncate_beta is not None and truncate_beta < num_terms:
+            # The reference designed (then disabled) approximate top-k
+            # beta to shrink the per-mapper model
+            # (TermReducer.java:34-38, -truncatebeta).  Working version:
+            # keep each topic's top-N terms, floor the tail — at scale
+            # the broadcast then ships N×K entries + one floor scalar
+            # instead of V×K.
+            eb = state.elog_beta
+            kth = np.partition(eb[1:], -truncate_beta, axis=0)[-truncate_beta]
+            state.elog_beta = np.where(
+                eb >= kth[None, :], eb, DEFAULT_LOG_ETA
+            )
+            state.elog_beta[0] = eb[0]
         if symmetric_alpha:
             # Keep alpha symmetric: update the scalar via the vector
             # machinery on the summed statistic, reference-style.

@@ -299,6 +299,56 @@ def region_nation_rollup(spark, sf_dir):
 
 
 @register(
+    "supplier_nation_rollup",
+    """
+    SELECT n.n_name AS nation, count(s.s_suppkey) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS total_acctbal,
+           round(avg(s.s_acctbal), 4) AS avg_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def supplier_nation_rollup(spark, sf_dir):
+    """Broadcast dim join + agg over the supplier table."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "part_brand_stats",
+    """
+    SELECT p_brand, p_type, count(*) AS n_parts,
+           round(avg(p_retailprice), 4) AS avg_price,
+           max(p_size) AS max_size
+    FROM part
+    WHERE p_size >= 10
+    GROUP BY 1, 2
+    """,
+)
+def part_brand_stats(spark, sf_dir):
+    """Filter pushdown + two-key agg over the part table."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size") >= 10)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+@register(
     "events_hourly",
     """
     SELECT event_type,
@@ -825,6 +875,36 @@ def similarity_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
     return similarity.cosine_topk(emb, queries, k=SIM_K)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a, b, round(cos, 4) AS cos_sim FROM (
+      SELECT x.vec_id AS a, y.vec_id AS b,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) AS cos
+      FROM e x JOIN e y ON x.vec_id < y.vec_id
+    ) WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs oracle path;
+    the LSH-bucketed scale path is dedup_embedding_cosine_lsh)."""
+    return similarity.embedding_near_dupes(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register("dedup_embedding_cosine_lsh")
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    """Scale path: hyperplane-LSH bucket-local near-dup pairs
+    (rows-only; recall vs the exact query is by construction < 1)."""
+    return similarity.embedding_near_dupes(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
+    )
 
 
 @register(
