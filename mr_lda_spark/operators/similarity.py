@@ -162,6 +162,102 @@ def hyperplane_buckets(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest of
+    ``n_centroids`` seeded random unit centroids (a real deployment
+    would k-means the sample; the assignment/probe plan is identical).
+    Zero shuffle — pure projection against literal centroids."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    v = _as_double(F.col(vec_col))
+    scores = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(x)) for x in cents[c]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in range(n_centroids)
+    ]
+    best = F.greatest(*scores)
+    cell = F.lit(None).cast("int")
+    for c in reversed(range(n_centroids)):
+        cell = F.when(scores[c] == best, F.lit(c)).otherwise(cell)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), cell.alias("cell"), F.col(vec_col)
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: probe the query's ``n_probe`` nearest cells, exact
+    re-rank within them.  The candidate join shuffles only the probed
+    cells' vectors; recall rises with n_probe (n_probe = n_centroids
+    ⇒ exact)."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    corpus_cells = ivf_assign(embeddings, n_centroids, dim, seed, id_col, vec_col)
+
+    # Query → its n_probe nearest centroids (tiny, driver-side).
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"])
+        order = np.argsort(-(cents @ qv))[:n_probe]
+        for c in order:
+            probe_rows.append((r["query_id"], int(c), [float(x) for x in qv]))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, schema="query_id long, cell int, qv array<double>"
+    )
+
+    cands = (
+        corpus_cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot(_as_double(F.col(vec_col)), F.col("qv"))
+                / (_norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")))
+            ).alias("cos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -702,6 +702,16 @@ def dedup_minhash_near_dupes(spark, sf_dir):
     )
 
 
+@register("similarity_ivf_topk")
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF ANN: coarse-quantize into cells, probe the nearest cells,
+    exact re-rank (rows-only; full-probe equals the exact oracle —
+    asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.ivf_topk(emb, queries, k=SIM_K, n_centroids=16, n_probe=6)
+
+
 @register("similarity_lsh_topk")
 def similarity_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH buckets + bucket-local

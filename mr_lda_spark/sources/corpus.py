@@ -66,3 +66,22 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by=
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_multi(df: DataFrame, sinks: dict) -> None:
+    """S5: several logical sinks off ONE lineage (the reference's
+    MultipleOutputs — document/title side outputs in one parse job,
+    beta/gamma side outputs in one inference job,
+    ParseCorpus.java:360-363, VariationalInference.java:222-235).
+
+    ``sinks`` maps path → a projection function (DataFrame →
+    DataFrame).  The source is persisted so the upstream computation
+    runs once regardless of the number of sinks, then released.
+    """
+    df = df.persist()
+    try:
+        df.count()  # materialize once
+        for path, project in sinks.items():
+            write_table(project(df), path)
+    finally:
+        df.unpersist()

@@ -1,0 +1,82 @@
+"""Similarity-search operators: exact vs approximate paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import similarity
+from mr_lda_spark.session import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = read_table(spark, SF, "embeddings")
+    df.persist().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def exact_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    return {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.cosine_topk(emb, q, k=5).collect()
+    }
+
+
+def test_ivf_full_probe_equals_exact(spark, emb, exact_topk):
+    """n_probe == n_centroids probes every cell → identical to exact."""
+    q = emb.filter(F.col("vec_id") < 10)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=5, n_centroids=8, n_probe=8
+        ).collect()
+    }
+    assert got == exact_topk
+
+
+def test_ivf_recall_monotone_in_probes(spark, emb, exact_topk):
+    """More probed cells ⇒ recall must not drop (and reach 1.0 at full
+    probe — covered by the exact-equality test above)."""
+    q = emb.filter(F.col("vec_id") < 10)
+    recalls = []
+    for probe in (2, 4, 6):
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in similarity.ivf_topk(
+                emb, q, k=5, n_centroids=8, n_probe=probe
+            ).collect()
+        }
+        hits = sum(1 for key, nid in exact_topk.items() if got.get(key) == nid)
+        recalls.append(hits / len(exact_topk))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > 0.3, recalls
+
+
+def test_lsh_topk_results_are_valid_neighbors(spark, emb):
+    q = emb.filter(F.col("vec_id") < 10)
+    rows = similarity.lsh_topk(emb, q, k=5, n_planes=4).collect()
+    assert rows
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        assert -1.0 <= r["cos_sim"] <= 1.0
+
+
+def test_multi_sink_single_lineage(spark, emb, tmp_path):
+    from mr_lda_spark.sources.corpus import write_multi
+
+    out_a = str(tmp_path / "buckets")
+    out_b = str(tmp_path / "ids")
+    buckets = similarity.hyperplane_buckets(emb, n_planes=4)
+    write_multi(
+        buckets,
+        {
+            out_a: lambda df: df.groupBy("bucket").count(),
+            out_b: lambda df: df.select("vec_id", "bucket"),
+        },
+    )
+    a = spark.read.parquet(out_a)
+    b = spark.read.parquet(out_b)
+    assert a.agg(F.sum("count")).collect()[0][0] == b.count() == emb.count()
