@@ -1048,6 +1048,39 @@ def lda_mllib_topics(spark, sf_dir):
     return display.top_terms_per_topic(beta, dictionary, k=5)
 
 
+@register("lda_online_stream_topics")
+def lda_online_stream_topics(spark, sf_dir):
+    """Streaming online-VB LDA: documents arrive as a file stream,
+    each micro-batch folds into lambda via the Hoffman et al. (2010)
+    stochastic update (foreachBatch).  Top-5 terms per topic.
+    Rows-only."""
+    from mr_lda_spark.plans import lda as lda_plan
+    from mr_lda_spark.streaming import lda_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs, stopwords=STOPWORDS)
+    dictionary = parse.build_dictionary(
+        parse.term_stats(tokens), docs.count(), min_df_frac=MIN_DF_FRAC
+    ).persist()
+    model = lda_stream.train_online_from_stream(
+        spark,
+        sf_dir,
+        dictionary,
+        num_topics=LDA_K,
+        corpus_size_estimate=docs.count(),
+        docs_per_batch=200,
+        max_gamma_iter=10,
+        seed=LDA_SEED,
+    )
+    state = lda_plan.LdaState(alpha=model.alpha, elog_beta=model.elog_beta)
+    beta = lda_plan.beta_dataframe(spark, state)
+    out = display.top_terms_per_topic(beta, dictionary, k=5)
+    out = out.persist()
+    out.count()
+    dictionary.unpersist()
+    return out
+
+
 @register("polylda_topics")
 def polylda_topics(spark, sf_dir):
     """Polylingual LDA: per-language betas, shared gamma.  Documents
