@@ -47,6 +47,9 @@ class PolyLdaState:
     elog_betas: list  # per language: (V_l+1, K)
     elbo: float = float("-inf")
     history: list = field(default_factory=list)
+    iter_seconds: list = field(default_factory=list)
+    perplexity_history: list = field(default_factory=list)
+    total_tokens: float = 0.0
 
 
 def poly_corpus_from_tall(
@@ -286,9 +289,20 @@ def train_poly(
         "doc_id", "lang_term_ids", "lang_term_counts", "gamma"
     ).localCheckpoint()
     num_docs = current.count()
+    state.total_tokens = float(
+        current.select(
+            F.aggregate(
+                F.flatten("lang_term_counts"), F.lit(0), lambda a, x: a + x
+            ).cast("double").alias("n")
+        ).agg(F.sum("n")).collect()[0][0]
+        or 0.0
+    )
+
+    import time as _time
 
     prev_elbo = None
     for _ in range(max_iterations):
+        iter_t0 = _time.perf_counter()
         kernel = _poly_estep_kernel(
             state.alpha, state.elog_betas, max_gamma_iter, learning=True
         )
@@ -329,6 +343,11 @@ def train_poly(
         state.alpha = update_alpha_vector(num_docs, state.alpha, alpha_ss)
         state.elbo = float(elbo)
         state.history.append(float(elbo))
+        state.iter_seconds.append(round(_time.perf_counter() - iter_t0, 3))
+        if state.total_tokens > 0:
+            state.perplexity_history.append(
+                float(np.exp(-elbo / state.total_tokens))
+            )
         if prev_elbo is not None and abs((elbo - prev_elbo) / prev_elbo) <= converge:
             break
         prev_elbo = elbo
