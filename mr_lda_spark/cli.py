@@ -145,6 +145,89 @@ def cmd_train(args) -> None:
     )
 
 
+def cmd_train_poly(args) -> None:
+    """polylda.ParseCorpus + polylda.VariationalInference equivalent:
+    raw polylingual corpus (docId \\t text_lang0 \\t text_lang1 ...,
+    literal 'null' = missing language) → per-language dictionaries →
+    shared-gamma training."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import parse
+    from mr_lda_spark.plans import polylda
+    from mr_lda_spark.sources.corpus import read_raw_corpus_poly, write_table
+
+    spark = _spark("mrlda-train-poly")
+    raw = read_raw_corpus_poly(spark, args.input, args.language)
+    titles = parse.build_title_index(raw, "title")
+    docs = raw.join(titles, "title").select("doc_id", "lang", "body")
+    tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("body", r"\s+"), lambda t: t != "")).alias(
+            "term"
+        ),
+    )
+    dicts = parse.build_dictionary_per_lang(tokens)
+    tall = (
+        tokens.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .join(F.broadcast(dicts.select("lang", "term", "term_id")), ["lang", "term"])
+        .select(
+            "doc_id", "lang", "term_id",
+            F.col("term_count").cast("int").alias("term_count"),
+        )
+    )
+    corpus = polylda.poly_corpus_from_tall(tall, n_languages=args.language)
+    num_terms = [
+        dicts.filter(F.col("lang") == i).count() for i in range(args.language)
+    ]
+    final_corpus, state = polylda.train_poly(
+        spark,
+        corpus,
+        num_terms,
+        args.topic,
+        max_iterations=args.iteration,
+        max_gamma_iter=args.gamma_iteration,
+        seed=args.seed,
+    )
+    out = args.output
+    write_table(dicts, os.path.join(out, "term"))
+    write_table(titles, os.path.join(out, "title"))
+    write_table(
+        final_corpus.select("doc_id", "gamma"),
+        os.path.join(out, f"gamma-{len(state.history)}"),
+    )
+    for lang in range(args.language):
+        eb = state.elog_betas[lang]
+        rows = [
+            (int(k), int(v), float(eb[v, k]))
+            for v in range(1, eb.shape[0])
+            for k in range(args.topic)
+        ]
+        from mr_lda_spark.schemas import BETA
+
+        write_table(
+            spark.createDataFrame(rows, schema=BETA),
+            os.path.join(out, f"beta-lang{lang}-{len(state.history)}"),
+        )
+    with open(os.path.join(out, f"alpha-{len(state.history)}.json"), "w") as fh:
+        json.dump(
+            {"alpha": state.alpha.tolist(), "elbo_history": state.history}, fh
+        )
+    print(
+        json.dumps(
+            {
+                "languages": args.language,
+                "vocab_per_language": num_terms,
+                "iterations": len(state.history),
+                "final_elbo": state.elbo,
+                "output": out,
+            }
+        )
+    )
+
+
 def cmd_informed_prior(args) -> None:
     from mr_lda_spark.operators.informed_prior import parse_informed_prior
     from mr_lda_spark.sources.corpus import write_table
@@ -215,6 +298,18 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pt.add_argument("--seed", type=int, default=42)
     pt.set_defaults(fn=cmd_train)
+
+    ptp = sub.add_parser(
+        "train-poly", help="polylda ParseCorpus+VariationalInference equivalent"
+    )
+    ptp.add_argument("--input", required=True, help="raw polylingual corpus")
+    ptp.add_argument("--output", required=True)
+    ptp.add_argument("--language", type=int, required=True)
+    ptp.add_argument("--topic", type=int, required=True)
+    ptp.add_argument("--iteration", type=int, default=10)
+    ptp.add_argument("--gamma-iteration", type=int, default=20)
+    ptp.add_argument("--seed", type=int, default=42)
+    ptp.set_defaults(fn=cmd_train_poly)
 
     pi = sub.add_parser("informed-prior", help="InformedPrior equivalent")
     pi.add_argument("--input", required=True)

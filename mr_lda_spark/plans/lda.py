@@ -84,6 +84,10 @@ def init_elog_beta(num_terms: int, num_topics: int, seed: int) -> np.ndarray:
     init (retrieveBeta, DocumentMapper.java:446-463 — deliberately made
     deterministic here, SURVEY.md §7.3): log of a normalized positive
     random matrix."""
+    if num_terms <= 0:
+        # Degenerate vocabulary (e.g. a language absent from a corpus
+        # shard): a single floored row keeps downstream shapes valid.
+        return np.full((1, num_topics), DEFAULT_LOG_ETA)
     rng = np.random.default_rng(seed)
     raw = rng.random((num_terms + 1, num_topics)) + 2.0 * rng.random(
         (num_terms + 1, num_topics)
