@@ -518,6 +518,42 @@ def join_semi_anti(spark, sf_dir):
 
 
 @register(
+    "events_json_stats",
+    """
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_json_stats(spark, sf_dir):
+    """JSON extraction in the hot path (props is a JSON string column)
+    — stays JVM-side via get_json_object."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("k").alias("max_k"))
+    )
+
+
+@register("events_approx_distinct_users")
+def events_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog sketch aggregation (approx_count_distinct) next to
+    the exact count — the working form of the reference's disabled
+    sketching ideas (TermReducer.java:34-38).  Rows-only: sketch
+    estimates are engine-specific."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
     "events_sessionize",
     """
     WITH ordered AS (
