@@ -228,6 +228,48 @@ def cmd_train_poly(args) -> None:
     )
 
 
+def cmd_infer(args) -> None:
+    """Held-out inference (the reference's -test mode,
+    VariationalInferenceOptions.java:166-178): load a trained model
+    (beta parquet + alpha json), run a single gamma-only E-step pass
+    over a corpus, write gamma + per-doc log-likelihood."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import parse as parse_ops
+    from mr_lda_spark.plans import lda
+    from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-infer")
+    with open(args.alpha) as fh:
+        alpha = np.asarray(json.load(fh)["alpha"])
+    K = len(alpha)
+    beta_rows = spark.read.parquet(args.beta).collect()
+    num_terms = max(r["term_id"] for r in beta_rows)
+    elog = np.full((num_terms + 1, K), DEFAULT_LOG_ETA)
+    for r in beta_rows:
+        elog[r["term_id"], r["topic"]] = r["log_beta"]
+    state = lda.LdaState(alpha=alpha, elog_beta=elog)
+
+    corpus_tall = spark.read.parquet(os.path.join(args.input, "document"))
+    corpus_doc = parse_ops.corpus_to_doc_form(corpus_tall)
+    out = lda.infer(spark, corpus_doc, state, max_gamma_iter=args.gamma_iteration)
+    write_table(out, args.output)
+    total = out.agg(
+        F.sum("doc_ll").alias("ll"), F.count(F.lit(1)).alias("docs")
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                "documents": total["docs"],
+                "total_log_likelihood": total["ll"],
+                "output": args.output,
+            }
+        )
+    )
+
+
 def cmd_informed_prior(args) -> None:
     from mr_lda_spark.operators.informed_prior import parse_informed_prior
     from mr_lda_spark.sources.corpus import write_table
@@ -298,6 +340,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pt.add_argument("--seed", type=int, default=42)
     pt.set_defaults(fn=cmd_train)
+
+    pif = sub.add_parser("infer", help="held-out inference (-test mode)")
+    pif.add_argument("--input", required=True, help="parse output dir")
+    pif.add_argument("--beta", required=True, help="beta parquet dir")
+    pif.add_argument("--alpha", required=True, help="alpha json file")
+    pif.add_argument("--output", required=True)
+    pif.add_argument("--gamma-iteration", type=int, default=50)
+    pif.set_defaults(fn=cmd_infer)
 
     ptp = sub.add_parser(
         "train-poly", help="polylda ParseCorpus+VariationalInference equivalent"
