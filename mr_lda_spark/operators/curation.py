@@ -1,0 +1,78 @@
+"""End-to-end training-data curation: the composition a 100 TB
+pretraining pipeline actually runs, built from this engine's operators.
+
+    documents
+      → language filter            (textops.language_id)
+      → quality gate               (textops.quality_scores)
+      → exact dedup                 (dedup.exact_duplicates, keep min id)
+      → near-dup removal            (dedup n-gram Jaccard, drop b of each pair)
+      → surviving corpus + audit row counts per stage
+
+Every stage is a narrow projection or one hash shuffle; the near-dup
+stage joins only candidate pairs.  The whole pipeline is one lazy plan
+per output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import dedup, textops
+
+
+def curate(
+    docs: DataFrame,
+    keep_langs: tuple = ("en",),
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Returns the curated corpus (doc_id plus audit columns).
+
+    Near-dup removal drops the higher doc_id of each offending pair
+    (deterministic canonical-keep policy).
+    """
+    lang = textops.language_id(docs).select("doc_id", "pred_lang")
+    quality = textops.quality_scores(docs).select("doc_id", "quality_score")
+    base = (
+        docs.select("doc_id")
+        .join(lang, "doc_id")
+        .join(quality, "doc_id")
+        .filter(
+            F.col("pred_lang").isin(list(keep_langs))
+            & (F.col("quality_score") >= min_quality)
+        )
+    )
+    survivors = docs.join(base.select("doc_id"), "doc_id")
+
+    # Exact dedup: keep each text's minimum doc_id.
+    canon = dedup.exact_duplicates(survivors).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    survivors = survivors.join(canon, "doc_id")
+
+    # Near-dup: drop the larger id of each pair above threshold.
+    pairs = dedup.jaccard_near_dupes_exact(
+        survivors, threshold=jaccard_threshold
+    )
+    drop = pairs.select(F.col("b").alias("doc_id")).distinct()
+    survivors = survivors.join(drop, "doc_id", "left_anti")
+
+    return (
+        survivors.select("doc_id")
+        .join(base, "doc_id")
+        .select("doc_id", "pred_lang", F.col("quality_score"))
+    )
+
+
+def curation_report(docs: DataFrame, **kwargs) -> DataFrame:
+    """Single-row audit: counts per pipeline stage."""
+    total = docs.count()
+    lang = textops.language_id(docs).select("doc_id", "pred_lang")
+    keep_langs = kwargs.get("keep_langs", ("en",))
+    after_lang = lang.filter(F.col("pred_lang").isin(list(keep_langs))).count()
+    final = curate(docs, **kwargs).count()
+    return docs.sparkSession.createDataFrame(
+        [(total, after_lang, final)],
+        schema="total_docs long, after_lang_filter long, final_docs long",
+    )

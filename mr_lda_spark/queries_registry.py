@@ -842,6 +842,77 @@ def text_language_id(spark, sf_dir):
     return textops.language_id(_t(spark, sf_dir, "documents"))
 
 
+_SQL_QUALITY = """
+  SELECT doc_id,
+         round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+           0.5 * least(n_tok / 100.0, 1.0)
+           + 0.3 * least(stop_hits / CAST(n_tok AS DOUBLE) * 5, 1.0)
+           + 0.2 * (1 - least(digit_chars / CAST(n_chars AS DOUBLE) * 10, 1.0))
+         END, 6) AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it')))
+             AS stop_hits,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+    FROM documents
+  )
+"""
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH lang AS (
+      SELECT doc_id, {_LANG_SQL_PRED} AS pred_lang
+      FROM (SELECT doc_id, {_LANG_SQL_HITS} FROM documents)
+    ), quality AS ({_SQL_QUALITY}),
+    base AS (
+      SELECT d.doc_id, lang.pred_lang, quality.quality_score
+      FROM documents d
+      JOIN lang USING (doc_id) JOIN quality USING (doc_id)
+      WHERE lang.pred_lang IN ('en') AND quality.quality_score >= 0.3
+    ), canon AS (
+      SELECT min(d.doc_id) AS doc_id
+      FROM documents d JOIN base USING (doc_id)
+      GROUP BY md5(d.text)
+    ), surv1 AS (
+      SELECT base.* FROM base JOIN canon USING (doc_id)
+    ), sh AS (
+      SELECT s.doc_id, s.shingle
+      FROM ({_SQL_SHINGLES}) s JOIN surv1 ON s.doc_id = surv1.doc_id
+    ), sh_d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_d GROUP BY 1),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+      FROM sh_d x JOIN sh_d y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ), drops AS (
+      SELECT DISTINCT b AS doc_id
+      FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+      WHERE round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+              >= 0.5
+    )
+    SELECT surv1.doc_id, surv1.pred_lang, surv1.quality_score
+    FROM surv1 LEFT JOIN drops USING (doc_id)
+    WHERE drops.doc_id IS NULL
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """The full training-data curation composition: language filter →
+    quality gate → exact dedup (canonical keep) → near-dup removal."""
+    from mr_lda_spark.operators.curation import curate
+
+    return curate(
+        _t(spark, sf_dir, "documents"),
+        keep_langs=("en",),
+        min_quality=0.3,
+        jaccard_threshold=0.5,
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal (binary payload columns; decode stubbed, plumbing real)
 # --------------------------------------------------------------------------
