@@ -106,6 +106,7 @@ def _estep_kernel(
     max_gamma_iter: int,
     learning: bool,
     random_start_gamma: bool,
+    gamma_tol: float = 0.0,
 ):
     """Build the mapInPandas function for one E-step pass.
 
@@ -159,8 +160,7 @@ def _estep_kernel(
 
             n_tokens = counts_pad.sum(axis=1)  # (B,)
             gamma = np.tile(alpha, (B, 1)) + n_tokens[:, None] / K
-            gammas_in = pdf["gamma"].iloc if "gamma" in pdf.columns else None
-            if gammas_in is not None and not random_start_gamma:
+            if "gamma" in pdf.columns and not random_start_gamma:
                 for j, i in enumerate(keep):
                     g = pdf["gamma"].iloc[i]
                     if g is not None and len(g) == K:
@@ -179,9 +179,18 @@ def _estep_kernel(
                     [np.tile(log_alpha, (B, 1, 1)), contrib], axis=1
                 )
                 ms = stacked.max(axis=1)
+                prev_gamma = gamma
                 gamma = np.exp(
                     ms + np.log(np.exp(stacked - ms[:, None, :]).sum(axis=1))
                 )
+                if gamma_tol > 0.0 and np.max(
+                    np.abs(gamma - prev_gamma) / prev_gamma
+                ) < gamma_tol:
+                    # Convergence-gated sweeps (SURVEY §7.3): the
+                    # reference burns a fixed 100 sweeps per doc per
+                    # iteration (Settings.java:54) — warm-started
+                    # iterations converge in a handful.
+                    break
             ll_phi = (
                 counts_pad[:, :, None] * np.exp(lpn) * (elb - lpn)
             ).sum(axis=(1, 2))
@@ -302,6 +311,7 @@ def train(
     random_start_gamma: bool = False,
     snapshot_dir: str | None = None,
     truncate_beta: int | None = None,
+    gamma_tol: float = 0.0,
 ) -> tuple[DataFrame, LdaState]:
     """Run the EM loop.  Returns (corpus with final γ column, state).
 
@@ -353,6 +363,7 @@ def train(
             max_gamma_iter,
             learning=True,
             random_start_gamma=random_start_gamma and it == 0,
+            gamma_tol=gamma_tol,
         )
         out = current.mapInPandas(kernel, schema=_ESTEP_SCHEMA)
         out = out.persist()

@@ -103,6 +103,25 @@ def test_seeded_reproducibility(spark, encoded):
     assert s1.history == s2.history
 
 
+def test_gamma_tol_converges_to_same_model(spark, encoded):
+    """Convergence-gated sweeps (gamma_tol) must reach the same optimum
+    as fixed sweeps, just cheaper (SURVEY §7.3 mitigation for the
+    reference's fixed-100-sweep E-step)."""
+    corpus_doc, num_terms = encoded
+    _, fixed = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=3, max_gamma_iter=30, seed=17, converge=0.0,
+    )
+    _, gated = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=3, max_gamma_iter=30, seed=17, converge=0.0,
+        gamma_tol=1e-5,
+    )
+    assert gated.history[-1] == pytest.approx(fixed.history[-1], rel=1e-4)
+    for a, b in zip(gated.history, gated.history[1:]):
+        assert b >= a - abs(a) * 1e-6
+
+
 def test_infer_heldout(spark, encoded, trained):
     """Test mode: γ-only pass returns finite posteriors for all docs."""
     corpus_doc, num_terms = encoded
