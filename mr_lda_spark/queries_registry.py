@@ -518,6 +518,55 @@ def join_semi_anti(spark, sf_dir):
 
 
 @register(
+    "events_asof_join",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT event_id AS click_event_id, user_id,
+             ts AS click_ts, value AS click_value
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+           c.click_event_id AS click_event_id_right,
+           CAST(epoch_us(c.click_ts) AS BIGINT) AS click_ts_us
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase attached to the user's most
+    recent prior click (union + window composition; DuckDB's native
+    ASOF JOIN is the oracle)."""
+    from mr_lda_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    joined = asof_join(
+        purchases, clicks, by="user_id", left_ts="ts", right_ts="click_ts",
+        right_payload=["click_event_id", "click_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_event_id_right",
+        F.unix_micros("click_ts_right").alias("click_ts_us"),
+    )
+
+
+@register(
     "events_json_stats",
     """
     SELECT event_type,
