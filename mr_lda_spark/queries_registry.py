@@ -567,6 +567,41 @@ def events_asof_join(spark, sf_dir):
 
 
 @register(
+    "events_value_bands",
+    """
+    WITH bands(lo, hi, band) AS (
+      VALUES (0.0, 10.0, 'low'), (10.0, 100.0, 'mid'),
+             (100.0, 1e9, 'high')
+    )
+    SELECT b.band, count(*) AS n, round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+def events_value_bands(spark, sf_dir):
+    """Range (interval) join: fact values banded against a broadcast
+    interval dim via an inequality join — Spark executes it as a
+    BroadcastNestedLoopJoin; at scale, band the fact side first
+    (bin key = floor(log(value))) to turn it into an equi-join."""
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    return (
+        e.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "events_json_stats",
     """
     SELECT event_type,
