@@ -210,12 +210,15 @@ def _estep_kernel(
                 flat_terms = terms_pad[valid]
                 np.logaddexp.at(phi_acc, flat_terms, contrib)
 
+            # Doc rows carry ONLY gamma + ll — the static term arrays
+            # never round-trip back through Arrow (the corpus is
+            # checkpointed once and joined to gamma each iteration).
             yield pd.DataFrame(
                 {
                     "kind": "doc",
                     "doc_id": pdf["doc_id"].iloc[keep].astype("int64").values,
-                    "term_ids": [term_lists[i] for i in keep],
-                    "term_counts": [count_lists[i].astype("int32") for i in keep],
+                    "term_ids": None,
+                    "term_counts": None,
                     "vec": list(gamma),
                     "ll": doc_ll,
                 }
@@ -332,15 +335,23 @@ def train(
     elog_beta = init_elog_beta(num_terms, K, seed)
     state = LdaState(alpha=alpha, elog_beta=elog_beta)
 
-    if "gamma" not in corpus_doc.columns:
-        corpus_doc = corpus_doc.withColumn(
-            "gamma", F.lit(None).cast("array<double>")
-        )
-    current = corpus_doc.select("doc_id", "term_ids", "term_counts", "gamma")
-    current = current.localCheckpoint()
-    num_docs = current.count()
+    # The corpus (term arrays) is checkpointed ONCE, partitioned by
+    # doc_id, and never re-materialized: each iteration joins the small
+    # carried gamma table back onto it.  At 100 TB this is the
+    # difference between O(corpus) and O(D×K) per-iteration I/O.
+    n_parts = spark.sparkContext.defaultParallelism
+    has_gamma = "gamma" in corpus_doc.columns
+    cols = ["doc_id", "term_ids", "term_counts"] + (["gamma"] if has_gamma else [])
+    base = (
+        corpus_doc.select(*cols)
+        .repartition(n_parts, "doc_id")
+        .localCheckpoint()  # the ONE materialization of the input lineage
+    )
+    static_corpus = base.select("doc_id", "term_ids", "term_counts")
+    gamma_df = base.select("doc_id", "gamma") if has_gamma else None
+    num_docs = base.count()
     state.total_tokens = float(
-        current.select(
+        static_corpus.select(
             F.aggregate(
                 F.transform("term_counts", lambda c: c.cast("double")),
                 F.lit(0.0),
@@ -365,7 +376,15 @@ def train(
             random_start_gamma=random_start_gamma and it == 0,
             gamma_tol=gamma_tol,
         )
-        out = current.mapInPandas(kernel, schema=_ESTEP_SCHEMA)
+        if gamma_df is None:
+            inp = static_corpus.withColumn(
+                "gamma", F.lit(None).cast("array<double>")
+            )
+        else:
+            # Corpus side is already hash-partitioned on doc_id; only
+            # the small gamma table shuffles.
+            inp = static_corpus.join(gamma_df, "doc_id", "left")
+        out = inp.mapInPandas(kernel, schema=_ESTEP_SCHEMA)
         out = out.persist()
 
         # One unified stats pull (the reference's kind-branched
@@ -404,18 +423,13 @@ def train(
             else:  # elbo
                 elbo += r["s"]
 
-        next_corpus = (
+        next_gamma = (
             out.filter(F.col("kind") == "doc")
-            .select(
-                "doc_id",
-                "term_ids",
-                "term_counts",
-                F.col("vec").alias("gamma"),
-            )
-            .localCheckpoint()  # cut lineage; materializes doc rows
+            .select("doc_id", F.col("vec").alias("gamma"))
+            .localCheckpoint()  # tiny: D×K doubles; cuts lineage
         )
         out.unpersist()
-        current = next_corpus
+        gamma_df = next_gamma
 
         # M-step: beta from phi stats; alpha by Newton-Raphson.
         state.elog_beta = _mstep_beta(phi_rows, num_terms, K, log_eta)
@@ -453,7 +467,7 @@ def train(
                 float(np.exp(-elbo / state.total_tokens))
             )
         if snapshot_dir is not None:
-            _write_snapshot(spark, snapshot_dir, it + 1, current, state)
+            _write_snapshot(spark, snapshot_dir, it + 1, gamma_df, state)
         if (
             prev_elbo is not None
             and abs((elbo - prev_elbo) / prev_elbo) <= converge
@@ -461,11 +475,16 @@ def train(
             break
         prev_elbo = elbo
 
-    return current, state
+    final = (
+        static_corpus.join(gamma_df, "doc_id", "left")
+        if gamma_df is not None
+        else static_corpus.withColumn("gamma", F.lit(None).cast("array<double>"))
+    )
+    return final, state
 
 
 def _write_snapshot(
-    spark: SparkSession, out_dir: str, iteration: int, corpus: DataFrame, state: LdaState
+    spark: SparkSession, out_dir: str, iteration: int, gamma_df: DataFrame, state: LdaState
 ) -> None:
     """Per-iteration snapshot set (the reference's alpha-<i> / beta-<i>
     / gamma-<i> directories, VariationalInference.java:346-379): gamma
@@ -474,7 +493,7 @@ def _write_snapshot(
     import json
     import os
 
-    corpus.select("doc_id", "gamma").write.mode("overwrite").parquet(
+    gamma_df.select("doc_id", "gamma").write.mode("overwrite").parquet(
         os.path.join(out_dir, f"gamma-{iteration}")
     )
     with open(os.path.join(out_dir, f"alpha-{iteration}.json"), "w") as fh:

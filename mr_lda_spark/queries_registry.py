@@ -1150,6 +1150,10 @@ def _lda_setup(spark, sf_dir):
     tokens = parse.tokenize(docs, stopwords=STOPWORDS)
     stats = parse.term_stats(tokens)
     dictionary = parse.build_dictionary(stats, docs.count(), min_df_frac=MIN_DF_FRAC)
+    # The dictionary is re-used by the corpus encode AND the display
+    # join; persist so its parse lineage runs once.
+    dictionary = dictionary.persist()
+    dictionary.count()
     corpus_doc = parse.corpus_to_doc_form(parse.encode_corpus(tokens, dictionary))
     return dictionary, corpus_doc
 

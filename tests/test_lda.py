@@ -98,9 +98,12 @@ def test_seeded_reproducibility(spark, encoded):
     _, s2 = lda.train(
         spark, corpus_doc, num_terms, K, max_iterations=2, max_gamma_iter=10, seed=11
     )
-    np.testing.assert_array_equal(s1.alpha, s2.alpha)
-    np.testing.assert_array_equal(s1.elog_beta, s2.elog_beta)
-    assert s1.history == s2.history
+    # Kernel math is bitwise-seeded; the cross-partition relational
+    # combine is order-insensitive only up to float associativity, so
+    # allow last-ulp jitter.
+    np.testing.assert_allclose(s1.alpha, s2.alpha, rtol=1e-12)
+    np.testing.assert_allclose(s1.elog_beta, s2.elog_beta, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(s1.history, s2.history, rtol=1e-12)
 
 
 def test_gamma_tol_converges_to_same_model(spark, encoded):

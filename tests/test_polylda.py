@@ -125,6 +125,6 @@ def test_poly_reproducible(spark, poly):
     _, s2 = polylda.train_poly(
         spark, corpus, num_terms, K, max_iterations=2, max_gamma_iter=5, seed=4
     )
-    np.testing.assert_array_equal(s1.alpha, s2.alpha)
+    np.testing.assert_allclose(s1.alpha, s2.alpha, rtol=1e-12)
     for a, b in zip(s1.elog_betas, s2.elog_betas):
-        np.testing.assert_array_equal(a, b)
+        np.testing.assert_allclose(a, b, rtol=1e-9, atol=1e-12)

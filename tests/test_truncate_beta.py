@@ -42,4 +42,8 @@ def test_no_truncation_when_n_ge_vocab(spark, encoded):
         spark, corpus_doc, num_terms, K,
         max_iterations=2, max_gamma_iter=5, seed=2, truncate_beta=num_terms,
     )
-    np.testing.assert_array_equal(full.elog_beta, trunc.elog_beta)
+    # Same code path; tolerance covers last-ulp jitter from shuffle
+    # arrival order in the relational phi combine.
+    np.testing.assert_allclose(
+        full.elog_beta, trunc.elog_beta, rtol=1e-9, atol=1e-12
+    )
