@@ -206,15 +206,15 @@ def _poly_estep_kernel(
                         phi_accs[lang], t_pad[valid], lpns[lang][valid]
                     )
 
+            # Doc rows carry only gamma + ll; the static per-language
+            # term arrays never round-trip back through Arrow.
             yield pd.DataFrame(
                 {
                     "kind": "doc",
                     "doc_id": [int(r.doc_id) for _, r, _, _ in doc_rows],
                     "lang": -1,
-                    "lang_term_ids": [r.lang_term_ids for _, r, _, _ in doc_rows],
-                    "lang_term_counts": [
-                        r.lang_term_counts for _, r, _, _ in doc_rows
-                    ],
+                    "lang_term_ids": None,
+                    "lang_term_counts": None,
                     "vec": list(gamma),
                     "ll": doc_ll,
                 }
@@ -285,12 +285,23 @@ def train_poly(
         ],
     )
 
-    current = poly_corpus_doc.select(
-        "doc_id", "lang_term_ids", "lang_term_counts", "gamma"
-    ).localCheckpoint()
-    num_docs = current.count()
+    # Same carry strategy as plans.lda: static corpus checkpointed
+    # once, only gamma flows between iterations.
+    n_parts = spark.sparkContext.defaultParallelism
+    has_gamma = "gamma" in poly_corpus_doc.columns
+    cols = ["doc_id", "lang_term_ids", "lang_term_counts"] + (
+        ["gamma"] if has_gamma else []
+    )
+    base = (
+        poly_corpus_doc.select(*cols)
+        .repartition(n_parts, "doc_id")
+        .localCheckpoint()
+    )
+    static_corpus = base.select("doc_id", "lang_term_ids", "lang_term_counts")
+    gamma_df = base.select("doc_id", "gamma") if has_gamma else None
+    num_docs = base.count()
     state.total_tokens = float(
-        current.select(
+        base.select(
             F.aggregate(
                 F.flatten("lang_term_counts"), F.lit(0), lambda a, x: a + x
             ).cast("double").alias("n")
@@ -306,7 +317,13 @@ def train_poly(
         kernel = _poly_estep_kernel(
             state.alpha, state.elog_betas, max_gamma_iter, learning=True
         )
-        out = current.mapInPandas(kernel, schema=_POLY_ESTEP_SCHEMA).persist()
+        if gamma_df is None:
+            inp = static_corpus.withColumn(
+                "gamma", F.lit(None).cast("array<double>")
+            )
+        else:
+            inp = static_corpus.join(gamma_df, "doc_id", "left")
+        out = inp.mapInPandas(kernel, schema=_POLY_ESTEP_SCHEMA).persist()
 
         phi_by_lang: dict[int, list] = {lang: [] for lang in range(L)}
         for r in (
@@ -323,18 +340,13 @@ def train_poly(
             axis=0,
         )
         elbo = out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
-        next_corpus = (
+        next_gamma = (
             out.filter(F.col("kind") == "doc")
-            .select(
-                "doc_id",
-                "lang_term_ids",
-                "lang_term_counts",
-                F.col("vec").alias("gamma"),
-            )
+            .select("doc_id", F.col("vec").alias("gamma"))
             .localCheckpoint()
         )
         out.unpersist()
-        current = next_corpus
+        gamma_df = next_gamma
 
         state.elog_betas = [
             _mstep_beta(phi_by_lang[lang], num_terms_per_lang[lang], K, None)
@@ -352,4 +364,9 @@ def train_poly(
             break
         prev_elbo = elbo
 
-    return current, state
+    final = (
+        static_corpus.join(gamma_df, "doc_id", "left")
+        if gamma_df is not None
+        else static_corpus.withColumn("gamma", F.lit(None).cast("array<double>"))
+    )
+    return final, state
