@@ -22,7 +22,7 @@ Scale notes (100 TB corpus, 1000 executors):
 
 from __future__ import annotations
 
-from typing import Iterable, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

@@ -15,7 +15,6 @@ literal-null languages), plus the shared γ.
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -26,7 +25,7 @@ from pyspark.sql import types as T
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma, gammaln
-from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA, init_elog_beta, _mstep_beta
+from mr_lda_spark.plans.lda import init_elog_beta, _mstep_beta
 
 _POLY_ESTEP_SCHEMA = T.StructType(
     [

@@ -33,7 +33,7 @@ from mr_lda_spark.plans.lda import (
     DEFAULT_LOG_ETA,
     _ESTEP_SCHEMA,
     _estep_kernel,
-    init_elog_beta,
+
 )
 
 
