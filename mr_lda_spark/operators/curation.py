@@ -65,6 +65,64 @@ def curate(
     )
 
 
+def hash_sample(
+    docs: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic content-hash sampling: keep a row iff
+    ``hash(salt:key) mod 10^6 < fraction·10^6``.
+
+    Unlike ``df.sample`` this is reproducible across engines, runs,
+    and partitionings — the property a training pipeline needs so the
+    same shard sample can be recomputed anywhere.  md5-derived for
+    oracle parity; swap xxhash64 at production scale.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return docs.filter(bucket < int(fraction * 1_000_000))
+
+
+def stratified_hash_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    key_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class balancing): each
+    stratum keeps its own fraction via the same hash rule."""
+    frac = F.lit(default_fraction)
+    for value, f in fractions.items():
+        frac = F.when(F.col(strata_col) == value, F.lit(f)).otherwise(frac)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit("strat"), F.col(key_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    return docs.filter(bucket < (frac * 1_000_000).cast("long"))
+
+
 def curation_report(docs: DataFrame, **kwargs) -> DataFrame:
     """Single-row audit: counts per pipeline stage."""
     total = docs.count()

@@ -997,6 +997,28 @@ def curation_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "curation_stratified_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 1000000
+          < CAST((CASE lang WHEN 'en' THEN 0.2 WHEN 'es' THEN 0.5
+                            ELSE 0.0 END) * 1000000 AS BIGINT)
+    """,
+)
+def curation_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified sampling (class balancing):
+    reproducible across engines/partitionings, unlike RNG df.sample."""
+    from mr_lda_spark.operators.curation import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        docs, "lang", {"en": 0.2, "es": 0.5}
+    ).select("doc_id", "lang")
+
+
 # --------------------------------------------------------------------------
 # Multimodal (binary payload columns; decode stubbed, plumbing real)
 # --------------------------------------------------------------------------
