@@ -106,6 +106,73 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def npmi_coherence(
+    docs: DataFrame,
+    word_sets: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Topic-coherence via normalized PMI over document co-occurrence —
+    the metric the reference computes with the external
+    `topic_interpretability` tool (reference README.md:226-276),
+    implemented in-engine.
+
+    ``word_sets``: (set_id INT, term STRING) — e.g. each topic's top-k
+    words.  For every unordered pair (a < b) within a set:
+
+        npmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) / −ln p(a,b)
+
+    with p from document frequencies (+1 smoothing on the joint).
+    Returns per-set mean npmi: (set_id, n_pairs, mean_npmi).
+
+    Plan: one distinct (doc, term) projection of the corpus filtered
+    to the sets' vocabulary (broadcast semi-join) → df counts + a
+    self-join on doc_id for joint counts — co-occurrence work is
+    proportional to docs × set-vocabulary, never the full corpus.
+    """
+    n_docs = docs.count()
+    vocab = word_sets.select("term").distinct()
+    occ = (
+        docs.select(
+            "doc_id",
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        .join(F.broadcast(vocab), "term", "left_semi")
+        .distinct()
+    )
+    dfreq = occ.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pairs = (
+        word_sets.alias("x")
+        .join(word_sets.alias("y"), "set_id")
+        .filter(F.col("x.term") < F.col("y.term"))
+        .select("set_id", F.col("x.term").alias("a"), F.col("y.term").alias("b"))
+    )
+    joint = (
+        occ.alias("oa")
+        .join(occ.alias("ob"), "doc_id")
+        .filter(F.col("oa.term") < F.col("ob.term"))
+        .groupBy(F.col("oa.term").alias("a"), F.col("ob.term").alias("b"))
+        .agg(F.count(F.lit(1)).alias("joint_df"))
+    )
+    scored = (
+        pairs.join(dfreq.select(F.col("term").alias("a"), F.col("df").alias("df_a")), "a")
+        .join(dfreq.select(F.col("term").alias("b"), F.col("df").alias("df_b")), "b")
+        .join(joint, ["a", "b"], "left")
+        .withColumn("joint_df", F.coalesce("joint_df", F.lit(0)))
+        .withColumn("p_a", F.col("df_a") / n_docs)
+        .withColumn("p_b", F.col("df_b") / n_docs)
+        .withColumn("p_ab", (F.col("joint_df") + 1.0) / n_docs)
+        .withColumn(
+            "npmi",
+            F.log(F.col("p_ab") / (F.col("p_a") * F.col("p_b")))
+            / -F.log(F.col("p_ab")),
+        )
+    )
+    return scored.groupBy("set_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("npmi"), 6).alias("mean_npmi"),
+    )
+
+
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Explode each doc into its n-token shingles (1-based positions so
     the DuckDB oracle matches exactly).  Docs shorter than n tokens are

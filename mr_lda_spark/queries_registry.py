@@ -1065,6 +1065,77 @@ def multimodal_image_features(spark, sf_dir):
     )
 
 
+@register(
+    "text_npmi_coherence",
+    f"""
+    WITH topterms AS (
+      SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS rk
+      FROM ({_SQL_TOKENS}) WHERE term <> ''
+      GROUP BY term LIMIT 8
+    ), ws AS (SELECT 0 AS set_id, term FROM topterms WHERE rk <= 8),
+    occ AS (
+      SELECT DISTINCT t.doc_id, t.term
+      FROM ({_SQL_TOKENS}) t JOIN ws ON t.term = ws.term
+    ), dfreq AS (SELECT term, count(*) AS df FROM occ GROUP BY 1),
+    pairs AS (
+      SELECT x.set_id, x.term AS a, y.term AS b
+      FROM ws x JOIN ws y USING (set_id) WHERE x.term < y.term
+    ), joint AS (
+      SELECT oa.term AS a, ob.term AS b, count(*) AS joint_df
+      FROM occ oa JOIN occ ob USING (doc_id) WHERE oa.term < ob.term
+      GROUP BY 1, 2
+    ), nd AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT p.set_id,
+             ln(((coalesce(j.joint_df, 0) + 1.0) / nd.n)
+                / ((da.df / CAST(nd.n AS DOUBLE)) * (db.df / CAST(nd.n AS DOUBLE))))
+               / -ln((coalesce(j.joint_df, 0) + 1.0) / nd.n) AS npmi
+      FROM pairs p
+      JOIN dfreq da ON da.term = p.a
+      JOIN dfreq db ON db.term = p.b
+      LEFT JOIN joint j ON j.a = p.a AND j.b = p.b
+      CROSS JOIN nd
+    )
+    SELECT set_id, count(*) AS n_pairs, round(avg(npmi), 6) AS mean_npmi
+    FROM scored GROUP BY 1
+    """,
+)
+def text_npmi_coherence(spark, sf_dir):
+    """NPMI coherence of the corpus's top-8 terms (deterministic word
+    set → fully oracle-checkable; the same operator scores LDA topics
+    in lda_topic_coherence)."""
+    docs = _t(spark, sf_dir, "documents")
+    tokens = parse.tokenize(docs)
+    top8 = (
+        parse.term_stats(tokens)
+        .orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(8)
+        .select(F.lit(0).alias("set_id"), "term")
+    )
+    return textops.npmi_coherence(docs, top8)
+
+
+@register("lda_topic_coherence")
+def lda_topic_coherence(spark, sf_dir):
+    """Per-topic NPMI coherence of the trained model's top-5 terms —
+    the reference's external topic_interpretability evaluation
+    (README.md:226-276) as an in-engine operator.  Rows-only."""
+    from mr_lda_spark.plans import lda as lda_plan
+
+    dictionary, corpus_doc = _lda_setup(spark, sf_dir)
+    num_terms = dictionary.count()
+    _, state = lda_plan.train(
+        spark, corpus_doc, num_terms=num_terms, num_topics=LDA_K,
+        max_iterations=LDA_ITERS, max_gamma_iter=15, seed=LDA_SEED,
+    )
+    beta = lda_plan.beta_dataframe(spark, state)
+    top = display.top_terms_per_topic(beta, dictionary, k=5).select(
+        F.col("topic").alias("set_id"), "term"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return textops.npmi_coherence(docs, top)
+
+
 # --------------------------------------------------------------------------
 # Similarity search over embeddings
 # --------------------------------------------------------------------------
