@@ -435,6 +435,24 @@ def events_cube(spark, sf_dir):
 
 
 @register(
+    "orders_priority_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_priority_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals (status → priority → grand total)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
     "orders_running_total",
     """
     SELECT o_custkey, o_orderkey,
