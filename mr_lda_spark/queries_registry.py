@@ -912,6 +912,62 @@ def text_quality(spark, sf_dir):
     return textops.quality_scores(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_repetition",
+    f"""
+    WITH bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents),
+           unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ), counts AS (
+      SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_bigrams,
+           max(c) AS top_bigram_count,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Repetition quality signal (Gopher-style): fraction of the doc's
+    bigrams taken by its most frequent bigram — high values flag
+    boilerplate/spam."""
+    docs = _t(spark, sf_dir, "documents")
+    bi = textops.shingles(docs, n=2).withColumnRenamed("shingle", "bigram")
+    counts = bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "doc_length_percentiles",
+    """
+    SELECT source,
+           count(*) AS n,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90,
+           round(quantile_cont(n_chars, 0.99), 4) AS p99
+    FROM documents GROUP BY source
+    """,
+)
+def doc_length_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per source (Spark `percentile` ≡
+    DuckDB `quantile_cont`)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+    )
+
+
 _LANG_SQL_HITS = ", ".join(
     "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS hits_{}".format(
         ", ".join(f"'{w}'" for w in words), lang
