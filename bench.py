@@ -37,6 +37,9 @@ HEADLINE = [
     "text_quality",
     "text_language_id",
     "similarity_cosine_topk",
+    "events_asof_join",
+    "text_npmi_coherence",
+    "curation_pipeline",
     "lda_train_topics",
 ]
 

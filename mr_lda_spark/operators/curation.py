@@ -42,7 +42,7 @@ def curate(
             F.col("pred_lang").isin(list(keep_langs))
             & (F.col("quality_score") >= min_quality)
         )
-    )
+    ).persist()  # reused by the dedup stages and the final projection
     survivors = docs.join(base.select("doc_id"), "doc_id")
 
     # Exact dedup: keep each text's minimum doc_id.

@@ -177,6 +177,35 @@ def near_duplicates_minhash(
     return jaccard_verify(docs, cands, text_col, shingle_n, threshold)
 
 
+def simhash_near_dupes(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup pairs: (a, b, hamming) where the fingerprints
+    differ in ≤ ``max_hamming`` bits.
+
+    This exact form self-joins the (small) fingerprint table; the scale
+    path blocks on fingerprint bands first (split the 32 bits into
+    (max_hamming+1) bands — pigeonhole guarantees candidates share one
+    exact band) and only then computes hamming distances.
+    """
+    fp = simhash(docs, text_col, bits)
+    a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def jaccard_near_dupes_exact(
     docs: DataFrame,
     text_col: str = "text",
@@ -193,7 +222,9 @@ def jaccard_near_dupes_exact(
     they would generate are found through their rarer shingles or the
     MinHash path).
     """
-    sets = shingles(docs, text_col, shingle_n).distinct()
+    # The shingle sets feed the self-join twice plus the size table —
+    # persist so the (possibly expensive) upstream lineage runs once.
+    sets = shingles(docs, text_col, shingle_n).distinct().persist()
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_side = sets
     if max_shingle_df is not None:

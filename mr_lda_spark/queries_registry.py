@@ -790,6 +790,45 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+_SQL_SIMHASH = """
+  WITH counts AS (
+    SELECT doc_id, term, count(*) AS cnt
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY 1, 2
+  ), hashed AS (
+    SELECT doc_id, cnt, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
+    FROM counts
+  ), votes AS (
+    SELECT doc_id, bit,
+           sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+    FROM hashed, unnest(range(0, 32)) AS b(bit)
+    GROUP BY 1, 2
+  )
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END)
+           AS simhash
+  FROM votes GROUP BY 1
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fp AS ({_SQL_SIMHASH})
+    SELECT x.doc_id AS a, y.doc_id AS b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+    FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs by hamming distance ≤ 6."""
+    return dedup.simhash_near_dupes(
+        _t(spark, sf_dir, "documents"), max_hamming=6
+    )
+
+
 @register(
     "text_fingerprints",
     f"""
