@@ -585,6 +585,50 @@ def events_asof_join(spark, sf_dir):
 
 
 @register(
+    "events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'signup') AS first_signup,
+             min(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(first_signup) AS n_signed_up,
+           count(*) FILTER (first_purchase IS NOT NULL
+                            AND first_signup IS NOT NULL
+                            AND first_purchase > first_signup)
+             AS n_converted
+    FROM firsts
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Conversion funnel: users whose first purchase follows their
+    first signup — conditional (FILTER) aggregation shape."""
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(
+                F.col("first_purchase").isNotNull()
+                & F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                F.lit(1),
+            )
+        ).alias("n_converted"),
+    )
+
+
+@register(
     "events_value_bands",
     """
     WITH bands(lo, hi, band) AS (
