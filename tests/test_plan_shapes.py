@@ -58,6 +58,23 @@ def test_cosine_topk_broadcasts_queries(spark):
     assert "LessThan(vec_id,5)" in plan, "query-side filter not pushed"
 
 
+def test_asof_join_single_shuffle(spark):
+    """The as-of join must cost exactly one exchange for the union
+    (hash on the by-key) — no join node, no range explosion."""
+    plan = _explain(spark, "events_asof_join")
+    assert "Join" not in plan.replace("join", ""), plan[:400]  # no *Join exec
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan
+
+
+def test_npmi_semi_join_prunes_corpus(spark):
+    """Co-occurrence work must be bounded by the set vocabulary: the
+    corpus side passes through a (broadcast) semi join before the
+    self-join."""
+    plan = _explain(spark, "text_npmi_coherence")
+    assert "LeftSemi" in plan, plan[:400]
+
+
 def test_events_hourly_partial_agg(spark):
     plan = _explain(spark, "events_hourly")
     assert "partial_count" in plan or "HashAggregate" in plan
