@@ -191,6 +191,51 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into token-windowed chunks with overlap — the
+    standard context-window preparation step of a pretraining pipeline.
+
+    Chunks start every ``chunk_tokens − overlap`` tokens; the last
+    chunk may be short.  Pure higher-order-function projection — zero
+    shuffle, embarrassingly parallel.
+
+    Returns (doc_id, chunk_index, chunk_start, n_chunk_tokens, chunk).
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = _tokens(F.col(text_col))
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    # 1-based start positions: 1, 1+stride, ... while start <= n_tokens.
+    starts = F.sequence(
+        F.lit(1), F.size("toks"), F.lit(stride)
+    )
+    chunked = with_toks.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.posexplode(starts).alias("chunk_index", "chunk_start"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_index",
+        "chunk_start",
+        F.least(
+            F.lit(chunk_tokens), F.col("n_tokens") - F.col("chunk_start") + 1
+        ).alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("chunk_start"), F.lit(chunk_tokens))
+        ).alias("chunk"),
+    )
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Document fingerprint: min-hash over n-gram shingles (the 1-hash
     special case of MinHash — a winnowing-style content fingerprint).

@@ -1051,6 +1051,31 @@ def doc_length_percentiles(spark, sf_dir):
     )
 
 
+@register(
+    "text_chunks",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 56 AS INT) AS chunk_index,
+           CAST(s AS INT) AS chunk_start,
+           CAST(least(64, len(t) - s + 1) AS INT) AS n_chunk_tokens,
+           array_to_string(t[s : s + 63], ' ') AS chunk
+    FROM base, unnest(range(1, len(t) + 1, 56)) AS u(s)
+    WHERE len(t) > 0
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Token-windowed document chunking (64-token chunks, 8-token
+    overlap → stride 56): the context-window preparation step of a
+    pretraining pipeline.  Zero-shuffle projection."""
+    return textops.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+
+
 _LANG_SQL_HITS = ", ".join(
     "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS hits_{}".format(
         ", ".join(f"'{w}'" for w in words), lang
