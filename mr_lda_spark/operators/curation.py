@@ -26,6 +26,7 @@ def curate(
     keep_langs: tuple = ("en",),
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Returns the curated corpus (doc_id plus audit columns).
 
@@ -51,9 +52,12 @@ def curate(
     )
     survivors = survivors.join(canon, "doc_id")
 
-    # Near-dup: drop the larger id of each pair above threshold.
+    # Near-dup: drop the larger id of each pair above threshold.  The
+    # shingle-df cap guards the inverted-index self-join against a
+    # corpus-scale boilerplate shingle (dedup.hot_shingles audits what
+    # the cap excluded).
     pairs = dedup.jaccard_near_dupes_exact(
-        survivors, threshold=jaccard_threshold
+        survivors, threshold=jaccard_threshold, max_shingle_df=max_shingle_df
     )
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     survivors = survivors.join(drop, "doc_id", "left_anti")

@@ -19,10 +19,14 @@ xxhash64 via the same expression shape.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mr_lda_spark.operators.textops import shingles
+
+logger = logging.getLogger(__name__)
 
 
 def _hash64(col, seed: int):
@@ -182,20 +186,64 @@ def simhash_near_dupes(
     text_col: str = "text",
     bits: int = 32,
     max_hamming: int = 6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: (a, b, hamming) where the fingerprints
     differ in ≤ ``max_hamming`` bits.
 
-    This exact form self-joins the (small) fingerprint table; the scale
-    path blocks on fingerprint bands first (split the 32 bits into
-    (max_hamming+1) bands — pigeonhole guarantees candidates share one
-    exact band) and only then computes hamming distances.
+    Pigeonhole banding: the ``bits``-bit fingerprint splits into
+    ``max_hamming + 1`` contiguous bands.  Two fingerprints within
+    hamming distance ``max_hamming`` must agree exactly on at least one
+    band, so an equi-join on (band, band_value) finds every qualifying
+    pair without ever materialising the O(n²) cross product — the join
+    keys are high-cardinality band values, the classic scale-out
+    blocking scheme (Manku et al., WWW'07 §3).  Exactness is preserved
+    (pigeonhole is a guarantee, not a heuristic); ``distinct`` collapses
+    pairs that agree on several bands.
+
+    ``max_bucket_size`` optionally drops degenerate hot buckets (e.g.
+    the all-zeros band from boilerplate shingles) before the pair
+    explosion; ``None`` keeps the result exact.
     """
     fp = simhash(docs, text_col, bits)
-    a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
-    b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    n_bands = max_hamming + 1
+    bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.expr(
+                            f"(simhash >> {bounds[i]}) & "
+                            f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
+                        ).alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bv.band").alias("band"),
+        F.col("bv.band_val").alias("band_val"),
+    )
+    if max_bucket_size is not None:
+        banded = banded.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "band_val")),
+        ).filter(F.col("bucket_n") <= max_bucket_size)
+    a = banded.select(
+        "band", "band_val", F.col("doc_id").alias("a"), F.col("simhash").alias("ha")
+    )
+    b = banded.select(
+        "band", "band_val", F.col("doc_id").alias("b"), F.col("simhash").alias("hb")
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "band_val"])
         .filter(F.col("a") < F.col("b"))
         .select(
             "a",
@@ -203,6 +251,7 @@ def simhash_near_dupes(
             F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -228,6 +277,13 @@ def jaccard_near_dupes_exact(
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_side = sets
     if max_shingle_df is not None:
+        # No silent caps: the excluded boilerplate shingles are
+        # enumerable via hot_shingles(docs, ...) with the same cap.
+        logger.info(
+            "jaccard_near_dupes_exact: shingle-df cap active (df <= %d); "
+            "hotter shingles are excluded from candidate generation",
+            max_shingle_df,
+        )
         rare = (
             sets.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("sdf"))
@@ -259,6 +315,24 @@ def jaccard_near_dupes_exact(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def hot_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Audit companion to ``jaccard_near_dupes_exact``'s
+    ``max_shingle_df`` cap: the boilerplate shingles the cap excludes,
+    with their document frequency.  At 100 TB this is the report a
+    pipeline owner reviews before trusting the near-dup pass."""
+    sets = shingles(docs, text_col, shingle_n).distinct()
+    return (
+        sets.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .filter(F.col("sdf") > max_shingle_df)
     )
 
 

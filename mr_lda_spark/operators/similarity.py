@@ -83,39 +83,77 @@ def embedding_near_dupes(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 0,
+    n_planes: int = 3,
+    n_bands: int = 6,
     dim: int = 64,
     seed: int = 42,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
     a < b and cosine ≥ threshold.
 
-    ``n_planes=0``: exact all-pairs (self cross join) — the oracle
-    path, quadratic, for modest partitions.  ``n_planes>0``: LSH
-    bucket-local pairs only (the scale path; near-dup pairs at high
-    thresholds land in the same hyperplane bucket with high
-    probability).
+    The DEFAULT is the scale path: OR-amplified hyperplane LSH.  Each
+    vector lands in one bucket per band (``n_bands`` independent bands
+    of ``n_planes`` hyperplanes); candidates are pairs sharing a bucket
+    in ANY band — recall 1-(1-p^k)^L where p = 1-θ/π, so multiple
+    narrow bands trade a small constant factor of bucketing work for
+    recall that a single band can't reach.  The candidate join is a
+    (band, bucket) equi-join, bucket-local, never all-pairs;
+    ``max_bucket_size`` caps a degenerate hot bucket before the pair
+    explosion.  ``n_planes=0`` opts into exact all-pairs (self cross
+    join) — quadratic, the oracle/test path only.
     """
-    left = embeddings.select(
-        F.col(id_col).alias("a"), _as_double(F.col(vec_col)).alias("va")
-    )
-    right = embeddings.select(
-        F.col(id_col).alias("b"), _as_double(F.col(vec_col)).alias("vb")
-    )
     if n_planes > 0:
-        lb = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
-        left = lb.select(
-            F.col("vec_id").alias("a"),
-            "bucket",
-            _as_double(F.col(vec_col)).alias("va"),
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_bands * n_planes, dim))
+        v = _as_double(F.col(vec_col))
+        projs = [
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(x)) for x in planes[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j in range(n_bands * n_planes)
+        ]
+        band_structs = []
+        for b in range(n_bands):
+            bucket = F.lit(0).cast("long")
+            for i in range(n_planes):
+                bucket = bucket + F.when(
+                    projs[b * n_planes + i] > 0, F.lit(1 << i)
+                ).otherwise(F.lit(0))
+            band_structs.append(
+                F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+            )
+        lb = embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+            F.explode(F.array(*band_structs)).alias("bb"),
+        ).select(
+            "vec_id",
+            "v",
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
         )
-        right = lb.select(
-            F.col("vec_id").alias("b"),
-            "bucket",
-            _as_double(F.col(vec_col)).alias("vb"),
-        )
-        pairs = left.join(right, "bucket").filter(F.col("a") < F.col("b"))
+        if max_bucket_size is not None:
+            lb = lb.withColumn(
+                "bucket_n",
+                F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+            ).filter(F.col("bucket_n") <= max_bucket_size)
+        left = lb.select("band", "bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
+        right = lb.select("band", "bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+        pairs = left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
     else:
+        left = embeddings.select(
+            F.col(id_col).alias("a"), _as_double(F.col(vec_col)).alias("va")
+        )
+        right = embeddings.select(
+            F.col(id_col).alias("b"), _as_double(F.col(vec_col)).alias("vb")
+        )
         pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
     scored = pairs.select(
         "a",
@@ -125,9 +163,12 @@ def embedding_near_dupes(
             / (_norm(F.col("va")) * _norm(F.col("vb")))
         ).alias("cos"),
     )
-    return scored.filter(F.col("cos") >= threshold).select(
+    out = scored.filter(F.col("cos") >= threshold).select(
         "a", "b", F.round("cos", 4).alias("cos_sim")
     )
+    # A pair can collide in several bands — collapse once, after the
+    # cheap threshold filter (cos is deterministic per pair).
+    return out.distinct() if n_planes > 0 else out
 
 
 def hyperplane_buckets(

@@ -27,6 +27,10 @@ MIN_DF_FRAC = 0.02
 TOPK_TERMS = 20
 SIM_QUERIES = 5  # vec_id < 5 are the ANN query vectors
 SIM_K = 3
+# Boilerplate guard for the Jaccard inverted-index self-join: shingles
+# appearing in more than this many docs are excluded from candidate
+# generation (audited by dedup_jaccard_hot_shingles).
+JACCARD_MAX_SHINGLE_DF = 100
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -825,7 +829,8 @@ def dedup_minhash_signatures(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT doc_id,
-           sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END)
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << CAST(bit AS INT))
+                         ELSE 0 END) AS BIGINT)
              AS simhash
     FROM votes GROUP BY 1
     """,
@@ -891,9 +896,14 @@ def text_fingerprints(spark, sf_dir):
     f"""
     WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}
+    ),
+    shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
     common AS (
       SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     )
     SELECT a, b,
@@ -907,9 +917,29 @@ def text_fingerprints(spark, sf_dir):
 )
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join,
-    threshold 0.2)."""
+    threshold 0.2) with the boilerplate shingle-df cap active — the
+    oracle applies the identical cap."""
     return dedup.jaccard_near_dupes_exact(
-        _t(spark, sf_dir, "documents"), threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        threshold=0.2,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+
+
+@register(
+    "dedup_jaccard_hot_shingles",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES}))
+    SELECT shingle, count(*) AS sdf
+    FROM sh GROUP BY shingle
+    HAVING count(*) > {JACCARD_MAX_SHINGLE_DF}
+    """,
+)
+def dedup_jaccard_hot_shingles(spark, sf_dir):
+    """No-silent-caps audit: the boilerplate shingles the Jaccard
+    shingle-df cap excludes, with their document frequency."""
+    return dedup.hot_shingles(
+        _t(spark, sf_dir, "documents"), max_shingle_df=JACCARD_MAX_SHINGLE_DF
     )
 
 
@@ -1151,9 +1181,14 @@ _SQL_QUALITY = """
       FROM ({_SQL_SHINGLES}) s JOIN surv1 ON s.doc_id = surv1.doc_id
     ), sh_d AS (SELECT DISTINCT doc_id, shingle FROM sh),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_d GROUP BY 1),
+    rare AS (
+      SELECT shingle FROM sh_d GROUP BY shingle
+      HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}
+    ),
+    sh_r AS (SELECT sh_d.doc_id, sh_d.shingle FROM sh_d JOIN rare USING (shingle)),
     common AS (
       SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-      FROM sh_d x JOIN sh_d y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      FROM sh_r x JOIN sh_r y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
       GROUP BY 1, 2
     ), drops AS (
       SELECT DISTINCT b AS doc_id
@@ -1176,6 +1211,7 @@ def curation_pipeline(spark, sf_dir):
         keep_langs=("en",),
         min_quality=0.3,
         jaccard_threshold=0.5,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
     )
 
 
@@ -1304,12 +1340,8 @@ def lda_topic_coherence(spark, sf_dir):
     (README.md:226-276) as an in-engine operator.  Rows-only."""
     from mr_lda_spark.plans import lda as lda_plan
 
-    dictionary, corpus_doc = _lda_setup(spark, sf_dir)
-    num_terms = dictionary.count()
-    _, state = lda_plan.train(
-        spark, corpus_doc, num_terms=num_terms, num_topics=LDA_K,
-        max_iterations=LDA_ITERS, max_gamma_iter=15, seed=LDA_SEED,
-    )
+    dictionary, _ = _lda_setup(spark, sf_dir)
+    state = _lda_trained(spark, sf_dir)
     beta = lda_plan.beta_dataframe(spark, state)
     top = display.top_terms_per_topic(beta, dictionary, k=5).select(
         F.col("topic").alias("set_id"), "term"
@@ -1367,19 +1399,21 @@ def similarity_cosine_topk(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact all-pairs oracle path;
-    the LSH-bucketed scale path is dedup_embedding_cosine_lsh)."""
+    """Embedding-cosine near-dup pairs — exact all-pairs ORACLE path
+    (explicit ``n_planes=0`` opt-in; the operator's default is the LSH
+    scale path, exercised by dedup_embedding_cosine_lsh)."""
     return similarity.embedding_near_dupes(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=0
     )
 
 
 @register("dedup_embedding_cosine_lsh")
 def dedup_embedding_cosine_lsh(spark, sf_dir):
-    """Scale path: hyperplane-LSH bucket-local near-dup pairs
-    (rows-only; recall vs the exact query is by construction < 1)."""
+    """Default scale path: hyperplane-LSH bucket-local near-dup pairs
+    with a hot-bucket cap (rows-only; recall vs the exact query is by
+    construction < 1 — floor asserted in tests)."""
     return similarity.embedding_near_dupes(
-        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
     )
 
 
@@ -1419,8 +1453,22 @@ LDA_K = 4
 LDA_ITERS = 3
 LDA_SEED = 42
 
+# The six LDA-family queries share one parse→encode setup and (where the
+# training parameters coincide) one trained model.  Memoised per
+# (application, sf_dir) so the driver's sequential run of the whole
+# registry trains once instead of five times — the difference between
+# fitting and blowing the correctness-run time budget.
+_LDA_CACHE: dict = {}
+
+
+def _lda_key(spark, sf_dir):
+    return (spark.sparkContext.applicationId, sf_dir)
+
 
 def _lda_setup(spark, sf_dir):
+    key = ("setup", *_lda_key(spark, sf_dir))
+    if key in _LDA_CACHE:
+        return _LDA_CACHE[key]
     docs = _t(spark, sf_dir, "documents")
     tokens = parse.tokenize(docs, stopwords=STOPWORDS)
     stats = parse.term_stats(tokens)
@@ -1429,17 +1477,22 @@ def _lda_setup(spark, sf_dir):
     # join; persist so its parse lineage runs once.
     dictionary = dictionary.persist()
     dictionary.count()
-    corpus_doc = parse.corpus_to_doc_form(parse.encode_corpus(tokens, dictionary))
+    corpus_doc = parse.corpus_to_doc_form(
+        parse.encode_corpus(tokens, dictionary)
+    ).persist()
+    corpus_doc.count()
+    _LDA_CACHE[key] = (dictionary, corpus_doc)
     return dictionary, corpus_doc
 
 
-@register("lda_train_topics")
-def lda_train_topics(spark, sf_dir):
-    """Native VB-EM training (E-step mapInPandas + relational M-step +
-    Newton-Raphson alpha), then DisplayTopic: top-5 terms per topic.
-    Iterative + stochastic-init → no SQL oracle (rows-only check)."""
+def _lda_trained(spark, sf_dir):
+    """One native VB-EM train shared by every query that consumes the
+    (LDA_K, LDA_ITERS, LDA_SEED) model."""
     from mr_lda_spark.plans import lda as lda_plan
 
+    key = ("state", *_lda_key(spark, sf_dir))
+    if key in _LDA_CACHE:
+        return _LDA_CACHE[key]
     dictionary, corpus_doc = _lda_setup(spark, sf_dir)
     num_terms = dictionary.count()
     _, state = lda_plan.train(
@@ -1451,6 +1504,19 @@ def lda_train_topics(spark, sf_dir):
         max_gamma_iter=15,
         seed=LDA_SEED,
     )
+    _LDA_CACHE[key] = state
+    return state
+
+
+@register("lda_train_topics")
+def lda_train_topics(spark, sf_dir):
+    """Native VB-EM training (E-step mapInPandas + relational M-step +
+    Newton-Raphson alpha), then DisplayTopic: top-5 terms per topic.
+    Iterative + stochastic-init → no SQL oracle (rows-only check)."""
+    from mr_lda_spark.plans import lda as lda_plan
+
+    dictionary, _ = _lda_setup(spark, sf_dir)
+    state = _lda_trained(spark, sf_dir)
     beta = lda_plan.beta_dataframe(spark, state)
     return display.top_terms_per_topic(beta, dictionary, k=5)
 
@@ -1462,16 +1528,7 @@ def lda_doc_topics(spark, sf_dir):
     from mr_lda_spark.plans import lda as lda_plan
 
     dictionary, corpus_doc = _lda_setup(spark, sf_dir)
-    num_terms = dictionary.count()
-    _, state = lda_plan.train(
-        spark,
-        corpus_doc,
-        num_terms=num_terms,
-        num_topics=LDA_K,
-        max_iterations=LDA_ITERS,
-        max_gamma_iter=15,
-        seed=LDA_SEED,
-    )
+    state = _lda_trained(spark, sf_dir)
     gamma = lda_plan.infer(spark, corpus_doc, state, max_gamma_iter=15).filter(
         F.col("doc_id") < 50
     )
@@ -1528,10 +1585,7 @@ def lda_online_stream_topics(spark, sf_dir):
     from mr_lda_spark.streaming import lda_stream
 
     docs = _t(spark, sf_dir, "documents")
-    tokens = parse.tokenize(docs, stopwords=STOPWORDS)
-    dictionary = parse.build_dictionary(
-        parse.term_stats(tokens), docs.count(), min_df_frac=MIN_DF_FRAC
-    ).persist()
+    dictionary, _ = _lda_setup(spark, sf_dir)  # shared persisted dictionary
     model = lda_stream.train_online_from_stream(
         spark,
         sf_dir,
@@ -1547,7 +1601,6 @@ def lda_online_stream_topics(spark, sf_dir):
     out = display.top_terms_per_topic(beta, dictionary, k=5)
     out = out.persist()
     out.count()
-    dictionary.unpersist()
     return out
 
 

@@ -80,3 +80,19 @@ def test_events_hourly_partial_agg(spark):
     assert "partial_count" in plan or "HashAggregate" in plan
     # exactly one exchange for the single groupBy
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_simhash_pairs_banded_no_cartesian(spark):
+    """Pigeonhole banding must keep the SimHash pair search an
+    equi-join — a CartesianProduct here is the 100 TB scale-killer."""
+    plan = _explain(spark, "dedup_simhash_pairs")
+    assert "CartesianProduct" not in plan, plan[:400]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:400]
+
+
+def test_embedding_near_dupes_default_is_bucketed(spark):
+    """The default embedding near-dup path must be the LSH bucket
+    equi-join, never all-pairs."""
+    plan = _explain(spark, "dedup_embedding_cosine_lsh")
+    assert "CartesianProduct" not in plan, plan[:400]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:400]

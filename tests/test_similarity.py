@@ -80,3 +80,30 @@ def test_multi_sink_single_lineage(spark, emb, tmp_path):
     a = spark.read.parquet(out_a)
     b = spark.read.parquet(out_b)
     assert a.agg(F.sum("count")).collect()[0][0] == b.count() == emb.count()
+
+
+def test_embedding_near_dupes_lsh_recall_vs_exact(spark, emb):
+    """The default (LSH) near-dup path is a strict subset of the exact
+    all-pairs result with a usable recall floor at these parameters."""
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dupes(
+            emb, threshold=0.3, n_planes=0
+        ).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dupes(emb, threshold=0.3).collect()
+    }
+    assert exact, "test needs a non-empty exact pair set"
+    assert lsh <= exact, "LSH path produced a pair the exact path lacks"
+    assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
+
+
+def test_embedding_near_dupes_bucket_cap_drops_hot_bucket(spark, emb):
+    """max_bucket_size=0 empties every bucket — the cap is actually
+    wired into the default path."""
+    got = similarity.embedding_near_dupes(
+        emb, threshold=0.3, max_bucket_size=0
+    ).count()
+    assert got == 0
