@@ -102,13 +102,20 @@ def init_elog_beta(num_terms: int, num_topics: int, seed: int) -> np.ndarray:
 
 def _estep_kernel(
     alpha: np.ndarray,
-    elog_beta: np.ndarray,
+    elog_beta,
     max_gamma_iter: int,
     learning: bool,
     random_start_gamma: bool,
     gamma_tol: float = 0.0,
 ):
     """Build the mapInPandas function for one E-step pass.
+
+    ``elog_beta`` is either the (V+1, K) ndarray or a
+    ``sparkContext.broadcast`` of it.  Pass the broadcast on a real
+    cluster: a closure-captured matrix is re-serialized into every
+    task binary, while a broadcast ships one torrent copy per executor
+    — the reference's DistributedCache β distribution (J3).  α is tiny
+    and stays a plain closure capture.
 
     Per document (DocumentMapper.java:184-259 semantics):
       γ⁰ = carried γ, else α + N/K
@@ -124,8 +131,16 @@ def _estep_kernel(
     K = len(alpha)
     l_alpha = float(gammaln(alpha.sum()) - gammaln(alpha).sum())
     log_alpha = np.log(alpha)
+    elog_beta_ref = elog_beta
 
     def run(batches):
+        # Resolve the broadcast handle executor-side (one fetch per
+        # executor process, shared across its tasks).
+        elog_beta = (
+            elog_beta_ref.value
+            if hasattr(elog_beta_ref, "value")
+            else elog_beta_ref
+        )
         V1 = elog_beta.shape[0]
         phi_acc = np.full((V1, K), -np.inf) if learning else None
         alpha_ss = np.zeros(K)
@@ -368,9 +383,12 @@ def train(
     prev_elbo = None
     for it in range(max_iterations):
         iter_t0 = _time.perf_counter()
+        # Broadcast the V×K model once per iteration (torrent, one copy
+        # per executor) instead of closure-capturing it into every task.
+        eb_bc = spark.sparkContext.broadcast(state.elog_beta)
         kernel = _estep_kernel(
             state.alpha,
-            state.elog_beta,
+            eb_bc,
             max_gamma_iter,
             learning=True,
             random_start_gamma=random_start_gamma and it == 0,
@@ -429,6 +447,9 @@ def train(
             .localCheckpoint()  # tiny: D×K doubles; cuts lineage
         )
         out.unpersist()
+        # Both consumers (stats collect + gamma localCheckpoint) have
+        # executed; drop the executor-side model copies.
+        eb_bc.unpersist()
         gamma_df = next_gamma
 
         # M-step: beta from phi stats; alpha by Newton-Raphson.
@@ -522,7 +543,7 @@ def infer(
     ensure_package_shipped(spark)
     kernel = _estep_kernel(
         state.alpha,
-        state.elog_beta,
+        spark.sparkContext.broadcast(state.elog_beta),
         max_gamma_iter,
         learning=False,
         random_start_gamma=False,

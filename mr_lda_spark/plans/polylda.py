@@ -97,16 +97,25 @@ def poly_corpus_from_tall(
 
 def _poly_estep_kernel(
     alpha: np.ndarray,
-    elog_betas: list,
+    elog_betas,
     max_gamma_iter: int,
     learning: bool,
 ):
+    """``elog_betas`` is the per-language list of (V_l+1, K) matrices or
+    a ``sparkContext.broadcast`` of that list (one torrent copy per
+    executor instead of a per-task closure pickle)."""
     K = len(alpha)
-    L = len(elog_betas)
     l_alpha = float(gammaln(alpha.sum()) - gammaln(alpha).sum())
     log_alpha = np.log(alpha)
+    elog_betas_ref = elog_betas
 
     def run(batches):
+        elog_betas = (
+            elog_betas_ref.value
+            if hasattr(elog_betas_ref, "value")
+            else elog_betas_ref
+        )
+        L = len(elog_betas)
         phi_accs = (
             [np.full(eb.shape, -np.inf) for eb in elog_betas] if learning else None
         )
@@ -114,58 +123,63 @@ def _poly_estep_kernel(
         seen = False
 
         for pdf in batches:
-            # Batch-vectorized like plans.lda: per language, pad the
-            # docs that HAVE that language to (B_l, n_max_l) tensors;
-            # the shared gamma couples languages inside each sweep.
-            # Gamma accumulates in exp space (sums of non-negative
-            # c·phi terms — stable without the log-space chain).
-            lang_terms = [[] for _ in range(L)]
-            lang_counts = [[] for _ in range(L)]
-            doc_rows = []
-            for i, row in enumerate(pdf.itertuples(index=False)):
-                tl = [np.asarray(a, dtype=np.int64) for a in row.lang_term_ids]
-                cl = [np.asarray(a, dtype=np.float64) for a in row.lang_term_counts]
-                if sum(c.sum() for c in cl) == 0:
-                    continue
-                doc_rows.append((i, row, tl, cl))
-            if not doc_rows:
+            # Batch-vectorized packing, mirroring plans.lda: columnar
+            # pulls from the Arrow batch (no per-row itertuples), then
+            # per-language padded (B_l, n_max_l) tensors; the shared
+            # gamma couples languages inside each sweep.  Gamma
+            # accumulates in exp space (sums of non-negative c·phi
+            # terms — stable without the log-space chain).
+            ids_col = list(pdf["lang_term_ids"])
+            cts_col = list(pdf["lang_term_counts"])
+            n_rows = len(ids_col)
+            term_lists = [
+                [np.asarray(ids_col[i][lang], dtype=np.int64) for i in range(n_rows)]
+                for lang in range(L)
+            ]
+            count_lists = [
+                [np.asarray(cts_col[i][lang], dtype=np.float64) for i in range(n_rows)]
+                for lang in range(L)
+            ]
+            tok_totals = np.zeros(n_rows)
+            for lang in range(L):
+                tok_totals += np.array(
+                    [count_lists[lang][i].sum() for i in range(n_rows)]
+                )
+            keep = np.where(tok_totals > 0)[0]  # P7: drop empty docs
+            if keep.size == 0:
                 continue
             seen = True
-            B = len(doc_rows)
+            B = int(keep.size)
 
-            # Per-language padded views (idx maps back into the batch).
+            # Per-language padded views (idx maps back into the kept batch).
             lang_pack = []
             for lang in range(L):
-                idx = [j for j, (_, _, tl, _) in enumerate(doc_rows) if tl[lang].size]
-                if not idx:
+                sizes = np.array([term_lists[lang][i].size for i in keep])
+                idx = np.where(sizes > 0)[0]
+                if idx.size == 0:
                     lang_pack.append(None)
                     continue
-                lens = [doc_rows[j][2][lang].size for j in idx]
-                n_max = max(lens)
-                t_pad = np.zeros((len(idx), n_max), dtype=np.int64)
-                c_pad = np.zeros((len(idx), n_max))
-                for r, j in enumerate(idx):
-                    t_pad[r, : lens[r]] = doc_rows[j][2][lang]
-                    c_pad[r, : lens[r]] = doc_rows[j][3][lang]
+                lens = sizes[idx]
+                n_max = int(lens.max())
+                t_pad = np.zeros((idx.size, n_max), dtype=np.int64)
+                c_pad = np.zeros((idx.size, n_max))
+                for r, j in enumerate(keep[idx]):
+                    t_pad[r, : lens[r]] = term_lists[lang][j]
+                    c_pad[r, : lens[r]] = count_lists[lang][j]
                 valid = c_pad > 0
                 with np.errstate(divide="ignore"):
                     log_c = np.where(valid, np.log(c_pad), -np.inf)
                 lang_pack.append(
-                    (np.array(idx), t_pad, c_pad, log_c, valid,
-                     elog_betas[lang][t_pad])
+                    (idx, t_pad, c_pad, log_c, valid, elog_betas[lang][t_pad])
                 )
 
-            n_total = np.zeros(B)
-            for pack in lang_pack:
-                if pack is None:
-                    continue
-                idx, _, c_pad, _, _, _ = pack
-                n_total[idx] += c_pad.sum(axis=1)
-            gamma = np.tile(alpha, (B, 1)) + n_total[:, None] / K
-            for j, (i, row, _, _) in enumerate(doc_rows):
-                g = getattr(row, "gamma", None)
-                if g is not None and len(g) == K:
-                    gamma[j] = np.asarray(g, dtype=np.float64)
+            gamma = np.tile(alpha, (B, 1)) + tok_totals[keep, None] / K
+            if "gamma" in pdf.columns:
+                g_col = pdf["gamma"]
+                for j, i in enumerate(keep):
+                    g = g_col.iloc[i]
+                    if g is not None and len(g) == K:
+                        gamma[j] = np.asarray(g, dtype=np.float64)
 
             lpns = [None] * L
             ll_phi = np.zeros(B)
@@ -210,7 +224,7 @@ def _poly_estep_kernel(
             yield pd.DataFrame(
                 {
                     "kind": "doc",
-                    "doc_id": [int(r.doc_id) for _, r, _, _ in doc_rows],
+                    "doc_id": pdf["doc_id"].iloc[keep].astype("int64").values,
                     "lang": -1,
                     "lang_term_ids": None,
                     "lang_term_counts": None,
@@ -313,8 +327,9 @@ def train_poly(
     prev_elbo = None
     for _ in range(max_iterations):
         iter_t0 = _time.perf_counter()
+        eb_bc = spark.sparkContext.broadcast(state.elog_betas)
         kernel = _poly_estep_kernel(
-            state.alpha, state.elog_betas, max_gamma_iter, learning=True
+            state.alpha, eb_bc, max_gamma_iter, learning=True
         )
         if gamma_df is None:
             inp = static_corpus.withColumn(
@@ -345,6 +360,7 @@ def train_poly(
             .localCheckpoint()
         )
         out.unpersist()
+        eb_bc.unpersist()
         gamma_df = next_gamma
 
         state.elog_betas = [

@@ -1106,20 +1106,30 @@ def text_chunks(spark, sf_dir):
     )
 
 
+# Char-trigram language scoring (mirrors textops.char_trigrams /
+# LANG_TRIGRAMS exactly): one trigram list per doc, then per-language
+# membership counts.
+_SQL_TRIGRAMS = """
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(' ' || lower(text) || ' ') - 2, 0) + 1),
+           i -> substr(' ' || lower(text) || ' ', CAST(i AS INT), 3)) AS tris
+  FROM documents
+"""
 _LANG_SQL_HITS = ", ".join(
-    "len(list_filter(string_split(text, ' '), x -> x IN ({}))) AS hits_{}".format(
-        ", ".join(f"'{w}'" for w in words), lang
+    "len(list_filter(tris, t -> t IN ({}))) AS hits_{}".format(
+        ", ".join("'" + t.replace("'", "''") + "'" for t in profile), lang
     )
-    for lang, words in textops.LANG_MARKERS.items()
+    for lang, profile in textops.LANG_TRIGRAMS.items()
 )
 _LANG_SQL_BEST = "greatest({})".format(
-    ", ".join(f"hits_{lang}" for lang in textops.LANG_MARKERS)
+    ", ".join(f"hits_{lang}" for lang in textops.LANG_TRIGRAMS)
 )
 _LANG_SQL_PRED = "CASE WHEN {} = 0 THEN 'und' {} END".format(
     _LANG_SQL_BEST,
     " ".join(
         f"WHEN hits_{lang} = {_LANG_SQL_BEST} THEN '{lang}'"
-        for lang in textops.LANG_MARKERS
+        for lang in textops.LANG_TRIGRAMS
     ),
 )
 
@@ -1127,9 +1137,9 @@ _LANG_SQL_PRED = "CASE WHEN {} = 0 THEN 'und' {} END".format(
 @register(
     "text_language_id",
     f"""
-    WITH h AS (SELECT doc_id, {_LANG_SQL_HITS} FROM documents)
+    WITH h AS (SELECT doc_id, {_LANG_SQL_HITS} FROM ({_SQL_TRIGRAMS}))
     SELECT doc_id,
-           {", ".join(f"CAST(hits_{lang} AS INT) AS hits_{lang}" for lang in textops.LANG_MARKERS)},
+           {", ".join(f"CAST(hits_{lang} AS INT) AS hits_{lang}" for lang in textops.LANG_TRIGRAMS)},
            {_LANG_SQL_PRED} AS pred_lang
     FROM h
     """,
@@ -1163,7 +1173,7 @@ _SQL_QUALITY = """
     f"""
     WITH lang AS (
       SELECT doc_id, {_LANG_SQL_PRED} AS pred_lang
-      FROM (SELECT doc_id, {_LANG_SQL_HITS} FROM documents)
+      FROM (SELECT doc_id, {_LANG_SQL_HITS} FROM ({_SQL_TRIGRAMS}))
     ), quality AS ({_SQL_QUALITY}),
     base AS (
       SELECT d.doc_id, lang.pred_lang, quality.quality_score

@@ -86,9 +86,12 @@ def process_micro_batch(
     """One online-VB step: E-step over the micro-batch with the current
     model, then λ ← (1−ρ)λ + ρ·λ̂."""
     K = len(model.alpha)
+    eb_bc = batch_corpus_doc.sparkSession.sparkContext.broadcast(
+        model.elog_beta
+    )
     kernel = _estep_kernel(
         model.alpha,
-        model.elog_beta,
+        eb_bc,
         max_gamma_iter,
         learning=True,
         random_start_gamma=False,
@@ -120,6 +123,7 @@ def process_micro_batch(
         ).agg(F.sum("n")).collect()[0][0]
     )
     out.unpersist()
+    eb_bc.unpersist()
     if n_docs == 0:
         return model
 

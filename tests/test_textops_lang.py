@@ -1,0 +1,85 @@
+"""Char-trigram language ID accuracy + CJK analyzer fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import analyzers, parse, textops
+
+FIXTURES = [
+    (0, "the cat is sitting in the garden and it was watching the birds", "en"),
+    (1, "el perro de la casa y los chicos que juegan en el parque", "es"),
+    (2, "der hund ist in dem garten und die kinder spielen auf der wiese", "de"),
+    (3, "le chien est dans le jardin et les enfants jouent par la rue", "fr"),
+    (4, "wo3 men2 zai4 gong1 yuan2 de5 shi4 le5 ta1 men2 he2 ni3 hao3", "zh"),
+    (5, "", "und"),
+    (6, "qqq zzz xxx", "und"),
+]
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t, _ in FIXTURES], schema="doc_id long, text string"
+    )
+
+
+def test_language_id_accuracy_on_mixed_langs(spark, lang_docs):
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in textops.language_id(lang_docs).collect()
+    }
+    for doc_id, _, want in FIXTURES:
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_language_id_profiles_are_trigrams(spark):
+    for lang, profile in textops.LANG_TRIGRAMS.items():
+        assert len(profile) >= 20, lang
+        assert all(len(t) == 3 for t in profile), lang
+
+
+CJK_CASES = [
+    ("spark 数据处理 engine", ["spark", "数据", "据处", "处理", "engine"]),
+    ("我 love 数", ["我", "love", "数"]),
+    ("こんにちは", ["こん", "んに", "にち", "ちは"]),
+    ("한국어 text", ["한국", "국어", "text"]),
+    ("", []),
+    ("Hello, World!", ["hello", "world"]),
+]
+
+
+def test_cjk_bigram_callable():
+    for text, want in CJK_CASES:
+        assert analyzers.cjk_bigram(text) == want, text
+
+
+def test_cjk_codegen_matches_callable(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(CJK_CASES)],
+        schema="doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["toks"]
+        for r in df.select(
+            "doc_id", analyzers.cjk_tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for i, (text, want) in enumerate(CJK_CASES):
+        assert got[i] == want, (text, got[i], want)
+
+
+def test_cjk_analyzer_via_u1_extension_point(spark):
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    df = spark.createDataFrame(
+        [(0, "spark 数据处理 engine")], schema="doc_id long, text string"
+    )
+    toks = sorted(
+        r["term"]
+        for r in parse.tokenize(df, analyzer=analyzers.cjk_bigram).collect()
+    )
+    assert toks == sorted(["spark", "数据", "据处", "处理", "engine"])
+    # The codegen twin produces the identical token relation.
+    toks2 = sorted(r["term"] for r in analyzers.tokenize_cjk(df).collect())
+    assert toks2 == toks
