@@ -41,6 +41,16 @@ HEADLINE = [
     "text_npmi_coherence",
     "curation_pipeline",
     "lda_train_topics",
+    "dedup_embedding_cosine_lsh",
+]
+
+# Recorded alongside the headline numbers but not in the total (the
+# total tracks the same query set round-over-round): the banded
+# SimHash pair search (was O(n²) — now equi-join) and the polylingual
+# EM throughput.
+EXTRA = [
+    "dedup_simhash_pairs",
+    "dedup_minhash_near_dupes",
 ]
 
 
@@ -73,10 +83,29 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         total += dt
 
+    for name in EXTRA:
+        fn = queries_registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    # Round-over-round trend: the sum over the query set BENCH_r01
+    # measured (the headline set gained dedup_embedding_cosine_lsh in
+    # r2, so the raw total is not directly comparable).
+    r2_additions = {"dedup_embedding_cosine_lsh"}
+    per_query["r1_comparable_total"] = round(
+        sum(v for k, v in per_query.items()
+            if k in HEADLINE and k not in r2_additions),
+        3,
+    )
+
     # Engine-reported LDA throughput (BASELINE.md instrumentation
     # mirror: sec/iteration at fixed K and sweep count).
     lda_metrics = _lda_per_iteration(spark, sf_dir)
     per_query.update(lda_metrics)
+    per_query.update(_polylda_per_iteration(spark, sf_dir))
 
     print(
         json.dumps(
@@ -116,6 +145,52 @@ def _lda_per_iteration(spark, sf_dir: str) -> dict[str, float]:
     )
     dt = time.perf_counter() - t0
     return {"lda_sec_per_iteration_k8": round(dt / iters, 3)}
+
+
+def _polylda_per_iteration(spark, sf_dir: str) -> dict[str, float]:
+    """Polylingual EM throughput (vectorized packing + broadcast
+    state): sec/iteration at K=4 over the en/es slice."""
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import parse
+    from mr_lda_spark.plans import polylda as poly_plan
+
+    langs = ["en", "es"]
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("lang").isin(langs))
+        .withColumn("poly_doc_id", F.col("doc_id") % 1500)
+    )
+    tokens = parse.tokenize(docs, doc_id_col="poly_doc_id").join(
+        docs.select(F.col("poly_doc_id").alias("doc_id"), "lang").distinct(),
+        "doc_id",
+    )
+    lang_expr = F.lit(None).cast("int")
+    for i, lang in enumerate(langs):
+        lang_expr = F.when(F.col("lang") == lang, F.lit(i)).otherwise(lang_expr)
+    tokens = tokens.withColumn("lang", lang_expr)
+    dicts = parse.build_dictionary_per_lang(tokens)
+    tall = (
+        tokens.groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).alias("term_count"))
+        .join(F.broadcast(dicts.select("lang", "term", "term_id")), ["lang", "term"])
+        .select(
+            "doc_id", "lang", "term_id",
+            F.col("term_count").cast("int").alias("term_count"),
+        )
+    )
+    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(langs))
+    num_terms = [
+        dicts.filter(F.col("lang") == i).count() for i in range(len(langs))
+    ]
+    iters = 2
+    t0 = time.perf_counter()
+    poly_plan.train_poly(
+        spark, corpus, num_terms, num_topics=4,
+        max_iterations=iters, max_gamma_iter=15, converge=0.0, seed=1,
+    )
+    dt = time.perf_counter() - t0
+    return {"polylda_sec_per_iteration_k4": round(dt / iters, 3)}
 
 
 if __name__ == "__main__":

@@ -35,15 +35,18 @@ def curate(
     """
     lang = textops.language_id(docs).select("doc_id", "pred_lang")
     quality = textops.quality_scores(docs).select("doc_id", "quality_score")
-    base = (
-        docs.select("doc_id")
-        .join(lang, "doc_id")
-        .join(quality, "doc_id")
-        .filter(
-            F.col("pred_lang").isin(list(keep_langs))
-            & (F.col("quality_score") >= min_quality)
-        )
-    ).persist()  # reused by the dedup stages and the final projection
+    # Persist BELOW the filter: predicate pushdown would otherwise
+    # inline the pred_lang CASE through the projections it references —
+    # ~35 copies of the trigram scan in one filter condition (measured
+    # 10× slower at sf0.1).  The cache is a pushdown barrier, and the
+    # scored columns are reused by the final projection anyway.
+    scored = (
+        docs.select("doc_id").join(lang, "doc_id").join(quality, "doc_id")
+    ).persist()
+    base = scored.filter(
+        F.col("pred_lang").isin(list(keep_langs))
+        & (F.col("quality_score") >= min_quality)
+    )
     survivors = docs.join(base.select("doc_id"), "doc_id")
 
     # Exact dedup: keep each text's minimum doc_id.

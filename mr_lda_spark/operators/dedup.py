@@ -273,9 +273,20 @@ def jaccard_near_dupes_exact(
     """
     # The shingle sets feed the self-join twice plus the size table —
     # persist so the (possibly expensive) upstream lineage runs once.
+    # Plain distinct (NOT pre-repartitioned by shingle): the partial
+    # aggregation collapses the exploded shingle stream map-side (~20×
+    # here) before any exchange, so the shuffled relation is the small
+    # distinct set — cheaper than co-partitioning for downstream reuse.
     sets = shingles(docs, text_col, shingle_n).distinct().persist()
+    if max_shingle_df is not None:
+        # Materialize the cache eagerly: the capped plan's three
+        # consumers (doc-lists, two size joins) otherwise race to
+        # compute the unpopulated cache concurrently within one job and
+        # each re-runs the shingle explode (the uncapped plan avoids
+        # this only by accident — its broadcast-exchange stage runs
+        # first and fills the cache).
+        sets.count()
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    join_side = sets
     if max_shingle_df is not None:
         # No silent caps: the excluded boilerplate shingles are
         # enumerable via hot_shingles(docs, ...) with the same cap.
@@ -284,20 +295,45 @@ def jaccard_near_dupes_exact(
             "hotter shingles are excluded from candidate generation",
             max_shingle_df,
         )
-        rare = (
+        # Capped path = ONE shuffle: group each shingle's (sorted)
+        # doc list, drop hot shingles by list size — the cap makes the
+        # per-row pair fan-out bounded (≤ cap²/2), so pairs can be
+        # generated with array ops instead of a second self-join
+        # shuffle of the full shingle relation.
+        doc_lists = (
             sets.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("sdf"))
-            .filter(F.col("sdf") <= max_shingle_df)
-            .select("shingle")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(
+                (F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df)
+            )
         )
-        join_side = sets.join(rare, "shingle")
-    common = (
-        join_side.select(F.col("doc_id").alias("a"), "shingle")
-        .join(join_side.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
+        pairs = doc_lists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        common = pairs.groupBy("a", "b").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+    else:
+        # Uncapped (oracle/exact) path: inverted-index self-join — a
+        # hot shingle here would fan out quadratically, which is
+        # exactly what the cap exists to prevent at scale.
+        common = (
+            sets.select(F.col("doc_id").alias("a"), "shingle")
+            .join(sets.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     return (
         common.join(
             sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a"

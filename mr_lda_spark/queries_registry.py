@@ -1106,22 +1106,36 @@ def text_chunks(spark, sf_dir):
     )
 
 
-# Char-trigram language scoring (mirrors textops.char_trigrams /
-# LANG_TRIGRAMS exactly): one trigram list per doc, then per-language
-# membership counts.
-_SQL_TRIGRAMS = """
-  SELECT doc_id,
-         list_transform(
-           range(1, greatest(length(' ' || lower(text) || ' ') - 2, 0) + 1),
-           i -> substr(' ' || lower(text) || ' ', CAST(i AS INT), 3)) AS tris
-  FROM documents
-"""
-_LANG_SQL_HITS = ", ".join(
-    "len(list_filter(tris, t -> t IN ({}))) AS hits_{}".format(
-        ", ".join("'" + t.replace("'", "''") + "'" for t in profile), lang
+# Char-trigram language scoring (mirrors textops.language_id exactly):
+# trigram rows from a position-table cross join over the 256-char
+# padded lowercase sample, per-language membership counts, left join
+# back so docs with no profile trigram score zero everywhere.
+_SQL_LANG_HITS = f"""
+  SELECT d.doc_id,
+         {", ".join(
+             f"CAST(coalesce(h.hits_{lang}, 0) AS INT) AS hits_{lang}"
+             for lang in textops.LANG_TRIGRAMS
+         )}
+  FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           {", ".join(
+               "count(*) FILTER (WHERE t IN ({})) AS hits_{}".format(
+                   ", ".join(
+                       "'" + t.replace("'", "''") + "'" for t in profile
+                   ),
+                   lang,
+               )
+               for lang, profile in textops.LANG_TRIGRAMS.items()
+           )}
+    FROM (
+      SELECT doc_id,
+             substr(' ' || lower(substr(text, 1, 256)) || ' ',
+                    CAST(i AS INT), 3) AS t
+      FROM documents, range(1, 257) AS r(i)
     )
-    for lang, profile in textops.LANG_TRIGRAMS.items()
-)
+    GROUP BY doc_id
+  ) h USING (doc_id)
+"""
 _LANG_SQL_BEST = "greatest({})".format(
     ", ".join(f"hits_{lang}" for lang in textops.LANG_TRIGRAMS)
 )
@@ -1137,11 +1151,10 @@ _LANG_SQL_PRED = "CASE WHEN {} = 0 THEN 'und' {} END".format(
 @register(
     "text_language_id",
     f"""
-    WITH h AS (SELECT doc_id, {_LANG_SQL_HITS} FROM ({_SQL_TRIGRAMS}))
     SELECT doc_id,
-           {", ".join(f"CAST(hits_{lang} AS INT) AS hits_{lang}" for lang in textops.LANG_TRIGRAMS)},
+           {", ".join(f"hits_{lang}" for lang in textops.LANG_TRIGRAMS)},
            {_LANG_SQL_PRED} AS pred_lang
-    FROM h
+    FROM ({_SQL_LANG_HITS})
     """,
 )
 def text_language_id(spark, sf_dir):
@@ -1173,7 +1186,7 @@ _SQL_QUALITY = """
     f"""
     WITH lang AS (
       SELECT doc_id, {_LANG_SQL_PRED} AS pred_lang
-      FROM (SELECT doc_id, {_LANG_SQL_HITS} FROM ({_SQL_TRIGRAMS}))
+      FROM ({_SQL_LANG_HITS})
     ), quality AS ({_SQL_QUALITY}),
     base AS (
       SELECT d.doc_id, lang.pred_lang, quality.quality_score
@@ -1480,17 +1493,21 @@ def _lda_setup(spark, sf_dir):
     if key in _LDA_CACHE:
         return _LDA_CACHE[key]
     docs = _t(spark, sf_dir, "documents")
-    tokens = parse.tokenize(docs, stopwords=STOPWORDS)
+    # Cache the token relation: it feeds BOTH the dictionary stats and
+    # the corpus encode — without the cache the tokenize lineage runs
+    # twice over the full corpus.
+    tokens = parse.tokenize(docs, stopwords=STOPWORDS).persist()
     stats = parse.term_stats(tokens)
     dictionary = parse.build_dictionary(stats, docs.count(), min_df_frac=MIN_DF_FRAC)
     # The dictionary is re-used by the corpus encode AND the display
     # join; persist so its parse lineage runs once.
     dictionary = dictionary.persist()
-    dictionary.count()
+    dictionary.count()  # populates the tokens cache too
     corpus_doc = parse.corpus_to_doc_form(
         parse.encode_corpus(tokens, dictionary)
     ).persist()
-    corpus_doc.count()
+    corpus_doc.count()  # reads cached tokens; later LDA queries reuse this
+    tokens.unpersist()
     _LDA_CACHE[key] = (dictionary, corpus_doc)
     return dictionary, corpus_doc
 
