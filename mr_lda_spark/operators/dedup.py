@@ -376,8 +376,13 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     """Per-doc SimHash over term-frequency-weighted 32-bit token hashes.
 
     Classic Charikar scheme: each token votes ±count on each bit of its
-    hash; the fingerprint sets bits with positive vote sums.  Shuffles
-    only (doc_id, bit) vote rows.
+    hash; the fingerprint sets bits with positive vote sums.
+
+    Plan: the per-bit votes are ``bits`` conditional-sum columns in ONE
+    ``groupBy(doc_id)`` aggregation over the (doc, term, count) rows —
+    not an exploded (doc_id, bit) relation, which would shuffle
+    ``bits``× the token rows and need a second per-doc shuffle.  The
+    partial aggregate collapses map-side to one row per doc.
     """
     toks = docs.select(
         "doc_id",
@@ -389,23 +394,19 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     hashed = counts.withColumn(
         "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
     )
-    votes = hashed.select(
-        "doc_id",
-        "cnt",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, F.col("cnt"))
-        .otherwise(-F.col("cnt"))
-        .alias("vote"),
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("cnt")).otherwise(
+                    -F.col("cnt")
+                )
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
     )
-    bit_sums = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
+    fingerprint = F.lit(0).cast("long")
+    for i in range(bits):
+        fingerprint = fingerprint + F.when(
+            F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0))
+    return bit_sums.select("doc_id", fingerprint.alias("simhash"))

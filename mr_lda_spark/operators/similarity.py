@@ -218,6 +218,29 @@ def hyperplane_buckets(
     )
 
 
+def _ivf_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_centroids, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    return cents
+
+
+def _top_cells_udf(cents: np.ndarray, n_probe: int):
+    """Arrow-batched coarse quantizer: (vectors batch) @ centroids.T,
+    per-row top-``n_probe`` cells by dot product (descending, ties by
+    lower cell id via stable argsort)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def f(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        scores = M @ cents.T  # (B, n_centroids)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return f
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -229,29 +252,15 @@ def ivf_assign(
     """IVF coarse quantizer: assign each vector to its nearest of
     ``n_centroids`` seeded random unit centroids (a real deployment
     would k-means the sample; the assignment/probe plan is identical).
-    Zero shuffle — pure projection against literal centroids."""
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    v = _as_double(F.col(vec_col))
-    scores = [
-        F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(x)) for x in cents[c]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in range(n_centroids)
-    ]
-    best = F.greatest(*scores)
-    cell = F.lit(None).cast("int")
-    for c in reversed(range(n_centroids)):
-        cell = F.when(scores[c] == best, F.lit(c)).otherwise(cell)
+    Zero shuffle — one Arrow-batched matmul projection (n_centroids
+    interpreted higher-order aggregates would be ~centroids×dim lambda
+    steps per row; see _band_buckets_udf for the same trade)."""
+    cents = _ivf_centroids(n_centroids, dim, seed)
+    top1 = _top_cells_udf(cents, 1)
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), cell.alias("cell"), F.col(vec_col)
+        F.col(id_col).alias("vec_id"),
+        F.element_at(top1(_as_double(F.col(vec_col))), 1).alias("cell"),
+        F.col(vec_col),
     )
 
 
@@ -269,26 +278,22 @@ def ivf_topk(
     """IVF ANN: probe the query's ``n_probe`` nearest cells, exact
     re-rank within them.  The candidate join shuffles only the probed
     cells' vectors; recall rises with n_probe (n_probe = n_centroids
-    ⇒ exact)."""
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_centroids, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    ⇒ exact).
+
+    Probe assignment is fully distributed (the same Arrow quantizer
+    kernel as the corpus side, exploded to (query, cell) rows) — no
+    driver-side collect of the query set, so millions of queries scale
+    the same way the corpus does."""
+    cents = _ivf_centroids(n_centroids, dim, seed)
 
     corpus_cells = ivf_assign(embeddings, n_centroids, dim, seed, id_col, vec_col)
 
-    # Query → its n_probe nearest centroids (tiny, driver-side).
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    ).collect()
-    probe_rows = []
-    for r in q_rows:
-        qv = np.asarray(r["qv"])
-        order = np.argsort(-(cents @ qv))[:n_probe]
-        for c in order:
-            probe_rows.append((r["query_id"], int(c), [float(x) for x in qv]))
-    spark = embeddings.sparkSession
-    probes = spark.createDataFrame(
-        probe_rows, schema="query_id long, cell int, qv array<double>"
+    topn = _top_cells_udf(cents, n_probe)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).select(
+        "query_id", "qv", F.explode(topn(F.col("qv"))).alias("cell")
     )
 
     cands = (

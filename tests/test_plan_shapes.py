@@ -96,3 +96,26 @@ def test_embedding_near_dupes_default_is_bucketed(spark):
     plan = _explain(spark, "dedup_embedding_cosine_lsh")
     assert "CartesianProduct" not in plan, plan[:400]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:400]
+
+
+def test_language_id_filter_no_reexpansion(spark):
+    """Filtering on pred_lang must not re-inline the trigram scoring
+    into the pushed-down predicate: the aggregation barrier keeps
+    exactly one scoring pipeline (one sequence-generator) in the plan."""
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import textops
+    from mr_lda_spark.session import read_table
+
+    docs = read_table(spark, SF, "documents")
+    df = textops.language_id(docs).filter(F.col("pred_lang") == "en")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("sequence(") <= 1, plan[:600]
+
+
+def test_simhash_single_shuffle(spark):
+    """The SimHash fingerprint must aggregate bit votes as columns —
+    one exchange for the (doc, term) counts, one per-doc — with no
+    exploded (doc, bit) relation in between."""
+    plan = _explain(spark, "dedup_simhash")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:600]
