@@ -1469,6 +1469,250 @@ def parse_term_dict_per_lang(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Relational breadth: multi-way snowflake joins, conditional counts,
+# grouping sets, lag/lead, ntile (TPC-H Q5/Q10/Q12/Q14 shapes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way snowflake join (two broadcast dims, one
+    compound fact-fact join condition) + per-nation revenue."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_top_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_top_customers(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_by_ship_year",
+    """
+    SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+             AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def q12_priority_by_ship_year(spark, sf_dir):
+    """TPC-H Q12 shape: conditional counts over a fact-fact join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-revenue ratio over a date slice."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "events_grouping_sets",
+    """
+    SELECT coalesce(event_type, 'ALL') AS etype,
+           coalesce(CAST(h AS VARCHAR), 'ALL') AS hh,
+           count(*) AS n,
+           round(sum(value), 3) AS sum_value
+    FROM (SELECT event_type, hour(ts) AS h, value FROM events)
+    GROUP BY GROUPING SETS ((event_type), (h), ())
+    """,
+)
+def events_grouping_sets(spark, sf_dir):
+    """GROUPING SETS beyond cube/rollup: per-type, per-hour, and grand
+    totals in one pass (sentinel-coalesced keys so the oracle compare
+    is null-free)."""
+    e = _t(spark, sf_dir, "events")
+    e.select(
+        "event_type", F.hour("ts").alias("h"), "value"
+    ).createOrReplaceTempView("_events_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS etype,
+               coalesce(CAST(h AS STRING), 'ALL') AS hh,
+               count(*) AS n,
+               round(sum(value), 3) AS sum_value
+        FROM _events_gs
+        GROUP BY GROUPING SETS ((event_type), (h), ())
+        """
+    )
+
+
+@register(
+    "events_user_value_deltas",
+    """
+    WITH w AS (
+      SELECT user_id,
+             value - lag(value) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS d
+      FROM events
+    )
+    SELECT user_id, count(d) AS n_deltas,
+           round(avg(d), 4) AS mean_delta, round(max(d), 4) AS max_delta
+    FROM w GROUP BY 1
+    """,
+)
+def events_user_value_deltas(spark, sf_dir):
+    """lag() over per-user event streams (deterministic ts+id order),
+    aggregated to per-user delta statistics."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("d", F.col("value") - F.lag("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count("d").alias("n_deltas"),
+            F.round(F.avg("d"), 4).alias("mean_delta"),
+            F.round(F.max("d"), 4).alias("max_delta"),
+        )
+    )
+
+
+@register(
+    "customer_acctbal_quartiles",
+    """
+    WITH t AS (
+      SELECT n_name,
+             c_acctbal,
+             CAST(ntile(4) OVER (PARTITION BY n_nationkey
+                                 ORDER BY c_acctbal, c_custkey) AS INT) AS q
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, q AS quartile, count(*) AS n,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM t GROUP BY 1, 2
+    """,
+)
+def customer_acctbal_quartiles(spark, sf_dir):
+    """ntile() quartiles of customer balance within each nation
+    (total order via custkey tiebreak so both engines agree)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("q", F.ntile(4).over(w).cast("int"))
+        .groupBy("n_name", F.col("q").alias("quartile"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # LDA (non-SQL-expressible: iterative variational EM → rows-only check)
 # --------------------------------------------------------------------------
 

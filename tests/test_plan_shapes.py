@@ -119,3 +119,12 @@ def test_simhash_single_shuffle(spark):
     exploded (doc, bit) relation in between."""
     plan = _explain(spark, "dedup_simhash")
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:600]
+
+
+def test_q5_pushdown_and_dim_broadcast(spark):
+    """The 6-way snowflake must push both selective filters to the
+    scans and broadcast the dimension tables."""
+    plan = _explain(spark, "q5_local_supplier_volume")
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed"
+    assert "EqualTo(r_name,ASIA)" in plan, "region filter not pushed"
+    assert "BroadcastHashJoin" in plan
