@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Scale probe: time linear-path operators at 1× and N× the sf0.1
+corpus (synthesized by unioning the documents table with doc-id
+offsets — the sf1-equivalent tier), printing ONE JSON line with
+per-op ratios.
+
+The probed ops are the corpus-linear pipelines whose 100 TB story
+depends on staying shuffle-light: parse→dictionary→encode, exact
+dedup, MinHash signatures, SimHash fingerprints, trigram language ID,
+and one LDA EM iteration.  Near-dup PAIR ops are excluded by design:
+unioning clones multiplies true near-dup pairs quadratically, so
+their cost is output-bound, not scale-bound.
+
+Usage: python3 scale_probe.py [factor]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def synth_union(docs, factor: int):
+    from pyspark.sql import functions as F
+
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probe(spark, docs) -> dict[str, float]:
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import dedup, parse, textops
+    from mr_lda_spark.plans import lda
+
+    times: dict[str, float] = {}
+
+    def t(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    def parse_pipeline():
+        tokens = parse.tokenize(docs)
+        dictionary = parse.build_dictionary(
+            parse.term_stats(tokens), docs.count()
+        )
+        parse.encode_corpus(tokens, dictionary).count()
+
+    t("parse_encode", parse_pipeline)
+    t("dedup_exact", lambda: dedup.exact_duplicates(docs).count())
+    t(
+        "minhash_signatures",
+        lambda: dedup.minhash_signatures(docs, num_hashes=8).count(),
+    )
+    t("simhash", lambda: dedup.simhash(docs).count())
+    t(
+        "language_id",
+        lambda: textops.language_id(docs)
+        .agg(F.sum("hits_en"))
+        .collect(),
+    )
+
+    def lda_one_iter():
+        tokens = parse.tokenize(docs)
+        dictionary = parse.build_dictionary(
+            parse.term_stats(tokens), docs.count()
+        )
+        corpus_doc = parse.corpus_to_doc_form(
+            parse.encode_corpus(tokens, dictionary)
+        )
+        lda.train(
+            spark,
+            corpus_doc,
+            num_terms=dictionary.count(),
+            num_topics=8,
+            max_iterations=1,
+            max_gamma_iter=25,
+            converge=0.0,
+            seed=1,
+        )
+
+    t("lda_one_iteration_k8", lda_one_iter)
+    return times
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from mr_lda_spark.session import get_spark, read_table
+
+    spark = get_spark("mr-lda-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = read_table(spark, sf_dir, "documents").persist()
+    n_base = base.count()
+    big = synth_union(base, factor).persist()
+    n_big = big.count()
+
+    t1 = probe(spark, base)
+    tn = probe(spark, big)
+    ratios = {
+        k: round(tn[k] / t1[k], 2) if t1[k] > 0 else None for k in t1
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_probe",
+                "factor": factor,
+                "docs_1x": n_base,
+                "docs_Nx": n_big,
+                "sec_1x": t1,
+                "sec_Nx": tn,
+                "ratio": ratios,
+                "sf_dir": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
