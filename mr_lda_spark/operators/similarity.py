@@ -225,6 +225,68 @@ def _ivf_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
     return cents
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 8,
+    max_sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Data-adapted IVF coarse quantizer: Lloyd's k-means on a
+    deterministic hash sample of the corpus, driver-side in numpy.
+
+    The sample is model-sized by construction (≤ ``max_sample``
+    vectors — the collect is bounded regardless of corpus size, the
+    standard IVF training recipe: train the quantizer on a sample,
+    assign the full corpus distributedly).  Sampling is content-hash
+    deterministic (md5 of the id), so the centroids are reproducible
+    across runs, engines, and partitionings.  Returns L2-normalized
+    (n_centroids, dim) centroids for ``ivf_assign``/``ivf_topk``'s
+    ``centroids=`` parameter.
+    """
+    n_total = embeddings.count()
+    frac_num = min(1_000_000, max(1, int(1_000_000 * max_sample / max(n_total, 1))))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("ivf"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    rows = (
+        embeddings.filter(bucket < frac_num)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    if len(cents) < n_centroids:  # degenerate tiny corpus: pad random
+        pad = _ivf_centroids(n_centroids - len(cents), X.shape[1], seed)
+        cents = np.vstack([cents, pad])
+    for _ in range(iterations):
+        assign = np.argmax(X @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+            else:
+                # Deterministic reseed for an empty cluster.
+                cents[c] = X[int(rng.integers(len(X)))]
+        norms = np.linalg.norm(cents, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = cents / norms
+    return cents
+
+
 def _top_cells_udf(cents: np.ndarray, n_probe: int):
     """Arrow-batched coarse quantizer: (vectors batch) @ centroids.T,
     per-row top-``n_probe`` cells by dot product (descending, ties by
@@ -248,14 +310,17 @@ def ivf_assign(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF coarse quantizer: assign each vector to its nearest of
-    ``n_centroids`` seeded random unit centroids (a real deployment
-    would k-means the sample; the assignment/probe plan is identical).
+    """IVF coarse quantizer: assign each vector to its nearest
+    centroid — ``centroids`` from ``kmeans_centroids`` (data-adapted)
+    or seeded random unit vectors by default.
     Zero shuffle — one Arrow-batched matmul projection (n_centroids
     interpreted higher-order aggregates would be ~centroids×dim lambda
     steps per row; see _band_buckets_udf for the same trade)."""
-    cents = _ivf_centroids(n_centroids, dim, seed)
+    cents = (
+        centroids if centroids is not None else _ivf_centroids(n_centroids, dim, seed)
+    )
     top1 = _top_cells_udf(cents, 1)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -274,19 +339,25 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's ``n_probe`` nearest cells, exact
     re-rank within them.  The candidate join shuffles only the probed
     cells' vectors; recall rises with n_probe (n_probe = n_centroids
-    ⇒ exact).
+    ⇒ exact).  Pass ``centroids=kmeans_centroids(...)`` for a
+    data-adapted quantizer.
 
     Probe assignment is fully distributed (the same Arrow quantizer
     kernel as the corpus side, exploded to (query, cell) rows) — no
     driver-side collect of the query set, so millions of queries scale
     the same way the corpus does."""
-    cents = _ivf_centroids(n_centroids, dim, seed)
+    cents = (
+        centroids if centroids is not None else _ivf_centroids(n_centroids, dim, seed)
+    )
 
-    corpus_cells = ivf_assign(embeddings, n_centroids, dim, seed, id_col, vec_col)
+    corpus_cells = ivf_assign(
+        embeddings, n_centroids, dim, seed, id_col, vec_col, centroids=cents
+    )
 
     topn = _top_cells_udf(cents, n_probe)
     probes = queries.select(

@@ -963,6 +963,20 @@ def similarity_ivf_topk(spark, sf_dir):
     return similarity.ivf_topk(emb, queries, k=SIM_K, n_centroids=16, n_probe=6)
 
 
+@register("similarity_ivf_kmeans_topk")
+def similarity_ivf_kmeans_topk(spark, sf_dir):
+    """IVF ANN with a data-adapted quantizer: Lloyd's k-means on a
+    bounded deterministic sample trains the centroids, assignment and
+    probing run distributed (rows-only; same re-rank semantics as
+    similarity_ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    cents = similarity.kmeans_centroids(emb, n_centroids=16)
+    return similarity.ivf_topk(
+        emb, queries, k=SIM_K, n_centroids=16, n_probe=6, centroids=cents
+    )
+
+
 @register("similarity_lsh_topk")
 def similarity_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH buckets + bucket-local

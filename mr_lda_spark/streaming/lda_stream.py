@@ -180,11 +180,10 @@ def train_online_from_stream(
             T.StructField("n_chars", T.LongType()),
         ]
     )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    from mr_lda_spark.streaming import sources
+
+    stream = sources.read_stream(
+        spark, "file", path=sf_dir, schema=schema, glob="documents.parquet"
     )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -1,0 +1,115 @@
+"""Uniform streaming-source construction for the engine's streaming
+operators (events windows/sessions, streaming dedup, online LDA).
+
+The reference is batch-only; these are the Structured-Streaming-native
+entry points.  Three sources behind one call:
+
+- ``file``: parquet directory stream (the testdata path; stands in for
+  an object-store landing zone — one file per trigger by default, so
+  local runs behave like discrete micro-batches).
+- ``rate``: Spark's built-in synthetic source (rows-per-second), for
+  load tests and demos with no data dependency.
+- ``kafka``: config assembly for the Kafka source.  The Kafka
+  connector jar (org.apache.spark:spark-sql-kafka-0-10) is NOT in this
+  environment, so ``read_stream`` raises a clear error at build time
+  unless the package is on the classpath; the option plumbing
+  (subscribe/assign, offsets, maxOffsetsPerTrigger) is real and
+  covered by tests via ``kafka_options``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def kafka_options(
+    bootstrap_servers: str,
+    topic: str | None = None,
+    assign: str | None = None,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Assemble the Kafka source option map (exactly one of ``topic``
+    / ``assign``)."""
+    if (topic is None) == (assign is None):
+        raise ValueError("pass exactly one of topic= or assign=")
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "startingOffsets": starting_offsets,
+    }
+    if topic is not None:
+        opts["subscribe"] = topic
+    else:
+        opts["assign"] = assign
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def _kafka_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_stream(
+    spark: SparkSession,
+    source: str = "file",
+    path: str | None = None,
+    schema: T.StructType | None = None,
+    glob: str | None = None,
+    max_files_per_trigger: int = 1,
+    rows_per_second: int = 100,
+    **kafka_kwargs,
+) -> DataFrame:
+    """One entry point for every streaming source the engine consumes.
+
+    ``file``: requires ``path`` (+ ``schema``, default EVENTS_SCHEMA).
+    ``rate``: synthetic (timestamp, value) rows.
+    ``kafka``: requires the connector on the classpath; kwargs go to
+    ``kafka_options``.
+    """
+    if source == "file":
+        if path is None:
+            raise ValueError("file source requires path=")
+        reader = (
+            spark.readStream.schema(schema or EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+        )
+        if glob is not None:
+            reader = reader.option("pathGlobFilter", glob)
+        return reader.parquet(path)
+    if source == "rate":
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rows_per_second)
+            .load()
+        )
+    if source == "kafka":
+        if not _kafka_available(spark):
+            raise RuntimeError(
+                "Kafka source requires org.apache.spark:spark-sql-kafka-0-10 "
+                "on the classpath (spark.jars.packages); not present in this "
+                "environment"
+            )
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_options(**kafka_kwargs).items():
+            reader = reader.option(k, v)
+        return reader.load()
+    raise ValueError(f"unknown source {source!r}")

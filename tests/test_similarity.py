@@ -120,3 +120,27 @@ def test_embedding_near_dupes_bucket_cap_drops_hot_bucket(spark, emb):
         emb, threshold=0.3, max_bucket_size=0
     ).count()
     assert got == 0
+
+
+def test_ivf_kmeans_full_probe_equals_exact(spark, emb, exact_topk):
+    """Data-adapted centroids change the cells, not the answer: probing
+    every cell still reproduces the exact top-k."""
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8)
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ivf_topk(
+            emb, q, k=5, n_centroids=8, n_probe=8, centroids=cents
+        ).collect()
+    }
+    assert got == exact_topk
+
+
+def test_kmeans_centroids_deterministic_and_unit(spark, emb):
+    import numpy as np
+
+    c1 = similarity.kmeans_centroids(emb, n_centroids=8)
+    c2 = similarity.kmeans_centroids(emb, n_centroids=8)
+    assert np.array_equal(c1, c2), "centroids must be reproducible"
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    assert c1.shape == (8, 64)
