@@ -394,13 +394,13 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     hashed = counts.withColumn(
         "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
     )
+    # Branch-free votes: ±cnt as cnt * (2·bit − 1) — arithmetic only,
+    # no per-bit conditional in the 32-wide aggregate.
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.expr(f"(h >> {i}) & 1") == 1, F.col("cnt")).otherwise(
-                    -F.col("cnt")
-                )
-            ).alias(f"s{i}")
+            F.sum(F.col("cnt") * F.expr(f"((h >> {i}) & 1) * 2 - 1")).alias(
+                f"s{i}"
+            )
             for i in range(bits)
         ]
     )

@@ -112,6 +112,41 @@ def extract_image_features(media: DataFrame, fake: bool = True) -> DataFrame:
     ).mapInPandas(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode + featurize audio via mapInPandas (Arrow batches) — the
+    audio twin of ``extract_image_features`` (real impl: MFCC /
+    log-mel over the decoded waveform; here the decode is the
+    documented deterministic stub, the batch plumbing is real)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            feats = [
+                decode_audio(p, fake=fake).tolist() for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    "duration_ms": pdf["duration_ms"],
+                    "feature": feats,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload", "duration_ms"
+    ).mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize stub: emits a deterministic payload of the target size
     (real impl: decoded resize + re-encode).  Shape/schema real."""

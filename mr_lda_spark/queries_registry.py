@@ -1320,6 +1320,27 @@ def multimodal_image_features(spark, sf_dir):
     )
 
 
+@register("multimodal_audio_features")
+def multimodal_audio_features(spark, sf_dir):
+    """Arrow-batched audio decode→featurize kernel (deterministic fake
+    decode; rows-only check) — the audio twin of
+    multimodal_image_features."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = mm.extract_audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "duration_ms",
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("feature_sum"),
+    )
+
+
 @register(
     "text_npmi_coherence",
     f"""

@@ -58,3 +58,17 @@ def test_sample_video_frames(spark, media):
     for mid, idxs in per_media.items():
         assert sorted(idxs) == list(range(len(idxs)))
         assert len(idxs) == max(1, durations[mid] // 1000)
+
+
+def test_extract_audio_features(spark, media):
+    from pyspark.sql import functions as F
+
+    out = mm.extract_audio_features(media).collect()
+    assert out and all(len(r["feature"]) == 32 for r in out)
+    n_audio = media.filter(F.col("kind") == "audio").count()
+    assert len(out) == n_audio
+    # Deterministic: same payload → same features.
+    again = mm.extract_audio_features(media).collect()
+    assert {r["media_id"]: r["feature"] for r in out} == {
+        r["media_id"]: r["feature"] for r in again
+    }
