@@ -1910,6 +1910,36 @@ def lda_online_stream_topics(spark, sf_dir):
     return out
 
 
+@register("lda_informed_topics")
+def lda_informed_topics(spark, sf_dir):
+    """Informed-prior training end-to-end (U4/F5/J5): deterministic
+    seed sets (dictionary ranks 1-3 → topic 0, 4-6 → topic 1, …) build
+    the η matrix (seed log 1000 / other log 0.001,
+    InformedPrior.java:43-44), which biases the M-step.  Top-5 terms
+    per topic; rows-only."""
+    from mr_lda_spark.operators import informed_prior as ip
+    from mr_lda_spark.plans import lda as lda_plan
+
+    dictionary, corpus_doc = _lda_setup(spark, sf_dir)
+    num_terms = dictionary.count()
+    eta_rows = dictionary.select(
+        ((F.col("term_id") - 1) / 3).cast("int").alias("topic"), "term_id"
+    ).filter(F.col("topic") < LDA_K)
+    log_eta = ip.eta_from_rows(eta_rows, num_terms, LDA_K)
+    _, state = lda_plan.train(
+        spark,
+        corpus_doc,
+        num_terms=num_terms,
+        num_topics=LDA_K,
+        max_iterations=2,
+        max_gamma_iter=10,
+        seed=LDA_SEED,
+        log_eta=log_eta,
+    )
+    beta = lda_plan.beta_dataframe(spark, state)
+    return display.top_terms_per_topic(beta, dictionary, k=5)
+
+
 @register("polylda_topics")
 def polylda_topics(spark, sf_dir):
     """Polylingual LDA: per-language betas, shared gamma.  Documents

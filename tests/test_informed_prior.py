@@ -59,3 +59,21 @@ def test_informed_prior_steers_topics(spark, documents):
     for w in seed_words:
         row = state.elog_beta[terms[w]]
         assert int(np.argmax(row)) == 0, (w, row)
+
+
+def test_informed_topics_query_seeds_dominate(spark):
+    """The registered informed-prior query: each topic's top terms
+    must include at least one of its 3 seed terms (log-1000 prior
+    pull)."""
+    from mr_lda_spark import queries_registry as qr
+
+    rows = qr.QUERIES["lda_informed_topics"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    by_topic = {}
+    for r in rows:
+        by_topic.setdefault(r["topic"], []).append(r["term_id"])
+    assert len(by_topic) == qr.LDA_K
+    for topic, term_ids in by_topic.items():
+        seeds = {topic * 3 + 1, topic * 3 + 2, topic * 3 + 3}
+        assert seeds & set(term_ids), (topic, term_ids)
