@@ -65,11 +65,18 @@ def main() -> None:
     spark = get_spark("mr-lda-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/catalyst on the tiny sf so first-query JIT cost
-    # doesn't land on a headline number.
-    queries_registry.QUERIES["q1_pricing_summary"](
-        spark, "/root/testdata/sf0.001"
-    ).count()
+    # Warm the JVM/codegen on the tiny sf so first-query JIT cost
+    # doesn't land on a headline number — one representative of each
+    # major plan shape (scan-agg, join-topk, window, token pipeline,
+    # shingle self-join).
+    for warm in (
+        "q1_pricing_summary",
+        "q3_top_orders",
+        "orders_running_total",
+        "parse_term_dict",
+        "dedup_jaccard_pairs",
+    ):
+        queries_registry.QUERIES[warm](spark, "/root/testdata/sf0.001").count()
 
     per_query: dict[str, float] = {}
     total = 0.0
