@@ -354,6 +354,72 @@ def jaccard_near_dupes_exact(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected near-dup pair graph:
+    (doc_id, cluster) where ``cluster`` is the smallest doc_id in the
+    component.  Only nodes that appear in at least one pair are
+    returned (singletons are trivially their own component).
+
+    Hash-min label propagation: every node starts labelled with its own
+    id; each iteration pushes labels across edges and keeps the per-node
+    minimum, converging in O(graph diameter) rounds — near-dup graphs
+    are unions of small dense cliques, so the diameter (and round
+    count) is tiny even at 100 TB.  Each round is one equi-join plus
+    one min-aggregation (both shuffle on high-cardinality node ids);
+    lineage is cut per round with ``localCheckpoint`` exactly like the
+    EM loop in plans.lda.  For adversarial long-chain graphs the
+    large-star/small-star variant (Kiveris et al., SoCC'14) halves the
+    round count — same join/agg plan shape, not needed for dedup
+    workloads.
+
+    Convergence is detected by the (monotonically decreasing) sum of
+    labels: one scalar agg per round, no extra join.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("cluster")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "cluster")
+        labels = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), "cluster")
+
+
+def dedup_survivors(
+    docs: DataFrame, pairs: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """The corpus after near-dup collapse: for every connected component
+    of the pair graph keep only the canonical (minimum) doc_id; docs in
+    no pair survive untouched.  One anti-join against the (tiny,
+    cluster-member-sized) non-canonical set — the corpus itself is
+    never shuffled."""
+    cc = connected_components(pairs, a_col, b_col)
+    losers = cc.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def hot_shingles(
     docs: DataFrame,
     text_col: str = "text",

@@ -340,3 +340,95 @@ def fingerprints(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
         F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
         F.count_distinct(F.col("shingle")).alias("n_shingles"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination: flag every training doc that shares at
+    least one n-token shingle with an evaluation corpus (the GPT-3 /
+    PaLM n-gram-overlap protocol; they use 8-13-gram windows — ``n`` is
+    the knob).
+
+    Plan: the eval n-gram set is tiny relative to the corpus, so it is
+    deduplicated and BROADCAST into a map-side hash join against the
+    training corpus's exploded shingles — the 100 TB side never
+    shuffles; the only exchange is the per-doc overlap count.  Returns
+    every training doc with its overlap count and a boolean flag.
+    """
+    doc_ng = shingles(docs, text_col, n).distinct()
+    ev_ng = shingles(eval_docs, text_col, n).select("shingle").distinct()
+    overlap = (
+        doc_ng.join(F.broadcast(ev_ng), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf (idf = ln(N/df), the plain
+    Robertson form; ties broken by term for determinism).
+
+    Plan: one groupBy for tf, one for df (both with map-side partial
+    aggregation over the exploded tokens), the scalar corpus size N
+    joined in as a broadcast literal row, and a per-doc rank window.
+    The corpus is read once; nothing larger than (doc, term) ever
+    shuffles.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 20
+) -> DataFrame:
+    """Global heavy hitters: the k most frequent n-gram shingles by
+    document frequency (ties broken by shingle).  One partial-agg
+    shuffle + a single-partition top-k (TakeOrderedAndProject — never a
+    full sort of the tail)."""
+    sh = shingles(docs, text_col, n).distinct()
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .orderBy(F.desc("sdf"), F.asc("shingle"))
+        .limit(k)
+    )

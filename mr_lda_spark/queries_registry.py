@@ -782,12 +782,43 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
-_SQL_SHINGLES = """
-  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+def _sql_shingles(n: int = 3, source: str = "documents") -> str:
+    """DuckDB SQL for the n-token shingle explode over ``source`` —
+    mirrors operators.textops.shingles (1-based positions)."""
+    concat = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(n))
+    return f"""
+  SELECT doc_id, {concat} AS shingle
   FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        FROM documents),
-       unnest(range(1, len(t) - 1)) AS u(i)
-  WHERE len(t) >= 3
+        FROM {source}),
+       unnest(range(1, len(t) - {n - 2})) AS u(i)
+  WHERE len(t) >= {n}
+"""
+
+
+_SQL_SHINGLES = _sql_shingles(3)
+
+# Full capped-Jaccard near-dup pair query (shared by the pair query
+# itself and the connected-components / survivor oracles).
+_SQL_JACCARD_PAIRS = f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}
+    ),
+    shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+      FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
 """
 
 
@@ -891,30 +922,7 @@ def text_fingerprints(spark, sf_dir):
     return textops.fingerprints(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_jaccard_pairs",
-    f"""
-    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-    rare AS (
-      SELECT shingle FROM sh GROUP BY shingle
-      HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}
-    ),
-    shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
-    common AS (
-      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-      FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT a, b,
-           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
-             AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = a
-    JOIN sizes sb ON sb.doc_id = b
-    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
-    """,
-)
+@register("dedup_jaccard_pairs", _SQL_JACCARD_PAIRS)
 def dedup_jaccard_pairs(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join,
     threshold 0.2) with the boilerplate shingle-df cap active — the
@@ -941,6 +949,68 @@ def dedup_jaccard_hot_shingles(spark, sf_dir):
     return dedup.hot_shingles(
         _t(spark, sf_dir, "documents"), max_shingle_df=JACCARD_MAX_SHINGLE_DF
     )
+
+
+@register(
+    "dedup_connected_components",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT a, b FROM ({_SQL_JACCARD_PAIRS})),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, min(lab) AS cluster
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_connected_components(spark, sf_dir):
+    """Near-dup clusters: connected components (hash-min label
+    propagation) over the capped-Jaccard pair graph; cluster id is the
+    component's minimum doc_id.  Oracle: DuckDB recursive-CTE
+    reachability over the identical pair set."""
+    pairs = dedup.jaccard_near_dupes_exact(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.2,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+    return dedup.connected_components(pairs)
+
+
+@register(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT a, b FROM ({_SQL_JACCARD_PAIRS})),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node, min(lab) AS cluster FROM reach GROUP BY node)
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM cc WHERE node <> cluster)
+    """,
+)
+def dedup_survivors(spark, sf_dir):
+    """The corpus after near-dup collapse: one canonical doc per
+    Jaccard cluster, all unpaired docs untouched (anti-join against the
+    non-canonical member set)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_near_dupes_exact(
+        docs, threshold=0.2, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
+    return dedup.dedup_survivors(docs, pairs)
 
 
 @register("dedup_minhash_near_dupes")
@@ -1173,6 +1243,94 @@ _LANG_SQL_PRED = "CASE WHEN {} = 0 THEN 'und' {} END".format(
 )
 def text_language_id(spark, sf_dir):
     return textops.language_id(_t(spark, sf_dir, "documents"))
+
+
+# Eval split for the decontamination query: every 43rd doc plays the
+# held-out benchmark; the rest are the training corpus being scanned.
+DECONTAM_MOD = 43
+DECONTAM_NGRAM = 5
+
+
+@register(
+    "text_decontamination",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT shingle
+      FROM ({_sql_shingles(DECONTAM_NGRAM,
+                           f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} = 0)")})
+    ),
+    tr AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM ({_sql_shingles(DECONTAM_NGRAM,
+                           f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0)")})
+    ),
+    ov AS (
+      SELECT doc_id, count(*) AS n FROM tr JOIN ev USING (shingle) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ov.n, 0) AS INT) AS n_overlap,
+           CAST(coalesce(ov.n, 0) > 0 AS INT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0) d
+    LEFT JOIN ov ON ov.doc_id = d.doc_id
+    """,
+)
+def text_decontamination(spark, sf_dir):
+    """Eval-set decontamination: flag training docs sharing any 5-gram
+    with the held-out split (broadcast eval n-gram set; the corpus side
+    never shuffles)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+    out = textops.decontaminate(tr, ev, n=DECONTAM_NGRAM)
+    return out.select(
+        "doc_id", "n_overlap", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS INT) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-doc top-3 tf-idf terms (idf = ln(N/df), term tie-break)."""
+    return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "text_top_ngrams",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES}))
+    SELECT shingle, count(*) AS sdf
+    FROM sh GROUP BY shingle
+    ORDER BY sdf DESC, shingle LIMIT 20
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """Global heavy hitters: top-20 3-gram shingles by document
+    frequency (deterministic tie-break)."""
+    return textops.top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=20)
 
 
 _SQL_QUALITY = """
