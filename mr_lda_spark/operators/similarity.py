@@ -430,3 +430,28 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label centroid of an embedding column, in tall form
+    (label, pos, centroid, n_vecs).
+
+    Plan: ``posexplode`` the vectors and aggregate per (label, pos) —
+    one shuffle whose key space is labels × dims (well distributed, no
+    skew), with map-side partial sums doing the heavy lifting.  This is
+    the class-prototype / cluster-profile computation of an
+    embedding-space curation pass; the tall layout keeps rows fixed-width
+    at any dimensionality and is what a downstream broadcast join wants.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"), "centroid", "n_vecs")
+    )

@@ -432,3 +432,35 @@ def top_ngrams(
         .orderBy(F.desc("sdf"), F.asc("shingle"))
         .limit(k)
     )
+
+
+# Shared with the DuckDB oracle — plain character classes only, so Java
+# regex and RE2 agree on every match.
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+PII_PHONE = "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]"
+PII_URL = "https?://[^ ]+"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrub: count and redact emails / phone numbers / URLs
+    (each span replaced with a typed sentinel token).  Pure codegen
+    projection — zero shuffle, embarrassingly parallel per doc; the
+    redaction regexes are deliberately simple character-class patterns
+    shared verbatim with the oracle."""
+    text = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+            PII_URL,
+            "<URL>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_URL), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
+        clean.alias("clean_text"),
+    )

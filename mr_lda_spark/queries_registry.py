@@ -16,7 +16,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mr_lda_spark.operators import dedup, display, parse, similarity, textops
+from mr_lda_spark.operators import (
+    dedup,
+    display,
+    multimodal,
+    parse,
+    similarity,
+    textops,
+)
 
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
@@ -797,6 +804,25 @@ def _sql_shingles(n: int = 3, source: str = "documents") -> str:
 
 _SQL_SHINGLES = _sql_shingles(3)
 
+_SQL_QUALITY = """
+  SELECT doc_id,
+         round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+           0.5 * least(n_tok / 100.0, 1.0)
+           + 0.3 * least(stop_hits / CAST(n_tok AS DOUBLE) * 5, 1.0)
+           + 0.2 * (1 - least(digit_chars / CAST(n_chars AS DOUBLE) * 10, 1.0))
+         END, 6) AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+           length(text) AS n_chars,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it')))
+             AS stop_hits,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+    FROM documents
+  )
+"""
+
 # Full capped-Jaccard near-dup pair query (shared by the pair query
 # itself and the connected-components / survivor oracles).
 _SQL_JACCARD_PAIRS = f"""
@@ -1333,24 +1359,117 @@ def text_top_ngrams(spark, sf_dir):
     return textops.top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=20)
 
 
-_SQL_QUALITY = """
-  SELECT doc_id,
-         round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
-           0.5 * least(n_tok / 100.0, 1.0)
-           + 0.3 * least(stop_hits / CAST(n_tok AS DOUBLE) * 5, 1.0)
-           + 0.2 * (1 - least(digit_chars / CAST(n_chars AS DOUBLE) * 10, 1.0))
-         END, 6) AS quality_score
-  FROM (
+@register(
+    "text_pii_scrub",
+    f"""
     SELECT doc_id,
-           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
-           length(text) AS n_chars,
-           len(list_filter(string_split(text, ' '),
-               x -> x IN ('the','a','of','and','to','in','is','it')))
-             AS stop_hits,
-           length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+           CAST(len(regexp_extract_all(text, '{textops.PII_EMAIL}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{textops.PII_URL}')) AS INT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text, '{textops.PII_PHONE}')) AS INT)
+             AS n_phones,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{textops.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{textops.PII_URL}', '<URL>', 'g'),
+             '{textops.PII_PHONE}', '<PHONE>', 'g') AS clean_text
     FROM documents
-  )
-"""
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction + counts (emails/URLs/phones), pure codegen
+    projection; regex patterns shared verbatim with the oracle."""
+    return textops.scrub_pii(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "curation_quality_filter",
+    f"""
+    WITH q AS ({_SQL_QUALITY}),
+    t AS (SELECT quantile_cont(quality_score, 0.25) AS thr FROM q)
+    SELECT doc_id, quality_score FROM q, t WHERE quality_score >= thr
+    """,
+)
+def curation_quality_filter(spark, sf_dir):
+    """Percentile-threshold curation: keep docs at or above the corpus
+    25th-percentile quality score.  The threshold is a scalar agg
+    (exact interpolated percentile, ≡ DuckDB quantile_cont) broadcast
+    into the filter — the corpus scans once and never shuffles."""
+    q = textops.quality_scores(_t(spark, sf_dir, "documents"))
+    thr = q.agg(F.expr("percentile(quality_score, 0.25)").alias("thr"))
+    return (
+        q.join(F.broadcast(thr))
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select("doc_id", "quality_score")
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    SELECT label, CAST(i - 1 AS INT) AS pos,
+           round(avg(embedding[i]), 6) AS centroid,
+           count(*) AS n_vecs
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    GROUP BY 1, 2
+    """,
+)
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids in tall (label, pos) form — the
+    class-prototype computation of an embedding-space curation pass."""
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "events_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, b.event_id AS purchase_id,
+           CAST(date_diff('second', date_trunc('second', v.ts),
+                          date_trunc('second', b.ts)) AS BIGINT) AS lag_secs,
+           round(b.value, 4) AS purchase_value
+    FROM events v JOIN events b
+      ON v.user_id = b.user_id
+     AND v.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+)
+def events_stream_join(spark, sf_dir):
+    """Genuine stream-stream inner join (two watermarked file-source
+    streams, event-time range condition, availableNow drain); the
+    oracle is the batch interval-join SQL."""
+    import uuid
+
+    from mr_lda_spark.streaming import events as se
+
+    views = se.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    buys = se.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = se.view_purchase_join_stream(views, buys)
+    return se.run_stream_to_batch(
+        joined, f"vpjoin_{uuid.uuid4().hex[:8]}", output_mode="append"
+    )
+
+
+@register("multimodal_video_frames")
+def multimodal_video_frames(spark, sf_dir):
+    """Video frame sampling (Arrow-batched kernel over the binary
+    payload column; deterministic fake decode — no codecs in env).
+    Rows-only: payload bytes are engine-internal."""
+    media = multimodal.synthesize_media_from_documents(
+        _t(spark, sf_dir, "documents")
+    )
+    frames = multimodal.sample_video_frames(media, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_index",
+        F.length("frame_payload").cast("int").alias("n_bytes"),
+    )
+
+
 
 
 @register(
@@ -1808,6 +1927,118 @@ def q14_promo_revenue_share(spark, sf_dir):
                 / F.sum(rev),
                 4,
             ).alias("promo_share")
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: order-count-per-customer histogram (left outer
+    join so zero-order customers count, double aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+           round(o_totalprice, 2) AS o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 25
+    )
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity clears a HAVING
+    threshold, joined back to customers, top-100.  The heavy groupBy
+    runs on lineitem FIRST (map-side partial sums), so only qualifying
+    orderkeys join — never the raw lineitem rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 25)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    WITH thr AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= CAST('2000-01-01' AS TIMESTAMP))
+    GROUP BY 1
+    """,
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (scalar-subquery threshold broadcast + anti-join on a
+    pushed-down date slice), grouped by segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 

@@ -67,7 +67,10 @@ def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
 
 
 def run_stream_to_batch(
-    stream_df: DataFrame, query_name: str, timeout_sec: int = 120
+    stream_df: DataFrame,
+    query_name: str,
+    timeout_sec: int = 120,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Drain a streaming query into an in-memory sink (availableNow:
     process everything, then stop) and return the result as a batch
@@ -75,7 +78,7 @@ def run_stream_to_batch(
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -134,5 +137,58 @@ def sessionize_stream(
             F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
             "n_events",
             "sum_value",
+        )
+    )
+
+
+def view_purchase_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    join_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: every purchase matched to the same
+    user's view events in the preceding ``join_window``.
+
+    Both sides carry watermarks plus the event-time range predicate, so
+    the join state is bounded (Spark evicts view rows older than
+    watermark + window) — the canonical attribution join at scale.
+    Inner join + availableNow drain is deterministic, so the batch
+    interval-join SQL is an exact oracle.
+    """
+    v = (
+        views.select(
+            F.col("user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        ).withWatermark("view_ts", watermark)
+    )
+    b = (
+        purchases.select(
+            F.col("user_id").alias("b_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return (
+        v.join(
+            b,
+            F.expr(
+                f"""
+                user_id = b_user_id
+                AND purchase_ts >= view_ts
+                AND purchase_ts <= view_ts + interval {join_window}
+                """
+            ),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "purchase_id",
+            (
+                F.unix_timestamp("purchase_ts") - F.unix_timestamp("view_ts")
+            ).alias("lag_secs"),
+            F.round("value", 4).alias("purchase_value"),
         )
     )

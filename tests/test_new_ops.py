@@ -1,0 +1,74 @@
+"""PII scrub, label centroids, and the stream-stream attribution join
+(stream ≡ batch)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import similarity, textops
+
+
+def test_scrub_pii_counts_and_redacts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or visit https://example.com/x now"),
+            (2, "call 555-123-4567 twice 555-123-4567"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.scrub_pii(docs).collect()}
+    assert (got[1]["n_emails"], got[1]["n_urls"], got[1]["n_phones"]) == (1, 1, 0)
+    assert got[1]["clean_text"] == "contact <EMAIL> or visit <URL> now"
+    assert got[2]["n_phones"] == 2
+    assert got[2]["clean_text"] == "call <PHONE> twice <PHONE>"
+    assert got[3]["clean_text"] == "nothing sensitive here"
+
+
+def test_label_centroids_matches_numpy(spark):
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 2.0], 7),
+        (1, [3.0, 4.0], 7),
+        (2, [10.0, 20.0], 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label"], r["pos"]): (r["centroid"], r["n_vecs"])
+        for r in similarity.label_centroids(df).collect()
+    }
+    assert got[(7, 0)] == (pytest.approx(2.0), 2)
+    assert got[(7, 1)] == (pytest.approx(3.0), 2)
+    assert got[(8, 0)] == (pytest.approx(10.0), 1)
+    assert got[(8, 1)] == (pytest.approx(20.0), 1)
+    np_mean = np.mean([[1.0, 2.0], [3.0, 4.0]], axis=0)
+    assert [got[(7, i)][0] for i in range(2)] == pytest.approx(list(np_mean))
+
+
+def test_stream_join_equals_batch(spark, sf_dir):
+    import uuid
+
+    from mr_lda_spark.session import read_table
+    from mr_lda_spark.streaming import events as se
+
+    views = se.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    buys = se.read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    stream = se.run_stream_to_batch(
+        se.view_purchase_join_stream(views, buys),
+        f"t_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    ev = read_table(spark, sf_dir, "events")
+    batch = se.view_purchase_join_stream(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
