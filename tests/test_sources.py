@@ -31,3 +31,28 @@ def test_read_raw_corpus_poly_null_language(spark, tmp_path):
         ("doc2", 1): "salut",
         ("doc3", 0): "only english",
     }
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    from mr_lda_spark.sources.corpus import read_jsonl_corpus, write_jsonl
+
+    f = tmp_path / "corpus.jsonl"
+    f.write_text(
+        '{"id": "a", "text": "hello world", "meta": {"src": "web"}}\n'
+        "this is not json at all\n"
+        '{"id": "b", "text": "second doc"}\n'
+        '{"id": null, "text": "no id -> dropped"}\n'
+    )
+    df = read_jsonl_corpus(spark, str(f))
+    got = {r["title"]: (r["body"], r["meta"]) for r in df.collect()}
+    assert got == {
+        "a": ("hello world", {"src": "web"}),
+        "b": ("second doc", None),
+    }
+    out = str(tmp_path / "sink")
+    write_jsonl(df.drop("meta"), out)
+    back = spark.read.json(out)
+    assert sorted((r["title"], r["body"]) for r in back.collect()) == [
+        ("a", "hello world"),
+        ("b", "second doc"),
+    ]
