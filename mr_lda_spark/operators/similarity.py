@@ -2,8 +2,11 @@
 
 Two paths, as a 100 TB pipeline needs both:
 - ``cosine_topk``: exact brute force — broadcast the (small) query set
-  against the full corpus, rank per query.  Dot products stay JVM-side
-  via higher-order functions (zip_with/aggregate) — no Python.
+  against the full corpus, rank per query.  Scoring is ONE einsum per
+  Arrow batch (vectorized Pandas UDF): built-in higher-order
+  aggregates would be ~2×dim interpreted lambda steps per pair —
+  measured ~5µs/element on this engine, so BLAS wins by an order of
+  magnitude on any real candidate volume.
 - ``lsh_topk``: random-hyperplane LSH buckets as the scale path — each
   vector lands in a handful of buckets, the candidate join is
   bucket-local, then exact re-rank.  Recall < 1 by design; the oracle
@@ -22,14 +25,25 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+def _pair_cosine_udf():
+    """Arrow-batched cosine over candidate pairs: stacks each batch and
+    computes all numerators/norms in three einsums.  Mirrors the oracle
+    formula (dot / (sqrt(dot)·sqrt(dot))) term-for-term so the 4-dp
+    rounded value matches DuckDB exactly."""
 
+    @F.pandas_udf("double")
+    def f(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series(np.zeros(0))
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
 
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    return f
 
 
 def cosine_topk(
@@ -43,10 +57,11 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Plan: broadcast-join queries × corpus (no shuffle of the corpus),
-    per-row dot/norms in codegen'd higher-order functions, then a rank
-    window partitioned by query id.  Scales linearly in corpus size;
-    the window is per-query so no global sort ever happens.
+    batched einsum scoring, then a rank window partitioned by query id.
+    Scales linearly in corpus size; the window is per-query so no
+    global sort ever happens.
     """
+    pair_cos = _pair_cosine_udf()
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -59,9 +74,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias(
-                "cos"
-            ),
+            pair_cos(F.col("qv"), F.col("cv")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -146,13 +159,11 @@ def embedding_near_dupes(
             F.col(id_col).alias("b"), _as_double(F.col(vec_col)).alias("vb")
         )
         pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
+    pair_cos = _pair_cosine_udf()
     scored = pairs.select(
         "a",
         "b",
-        (
-            _dot(F.col("va"), F.col("vb"))
-            / (_norm(F.col("va")) * _norm(F.col("vb")))
-        ).alias("cos"),
+        pair_cos(F.col("va"), F.col("vb")).alias("cos"),
     )
     out = scored.filter(F.col("cos") >= threshold).select(
         "a", "b", F.round("cos", 4).alias("cos_sim")
@@ -195,26 +206,17 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH: sign pattern of ``n_planes`` projections
-    → one integer bucket per vector.  Planes are a seeded numpy draw
-    embedded as literals (tiny: n_planes × dim doubles), so the whole
-    op is a narrow projection — zero shuffle."""
+    → one integer bucket per vector.  One Arrow-batched matmul against
+    the seeded plane matrix (the single-band case of
+    ``_band_buckets_udf``) — still a narrow projection, zero shuffle,
+    but BLAS instead of n_planes × dim interpreted lambda steps/row."""
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    v = _as_double(F.col(vec_col))
-    bucket = F.lit(0).cast("long")
-    for i in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(x)) for x in planes[i]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    bucket_udf = _band_buckets_udf(planes, 1, n_planes)
     return embeddings.select(
-        F.col(id_col).alias("vec_id"), bucket.alias("bucket"), F.col(vec_col)
+        F.col(id_col).alias("vec_id"),
+        F.element_at(bucket_udf(_as_double(F.col(vec_col))), 1).alias("bucket"),
+        F.col(vec_col),
     )
 
 
@@ -367,16 +369,14 @@ def ivf_topk(
         "query_id", "qv", F.explode(topn(F.col("qv"))).alias("cell")
     )
 
+    pair_cos = _pair_cosine_udf()
     cands = (
         corpus_cells.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                _dot(_as_double(F.col(vec_col)), F.col("qv"))
-                / (_norm(_as_double(F.col(vec_col))) * _norm(F.col("qv")))
-            ).alias("cos"),
+            pair_cos(_as_double(F.col(vec_col)), F.col("qv")).alias("cos"),
         )
         .distinct()
     )
@@ -410,15 +410,15 @@ def lsh_topk(
         "bucket",
         F.col(vec_col).alias("qvec"),
     )
+    pair_cos = _pair_cosine_udf()
     cands = (
         cb.join(qb, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            (
-                _dot(_as_double(F.col(vec_col)), _as_double(F.col("qvec")))
-                / (_norm(_as_double(F.col(vec_col))) * _norm(_as_double(F.col("qvec"))))
+            pair_cos(
+                _as_double(F.col(vec_col)), _as_double(F.col("qvec"))
             ).alias("cos"),
         )
     )
