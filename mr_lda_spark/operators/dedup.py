@@ -54,14 +54,27 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 8,
     shingle_n: int = 3,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Tall MinHash signature table: (doc_id, seed, minhash).
 
     shingle → per-seed hash → min per (doc, seed).  One shuffle
     (the groupBy); the seed dimension is generated per-row with
     ``explode(sequence(...))`` so no join is needed.
+
+    No distinct on the shingle stream: min() is duplicate-invariant,
+    so deduplicating first would spend a full shuffle of the exploded
+    stream to save ~15% of the (map-side, cheap) hashing — the groupBy's
+    map-side partial min already collapses everything to docs×seeds
+    rows before the only shuffle.  ``shingle_sets`` accepts an
+    already-distinct (doc_id, shingle) relation when the caller has one
+    persisted anyway (the LSH pipeline does, for its verify step).
     """
-    sh = shingles(docs, text_col, shingle_n).select("doc_id", "shingle").distinct()
+    sh = (
+        shingle_sets
+        if shingle_sets is not None
+        else shingles(docs, text_col, shingle_n).select("doc_id", "shingle")
+    )
     seeded = sh.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
@@ -134,14 +147,21 @@ def jaccard_verify(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only.
 
     |A∩B| via a (shingle-set ⋈ candidates) count; |A∪B| = |A|+|B|−|A∩B|.
     The candidate set is tiny relative to the corpus, so both joins
-    broadcast in practice.
+    broadcast in practice.  ``shingle_sets`` short-circuits the shingle
+    recomputation when the caller already holds the distinct sets
+    (they feed three consumers here — persist upstream).
     """
-    sets = shingles(docs, text_col, shingle_n).distinct()
+    sets = (
+        shingle_sets
+        if shingle_sets is not None
+        else shingles(docs, text_col, shingle_n).distinct()
+    )
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     common = (
         candidates.join(
@@ -174,11 +194,25 @@ def near_duplicates_minhash(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify pipeline: (a, b, jaccard) near-dup pairs."""
-    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    """Full MinHash→LSH→verify pipeline: (a, b, jaccard) near-dup pairs.
+
+    The distinct shingle sets are materialized ONCE and feed both the
+    signature hashing and the verify step's three consumers — without
+    the persist the explode→distinct lineage runs four times."""
+    sets = (
+        shingles(docs, text_col, shingle_n)
+        .select("doc_id", "shingle")
+        .distinct()
+        .persist()
+    )
+    sigs = minhash_signatures(
+        docs, text_col, num_hashes, shingle_n, shingle_sets=sets
+    )
     buckets = minhash_band_buckets(sigs, rows_per_band)
     cands = lsh_candidate_pairs(buckets)
-    return jaccard_verify(docs, cands, text_col, shingle_n, threshold)
+    return jaccard_verify(
+        docs, cands, text_col, shingle_n, threshold, shingle_sets=sets
+    )
 
 
 def simhash_near_dupes(
