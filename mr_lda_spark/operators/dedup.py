@@ -239,7 +239,10 @@ def simhash_near_dupes(
     the all-zeros band from boilerplate shingles) before the pair
     explosion; ``None`` keeps the result exact.
     """
-    fp = simhash(docs, text_col, bits)
+    # The fingerprint relation feeds both sides of the band self-join —
+    # persist it (doc_id + one long per doc, tiny) or the two-shuffle
+    # simhash computation runs twice.
+    fp = simhash(docs, text_col, bits).persist()
     n_bands = max_hamming + 1
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
     banded = fp.select(

@@ -148,6 +148,10 @@ def embedding_near_dupes(
                 "bucket_n",
                 F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
             ).filter(F.col("bucket_n") <= max_bucket_size)
+        # Both sides of the bucket self-join read this relation —
+        # persist so the bucketing matmul and the hot-bucket window
+        # run once, not twice.
+        lb = lb.persist()
         left = lb.select("band", "bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
         right = lb.select("band", "bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
         pairs = left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
