@@ -130,6 +130,73 @@ def stratified_hash_sample(
     return docs.filter(bucket < (frac * 1_000_000).cast("long"))
 
 
+def pack_sequences(
+    chunks: DataFrame,
+    max_tokens: int = 512,
+    n_shards: int = 8,
+    doc_col: str = "doc_id",
+    idx_col: str = "chunk_index",
+    token_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Token-budget sequence packing: assign each chunk a (shard,
+    bin_id, bin_offset) such that every bin holds ``max_tokens`` of
+    token budget — the sequence-packing step that turns chunked text
+    into fixed-length training examples.
+
+    Packing is PER OUTPUT SHARD (``doc_id % n_shards``), which is how
+    a real pipeline writes training shards anyway — so the running
+    token count is a window partitioned by shard, never a global sort
+    / single reducer.  A chunk belongs to the bin its first token
+    falls in (bins may overflow by at most one chunk — the trade every
+    offline packer makes to stay one-pass; the training loader truncates
+    or wraps).  Integer arithmetic only, so the assignment is exact and
+    engine-independent.
+    """
+    from pyspark.sql import Window
+
+    shard = (F.col(doc_col) % n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(doc_col, idx_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_shard = chunks.select(
+        shard.alias("shard"), doc_col, idx_col, token_col
+    )
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    return with_shard.select(
+        "shard",
+        doc_col,
+        idx_col,
+        token_col,
+        F.floor(start / max_tokens).cast("int").alias("bin_id"),
+        (start % max_tokens).cast("int").alias("bin_offset"),
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    domain_col: str = "lang",
+    temperature: float = 0.7,
+) -> DataFrame:
+    """Temperature-flattened domain mixture: weight_d ∝ n_d^T / Σ n^T
+    (T = 1 reproduces natural proportions, T → 0 uniform) — the
+    standard re-balancing rule for multilingual / multi-domain
+    pretraining mixes.  One tiny aggregate plus a single-row broadcast;
+    the output is model-sized (one row per domain)."""
+    counts = docs.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), temperature)).alias("z")
+    )
+    return counts.join(F.broadcast(tot)).select(
+        domain_col,
+        "n_docs",
+        F.round(
+            F.pow(F.col("n_docs").cast("double"), temperature) / F.col("z"), 6
+        ).alias("weight"),
+    )
+
+
 def curation_report(docs: DataFrame, **kwargs) -> DataFrame:
     """Single-row audit: counts per pipeline stage."""
     total = docs.count()

@@ -3047,6 +3047,70 @@ def q21_waiting_supplier(spark, sf_dir):
     )
 
 
+@register(
+    "curation_pack_sequences",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 56 AS INT) AS chunk_index,
+             CAST(least(64, len(t) - s + 1) AS INT) AS n_chunk_tokens
+      FROM base, unnest(range(1, len(t) + 1, 56)) AS u(s)
+      WHERE len(t) > 0
+    ), sharded AS (
+      SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id, chunk_index,
+             n_chunk_tokens,
+             CAST(sum(n_chunk_tokens)
+                    OVER (PARTITION BY doc_id % 8
+                          ORDER BY doc_id, chunk_index
+                          ROWS UNBOUNDED PRECEDING)
+                  - n_chunk_tokens AS BIGINT) AS st
+      FROM chunks
+    )
+    SELECT shard, doc_id, chunk_index, n_chunk_tokens,
+           CAST(floor(st / 512.0) AS INT) AS bin_id,
+           CAST(st % 512 AS INT) AS bin_offset
+    FROM sharded
+    """,
+)
+def curation_pack_sequences(spark, sf_dir):
+    """Sequence packing for training shards: 64-token chunks packed
+    into 512-token bins per output shard.  The running token count is
+    a cumsum window PARTITIONED BY shard — fully parallel, no global
+    sort; integer arithmetic end-to-end."""
+    from mr_lda_spark.operators.curation import pack_sequences
+
+    chunks = textops.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=64, overlap=8
+    )
+    return pack_sequences(chunks, max_tokens=512, n_shards=8)
+
+
+@register(
+    "curation_mixture_weights",
+    """
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    )
+    SELECT lang, n_docs,
+           round(pow(n_docs, 0.7)
+                 / (SELECT sum(pow(n_docs, 0.7)) FROM counts), 6) AS weight
+    FROM counts
+    """,
+)
+def curation_mixture_weights(spark, sf_dir):
+    """Temperature-flattened (T = 0.7) language mixture weights — the
+    multilingual re-balancing rule, computed as one tiny aggregate plus
+    a single-row broadcast."""
+    from mr_lda_spark.operators.curation import mixture_weights
+
+    return mixture_weights(
+        _t(spark, sf_dir, "documents"), domain_col="lang", temperature=0.7
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -72,3 +72,47 @@ def test_stream_join_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, stream.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from mr_lda_spark.operators.curation import pack_sequences
+    from mr_lda_spark.operators.textops import chunk_documents
+    from mr_lda_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    packed = pack_sequences(chunks, max_tokens=512, n_shards=4).collect()
+    assert len(packed) == chunks.count()
+    for r in packed:
+        assert 0 <= r.shard < 4
+        assert r.shard == r.doc_id % 4
+        # a chunk starts inside its bin
+        assert 0 <= r.bin_offset < 512
+    # bins fill to capacity: every bin except each shard's last holds
+    # >= 512 - (max chunk - 1) tokens of budget by construction
+    from collections import defaultdict
+
+    per_bin = defaultdict(int)
+    for r in packed:
+        per_bin[(r.shard, r.bin_id)] += r.n_chunk_tokens
+    for shard in {s for s, _ in per_bin}:
+        bins = sorted(b for s, b in per_bin if s == shard)
+        # contiguous bin ids per shard (no empty bins skipped)
+        assert bins == list(range(len(bins)))
+        for b in bins[:-1]:
+            assert per_bin[(shard, b)] >= 512 - 63
+
+
+def test_mixture_weights_sum_to_one(spark, sf_dir):
+    from mr_lda_spark.operators.curation import mixture_weights
+    from mr_lda_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    rows = mixture_weights(docs, temperature=0.7).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # flattening: low-resource domains gain relative share vs natural
+    nat = {r.lang: r.n_docs for r in rows}
+    tot = sum(nat.values())
+    for r in rows:
+        if r.n_docs < tot / len(nat):
+            assert r.weight > r.n_docs / tot
