@@ -3016,10 +3016,13 @@ def q20_excess_shippers(spark, sf_dir):
 def q21_waiting_supplier(spark, sf_dir):
     """TPC-H Q21 shape: suppliers who were the SOLE late shipper in
     multi-supplier finished orders.  The EXISTS / NOT EXISTS pair is
-    decorrelated into one per-order aggregate — distinct suppliers and
-    distinct LATE suppliers per order — joined back to the late rows
-    (nsupp ≥ 2 ∧ nlate = 1 ⇔ "another supplier exists, none of them
-    late"), so lineitem is scanned once instead of three times."""
+    decorrelated into per-order window aggregates — distinct suppliers
+    and distinct LATE suppliers over the order partition (nsupp ≥ 2 ∧
+    nlate = 1 ⇔ "another supplier exists, none of them late") — so
+    lineitem is scanned ONCE and shuffled once (by orderkey), where the
+    textbook aggregate-and-join-back plan scans and shuffles it twice.
+    The collect_set windows are bounded by order size, never corpus
+    size."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
@@ -3028,14 +3031,18 @@ def q21_waiting_supplier(spark, sf_dir):
         "late",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("nsupp"),
-        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nlate"),
-    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        lo.filter(F.col("late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        lo.withColumn("nsupp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "nlate",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("late") & (F.col("nsupp") >= 2) & (F.col("nlate") == 1))
     )
     return (
         waiting.join(F.broadcast(s), waiting.l_suppkey == s.s_suppkey)

@@ -175,3 +175,51 @@ def test_label_centroids_single_shuffle(spark):
     plan, _ = _plan(spark, "embedding_label_centroids")
     # posexplode + one (label, pos) aggregation: exactly one exchange.
     assert plan.count("Exchange") == 1
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = _explain(spark, "q6_forecast_revenue")
+    pushed = " ".join(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate not pushed to the scan"
+    assert "Join" not in plan.replace("join", "")
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark):
+    """The OR-of-ANDs predicate must split: the part-only disjuncts
+    (brand/size) reach the part scan as a pushed Or filter instead of
+    evaluating post-join on every lineitem row."""
+    plan = _explain(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    part_scans = [l for l in plan.splitlines()
+                  if "PushedFilters" in l and "p_brand" in l]
+    assert part_scans and "Or(" in part_scans[0], "part disjuncts not pushed"
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark):
+    plan = _explain(spark, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan, "NOT IN must run as an anti join"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_single_lineitem_scan(spark):
+    """The window decorrelation must keep ONE lineitem scan — the
+    aggregate-and-join-back plan would scan and shuffle it twice."""
+    plan = _explain(spark, "q21_waiting_supplier")
+    scans = [l for l in plan.splitlines()
+             if "Location" in l and "lineitem" in l]
+    assert len(scans) == 1, f"expected 1 lineitem scan, got {len(scans)}"
+
+
+def test_q2_window_min_no_extra_exchange(spark):
+    """The decorrelated min runs as a window over the part key; the
+    correlated-subquery plan (a second aggregate + self join) must not
+    come back."""
+    plan = _explain(spark, "q2_min_cost_supplier")
+    assert "Window" in plan
+    # li + 4 dims, each scanned once — no self-join re-scan
+    scans = [l for l in plan.splitlines() if "Location" in l]
+    assert len(scans) == 5, f"expected 5 scans, got {len(scans)}"
+    li_scans = [l for l in scans if "lineitem" in l]
+    assert len(li_scans) == 1
