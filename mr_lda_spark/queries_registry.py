@@ -788,6 +788,34 @@ def events_hourly_stream(spark, sf_dir):
     return se.run_stream_to_batch(se.hourly_agg_stream(stream), name)
 
 
+@register(
+    "events_segment_revenue_stream",
+    """
+    SELECT c_mktsegment,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_segment_revenue_stream(spark, sf_dir):
+    """Stream-static enrichment join run as a REAL streaming query
+    (file source → broadcast dim join → watermarked hourly window →
+    availableNow drain); the oracle is the batch-equivalent SQL."""
+    import uuid
+
+    from mr_lda_spark.streaming import events as se
+
+    name = f"segrev_{uuid.uuid4().hex[:8]}"
+    stream = se.read_events_stream(spark, sf_dir)
+    customer = _t(spark, sf_dir, "customer")
+    return se.run_stream_to_batch(
+        se.segment_revenue_stream(stream, customer), name
+    )
+
+
 # --------------------------------------------------------------------------
 # Deduplication (exact + MinHash/LSH + SimHash + n-gram Jaccard)
 # --------------------------------------------------------------------------

@@ -66,6 +66,39 @@ def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
     )
 
 
+def segment_revenue_stream(
+    events: DataFrame, customer: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the (batch)
+    customer dimension, then windowed revenue per market segment.
+
+    This is the third streaming join mode (alongside the stream-stream
+    attribution join and the stateful tracker): the static side is
+    re-resolved and BROADCAST per micro-batch — stateless, no watermark
+    on the dim, and dim updates between batches are picked up
+    automatically.  Exactly the shape of a production "enrich events
+    with account metadata" stage.
+    """
+    dim = F.broadcast(
+        customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "c_mktsegment",
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_batch(
     stream_df: DataFrame,
     query_name: str,

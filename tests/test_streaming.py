@@ -55,3 +55,39 @@ def test_session_stream_matches_batch_starts(spark):
         for r in batch.collect()
     )
     assert got == want
+
+
+def test_segment_revenue_stream_matches_batch(spark):
+    """Stream-static enrichment join ≡ its batch twin (same join, same
+    window) — proves the broadcast dim join is stateless-correct under
+    micro-batching."""
+    import pyspark.sql.functions as F
+
+    stream = se.read_events_stream(spark, SF)
+    customer = read_table(spark, SF, "customer")
+    result = se.run_stream_to_batch(
+        se.segment_revenue_stream(stream, customer), "segrev_test"
+    )
+    ev = read_table(spark, SF, "events")
+    batch = (
+        ev.join(
+            customer.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "c_mktsegment"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "c_mktsegment",
+            F.unix_timestamp("h").alias("hour_epoch"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    assert sorted(map(tuple, result.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
