@@ -208,3 +208,84 @@ def curation_report(docs: DataFrame, **kwargs) -> DataFrame:
         [(total, after_lang, final)],
         schema="total_docs long, after_lang_filter long, final_docs long",
     )
+
+
+def upsample(
+    docs: DataFrame,
+    weights: dict,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Epoch-weighted upsampling: replicate each document
+    ``weights[domain]`` times (fractional parts resolved per-document
+    by the deterministic hash rule, so a weight of 2.3 gives every doc
+    2 copies and a reproducible 30% of docs a 3rd) — how a training
+    mix realizes "2.3 epochs of Wikipedia" as a materialized shard
+    list.
+
+    Pure map-side: a guarded ``explode(sequence(...))`` per row — no
+    shuffle, no driver loop, and the copy count is capped by the
+    weight table, so output size is exactly Σ n_d·w_d.  The empty-
+    array branch matters: Spark's ``sequence(1, 0)`` counts DOWN
+    (yields [1, 0]), so zero-copy rows must explode an empty array
+    instead.
+
+    Returns every input column plus ``copy_idx`` (1-based).
+    """
+    w = F.lit(float(default_weight))
+    for value, wt in weights.items():
+        w = F.when(F.col(domain_col) == value, F.lit(float(wt))).otherwise(w)
+    frac_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("up"), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    n_copies = (
+        F.floor(w).cast("int")
+        + (frac_bucket < ((w - F.floor(w)) * 1_000_000).cast("long")).cast("int")
+    )
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array())
+    return docs.withColumn("copy_idx", F.explode(copies))
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row
+    gets a shard and a position within that shard, both derived from a
+    salted content hash — the "shuffle the corpus before sharding"
+    step, reproducible across runs/engines/partitionings (unlike
+    ``orderBy(rand())``).
+
+    Plan: shard assignment is a pure projection; the within-shard
+    position is a row_number window PARTITIONED BY shard ordered by
+    the hash — n_shards independent sorts, never a global single-
+    reducer sort.  Change ``salt`` to get a fresh permutation per
+    epoch.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    with_h = docs.withColumn("_h", h)
+    shard = (
+        F.conv(F.substring("_h", 1, 15), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return (
+        with_h.withColumn("shard", shard)
+        .withColumn("shard_pos", F.row_number().over(w).cast("int"))
+        .drop("_h")
+    )

@@ -464,3 +464,120 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phones"),
         clean.alias("clean_text"),
     )
+
+
+def remove_boilerplate_spans(
+    docs: DataFrame,
+    span_tokens: int = 16,
+    max_span_occurrences: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate removal, the C4 rule ("discard any
+    three-sentence span occurring more than once") adapted to fixed
+    token windows: segment every document into non-overlapping
+    ``span_tokens``-token spans, count each span's occurrences across
+    the whole corpus, drop spans seen more than
+    ``max_span_occurrences`` times, and reassemble the surviving text
+    in order.
+
+    Plan: span occurrence counting is a window count over the span
+    hash (one hash shuffle of (doc, span) rows — the same shape as
+    C4's global line-hash groupBy), reassembly is one groupBy(doc)
+    with an ordered string_agg.  Two shuffles total; nothing wider
+    than the exploded spans ever moves, and the span *hash* (not the
+    span text) is the shuffle key at scale.
+
+    Returns (doc_id, clean_text, n_spans_kept, n_spans_dropped).
+    """
+    from pyspark.sql import Window
+
+    toks = _tokens(F.col(text_col))
+    with_toks = docs.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(span_tokens))
+    spans = with_toks.select(
+        "doc_id",
+        F.posexplode(starts).alias("span_index", "span_start"),
+        F.concat_ws(
+            " ", F.slice("toks", F.col("span_start"), F.lit(span_tokens))
+        ).alias("span"),
+    )
+    occ = F.count(F.lit(1)).over(Window.partitionBy(F.md5(F.col("span"))))
+    flagged = spans.select(
+        "doc_id", "span_index", "span", (occ <= max_span_occurrences).alias("keep")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("span_index", "span"),
+                        )
+                    )
+                ),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("int")).cast("int").alias("n_spans_kept"),
+        F.sum((~F.col("keep")).cast("int")).cast("int").alias("n_spans_dropped"),
+    )
+
+
+def quality_model_score(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-feature linear quality classifier inference — the
+    fastText-style "model-based quality filter" stage of a pretraining
+    pipeline, run as a relational plan: tokens hash into
+    ``n_buckets`` feature buckets, bucket weights live in a (tiny)
+    weight table that is BROADCAST into a map-side join against the
+    exploded corpus, and the per-document score is an exact integer
+    sum pushed through a logistic link.
+
+    The weight table here is a deterministic synthetic model
+    (weight_i = ((i·2654435761) mod 1001) − 500 milli-units) so the
+    oracle can rebuild it arithmetically; a real pipeline would load
+    trained weights and broadcast them the same way.  Integer
+    milli-unit weights make the aggregation exact (no float
+    summation-order drift between engines).
+
+    Returns (doc_id, n_tokens, raw_score, quality_prob).
+    """
+    spark = docs.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 1001 - 500).alias("w_milli"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    bucketed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w_milli").alias("sum_milli"),
+        )
+    )
+    raw = F.col("sum_milli") / (F.col("n_tokens") * 1000.0)
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round(raw, 6).alias("raw_score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias(
+            "quality_prob"
+        ),
+    )

@@ -3146,6 +3146,153 @@ def curation_mixture_weights(spark, sf_dir):
     )
 
 
+@register(
+    "text_remove_boilerplate",
+    """
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             CAST((s - 1) / 16 AS INT) AS span_index,
+             array_to_string(t[s : s + 15], ' ') AS span
+      FROM base, unnest(range(1, len(t) + 1, 16)) AS u(s)
+      WHERE len(t) > 0
+    ), occ AS (
+      SELECT doc_id, span_index, span,
+             count(*) OVER (PARTITION BY md5(span)) <= 2 AS keep
+      FROM spans
+    )
+    SELECT doc_id,
+           coalesce(
+             string_agg(CASE WHEN keep THEN span END, ' '
+                        ORDER BY span_index),
+             '') AS clean_text,
+           CAST(count(*) FILTER (keep) AS INT) AS n_spans_kept,
+           CAST(count(*) FILTER (NOT keep) AS INT) AS n_spans_dropped
+    FROM occ
+    GROUP BY doc_id
+    """,
+)
+def text_remove_boilerplate(spark, sf_dir):
+    """C4-style corpus-level boilerplate removal: 16-token spans seen
+    more than twice corpus-wide are dropped and the surviving text
+    reassembled in order.  Two shuffles (span-hash window count +
+    per-doc ordered reassembly)."""
+    from mr_lda_spark.operators.textops import remove_boilerplate_spans
+
+    return remove_boilerplate_spans(
+        _t(spark, sf_dir, "documents"),
+        span_tokens=16,
+        max_span_occurrences=2,
+    )
+
+
+@register(
+    "text_quality_model_score",
+    """
+    WITH weights AS (
+      SELECT r.range AS bucket,
+             (r.range * 2654435761) % 1001 - 500 AS w_milli
+      FROM range(4096) r
+    ), toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term), 1, 15))::BIGINT % 4096 AS bucket
+      FROM toks
+    ), scored AS (
+      SELECT b.doc_id, count(*) AS n_tokens,
+             sum(w.w_milli) AS sum_milli
+      FROM bucketed b JOIN weights w USING (bucket)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+           round(sum_milli / (n_tokens * 1000.0), 6) AS raw_score,
+           round(1.0 / (1.0 + exp(-(sum_milli / (n_tokens * 1000.0)))), 6)
+             AS quality_prob
+    FROM scored
+    """,
+)
+def text_quality_model_score(spark, sf_dir):
+    """Hashed-feature linear quality-classifier inference (fastText-
+    style model filter): broadcast weight table joined map-side into
+    the exploded corpus, exact integer-milli aggregation, logistic
+    link.  The synthetic weights are rebuilt arithmetically by the
+    oracle; a trained model broadcasts identically."""
+    from mr_lda_spark.operators.textops import quality_model_score
+
+    return quality_model_score(_t(spark, sf_dir, "documents"), n_buckets=4096)
+
+
+@register(
+    "curation_upsample",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 3.0
+                         WHEN 'src2' THEN 0.25 ELSE 1.0 END AS wt,
+             ('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT % 1000000 AS fb
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             CAST(floor(wt) AS INT)
+               + CASE WHEN fb < CAST(floor((wt - floor(wt)) * 1000000)
+                                     AS BIGINT)
+                      THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, CAST(u.g AS INT) AS copy_idx
+    FROM c, unnest(range(1, n_copies + 1)) AS u(g)
+    """,
+)
+def curation_upsample(spark, sf_dir):
+    """Epoch-weighted corpus upsampling ("2.5 epochs of src0"):
+    deterministic per-doc fractional-epoch resolution, zero-shuffle
+    guarded explode."""
+    from mr_lda_spark.operators.curation import upsample
+
+    out = upsample(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 2.5, "src1": 3.0, "src2": 0.25},
+        domain_col="source",
+    )
+    return out.select("doc_id", "source", F.col("copy_idx").cast("int").alias("copy_idx"))
+
+
+@register(
+    "curation_shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM documents
+    ), s AS (
+      SELECT doc_id, hh,
+             CAST(('0x' || substr(hh, 1, 15))::BIGINT % 8 AS INT) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+                AS INT) AS shard_pos
+    FROM s
+    """,
+)
+def curation_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards: salted-hash
+    shard + within-shard position (8 independent window sorts, no
+    global order)."""
+    from mr_lda_spark.operators.curation import shuffle_shards
+
+    return shuffle_shards(
+        _t(spark, sf_dir, "documents"), n_shards=8
+    ).select("doc_id", "shard", "shard_pos")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -1,0 +1,103 @@
+"""Boilerplate-span removal, model-score inference, upsampling, and
+deterministic shard shuffling."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import curation, textops
+
+
+def test_remove_boilerplate_drops_hot_span(spark):
+    boiler = " ".join(f"b{i}" for i in range(16))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(16))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq(1)),
+            (2, boiler + " " + uniq(2)),
+            (3, boiler + " " + uniq(3)),
+            (4, uniq(4) + " " + boiler.replace("b0", "B0")),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in textops.remove_boilerplate_spans(
+            docs, span_tokens=16, max_span_occurrences=2
+        ).collect()
+    }
+    # The boilerplate span occurs 3x -> dropped everywhere it appears.
+    for d in (1, 2, 3):
+        assert got[d]["clean_text"] == uniq(d)
+        assert (got[d]["n_spans_kept"], got[d]["n_spans_dropped"]) == (1, 1)
+    # Doc 4's variant span occurs once -> fully kept, in order.
+    assert got[4]["clean_text"] == uniq(4) + " " + boiler.replace("b0", "B0")
+    assert got[4]["n_spans_dropped"] == 0
+
+
+def test_remove_boilerplate_all_dropped_yields_empty(spark):
+    span = " ".join(f"x{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [(i, span) for i in range(5)], "doc_id long, text string"
+    )
+    out = textops.remove_boilerplate_spans(
+        docs, span_tokens=16, max_span_occurrences=2
+    ).collect()
+    assert all(r["clean_text"] == "" and r["n_spans_kept"] == 0 for r in out)
+
+
+def test_quality_model_score_matches_python(spark):
+    text = "alpha beta gamma alpha"
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    row = textops.quality_model_score(docs, n_buckets=4096).collect()[0]
+    total = 0
+    for tok in text.split():
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 4096
+        total += (b * 2654435761) % 1001 - 500
+    raw = total / (4 * 1000.0)
+    assert row["n_tokens"] == 4
+    assert abs(row["raw_score"] - round(raw, 6)) < 1e-9
+    assert 0.0 < row["quality_prob"] < 1.0
+
+
+def test_upsample_integer_and_zero_weights(spark):
+    docs = spark.createDataFrame(
+        [(i, "src0" if i % 2 == 0 else "src1") for i in range(20)],
+        "doc_id long, source string",
+    )
+    out = curation.upsample(
+        docs, {"src0": 2.0, "src1": 0.0}, domain_col="source"
+    )
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(per_doc[i] == 2 for i in range(0, 20, 2))
+    assert all(i not in per_doc for i in range(1, 20, 2))
+
+
+def test_upsample_fractional_is_deterministic_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(400)], "doc_id long, source string"
+    )
+    out = curation.upsample(docs, {"s": 1.5}, domain_col="source")
+    n1 = out.count()
+    n2 = curation.upsample(docs, {"s": 1.5}, domain_col="source").count()
+    assert n1 == n2  # hash rule, not RNG
+    assert 400 * 1.3 < n1 < 400 * 1.7
+
+
+def test_shuffle_shards_positions_and_determinism(spark):
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    a = curation.shuffle_shards(docs, n_shards=4).collect()
+    b = curation.shuffle_shards(docs, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(4))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # A different salt yields a different permutation.
+    c = curation.shuffle_shards(docs, n_shards=4, salt="epoch2").collect()
+    assert sorted(map(tuple, c)) != sorted(map(tuple, a))
