@@ -3293,6 +3293,111 @@ def curation_shuffle_shards(spark, sf_dir):
     ).select("doc_id", "shard", "shard_pos")
 
 
+@register(
+    "orders_merge_upsert",
+    """
+    WITH upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 20000000, 'N', o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ), all_rows AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, 1 AS src FROM upd
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_orderpriority, 0 FROM orders
+    )
+    SELECT o_orderkey, o_orderstatus, o_orderpriority
+    FROM (
+      SELECT *, row_number()
+                  OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+      FROM all_rows
+    )
+    WHERE rn = 1
+    """,
+)
+def orders_merge_upsert(spark, sf_dir):
+    """Relational MERGE (SCD1 upsert) without a transactional format:
+    a deterministic update batch (status flip on keys % 7, new rows on
+    keys % 97) merged into orders via one priority-dedup shuffle."""
+    from mr_lda_spark.operators.merge import merge_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), "o_orderpriority"
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            (F.col("o_orderkey") + 20000000).alias("o_orderkey"),
+            F.lit("N").alias("o_orderstatus"),
+            "o_orderpriority",
+        )
+    )
+    return merge_upsert(orders, updates, ["o_orderkey"])
+
+
+@register(
+    "events_pivot_daily",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+             AS click_n,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                           FILTER (event_type = 'click'), 0) AS BIGINT)
+             AS click_cents,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS purchase_n,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                           FILTER (event_type = 'purchase'), 0) AS BIGINT)
+             AS purchase_cents,
+           CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+             AS view_n,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                           FILTER (event_type = 'view'), 0) AS BIGINT)
+             AS view_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_daily(spark, sf_dir):
+    """Wide-format pivot: one row per day, (count, cent-sum) columns
+    per event type.  The pivot values are DECLARED (no distinct-scan
+    pre-job — the scale-correct form); sums are integer cents so both
+    engines aggregate exactly."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+            cents.alias("cents"),
+        )
+        .groupBy("day")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents"),
+        )
+    )
+    # Pivot yields NULL for absent (day, type) cells; the wide-format
+    # contract (and the oracle's FILTER form) is 0.
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in (
+                "click_n",
+                "click_cents",
+                "purchase_n",
+                "purchase_cents",
+                "view_n",
+                "view_cents",
+            )
+        ],
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
