@@ -452,3 +452,199 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str =
         )
         .select("label", F.col("pos").cast("int").alias("pos"), "centroid", "n_vecs")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN scoring
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    embeddings: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    iterations: int = 8,
+    max_sample: int = 4096,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: split the (L2-normalized) vector space into
+    ``n_subspaces`` contiguous subvectors and run Lloyd's k-means with
+    ``n_codes`` centroids independently in each subspace.
+
+    Like ``kmeans_centroids``, training happens driver-side on a
+    bounded deterministic hash sample (≤ ``max_sample`` vectors — the
+    collect is model-sized no matter the corpus size); encoding and
+    scoring run distributed.  Returns (n_subspaces, n_codes, dim/m)
+    codebooks.
+    """
+    n_total = embeddings.count()
+    frac_num = min(1_000_000, max(1, int(1_000_000 * max_sample / max(n_total, 1))))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit("pq"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    rows = (
+        embeddings.filter(bucket < frac_num)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .limit(max_sample)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    dsub = dim // n_subspaces
+    rng = np.random.default_rng(seed)
+    books = np.empty((n_subspaces, n_codes, dsub))
+    for s in range(n_subspaces):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cents = Xs[rng.choice(len(Xs), size=min(n_codes, len(Xs)), replace=False)]
+        if len(cents) < n_codes:
+            cents = np.vstack(
+                [cents, rng.standard_normal((n_codes - len(cents), dsub)) * 0.01]
+            )
+        for _ in range(iterations):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = Xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:
+                    cents[c] = Xs[int(rng.integers(len(Xs)))]
+        books[s] = cents
+    return books
+
+
+def _pq_encode_udf(books: np.ndarray):
+    """Arrow-batched PQ encoder: one (batch × codes) matmul per
+    subspace, argmin L2 — high flops/byte, the pandas-UDF sweet spot
+    (the per-PAIR fold rule does not apply: each vector transfers
+    once and is scored against every codebook row)."""
+    from pyspark.sql import types as T
+
+    m, n_codes, dsub = books.shape
+    c_sq = (books**2).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def f(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((M.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            Xs = M[:, s * dsub : (s + 1) * dsub]
+            # argmin |x-c|^2 = argmin |c|^2 - 2 x·c
+            codes[:, s] = np.argmin(c_sq[s] - 2.0 * (Xs @ books[s].T), axis=1)
+        return pd.Series(list(codes))
+
+    return f
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress the corpus to (vec_id, codes): m uint8-range ints per
+    vector — a 64-float embedding becomes 8 bytes of payload, the
+    representation a 100 TB ANN index actually stores and scans.
+    Zero shuffle."""
+    enc = _pq_encode_udf(books)
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        enc(_as_double(F.col(vec_col))).alias("codes"),
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    books: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation (ADC): the corpus is
+    scanned in compressed form; each query precomputes a (subspace ×
+    code) inner-product lookup table, and a corpus vector's score is
+    the sum of m table entries addressed by its codes.
+
+    The scoring expression is m static ``element_at`` terms — pure
+    codegen, no lambda, no per-pair vector transfer; the scan touches
+    only the 8-byte codes.  Queries are collected driver-side to build
+    LUT literals (bounded query set, same contract as pq_train's
+    sample; for query sets beyond broadcast size, run per-batch).
+    Compose with IVF cells for the full IVF-PQ shape.
+
+    Returns (query_id, rank, neighbor_id, approx_cos) — approx_cos is
+    the quantized inner product of the normalized vectors (≈ cosine);
+    ranking quality is what recall tests assert.
+    """
+    if books is None:
+        books = pq_train(
+            embeddings,
+            n_subspaces,
+            n_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    m, n_codes_b, _ = books.shape
+    flat = books.reshape(m * n_codes_b, -1)  # row j*n_codes+c = C[j][c]
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
+    ).collect()
+    spark = embeddings.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        q = np.asarray(r["v"], dtype=np.float64)
+        q /= max(np.linalg.norm(q), 1e-12)
+        qs = q.reshape(m, -1)  # (m, dsub)
+        lut = np.einsum("jd,jcd->jc", qs, books.reshape(m, n_codes_b, -1))
+        lut_rows.append((int(r["query_id"]), [float(x) for x in lut.ravel()]))
+    qdf = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+
+    encoded = pq_encode(embeddings, books, id_col, vec_col)
+    score = sum(
+        F.element_at(
+            "lut",
+            (F.lit(j * n_codes_b) + F.element_at("codes", j + 1) + 1).cast("int"),
+        )
+        for j in range(m)
+    )
+    cands = (
+        encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("approx", 4).alias("approx_cos"),
+        )
+    )

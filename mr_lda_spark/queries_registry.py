@@ -1118,6 +1118,20 @@ def similarity_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+@register("similarity_pq_topk")
+def similarity_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: the corpus is scanned as m 1-byte
+    codes per vector; each query's score is m codegen table lookups
+    (asymmetric distance computation).  Rows-only; ranking quality
+    asserted by recall tests vs the exact oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    books = similarity.pq_train(emb, n_subspaces=16, n_codes=32)
+    return similarity.pq_topk(
+        emb, queries, k=SIM_K, n_subspaces=16, n_codes=32, books=books
+    )
+
+
 @register("similarity_lsh_topk")
 def similarity_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH buckets + bucket-local
