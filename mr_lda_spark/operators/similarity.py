@@ -585,10 +585,11 @@ def pq_topk(
 
     The scoring expression is m static ``element_at`` terms — pure
     codegen, no lambda, no per-pair vector transfer; the scan touches
-    only the 8-byte codes.  Queries are collected driver-side to build
-    LUT literals (bounded query set, same contract as pq_train's
-    sample; for query sets beyond broadcast size, run per-batch).
-    Compose with IVF cells for the full IVF-PQ shape.
+    only the 8-byte codes.  LUT construction is fully distributed
+    (the same Arrow einsum kernel shape as the corpus-side encoder,
+    one LUT row per query — no driver-side collect of the query set);
+    the LUT relation is broadcast into the scan.  Compose with IVF
+    cells for the full IVF-PQ shape.
 
     Returns (query_id, rank, neighbor_id, approx_cos) — approx_cos is
     the quantized inner product of the normalized vectors (≈ cosine);
@@ -602,21 +603,22 @@ def pq_topk(
             id_col=id_col,
             vec_col=vec_col,
         )
-    m, n_codes_b, _ = books.shape
-    flat = books.reshape(m * n_codes_b, -1)  # row j*n_codes+c = C[j][c]
+    m, n_codes_b, dsub = books.shape
 
-    q_rows = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("v")
-    ).collect()
-    spark = embeddings.sparkSession
-    lut_rows = []
-    for r in q_rows:
-        q = np.asarray(r["v"], dtype=np.float64)
-        q /= max(np.linalg.norm(q), 1e-12)
-        qs = q.reshape(m, -1)  # (m, dsub)
-        lut = np.einsum("jd,jcd->jc", qs, books.reshape(m, n_codes_b, -1))
-        lut_rows.append((int(r["query_id"]), [float(x) for x in lut.ravel()]))
-    qdf = spark.createDataFrame(lut_rows, "query_id long, lut array<double>")
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut_udf(vs: pd.Series) -> pd.Series:
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Qs = Q.reshape(len(Q), m, dsub)
+        luts = np.einsum("bjd,jcd->bjc", Qs, books)  # (B, m, n_codes)
+        return pd.Series(list(luts.reshape(len(Q), m * n_codes_b)))
+
+    qdf = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut_udf(_as_double(F.col(vec_col))).alias("lut"),
+    )
 
     encoded = pq_encode(embeddings, books, id_col, vec_col)
     score = sum(

@@ -42,7 +42,7 @@ def synth_union(docs, factor: int):
 def probe(spark, docs) -> dict[str, float]:
     from pyspark.sql import functions as F
 
-    from mr_lda_spark.operators import dedup, parse, textops
+    from mr_lda_spark.operators import curation, dedup, parse, textops
     from mr_lda_spark.plans import lda
 
     times: dict[str, float] = {}
@@ -71,6 +71,21 @@ def probe(spark, docs) -> dict[str, float]:
         lambda: textops.language_id(docs)
         .agg(F.sum("hits_en"))
         .collect(),
+    )
+    # Span-dedup cost is the explode + span-hash window + per-doc
+    # reassembly — scan-bound; cloning makes every span "hot" so the
+    # OUTPUT shrinks, but the shuffled volume is identical.
+    t(
+        "boilerplate_spans",
+        lambda: textops.remove_boilerplate_spans(docs).count(),
+    )
+    t(
+        "quality_model_score",
+        lambda: textops.quality_model_score(docs).count(),
+    )
+    t(
+        "shuffle_shards",
+        lambda: curation.shuffle_shards(docs, n_shards=32).count(),
     )
 
     def lda_one_iter():
@@ -112,6 +127,32 @@ def main() -> None:
 
     t1 = probe(spark, base)
     tn = probe(spark, big)
+
+    # Embedding-side linear path: PQ encode (one Arrow matmul per
+    # subspace per batch; zero shuffle).
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import similarity
+
+    emb = read_table(spark, sf_dir, "embeddings").persist()
+    emb.count()
+    emb_big = emb
+    for i in range(1, factor):
+        emb_big = emb_big.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        )
+    emb_big = emb_big.persist()
+    emb_big.count()
+    books = similarity.pq_train(emb, n_subspaces=16, n_codes=32)
+    for name, e in (("pq_encode", emb), ("pq_encode_Nx", emb_big)):
+        t0 = time.perf_counter()
+        similarity.pq_encode(e, books).count()
+        dt = round(time.perf_counter() - t0, 3)
+        if name == "pq_encode":
+            t1[name] = dt
+        else:
+            tn["pq_encode"] = dt
+
     ratios = {
         k: round(tn[k] / t1[k], 2) if t1[k] > 0 else None for k in t1
     }
