@@ -3412,6 +3412,22 @@ def events_pivot_daily(spark, sf_dir):
     )
 
 
+@register("quality_distilled_scores")
+def quality_distilled_scores(spark, sf_dir):
+    """Model-based quality filter, full loop: distill an MLlib logistic
+    regression from the heuristic teacher (distributed L-BFGS fit over
+    the four cheap quality features), then serve the learned weights as
+    inlined literals in a shuffle-free codegen projection — no
+    ``model.transform`` vector UDF in the serving path.  Iterative
+    training ⇒ rows-only driver check; the student≡teacher agreement
+    bound is pinned in tests/test_quality_model.py."""
+    from mr_lda_spark.operators import quality_model as qm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = qm.train_quality_classifier(docs)
+    return qm.score_with_model(docs, model)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
