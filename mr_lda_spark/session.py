@@ -90,15 +90,20 @@ def ensure_package_shipped(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    ``events`` is written with nanosecond timestamps, which the Spark
-    vectorized reader rejects; read nanos as long and rebuild a proper
-    timestamp column (micros) so downstream ops are uniform.
+    ``events.ts`` has shipped as nanosecond INT64 in some generator
+    versions (which the vectorized reader rejects) and plain
+    microsecond TIMESTAMP(_NTZ) in others; normalize every variant to
+    a session-zone TIMESTAMP so downstream ops are uniform.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):  # nanos-as-long
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)

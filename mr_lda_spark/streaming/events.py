@@ -18,34 +18,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see session.read_table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-def _with_ts(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events parquet (nanos → micros timestamps,
-    same normalization as the batch reader)."""
+    """Streaming scan of the events parquet, normalized to a
+    session-zone TIMESTAMP ts (same normalization as the batch reader:
+    the generator has shipped ts as nanosecond INT64 in some versions
+    and microsecond TIMESTAMP in others).
+
+    A streaming source needs its schema declared up front, so probe the
+    batch reader's resolved schema once (driver-side footer read only —
+    no data scan) and declare the matching streaming schema.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    resolved = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_type = resolved["ts"].dataType
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .option("maxFilesPerTrigger", 1)
         # The source wants a directory; select just the events table.
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return _with_ts(raw)
+    if isinstance(ts_type, T.LongType):  # nanos-as-long
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
