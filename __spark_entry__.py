@@ -28,8 +28,30 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_registry.flagship(spark, "/root/testdata/sf0.001")
 
 
+def _coverage_order(names):
+    """Order query names so the ones with no prior driver CORRECTNESS
+    row come first.  The driver samples a fixed number of queries per
+    round in `queries()` order; with >50 registered, sampling in
+    registration order would leave a stable tail never exercised.
+    Stable sort: relative order within the seen/unseen groups is
+    preserved, so previously-checked queries still cycle through in
+    their original order after the unchecked ones."""
+    import glob
+    import json
+
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                seen |= set(json.load(fh))
+        except Exception:
+            continue
+    return sorted(names, key=lambda n: n in seen)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return queries_registry.QUERIES
+    q = queries_registry.QUERIES
+    return {name: q[name] for name in _coverage_order(q)}
 
 
 def oracle_sql() -> dict[str, str]:
