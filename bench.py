@@ -68,13 +68,19 @@ def main() -> None:
     # Warm the JVM/codegen on the tiny sf so first-query JIT cost
     # doesn't land on a headline number — one representative of each
     # major plan shape (scan-agg, join-topk, window, token pipeline,
-    # shingle self-join).
+    # shingle self-join, Arrow mapInPandas).  The LDA warm-up matters
+    # most: the FIRST mapInPandas of a session forks the Python worker
+    # fleet (32 workers × numpy/pandas import — measured ~29 s of the
+    # 32 s first-iteration time at sf0.1); on a real cluster that spawn
+    # happens once per executor lifetime, so letting it land on one
+    # headline query would measure deployment cost, not the operator.
     for warm in (
         "q1_pricing_summary",
         "q3_top_orders",
         "orders_running_total",
         "parse_term_dict",
         "dedup_jaccard_pairs",
+        "lda_train_topics",
     ):
         queries_registry.QUERIES[warm](spark, "/root/testdata/sf0.001").count()
 
@@ -110,7 +116,7 @@ def main() -> None:
 
     # Engine-reported LDA throughput (BASELINE.md instrumentation
     # mirror: sec/iteration at fixed K and sweep count).
-    lda_metrics = _lda_per_iteration(spark, sf_dir)
+    lda_metrics, lda_iter_seconds = _lda_per_iteration(spark, sf_dir)
     per_query.update(lda_metrics)
     per_query.update(_polylda_per_iteration(spark, sf_dir))
 
@@ -121,6 +127,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                # Per-iteration E+M wall times from the engine's own
+                # instrumentation (LdaState.iter_seconds) — makes an
+                # iteration-level regression visible without deriving
+                # it from the query total.
+                "lda_iter_seconds": lda_iter_seconds,
                 "sf": sf,
             }
         )
@@ -140,7 +151,7 @@ def _lda_per_iteration(spark, sf_dir: str) -> dict[str, float]:
     num_terms = dictionary.count()
     t0 = time.perf_counter()
     iters = 3
-    lda.train(
+    _, state = lda.train(
         spark,
         corpus_doc,
         num_terms=num_terms,
@@ -151,7 +162,10 @@ def _lda_per_iteration(spark, sf_dir: str) -> dict[str, float]:
         seed=1,
     )
     dt = time.perf_counter() - t0
-    return {"lda_sec_per_iteration_k8": round(dt / iters, 3)}
+    return (
+        {"lda_sec_per_iteration_k8": round(dt / iters, 3)},
+        list(state.iter_seconds),
+    )
 
 
 def _polylda_per_iteration(spark, sf_dir: str) -> dict[str, float]:

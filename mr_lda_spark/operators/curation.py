@@ -21,17 +21,17 @@ from pyspark.sql import functions as F
 from mr_lda_spark.operators import dedup, textops
 
 
-def curate(
+def _curate_stages(
     docs: DataFrame,
     keep_langs: tuple = ("en",),
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
     max_shingle_df: int | None = 100,
-) -> DataFrame:
-    """Returns the curated corpus (doc_id plus audit columns).
-
-    Near-dup removal drops the higher doc_id of each offending pair
-    (deterministic canonical-keep policy).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One shared lineage for the whole pipeline: returns
+    (scored, after_lang, final) where every stage derives from the one
+    persisted ``scored`` frame — so an audit (``curation_report``) can
+    count each stage without re-running language-ID/quality scoring.
     """
     lang = textops.language_id(docs).select("doc_id", "pred_lang")
     quality = textops.quality_scores(docs).select("doc_id", "quality_score")
@@ -43,10 +43,8 @@ def curate(
     scored = (
         docs.select("doc_id").join(lang, "doc_id").join(quality, "doc_id")
     ).persist()
-    base = scored.filter(
-        F.col("pred_lang").isin(list(keep_langs))
-        & (F.col("quality_score") >= min_quality)
-    )
+    after_lang = scored.filter(F.col("pred_lang").isin(list(keep_langs)))
+    base = after_lang.filter(F.col("quality_score") >= min_quality)
     survivors = docs.join(base.select("doc_id"), "doc_id")
 
     # Exact dedup: keep each text's minimum doc_id.
@@ -65,11 +63,30 @@ def curate(
     drop = pairs.select(F.col("b").alias("doc_id")).distinct()
     survivors = survivors.join(drop, "doc_id", "left_anti")
 
-    return (
+    final = (
         survivors.select("doc_id")
         .join(base, "doc_id")
         .select("doc_id", "pred_lang", F.col("quality_score"))
     )
+    return scored, after_lang, final
+
+
+def curate(
+    docs: DataFrame,
+    keep_langs: tuple = ("en",),
+    min_quality: float = 0.3,
+    jaccard_threshold: float = 0.5,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """Returns the curated corpus (doc_id plus audit columns).
+
+    Near-dup removal drops the higher doc_id of each offending pair
+    (deterministic canonical-keep policy).
+    """
+    _, _, final = _curate_stages(
+        docs, keep_langs, min_quality, jaccard_threshold, max_shingle_df
+    )
+    return final
 
 
 def hash_sample(
@@ -198,14 +215,16 @@ def mixture_weights(
 
 
 def curation_report(docs: DataFrame, **kwargs) -> DataFrame:
-    """Single-row audit: counts per pipeline stage."""
-    total = docs.count()
-    lang = textops.language_id(docs).select("doc_id", "pred_lang")
-    keep_langs = kwargs.get("keep_langs", ("en",))
-    after_lang = lang.filter(F.col("pred_lang").isin(list(keep_langs))).count()
-    final = curate(docs, **kwargs).count()
+    """Single-row audit: counts per pipeline stage, all derived from
+    ONE cached scoring lineage (``_curate_stages``) — the language-ID /
+    quality scan runs once; the stage counts are cheap filters over the
+    persisted frame instead of three independent pipeline re-runs."""
+    scored, after_lang, final = _curate_stages(docs, **kwargs)
+    total = scored.count()  # materializes the shared cache: 1 row/doc
+    n_lang = after_lang.count()
+    n_final = final.count()
     return docs.sparkSession.createDataFrame(
-        [(total, after_lang, final)],
+        [(total, n_lang, n_final)],
         schema="total_docs long, after_lang_filter long, final_docs long",
     )
 

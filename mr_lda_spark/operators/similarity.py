@@ -43,6 +43,51 @@ def _pair_cos(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _bounded_hash_sample(
+    embeddings: DataFrame,
+    salt: str,
+    max_sample: int,
+    id_col: str,
+    vec_col: str,
+) -> np.ndarray:
+    """Deterministic ≤``max_sample`` vector sample in ONE scan — no
+    corpus ``count()`` (which would cost a full extra pass per codebook
+    train at 100 TB).
+
+    The md5-bucket filter keeps a fixed ~``max_sample``/1e6 fraction —
+    sized so any corpus ≥ ~1M rows over-fills the sample — and the
+    ``limit`` on top short-circuits the scan (CollectLimit executes
+    partitions incrementally, so a 100 TB corpus reads only the prefix
+    needed to fill the limit).  Only when the filtered prefix
+    under-fills (corpus ≲ 1M rows — small by construction) do we
+    rescan unfiltered, and that rescan is over the small corpus.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    vec = _as_double(F.col(vec_col)).alias("v")
+    rows = (
+        embeddings.filter(bucket < max_sample)
+        .select(vec)
+        .limit(max_sample)
+        .collect()
+    )
+    if len(rows) < max_sample:
+        rows = embeddings.select(vec).limit(max_sample).collect()
+    return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -247,27 +292,7 @@ def kmeans_centroids(
     (n_centroids, dim) centroids for ``ivf_assign``/``ivf_topk``'s
     ``centroids=`` parameter.
     """
-    n_total = embeddings.count()
-    frac_num = min(1_000_000, max(1, int(1_000_000 * max_sample / max(n_total, 1))))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit("ivf"), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
-    rows = (
-        embeddings.filter(bucket < frac_num)
-        .select(_as_double(F.col(vec_col)).alias("v"))
-        .limit(max_sample)
-        .collect()
-    )
-    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    X = _bounded_hash_sample(embeddings, "ivf", max_sample, id_col, vec_col)
     rng = np.random.default_rng(seed)
     cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     if len(cents) < n_centroids:  # degenerate tiny corpus: pad random
@@ -479,27 +504,7 @@ def pq_train(
     scoring run distributed.  Returns (n_subspaces, n_codes, dim/m)
     codebooks.
     """
-    n_total = embeddings.count()
-    frac_num = min(1_000_000, max(1, int(1_000_000 * max_sample / max(n_total, 1))))
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.lit("pq"), F.col(id_col).cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
-    rows = (
-        embeddings.filter(bucket < frac_num)
-        .select(_as_double(F.col(vec_col)).alias("v"))
-        .limit(max_sample)
-        .collect()
-    )
-    X = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    X = _bounded_hash_sample(embeddings, "pq", max_sample, id_col, vec_col)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]
     if dim % n_subspaces:

@@ -2411,6 +2411,10 @@ def _lda_trained(spark, sf_dir):
         num_topics=LDA_K,
         max_iterations=LDA_ITERS,
         max_gamma_iter=15,
+        # Convergence-gate the per-doc sweeps: warm-started docs settle
+        # in a handful of sweeps, so iterations 2+ run far fewer than
+        # the max (the reference burns a fixed 100, Settings.java:54).
+        gamma_tol=1e-3,
         seed=LDA_SEED,
     )
     _LDA_CACHE[key] = state

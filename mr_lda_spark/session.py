@@ -53,7 +53,16 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] runs 32 concurrent tasks inside the ONE driver JVM,
+        # and the engine persists shared lineages (parse family, shingle
+        # sets, curation scores) across a session.  8g left the unified
+        # pool (~0.6×heap) thrashing between storage eviction and
+        # execution spill once a few families were cached — measured as
+        # a near-uniform ~1.3× drag on a full bench run (BENCH_r02) that
+        # single-query isolation didn't reproduce.  The harness box has
+        # 128 GiB; on a real cluster this is spark-submit's
+        # --executor-memory and the number below is ignored.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
