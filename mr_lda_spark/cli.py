@@ -303,6 +303,64 @@ def cmd_display_document(args) -> None:
         print(f"{row['doc_id']}\t{dist}")
 
 
+def cmd_convert(args) -> None:
+    """Mr.LDA SequenceFile interop (README.md:297 layout): ingest a
+    reference on-disk corpus / dictionary / title / alpha directory into
+    engine parquet, or export a parquet doc-form corpus back to
+    `SequenceFile<IntWritable, cc.mrlda.Document>` part files."""
+    from mr_lda_spark.sources import sequencefile as sf
+
+    spark = _spark("mrlda-convert")
+    if args.direction == "to-parquet":
+        reader = {
+            "corpus": sf.read_corpus,
+            "term": sf.read_term_dict,
+            "title": sf.read_title_index,
+            "alpha": sf.read_alpha,
+        }[args.what]
+        df = reader(spark, args.input)
+        df.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"rows": spark.read.parquet(args.output).count(),
+                          "output": args.output}))
+    else:  # to-sequencefile (corpus only — the format the trainer reads)
+        corpus = spark.read.parquet(args.input)
+        n = sf.write_corpus(corpus, args.output, compression=args.compression)
+        print(json.dumps({"part_files": n, "output": args.output}))
+
+
+def cmd_export_ldac(args) -> None:
+    """Export β + α in Blei's lda-c layout (`<prefix>.beta` /
+    `<prefix>.other`) — the reference's documented held-out-likelihood
+    workflow (README.md:169-224) feeds `lda inf` with exactly these two
+    files.  Rows are per-topic log-probabilities over term ids 1..V in
+    id order; E[log β] is renormalized per topic (logsumexp) so each
+    row is a proper distribution, matching what lda-c expects."""
+    spark = _spark("mrlda-export-ldac")
+    beta = spark.read.parquet(args.beta).collect()  # model-sized: V×K
+    with open(args.alpha) as fh:
+        alpha_doc = json.load(fh)
+    alpha = alpha_doc["alpha"] if isinstance(alpha_doc, dict) else alpha_doc
+    K = 1 + max(r["topic"] for r in beta)
+    V = max(r["term_id"] for r in beta)
+    mat = np.full((K, V), np.log(1e-12))
+    for r in beta:
+        mat[r["topic"], r["term_id"] - 1] = r["log_beta"]
+    # Per-topic renormalization in log space.
+    m = mat.max(axis=1, keepdims=True)
+    mat = mat - (m + np.log(np.exp(mat - m).sum(axis=1, keepdims=True)))
+    with open(args.prefix + ".beta", "w") as fh:
+        for k in range(K):
+            fh.write(" ".join(f"{x: .10f}" for x in mat[k]))
+            fh.write("\n")
+    mean_alpha = float(np.mean(alpha))
+    with open(args.prefix + ".other", "w") as fh:
+        fh.write(f"num_topics {K}\n")
+        fh.write(f"num_terms {V}\n")
+        fh.write(f"alpha {mean_alpha:.10f}\n")
+    print(json.dumps({"num_topics": K, "num_terms": V, "alpha": mean_alpha,
+                      "beta_file": args.prefix + ".beta"}))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mr_lda_spark", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -377,7 +435,48 @@ def build_parser() -> argparse.ArgumentParser:
     pdd.add_argument("--limit", type=int, default=20)
     pdd.set_defaults(fn=cmd_display_document)
 
+    pc = sub.add_parser(
+        "convert", help="Mr.LDA SequenceFile ↔ engine parquet interop"
+    )
+    pc.add_argument(
+        "--direction",
+        choices=["to-parquet", "to-sequencefile"],
+        default="to-parquet",
+    )
+    pc.add_argument(
+        "--what",
+        choices=["corpus", "term", "title", "alpha"],
+        default="corpus",
+        help="which reference output layout to decode (to-parquet only)",
+    )
+    pc.add_argument("--input", required=True)
+    pc.add_argument("--output", required=True)
+    pc.add_argument(
+        "--compression",
+        choices=["none", "record", "block"],
+        default="record",
+        help="SequenceFile compression for to-sequencefile",
+    )
+    pc.set_defaults(
+        fn=lambda a: cmd_convert(_fix_compression(a))
+    )
+
+    pl = sub.add_parser(
+        "export-ldac",
+        help="write <prefix>.beta/.other for Blei's lda-c held-out eval",
+    )
+    pl.add_argument("--beta", required=True, help="beta parquet dir")
+    pl.add_argument("--alpha", required=True, help="alpha json file")
+    pl.add_argument("--prefix", required=True, help="output file prefix")
+    pl.set_defaults(fn=cmd_export_ldac)
+
     return p
+
+
+def _fix_compression(args):
+    if getattr(args, "compression", None) == "none":
+        args.compression = None
+    return args
 
 
 def main(argv=None) -> None:

@@ -1,0 +1,448 @@
+"""Hadoop SequenceFile interop — ingest an actual Mr.LDA on-disk corpus.
+
+The reference's entire data interchange is `SequenceFile<Writable,
+Writable>` (README.md:297, VariationalInference.java:247-251):
+
+- corpus / per-iteration documents: `IntWritable docId → cc.mrlda.Document`
+  where Document.write emits `int numEntries, (int termId, int count)×n,
+  int numTopics, double×K` big-endian (Document.java:241-263 write,
+  147-172 readFields);
+- term dictionary: `IntWritable termId → Text term` (ParseCorpus.java:475-490);
+- title index: `IntWritable docId → Text title` (ParseCorpus.java:698-710);
+- alpha vectors: `IntWritable topic → DoubleWritable` (VariationalInference.java:521-558).
+
+Why a pure-Python container parser instead of ``newAPIHadoopFile``:
+`SequenceFile.Reader` resolves the value class named in the file header
+even in raw-bytes mode, and `cc.mrlda.Document` is not on any Spark
+classpath — so the JVM route needs the Mr.LDA jar shipped to every
+executor.  The container format itself is small, stable, public Hadoop
+(SequenceFile wire format v6), so we read the part files as whole
+binary blobs (``spark.read.format("binaryFile")``: one task per part
+file — MapReduce output is one file per reducer, so file-level
+parallelism is the job's own reduce parallelism) and decode
+records/Writables with ``struct`` inside an Arrow-batched
+``mapInPandas``.  No driver-side loop: decode happens on executors.
+
+Supported encodings: uncompressed, RECORD-compressed, and
+BLOCK-compressed, with DefaultCodec (zlib) / GzipCodec — the reference
+compresses with the Hadoop defaults (`ParseCorpus.java:394,533`:
+setCompressOutput(true) → RECORD + DefaultCodec).  Trained-β import is
+deliberately out of scope: its value type is cloud9's `HMapIDW`, whose
+source is not available here to pin the wire format.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+import zlib
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SEQ_MAGIC = b"SEQ"
+SEQ_VERSION = 6
+_SYNC_ESCAPE = -1
+
+_ZLIB_CODECS = {
+    "org.apache.hadoop.io.compress.DefaultCodec": 15,  # zlib framing
+    "org.apache.hadoop.io.compress.GzipCodec": 31,  # gzip framing
+}
+
+CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("term_ids", T.ArrayType(T.IntegerType())),
+        T.StructField("term_counts", T.ArrayType(T.IntegerType())),
+        T.StructField("gamma", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+INT_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("value", T.StringType()),
+    ]
+)
+
+INT_DOUBLE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+# --------------------------------------------------------------------------
+# Hadoop primitive codecs (WritableUtils / Text wire formats)
+# --------------------------------------------------------------------------
+
+
+def _read_vlong(data: bytes, off: int) -> tuple[int, int]:
+    """WritableUtils.readVLong: 1-byte fast path, else length-prefixed
+    big-endian magnitude with the sign folded into the prefix byte."""
+    b = struct.unpack_from("b", data, off)[0]
+    off += 1
+    if b >= -112:
+        return b, off
+    if b < -120:
+        length, neg = -(b + 120), True
+    else:
+        length, neg = -(b + 112), False
+    v = 0
+    for _ in range(length):
+        v = (v << 8) | data[off]
+        off += 1
+    return (~v if neg else v), off
+
+
+def _write_vlong(out: io.BytesIO, n: int) -> None:
+    if -112 <= n <= 127:
+        out.write(struct.pack("b", n))
+        return
+    neg = n < 0
+    if neg:
+        n = ~n
+    length = max(1, (n.bit_length() + 7) // 8)
+    out.write(struct.pack("b", (-120 if neg else -112) - length))
+    out.write(n.to_bytes(length, "big"))
+
+
+def _read_text(data: bytes, off: int) -> tuple[str, int]:
+    """org.apache.hadoop.io.Text wire form: vint byte-length + UTF-8."""
+    n, off = _read_vlong(data, off)
+    return data[off : off + n].decode("utf-8"), off + n
+
+
+def _write_text(out: io.BytesIO, s: str) -> None:
+    b = s.encode("utf-8")
+    _write_vlong(out, len(b))
+    out.write(b)
+
+
+# --------------------------------------------------------------------------
+# SequenceFile container: reader
+# --------------------------------------------------------------------------
+
+
+def iter_records(data: bytes):
+    """Yield raw ``(key_bytes, value_bytes)`` from one SequenceFile blob.
+
+    Handles header v6, sync markers, and all three compression layouts.
+    """
+    if data[:3] != SEQ_MAGIC:
+        raise ValueError("not a SequenceFile (missing SEQ magic)")
+    version = data[3]
+    if version != SEQ_VERSION:
+        raise ValueError(f"unsupported SequenceFile version {version}")
+    off = 4
+    _key_cls, off = _read_text(data, off)
+    _val_cls, off = _read_text(data, off)
+    compressed = data[off] != 0
+    block = data[off + 1] != 0
+    off += 2
+    wbits = None
+    if compressed:
+        codec, off = _read_text(data, off)
+        wbits = _ZLIB_CODECS.get(codec)
+        if wbits is None:
+            raise ValueError(f"unsupported SequenceFile codec {codec}")
+    n_meta = struct.unpack_from(">i", data, off)[0]
+    off += 4
+    for _ in range(n_meta):
+        _, off = _read_text(data, off)
+        _, off = _read_text(data, off)
+    sync = data[off : off + 16]
+    off += 16
+
+    end = len(data)
+    if block:
+        yield from _iter_block_records(data, off, end, sync, wbits)
+        return
+    while off < end:
+        rec_len = struct.unpack_from(">i", data, off)[0]
+        off += 4
+        if rec_len == _SYNC_ESCAPE:
+            if data[off : off + 16] != sync:
+                raise ValueError("corrupt SequenceFile: bad sync marker")
+            off += 16
+            continue
+        key_len = struct.unpack_from(">i", data, off)[0]
+        off += 4
+        key = data[off : off + key_len]
+        off += key_len
+        val = data[off : off + rec_len - key_len]
+        off += rec_len - key_len
+        if compressed:
+            val = zlib.decompress(val, wbits)
+        yield key, val
+
+
+def _iter_block_records(data, off, end, sync, wbits):
+    """BLOCK layout: sync-separated blocks of four compressed buffers
+    (key lengths, keys, value lengths, values), lengths as vints."""
+
+    def read_buffer(off):
+        n, off = _read_vlong(data, off)
+        return zlib.decompress(data[off : off + n], wbits), off + n
+
+    while off < end:
+        marker = struct.unpack_from(">i", data, off)[0]
+        if marker != _SYNC_ESCAPE:
+            raise ValueError("corrupt block-compressed SequenceFile")
+        off += 4
+        if data[off : off + 16] != sync:
+            raise ValueError("corrupt SequenceFile: bad sync marker")
+        off += 16
+        if off >= end:
+            return
+        n_rec, off = _read_vlong(data, off)
+        key_lens_buf, off = read_buffer(off)
+        keys_buf, off = read_buffer(off)
+        val_lens_buf, off = read_buffer(off)
+        vals_buf, off = read_buffer(off)
+        ko = vo = klo = vlo = 0
+        for _ in range(n_rec):
+            kl, klo = _read_vlong(key_lens_buf, klo)
+            vl, vlo = _read_vlong(val_lens_buf, vlo)
+            yield keys_buf[ko : ko + kl], vals_buf[vo : vo + vl]
+            ko += kl
+            vo += vl
+
+
+# --------------------------------------------------------------------------
+# SequenceFile container: writer (fixtures, parquet→Mr.LDA export)
+# --------------------------------------------------------------------------
+
+
+def write_records(
+    fh,
+    records,
+    key_class: str,
+    value_class: str,
+    compression: str | None = None,
+    sync_interval: int = 100,
+) -> None:
+    """Write one SequenceFile: ``records`` is an iterable of raw
+    ``(key_bytes, value_bytes)``.  ``compression`` ∈ {None, 'record',
+    'block'} with DefaultCodec (zlib)."""
+    import hashlib
+
+    # Deterministic per-(key,value)-class sync marker: output files are
+    # byte-reproducible across runs (Hadoop uses a random UID here; any
+    # 16 bytes are valid as long as the header and escapes agree).
+    sync = hashlib.md5(f"{key_class}|{value_class}".encode()).digest()
+    out = io.BytesIO()
+    out.write(SEQ_MAGIC + bytes([SEQ_VERSION]))
+    _write_text(out, key_class)
+    _write_text(out, value_class)
+    out.write(bytes([1 if compression else 0, 1 if compression == "block" else 0]))
+    if compression:
+        _write_text(out, "org.apache.hadoop.io.compress.DefaultCodec")
+    out.write(struct.pack(">i", 0))  # no metadata
+    out.write(sync)
+
+    if compression == "block":
+        _write_block_body(out, records, sync)
+    else:
+        for i, (k, v) in enumerate(records):
+            if i and i % sync_interval == 0:
+                out.write(struct.pack(">i", _SYNC_ESCAPE))
+                out.write(sync)
+            if compression == "record":
+                v = zlib.compress(v)
+            out.write(struct.pack(">ii", len(k) + len(v), len(k)))
+            out.write(k)
+            out.write(v)
+    fh.write(out.getvalue())
+
+
+def _write_block_body(out, records, sync, block_records: int = 1000) -> None:
+    batch: list[tuple[bytes, bytes]] = []
+
+    def flush():
+        if not batch:
+            return
+        out.write(struct.pack(">i", _SYNC_ESCAPE))
+        out.write(sync)
+        _write_vlong(out, len(batch))
+        for buf in _block_buffers(batch):
+            comp = zlib.compress(buf)
+            _write_vlong(out, len(comp))
+            out.write(comp)
+        batch.clear()
+
+    for kv in records:
+        batch.append(kv)
+        if len(batch) >= block_records:
+            flush()
+    flush()
+
+
+def _block_buffers(batch):
+    key_lens, keys, val_lens, vals = io.BytesIO(), io.BytesIO(), io.BytesIO(), io.BytesIO()
+    for k, v in batch:
+        _write_vlong(key_lens, len(k))
+        keys.write(k)
+        _write_vlong(val_lens, len(v))
+        vals.write(v)
+    return key_lens.getvalue(), keys.getvalue(), val_lens.getvalue(), vals.getvalue()
+
+
+# --------------------------------------------------------------------------
+# Mr.LDA Writable payloads
+# --------------------------------------------------------------------------
+
+
+def decode_document(val: bytes) -> tuple[list[int], list[int], list[float] | None]:
+    """cc.mrlda.Document.readFields (Document.java:147-172)."""
+    n = struct.unpack_from(">i", val, 0)[0]
+    n = max(n, 0)
+    flat = struct.unpack_from(f">{2 * n}i", val, 4)
+    off = 4 + 8 * n
+    k = struct.unpack_from(">i", val, off)[0]
+    gamma = list(struct.unpack_from(f">{k}d", val, off + 4)) if k > 0 else None
+    return list(flat[::2]), list(flat[1::2]), gamma
+
+
+def encode_document(
+    term_ids, term_counts, gamma=None
+) -> bytes:
+    """cc.mrlda.Document.write (Document.java:241-263)."""
+    out = io.BytesIO()
+    out.write(struct.pack(">i", len(term_ids)))
+    for tid, c in zip(term_ids, term_counts):
+        out.write(struct.pack(">ii", int(tid), int(c)))
+    if gamma is None or len(gamma) == 0:
+        out.write(struct.pack(">i", 0))
+    else:
+        out.write(struct.pack(f">i{len(gamma)}d", len(gamma), *[float(g) for g in gamma]))
+    return out.getvalue()
+
+
+# --------------------------------------------------------------------------
+# DataFrame readers / writers
+# --------------------------------------------------------------------------
+
+
+def _binary_files(spark: SparkSession, path: str) -> DataFrame:
+    from mr_lda_spark.session import ensure_package_shipped
+
+    # The decode closures reference this module executor-side.
+    ensure_package_shipped(spark)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
+        .select("content")
+    )
+
+
+def read_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Mr.LDA corpus directory (`SequenceFile<IntWritable,
+    Document>` part files) into the engine's doc-form corpus schema —
+    directly consumable by ``plans.lda.train``."""
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = {"doc_id": [], "term_ids": [], "term_counts": [], "gamma": []}
+                for key, val in iter_records(bytes(blob)):
+                    rows["doc_id"].append(struct.unpack(">i", key)[0])
+                    tids, counts, gamma = decode_document(val)
+                    rows["term_ids"].append(tids)
+                    rows["term_counts"].append(counts)
+                    rows["gamma"].append(gamma)
+                yield pd.DataFrame(rows)
+
+    return _binary_files(spark, path).mapInPandas(decode, schema=CORPUS_SCHEMA)
+
+
+def _read_int_value(spark, path, decode_val, schema) -> DataFrame:
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                ids, values = [], []
+                for key, val in iter_records(bytes(blob)):
+                    ids.append(struct.unpack(">i", key)[0])
+                    values.append(decode_val(val))
+                yield pd.DataFrame({"id": ids, "value": values})
+
+    return _binary_files(spark, path).mapInPandas(decode, schema=schema)
+
+
+def read_term_dict(spark: SparkSession, path: str) -> DataFrame:
+    """`SequenceFile<IntWritable termId, Text term>`
+    (ParseCorpus.java:475-490) → (term_id, term)."""
+    df = _read_int_value(
+        spark, path, lambda v: _read_text(v, 0)[0], INT_TEXT_SCHEMA
+    )
+    return df.withColumnRenamed("id", "term_id").withColumnRenamed("value", "term")
+
+
+def read_title_index(spark: SparkSession, path: str) -> DataFrame:
+    """`SequenceFile<IntWritable docId, Text title>`
+    (ParseCorpus.java:698-710) → (doc_id, title)."""
+    df = _read_int_value(
+        spark, path, lambda v: _read_text(v, 0)[0], INT_TEXT_SCHEMA
+    )
+    return df.withColumnRenamed("id", "doc_id").withColumnRenamed("value", "title")
+
+
+def read_alpha(spark: SparkSession, path: str) -> DataFrame:
+    """`SequenceFile<IntWritable topic, DoubleWritable>` alpha-<iter>
+    files (VariationalInference.java:521-558) → (topic, alpha)."""
+    df = _read_int_value(
+        spark,
+        path,
+        lambda v: struct.unpack(">d", v)[0],
+        INT_DOUBLE_SCHEMA,
+    )
+    return df.withColumnRenamed("id", "topic").withColumnRenamed("value", "alpha")
+
+
+def write_corpus(
+    corpus_doc: DataFrame,
+    path: str,
+    compression: str | None = "record",
+) -> int:
+    """Export a doc-form corpus back to Mr.LDA's on-disk layout — one
+    `part-NNNNN` SequenceFile per partition, written executor-side (no
+    driver collect; requires ``path`` on a filesystem every executor
+    can reach — true locally and on any shared-fs/NFS cluster mount).
+
+    Returns the number of part files written.
+    """
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(corpus_doc.sparkSession)
+    os.makedirs(path, exist_ok=True)
+    cols = corpus_doc.columns
+
+    def write_partition(idx, rows):
+        fname = os.path.join(path, f"part-{idx:05d}")
+        recs = (
+            (
+                struct.pack(">i", int(r["doc_id"])),
+                encode_document(
+                    r["term_ids"],
+                    r["term_counts"],
+                    r["gamma"] if "gamma" in cols else None,
+                ),
+            )
+            for r in rows
+        )
+        with open(fname, "wb") as fh:
+            write_records(
+                fh,
+                recs,
+                "org.apache.hadoop.io.IntWritable",
+                "cc.mrlda.Document",
+                compression=compression,
+            )
+        yield idx
+
+    parts = corpus_doc.rdd.mapPartitionsWithIndex(write_partition).collect()
+    return len(parts)
