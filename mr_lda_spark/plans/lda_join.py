@@ -66,7 +66,6 @@ def _join_estep_kernel(alpha: np.ndarray, max_gamma_iter: int):
     (terms, counts, betas aligned arrays)."""
     K = len(alpha)
     l_alpha = float(gammaln(alpha.sum()) - gammaln(alpha).sum())
-    log_alpha = np.log(alpha)
 
     def run(batches):
         for pdf in batches:
@@ -102,21 +101,21 @@ def _join_estep_kernel(alpha: np.ndarray, max_gamma_iter: int):
                         gamma[j] = np.asarray(g, dtype=np.float64)
 
             lpn = None
+            phi = None
             for _ in range(max_gamma_iter):
                 dg = digamma(gamma)
                 lp = elb + dg[:, None, :]
                 m = lp.max(axis=2, keepdims=True)
                 norm = m + np.log(np.exp(lp - m).sum(axis=2, keepdims=True))
                 lpn = lp - norm
-                contrib = lpn + log_counts[:, :, None]
-                stacked = np.concatenate(
-                    [np.tile(log_alpha, (B, 1, 1)), contrib], axis=1
+                phi = np.exp(lpn)
+                # γ = α + Σ_w c_w φ_w in linear space (φ is a normalized
+                # probability; same rewrite as plans/lda.py — saves the
+                # per-sweep (B, n_max+1, K) concatenate + logsumexp).
+                gamma = alpha[None, :] + np.einsum(
+                    "bn,bnk->bk", counts_pad, phi
                 )
-                ms = stacked.max(axis=1)
-                gamma = np.exp(
-                    ms + np.log(np.exp(stacked - ms[:, None, :]).sum(axis=1))
-                )
-            ll_phi = (counts_pad[:, :, None] * np.exp(lpn) * (elb - lpn)).sum(
+            ll_phi = (counts_pad[:, :, None] * phi * (elb - lpn)).sum(
                 axis=(1, 2)
             )
             sum_gamma = gamma.sum(axis=1)

@@ -307,6 +307,48 @@ def decode_document(val: bytes) -> tuple[list[int], list[int], list[float] | Non
     return list(flat[::2]), list(flat[1::2]), gamma
 
 
+def decode_poly_document(
+    val: bytes,
+) -> tuple[list[list[int]], list[list[int]], list[float] | None]:
+    """cc.mrlda.polylda.Document.readFields (polylda/Document.java:
+    176-214): int numLanguages, per language an (id,count)-pair map,
+    then gamma.  A null language slot is an empty array."""
+    n_lang = struct.unpack_from(">i", val, 0)[0]
+    off = 4
+    ids: list[list[int]] = []
+    counts: list[list[int]] = []
+    for _ in range(max(n_lang, 0)):
+        n = struct.unpack_from(">i", val, off)[0]
+        off += 4
+        n = max(n, 0)
+        flat = struct.unpack_from(f">{2 * n}i", val, off)
+        off += 8 * n
+        ids.append(list(flat[::2]))
+        counts.append(list(flat[1::2]))
+    k = struct.unpack_from(">i", val, off)[0]
+    gamma = list(struct.unpack_from(f">{k}d", val, off + 4)) if k > 0 else None
+    return ids, counts, gamma
+
+
+def encode_poly_document(lang_term_ids, lang_term_counts, gamma=None) -> bytes:
+    """cc.mrlda.polylda.Document.write (polylda/Document.java:259-287)."""
+    out = io.BytesIO()
+    out.write(struct.pack(">i", len(lang_term_ids)))
+    for tids, tcts in zip(lang_term_ids, lang_term_counts):
+        tids = tids if tids is not None else []
+        tcts = tcts if tcts is not None else []
+        out.write(struct.pack(">i", len(tids)))
+        for tid, c in zip(tids, tcts):
+            out.write(struct.pack(">ii", int(tid), int(c)))
+    if gamma is None or len(gamma) == 0:
+        out.write(struct.pack(">i", 0))
+    else:
+        out.write(
+            struct.pack(f">i{len(gamma)}d", len(gamma), *[float(g) for g in gamma])
+        )
+    return out.getvalue()
+
+
 def encode_document(
     term_ids, term_counts, gamma=None
 ) -> bytes:
@@ -358,6 +400,44 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows)
 
     return _binary_files(spark, path).mapInPandas(decode, schema=CORPUS_SCHEMA)
+
+
+POLY_CORPUS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang_term_ids", T.ArrayType(T.ArrayType(T.IntegerType()))),
+        T.StructField(
+            "lang_term_counts", T.ArrayType(T.ArrayType(T.IntegerType()))
+        ),
+        T.StructField("gamma", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def read_poly_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a polylingual Mr.LDA corpus (`SequenceFile<IntWritable,
+    polylda.Document>`) into the engine's polylda doc-form schema
+    (``plans.polylda.train_poly`` input; missing language = empty
+    arrays, matching ``poly_corpus_from_tall``)."""
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = {
+                    "doc_id": [],
+                    "lang_term_ids": [],
+                    "lang_term_counts": [],
+                    "gamma": [],
+                }
+                for key, val in iter_records(bytes(blob)):
+                    rows["doc_id"].append(struct.unpack(">i", key)[0])
+                    ids, counts, gamma = decode_poly_document(val)
+                    rows["lang_term_ids"].append(ids)
+                    rows["lang_term_counts"].append(counts)
+                    rows["gamma"].append(gamma)
+                yield pd.DataFrame(rows)
+
+    return _binary_files(spark, path).mapInPandas(decode, schema=POLY_CORPUS_SCHEMA)
 
 
 def _read_int_value(spark, path, decode_val, schema) -> DataFrame:

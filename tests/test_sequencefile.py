@@ -174,6 +174,55 @@ def test_sequencefile_corpus_trains(spark, tmp_path):
     assert np.isfinite(state.elbo)
 
 
+def test_poly_document_roundtrip_and_train(spark, tmp_path):
+    """polylda.Document wire format (polylda/Document.java:176-214,
+    259-287): null language slots, per-language maps, gamma — and the
+    decoded corpus feeds plans.polylda.train_poly."""
+    raw = sf.encode_poly_document([[1, 3], []], [[2, 1], []], [0.5, 0.5])
+    ids, counts, gamma = sf.decode_poly_document(raw)
+    assert ids == [[1, 3], []] and counts == [[2, 1], []]
+    assert gamma == [0.5, 0.5]
+
+    rng = np.random.default_rng(11)
+    path = tmp_path / "poly"
+    path.mkdir()
+    recs = []
+    for doc_id in range(30):
+        l0 = sorted(rng.choice(np.arange(1, 15), size=3, replace=False))
+        l1 = (
+            sorted(rng.choice(np.arange(1, 12), size=2, replace=False))
+            if doc_id % 3
+            else []
+        )
+        recs.append(
+            (
+                struct.pack(">i", doc_id),
+                sf.encode_poly_document(
+                    [[int(t) for t in l0], [int(t) for t in l1]],
+                    [[1] * len(l0), [2] * len(l1)],
+                ),
+            )
+        )
+    with open(path / "part-00000", "wb") as fh:
+        sf.write_records(
+            fh, recs, "org.apache.hadoop.io.IntWritable",
+            "cc.mrlda.polylda.Document", compression="record",
+        )
+    corpus = sf.read_poly_corpus(spark, str(path))
+    assert corpus.count() == 30
+    row = corpus.filter("doc_id = 0").collect()[0]
+    assert list(row["lang_term_ids"][1]) == []  # doc 0 misses lang 1
+
+    from mr_lda_spark.plans import polylda
+
+    _, state = polylda.train_poly(
+        spark, corpus, num_terms_per_lang=[14, 11], num_topics=2,
+        max_iterations=2, max_gamma_iter=8, seed=5,
+    )
+    assert len(state.elog_betas) == 2
+    assert state.elog_betas[0].shape == (15, 2)
+
+
 def test_cli_convert_and_ldac_export(spark, tmp_path):
     from mr_lda_spark import cli
 
