@@ -187,3 +187,26 @@ def test_pq_finer_quantization_helps(spark, emb, exact_topk):
     assert _pq_recall(emb, q, exact_topk, 8, 64) >= _pq_recall(
         emb, q, exact_topk, 8, 16
     )
+
+
+class _NoCountDF:
+    """Proxy that forwards everything except .count() — pins the
+    VERDICT r2 item: codebook training must not spend a full corpus
+    scan sizing its sample (one-pass hash sampling only)."""
+
+    def __init__(self, df):
+        object.__setattr__(self, "_df", df)
+
+    def __getattr__(self, name):
+        if name == "count":
+            raise AssertionError("codebook sampler called DataFrame.count()")
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+
+def test_codebook_training_never_counts_corpus(spark, emb):
+    from mr_lda_spark.operators import similarity
+
+    cents = similarity.kmeans_centroids(_NoCountDF(emb), n_centroids=4)
+    assert cents.shape[0] == 4
+    books = similarity.pq_train(_NoCountDF(emb), n_subspaces=8, n_codes=8)
+    assert books.shape[:2] == (8, 8)
