@@ -53,7 +53,12 @@ def cmd_parse(args) -> None:
         with open(args.stoplist) as fh:
             stopwords = [w.strip() for w in fh if w.strip()]
 
-    tokens = parse.tokenize(docs, stopwords=stopwords)
+    analyzer = None
+    if getattr(args, "analyzer", None):
+        from mr_lda_spark.operators.analyzers import by_name
+
+        analyzer = by_name(args.analyzer)
+    tokens = parse.tokenize(docs, stopwords=stopwords, analyzer=analyzer)
     num_docs = docs.count()
     stats = parse.term_stats(tokens)
     dictionary = parse.build_dictionary(
@@ -372,6 +377,13 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--text-col", default="text")
     pp.add_argument("--doc-id-col", default="doc_id")
     pp.add_argument("--stoplist", default=None)
+    pp.add_argument(
+        "--analyzer",
+        default=None,
+        help="named analyzer (engine short name or Lucene class name, "
+        "reference -analyzer equivalent): standard | whitespace | cjk | "
+        "org.apache.lucene.analysis.*",
+    )
     pp.add_argument(
         "--minimum-document-frequency", type=float, default=0.0
     )

@@ -126,3 +126,45 @@ def tokenize_cjk(
         F.col(doc_id_col).alias("doc_id"),
         F.explode(cjk_tokens(F.col(text_col))).alias("term"),
     ).filter(F.col("term") != "")
+
+
+# --------------------------------------------------------------------------
+# Named-analyzer registry (the reference's reflective `-analyzer` flag,
+# ParseCorpusOptions.java:147-169: a class NAME is resolved at runtime).
+# Short engine names and the Lucene class names a migrating user would
+# pass verbatim both resolve; all map to Column-native implementations
+# (zero Python in the tokenize plan).
+# --------------------------------------------------------------------------
+
+
+def _standard_tokens(text: Column) -> Column:
+    """Lucene StandardAnalyzer-flavored default: lowercase word chars
+    (letters/digits, unicode-aware) split on everything else."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"[\p{L}\p{N}]+"), 0)
+
+
+def _whitespace_tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+NAMED_ANALYZERS = {
+    "standard": _standard_tokens,
+    "whitespace": _whitespace_tokens,
+    "cjk": cjk_tokens,
+    # Lucene class names accepted verbatim for migration parity.
+    "org.apache.lucene.analysis.standard.StandardAnalyzer": _standard_tokens,
+    "org.apache.lucene.analysis.core.WhitespaceAnalyzer": _whitespace_tokens,
+    "org.apache.lucene.analysis.cjk.CJKAnalyzer": cjk_tokens,
+    "org.apache.lucene.analysis.cn.smart.SmartChineseAnalyzer": cjk_tokens,
+}
+
+
+def by_name(name: str):
+    """Resolve an analyzer name (engine short name or Lucene class
+    name) to a Column-native analyzer for ``parse.tokenize``."""
+    try:
+        return NAMED_ANALYZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; known: {sorted(NAMED_ANALYZERS)}"
+        ) from None

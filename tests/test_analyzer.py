@@ -58,3 +58,24 @@ def test_column_native_analyzer(spark, documents):
     a = sorted(map(tuple, toks.collect()))
     b = sorted(map(tuple, analyzers.tokenize_cjk(docs).collect()))
     assert a == b
+
+
+def test_named_analyzer_registry(spark, documents):
+    """Reference -analyzer parity: Lucene class names resolve to
+    Column-native analyzers (ParseCorpusOptions.java:147-169)."""
+    import pytest as _pytest
+
+    from mr_lda_spark.operators import analyzers
+
+    docs = documents.limit(10)
+    assert (
+        analyzers.by_name("org.apache.lucene.analysis.cn.smart.SmartChineseAnalyzer")
+        is analyzers.cjk_tokens
+    )
+    toks = parse.tokenize(docs, analyzer=analyzers.by_name("standard"))
+    plan = toks._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    rows = toks.collect()
+    assert rows and all(r["term"] == r["term"].lower() for r in rows)
+    with _pytest.raises(ValueError, match="unknown analyzer"):
+        analyzers.by_name("nope")
