@@ -229,6 +229,72 @@ def curation_report(docs: DataFrame, **kwargs) -> DataFrame:
     )
 
 
+def domain_cap(
+    docs: DataFrame,
+    max_per_domain: int,
+    domain_col: str = "source",
+    score_col: str | None = None,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Cap any single domain's contribution: keep at most
+    ``max_per_domain`` docs per domain, preferring high ``score_col``
+    (ties and the unscored case broken by ``key_col`` for a
+    deterministic result) — the guard that stops one crawled site from
+    dominating a pretraining mix.
+
+    Plan: one window partitioned BY DOMAIN (thousands of independent
+    partitions — never a global sort); with a skewed giant domain the
+    rank still distributes because the window key is the domain and
+    AQE splits oversized partitions.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(score_col).desc(), F.col(key_col).asc()]
+        if score_col
+        else [F.col(key_col).asc()]
+    )
+    w = Window.partitionBy(domain_col).orderBy(*order)
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_domain)
+        .drop("_rk")
+    )
+
+
+def interleave_domains(
+    docs: DataFrame,
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "interleave",
+) -> DataFrame:
+    """Domain-interleaved training order: round-robin across domains so
+    consecutive examples come from different sources (batch
+    decorrelation), deterministic via salted content hashes.
+
+    Each doc gets ``round`` = its position within its domain (ordered
+    by hash) and ``interleave_pos`` = rank over (round, hash) — i.e.
+    all domains' round-0 docs first (hash-shuffled), then round-1, etc.
+    Two windows: one partitioned by domain, one partitioned by nothing
+    BUT ranking only (round, hash) pairs — at 100 TB emit shard-local
+    order instead by composing with ``shuffle_shards`` (the global rank
+    here is for small curated subsets / oracle checkability).
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
+    with_h = docs.withColumn("_h", h)
+    w_dom = Window.partitionBy(domain_col).orderBy("_h", key_col)
+    w_all = Window.orderBy("round", "_h", key_col)
+    return (
+        with_h.withColumn(
+            "round", (F.row_number().over(w_dom) - 1).cast("int")
+        )
+        .withColumn("interleave_pos", F.row_number().over(w_all).cast("int"))
+        .drop("_h")
+    )
+
+
 def upsample(
     docs: DataFrame,
     weights: dict,

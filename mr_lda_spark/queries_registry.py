@@ -1653,6 +1653,66 @@ def curation_report(spark, sf_dir):
 
 
 @register(
+    "curation_domain_cap",
+    f"""
+    WITH q AS ({_SQL_QUALITY}),
+    ranked AS (
+      SELECT d.doc_id, d.source, q.quality_score,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY q.quality_score DESC, d.doc_id ASC)
+               AS rk
+      FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT doc_id, source, quality_score FROM ranked WHERE rk <= 10
+    """,
+)
+def curation_domain_cap(spark, sf_dir):
+    """Per-domain contribution cap: top-10 docs per source by quality
+    (doc_id tiebreak).  One domain-partitioned window — no global
+    sort."""
+    from mr_lda_spark.operators.curation import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.join(
+        textops.quality_scores(docs).select("doc_id", "quality_score"),
+        "doc_id",
+    )
+    return domain_cap(
+        scored, max_per_domain=10, domain_col="source",
+        score_col="quality_score",
+    ).select("doc_id", "source", "quality_score")
+
+
+@register(
+    "curation_interleave_domains",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             md5('interleave:' || CAST(doc_id AS VARCHAR)) AS h,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('interleave:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS INT) AS round
+      FROM documents
+    )
+    SELECT doc_id, source, round,
+           CAST(row_number() OVER (ORDER BY round, h, doc_id) AS INT)
+             AS interleave_pos
+    FROM r
+    """,
+)
+def curation_interleave_domains(spark, sf_dir):
+    """Round-robin domain interleaving for batch decorrelation:
+    deterministic salted-hash order within domain, then rank by
+    (round, hash) so consecutive positions rotate across sources."""
+    from mr_lda_spark.operators.curation import interleave_domains
+
+    return interleave_domains(
+        _t(spark, sf_dir, "documents"), domain_col="source"
+    ).select("doc_id", "source", "round", "interleave_pos")
+
+
+@register(
     "curation_stratified_sample",
     """
     SELECT doc_id, lang

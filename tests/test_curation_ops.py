@@ -101,3 +101,37 @@ def test_shuffle_shards_positions_and_determinism(spark):
     # A different salt yields a different permutation.
     c = curation.shuffle_shards(docs, n_shards=4, salt="epoch2").collect()
     assert sorted(map(tuple, c)) != sorted(map(tuple, a))
+
+
+def test_domain_cap(spark):
+    rows = [(i, f"d{i % 3}", float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = curation.domain_cap(
+        df, max_per_domain=4, domain_col="source", score_col="score"
+    ).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["source"], []).append(r["doc_id"])
+    assert all(len(v) == 4 for v in by_dom.values())
+
+    # Keeps the highest-scoring docs of each domain (score == doc_id here).
+    for dom, ids in by_dom.items():
+        expect = sorted(
+            [i for i in range(30) if f"d{i % 3}" == dom], reverse=True
+        )[:4]
+        assert sorted(ids) == sorted(expect)
+
+
+def test_interleave_domains_rotates_and_is_deterministic(spark):
+    rows = [(i, f"d{i % 4}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    a = curation.interleave_domains(df).orderBy("interleave_pos").collect()
+    b = curation.interleave_domains(df).orderBy("interleave_pos").collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    # positions are a permutation of 1..N
+    assert sorted(r["interleave_pos"] for r in a) == list(range(1, 41))
+    # With 4 equal-sized domains, each consecutive block of 4 (one
+    # round) covers all 4 domains — perfect rotation.
+    for start in range(0, 40, 4):
+        block = {r["source"] for r in a[start : start + 4]}
+        assert len(block) == 4
