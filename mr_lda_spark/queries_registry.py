@@ -1904,6 +1904,64 @@ def similarity_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "similarity_knn_classify",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {SIM_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q, e WHERE e.vec_id <> q.query_id
+    ), top AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ), votes AS (
+      SELECT query_id, label, count(*) AS n_votes FROM top GROUP BY 1, 2
+    )
+    SELECT query_id, label AS pred_label, CAST(n_votes AS INT) AS n_votes
+    FROM (
+      SELECT query_id, label, n_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY n_votes DESC, label ASC) AS rk
+      FROM votes
+    ) WHERE rk = 1
+    """,
+)
+def similarity_knn_classify(spark, sf_dir):
+    """k-NN label classification (majority vote of the exact top-5
+    cosine neighbors, ties → smallest label) — the standard similarity-
+    search application, oracle-checked end-to-end (the rest of the ANN
+    family is recall-tested rows-only).  Composes cosine_topk with a
+    vote aggregation: broadcast queries, one corpus scan, per-query
+    windows — no global sort."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    top = similarity.cosine_topk(emb, queries, k=5).join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+        "neighbor_id",
+    )
+    votes = top.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).cast("int").alias("n_votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id", F.col("label").alias("pred_label"), "n_votes"
+        )
+    )
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
