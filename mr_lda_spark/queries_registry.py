@@ -129,9 +129,7 @@ def parse_term_dict(spark, sf_dir):
     return dictionary
 
 
-@register(
-    "parse_encoded_corpus",
-    f"""
+_SQL_ENCODED_CORPUS = f"""
     WITH stats AS (
       SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
       FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
@@ -145,12 +143,40 @@ def parse_term_dict(spark, sf_dir):
     SELECT t.doc_id, d.term_id, CAST(count(*) AS INT) AS term_count
     FROM ({_SQL_TOKENS_STOPPED}) t JOIN dict d USING (term)
     GROUP BY 1, 2
-    """,
-)
+    """
+
+
+@register("parse_encoded_corpus", _SQL_ENCODED_CORPUS)
 def parse_encoded_corpus(spark, sf_dir):
     """J1+P5+A1: dictionary-encoded corpus (broadcast inner join)."""
     _, _, _, tokens_stop, dictionary = _parse_shared(spark, sf_dir)
     return parse.encode_corpus(tokens_stop, dictionary)
+
+
+@register("interop_sequencefile_roundtrip", _SQL_ENCODED_CORPUS)
+def interop_sequencefile_roundtrip(spark, sf_dir):
+    """S2/S3 interop, driver-checked end-to-end: encode the corpus,
+    EXPORT it to Mr.LDA's on-disk `SequenceFile<IntWritable, Document>`
+    layout (record-compressed), re-INGEST it with the pure-Python
+    container reader, and re-derive the tall encoded relation — which
+    must hash-match the same DuckDB oracle as parse_encoded_corpus.
+    Proves a reference user can round-trip their corpus bit-exactly."""
+    import tempfile
+
+    from mr_lda_spark.sources import sequencefile as seqf
+
+    _, corpus_doc = _lda_setup(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="mrlda_seqfile_rt_")
+    seqf.write_corpus(corpus_doc, out, compression="record")
+    back = seqf.read_corpus(spark, out)
+    return back.select(
+        "doc_id",
+        F.explode(F.arrays_zip("term_ids", "term_counts")).alias("z"),
+    ).select(
+        "doc_id",
+        F.col("z.term_ids").alias("term_id"),
+        F.col("z.term_counts").cast("int").alias("term_count"),
+    )
 
 
 @register(

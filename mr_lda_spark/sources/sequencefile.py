@@ -397,7 +397,10 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
                     rows["term_ids"].append(tids)
                     rows["term_counts"].append(counts)
                     rows["gamma"].append(gamma)
-                yield pd.DataFrame(rows)
+                if rows["doc_id"]:  # empty part file → pandas would
+                    # type the empty columns float64, which Arrow
+                    # cannot cast to the declared list types
+                    yield pd.DataFrame(rows)
 
     return _binary_files(spark, path).mapInPandas(decode, schema=CORPUS_SCHEMA)
 
@@ -435,7 +438,8 @@ def read_poly_corpus(spark: SparkSession, path: str) -> DataFrame:
                     rows["lang_term_ids"].append(ids)
                     rows["lang_term_counts"].append(counts)
                     rows["gamma"].append(gamma)
-                yield pd.DataFrame(rows)
+                if rows["doc_id"]:
+                    yield pd.DataFrame(rows)
 
     return _binary_files(spark, path).mapInPandas(decode, schema=POLY_CORPUS_SCHEMA)
 
@@ -448,7 +452,8 @@ def _read_int_value(spark, path, decode_val, schema) -> DataFrame:
                 for key, val in iter_records(bytes(blob)):
                     ids.append(struct.unpack(">i", key)[0])
                     values.append(decode_val(val))
-                yield pd.DataFrame({"id": ids, "value": values})
+                if ids:
+                    yield pd.DataFrame({"id": ids, "value": values})
 
     return _binary_files(spark, path).mapInPandas(decode, schema=schema)
 
