@@ -90,8 +90,29 @@ def cmd_train(args) -> None:
     from mr_lda_spark.sources.corpus import write_table
 
     spark = _spark("mrlda-train")
-    corpus_tall = spark.read.parquet(os.path.join(args.input, "document"))
-    corpus_doc = parse_ops.corpus_to_doc_form(corpus_tall)
+    alpha_init = None
+    if getattr(args, "input_format", "parquet") == "sequencefile":
+        # Migrate a reference run mid-training: the Mr.LDA corpus /
+        # document-<iter> directory carries γ embedded in each Document
+        # record (VariationalInference.java:358-379), so a warm resume
+        # needs no separate snapshot; `--alpha-index` imports the
+        # matching alpha-<iter> SequenceFile.
+        from mr_lda_spark.sources import sequencefile as seqf
+
+        corpus_doc = seqf.read_corpus(spark, args.input)
+        if args.term is None:
+            raise SystemExit(
+                "--term is required with --input-format sequencefile "
+                "(the reference CLI has the same requirement: -term)"
+            )
+        if getattr(args, "alpha_index", None):
+            rows = seqf.read_alpha(spark, args.alpha_index).collect()
+            alpha_init = np.array(
+                [a for _, a in sorted((r["topic"], r["alpha"]) for r in rows)]
+            )
+    else:
+        corpus_tall = spark.read.parquet(os.path.join(args.input, "document"))
+        corpus_doc = parse_ops.corpus_to_doc_form(corpus_tall)
     if args.model_index:
         # Resume (-modelindex): join the gamma snapshot back onto the
         # corpus so training warm-starts from iteration N's posterior.
@@ -115,6 +136,7 @@ def cmd_train(args) -> None:
         num_topics=args.topic,
         max_iterations=args.iteration,
         max_gamma_iter=args.gamma_iteration,
+        alpha_init=alpha_init,
         symmetric_alpha=args.symmetric_alpha,
         log_eta=log_eta,
         seed=args.seed,
@@ -395,6 +417,19 @@ def build_parser() -> argparse.ArgumentParser:
     pt = sub.add_parser("train", help="VariationalInference equivalent")
     pt.add_argument("--input", required=True, help="parse output dir")
     pt.add_argument("--output", required=True)
+    pt.add_argument(
+        "--input-format",
+        choices=["parquet", "sequencefile"],
+        default="parquet",
+        help="sequencefile = a reference Mr.LDA corpus/document-<iter> "
+        "dir (gamma embedded in Document records; requires --term)",
+    )
+    pt.add_argument(
+        "--alpha-index",
+        default=None,
+        help="reference alpha-<iter> SequenceFile dir to import as the "
+        "starting alpha (with --input-format sequencefile)",
+    )
     pt.add_argument("--topic", type=int, required=True)
     pt.add_argument("--term", type=int, default=None)
     pt.add_argument("--iteration", type=int, default=30)

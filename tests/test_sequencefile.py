@@ -259,3 +259,59 @@ def test_cli_convert_and_ldac_export(spark, tmp_path):
     )
     assert other["num_topics"] == "2" and other["num_terms"] == "3"
     assert float(other["alpha"]) == pytest.approx(0.1)
+
+
+def test_cli_train_resumes_reference_run(spark, tmp_path, capsys):
+    """Full migration story: a reference run stopped mid-training
+    (document-<iter> with embedded gamma + alpha-<iter>) resumes in
+    this engine via `train --input-format sequencefile`."""
+    from mr_lda_spark import cli
+
+    rng = np.random.default_rng(13)
+    corpus_dir = tmp_path / "document-5"
+    corpus_dir.mkdir()
+    K = 3
+    recs = []
+    for doc_id in range(25):
+        tids = sorted(rng.choice(np.arange(1, 20), size=4, replace=False))
+        gam = rng.random(K) + 0.5
+        recs.append(
+            (
+                struct.pack(">i", doc_id),
+                sf.encode_document(
+                    [int(t) for t in tids], [1, 2, 1, 1], [float(g) for g in gam]
+                ),
+            )
+        )
+    with open(corpus_dir / "part-00000", "wb") as fh:
+        sf.write_records(
+            fh, recs, "org.apache.hadoop.io.IntWritable",
+            "cc.mrlda.Document", compression="record",
+        )
+    alpha_dir = tmp_path / "alpha-5"
+    alpha_dir.mkdir()
+    alpha = [0.4, 0.3, 0.3]
+    with open(alpha_dir / "part-00000", "wb") as fh:
+        sf.write_records(
+            fh,
+            [
+                (struct.pack(">i", k + 1), struct.pack(">d", a))
+                for k, a in enumerate(alpha)
+            ],
+            "org.apache.hadoop.io.IntWritable",
+            "org.apache.hadoop.io.DoubleWritable",
+        )
+    out = str(tmp_path / "resumed")
+    cli.main([
+        "train", "--input", str(corpus_dir), "--output", out,
+        "--input-format", "sequencefile", "--alpha-index", str(alpha_dir),
+        "--topic", str(K), "--term", "19", "--iteration", "2",
+        "--gamma-iteration", "8",
+    ])
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["iterations"] == 2
+    assert np.isfinite(result["final_elbo"])
+    gamma_out = spark.read.parquet(
+        str(tmp_path / "resumed" / "gamma-2")
+    )
+    assert gamma_out.count() == 25
