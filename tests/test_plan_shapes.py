@@ -223,3 +223,33 @@ def test_q2_window_min_no_extra_exchange(spark):
     assert len(scans) == 5, f"expected 5 scans, got {len(scans)}"
     li_scans = [l for l in scans if "lineitem" in l]
     assert len(li_scans) == 1
+
+
+def test_registry_sweep_no_cartesian_no_pickled_udf(spark):
+    """Registry-wide guard: every lazily-planned query must compile
+    without a CartesianProduct (the 100 TB scale-killer) and without a
+    row-at-a-time pickled Python UDF (BatchEvalPython) anywhere in its
+    physical plan.  Action-running queries (iterative training,
+    streaming sinks, MERGE, audit counts, codebook training) are
+    skipped — their scale properties are pinned by dedicated tests.
+    The one sanctioned CartesianProduct is dedup_embedding_cosine,
+    the explicit all-pairs ORACLE path behind `n_planes=0`."""
+    skip_substr = (
+        "lda_", "polylda", "stream", "merge_upsert", "curation_report",
+        "interop_", "quality_distilled", "multimodal",
+        "similarity_ivf", "similarity_pq", "similarity_lsh",
+    )
+    allow_cartesian = {"dedup_embedding_cosine"}
+    swept = 0
+    offenders = []
+    for name in qr.QUERIES:
+        if any(s in name for s in skip_substr):
+            continue
+        plan, _ = _plan(spark, name)
+        swept += 1
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython"))
+        if "CartesianProduct" in plan and name not in allow_cartesian:
+            offenders.append((name, "CartesianProduct"))
+    assert swept >= 60, f"sweep unexpectedly small: {swept}"
+    assert not offenders, offenders
