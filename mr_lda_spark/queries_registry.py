@@ -1739,6 +1739,52 @@ def curation_interleave_domains(spark, sf_dir):
 
 
 @register(
+    "documents_profile",
+    """
+    WITH n AS (SELECT count(*) AS n_rows FROM documents)
+    SELECT 'doc_id' AS column, n.n_rows,
+           (SELECT count(*) FROM documents WHERE doc_id IS NULL) AS n_nulls,
+           (SELECT count(DISTINCT doc_id) FROM documents) AS n_distinct,
+           (SELECT CAST(min(doc_id) AS VARCHAR) FROM documents) AS min_value,
+           (SELECT CAST(max(doc_id) AS VARCHAR) FROM documents) AS max_value
+    FROM n
+    UNION ALL
+    SELECT 'lang', n.n_rows,
+           (SELECT count(*) FROM documents WHERE lang IS NULL),
+           (SELECT count(DISTINCT lang) FROM documents),
+           (SELECT min(lang) FROM documents),
+           (SELECT max(lang) FROM documents)
+    FROM n
+    UNION ALL
+    SELECT 'source', n.n_rows,
+           (SELECT count(*) FROM documents WHERE source IS NULL),
+           (SELECT count(DISTINCT source) FROM documents),
+           (SELECT min(source) FROM documents),
+           (SELECT max(source) FROM documents)
+    FROM n
+    UNION ALL
+    SELECT 'n_chars', n.n_rows,
+           (SELECT count(*) FROM documents WHERE n_chars IS NULL),
+           (SELECT count(DISTINCT n_chars) FROM documents),
+           (SELECT CAST(min(n_chars) AS VARCHAR) FROM documents),
+           (SELECT CAST(max(n_chars) AS VARCHAR) FROM documents)
+    FROM n
+    """,
+)
+def documents_profile(spark, sf_dir):
+    """One-scan multi-column profile (nulls / exact distincts /
+    min-max) of the documents table — the ingest-time data-quality
+    audit.  The oracle runs per-column subqueries; the engine plans ONE
+    Expand-based aggregate over a single scan."""
+    from mr_lda_spark.operators.profile import table_profile
+
+    return table_profile(
+        _t(spark, sf_dir, "documents"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
+@register(
     "curation_stratified_sample",
     """
     SELECT doc_id, lang
