@@ -1739,6 +1739,41 @@ def curation_interleave_domains(spark, sf_dir):
 
 
 @register(
+    "lineitem_quantity_histogram",
+    """
+    SELECT CAST(least(floor((l_quantity - 1) / 5), 9) AS INT) AS bucket,
+           CAST(1 + least(floor((l_quantity - 1) / 5), 9) * 5 AS DOUBLE)
+             AS bucket_lo,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def lineitem_quantity_histogram(spark, sf_dir):
+    """Equi-width histogram (10 buckets over quantity 1..50) — the
+    distribution profile an ingest audit draws; integer bucket math
+    shared verbatim with the oracle, one scan + one tiny shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(
+        F.floor((F.col("l_quantity") - 1) / 5), F.lit(9)
+    ).cast("int")
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .select(
+            "bucket",
+            (1 + F.col("bucket") * 5).cast("double").alias("bucket_lo"),
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@register(
     "documents_profile",
     """
     WITH n AS (SELECT count(*) AS n_rows FROM documents)
