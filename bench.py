@@ -51,6 +51,10 @@ HEADLINE = [
 EXTRA = [
     "dedup_simhash_pairs",
     "dedup_minhash_near_dupes",
+    # r3 additions (recorded, not in the round-over-round total):
+    "similarity_knn_classify",
+    "curation_domain_cap",
+    "documents_profile",
 ]
 
 
