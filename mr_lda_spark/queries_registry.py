@@ -3396,6 +3396,56 @@ def curation_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "pipeline_training_shards",
+    f"""
+    WITH q AS ({_SQL_QUALITY}),
+    keep AS (SELECT doc_id FROM q WHERE quality_score >= 0.3),
+    base AS (
+      SELECT d.doc_id, list_filter(string_split(d.text, ' '), x -> x <> '') AS t
+      FROM documents d JOIN keep USING (doc_id)
+    ), chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) / 56 AS INT) AS chunk_index,
+             CAST(least(64, len(t) - s + 1) AS INT) AS n_chunk_tokens
+      FROM base, unnest(range(1, len(t) + 1, 56)) AS u(s)
+      WHERE len(t) > 0
+    ), sharded AS (
+      SELECT CAST(doc_id % 8 AS INT) AS shard, doc_id, chunk_index,
+             n_chunk_tokens,
+             CAST(sum(n_chunk_tokens)
+                    OVER (PARTITION BY doc_id % 8
+                          ORDER BY doc_id, chunk_index
+                          ROWS UNBOUNDED PRECEDING)
+                  - n_chunk_tokens AS BIGINT) AS st
+      FROM chunks
+    )
+    SELECT shard, doc_id, chunk_index, n_chunk_tokens,
+           CAST(floor(st / 512.0) AS INT) AS bin_id,
+           CAST(st % 512 AS INT) AS bin_offset
+    FROM sharded
+    """,
+)
+def pipeline_training_shards(spark, sf_dir):
+    """End-to-end shard prep as ONE composed lazy plan: quality gate →
+    64-token chunking → 512-token per-shard sequence packing.  The
+    composition stays a single Catalyst plan (scan → filter-join →
+    projection explode → one shard-partitioned window) — operator
+    fusion a stage-by-stage pipeline materializes away."""
+    from mr_lda_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        textops.quality_scores(docs)
+        .filter(F.col("quality_score") >= 0.3)
+        .select("doc_id")
+    )
+    chunks = textops.chunk_documents(
+        docs.join(keep, "doc_id"), chunk_tokens=64, overlap=8
+    )
+    return pack_sequences(chunks, max_tokens=512, n_shards=8)
+
+
+@register(
     "curation_mixture_weights",
     """
     WITH counts AS (
