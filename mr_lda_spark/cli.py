@@ -28,6 +28,19 @@ def _spark(app):
     return get_spark(app)
 
 
+def _apply_parallelism(args) -> None:
+    """Reference parity for `-mapper N -reducer N`
+    (VariationalInferenceOptions.java): on Spark the same levers are
+    local cores / shuffle partitions, consumed by the session factory
+    via environment before the JVM starts."""
+    if getattr(args, "parallelism", None):
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.parallelism)
+    if getattr(args, "shuffle_partitions", None):
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(
+            args.shuffle_partitions
+        )
+
+
 def cmd_parse(args) -> None:
     from pyspark.sql import functions as F
 
@@ -390,6 +403,19 @@ def cmd_export_ldac(args) -> None:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mr_lda_spark", description=__doc__)
+    p.add_argument(
+        "--parallelism",
+        type=int,
+        default=None,
+        help="local cores (reference -mapper equivalent; cluster: set "
+        "via spark-submit instead)",
+    )
+    p.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="shuffle partition count (reference -reducer equivalent)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pp = sub.add_parser("parse", help="ParseCorpus equivalent")
@@ -528,6 +554,7 @@ def _fix_compression(args):
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    _apply_parallelism(args)
     args.fn(args)
 
 
