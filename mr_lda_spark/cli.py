@@ -123,6 +123,12 @@ def cmd_train(args) -> None:
             alpha_init = np.array(
                 [a for _, a in sorted((r["topic"], r["alpha"]) for r in rows)]
             )
+            if len(alpha_init) != args.topic:
+                raise SystemExit(
+                    f"--alpha-index has K={len(alpha_init)} topics but "
+                    f"--topic is {args.topic}; a resumed run must keep "
+                    "the original topic count"
+                )
     else:
         corpus_tall = spark.read.parquet(os.path.join(args.input, "document"))
         corpus_doc = parse_ops.corpus_to_doc_form(corpus_tall)
@@ -360,6 +366,9 @@ def cmd_convert(args) -> None:
         }[args.what]
         df = reader(spark, args.input)
         df.write.mode("overwrite").parquet(args.output)
+        # Row count from the WRITTEN parquet: footer metadata only —
+        # cheaper than counting the decode lineage, which would re-read
+        # and re-decode every SequenceFile a second time.
         print(json.dumps({"rows": spark.read.parquet(args.output).count(),
                           "output": args.output}))
     else:  # to-sequencefile (corpus only — the format the trainer reads)

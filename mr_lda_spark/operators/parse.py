@@ -83,7 +83,14 @@ def _analyzer_token_col(analyzer, col, batched: bool):
     """Resolve the U1 analyzer into a token-array Column (see
     ``tokenize``).  Column-native analyzers are probed first — if
     calling the analyzer on the Column yields a Column, no Python ever
-    runs; otherwise it becomes ONE Arrow-batched pandas_udf."""
+    runs; otherwise it becomes ONE Arrow-batched pandas_udf.
+
+    A probe failure on an analyzer that DECLARES a Column signature
+    (parameter or return annotated ``Column``) re-raises: silently
+    demoting a buggy Column-native analyzer to per-row Python would
+    mask the real defect and lose the documented zero-Python path."""
+    import inspect
+
     from pyspark.sql import Column
 
     try:
@@ -91,7 +98,15 @@ def _analyzer_token_col(analyzer, col, batched: bool):
         if isinstance(out, Column):
             return out
     except Exception:
-        pass
+        try:
+            hints = [
+                str(p.annotation)
+                for p in inspect.signature(analyzer).parameters.values()
+            ] + [str(inspect.signature(analyzer).return_annotation)]
+        except (TypeError, ValueError):
+            hints = []
+        if any("Column" in h for h in hints):
+            raise
 
     if batched:
         def fn(s: pd.Series) -> pd.Series:

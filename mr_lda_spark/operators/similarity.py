@@ -50,41 +50,44 @@ def _bounded_hash_sample(
     id_col: str,
     vec_col: str,
 ) -> np.ndarray:
-    """Deterministic ≤``max_sample`` vector sample in ONE scan — no
+    """Deterministic, UNBIASED ≤``max_sample`` vector sample with no
     corpus ``count()`` (which would cost a full extra pass per codebook
-    train at 100 TB).
+    train at 100 TB): a bottom-k sketch on a salted content hash.
 
-    The md5-bucket filter keeps a fixed ~``max_sample``/1e6 fraction —
-    sized so any corpus ≥ ~1M rows over-fills the sample — and the
-    ``limit`` on top short-circuits the scan (CollectLimit executes
-    partitions incrementally, so a 100 TB corpus reads only the prefix
-    needed to fill the limit).  Only when the filtered prefix
-    under-fills (corpus ≲ 1M rows — small by construction) do we
-    rescan unfiltered, and that rescan is over the small corpus.
+    The k rows with the smallest hash values are a uniform sample, and
+    they are identical regardless of row order or partitioning (unlike
+    ``limit`` on its own, which takes a partition-order prefix — a
+    file-order-biased sample when the corpus is sorted by domain/time).
+    The hash-prefix filter keeps a fixed ``max_sample``/1e6 fraction;
+    whenever it yields ≥ k survivors (any corpus ≳ 1M rows), every
+    true bottom-k row is below the cutoff by construction, so the
+    top-k over survivors is EXACTLY the corpus-wide bottom-k from one
+    scan.  Only a small corpus (≲ 1M rows) under-fills and falls back
+    to ranking the whole (small) corpus.  Per-partition top-k bounds
+    executor memory; the driver merge is ≤ partitions × k rows.
     """
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")  # 60-bit hash prefix, order-preserving
+    cutoff = (1 << 60) * max_sample // 1_000_000
     vec = _as_double(F.col(vec_col)).alias("v")
+    sel = embeddings.select(
+        hv.alias("_hv"), F.col(id_col).cast("string").alias("_id"), vec
+    )
     rows = (
-        embeddings.filter(bucket < max_sample)
-        .select(vec)
+        sel.filter(F.col("_hv") < cutoff)
+        .orderBy("_hv", "_id")
         .limit(max_sample)
         .collect()
     )
     if len(rows) < max_sample:
-        rows = embeddings.select(vec).limit(max_sample).collect()
+        rows = sel.orderBy("_hv", "_id").limit(max_sample).collect()
     return np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
 
 

@@ -161,12 +161,23 @@ def interop_sequencefile_roundtrip(spark, sf_dir):
     container reader, and re-derive the tall encoded relation — which
     must hash-match the same DuckDB oracle as parse_encoded_corpus.
     Proves a reference user can round-trip their corpus bit-exactly."""
+    import shutil
     import tempfile
 
     from mr_lda_spark.sources import sequencefile as seqf
 
     _, corpus_doc = _lda_setup(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="mrlda_seqfile_rt_")
+    # Deterministic per-(session, sf_dir) scratch dir, overwritten on
+    # re-run — repeated driver/bench invocations reuse one copy
+    # instead of leaking an mkdtemp corpus copy per call.
+    import hashlib
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"mrlda_seqfile_rt_{spark.sparkContext.applicationId}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
     seqf.write_corpus(corpus_doc, out, compression="record")
     back = seqf.read_corpus(spark, out)
     return back.select(

@@ -19,6 +19,7 @@ entry points.  Three sources behind one call:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -93,13 +94,18 @@ def read_stream(
             # generator variants — e.g. events.ts as nanos-INT64 vs
             # TIMESTAMP — are typed as they actually are instead of
             # trusting the static default; EVENTS_SCHEMA remains the
-            # fallback for an empty landing directory.
+            # fallback for an EMPTY landing directory only.  The legacy
+            # conf must be set BEFORE the probe: nanos-TIMESTAMP parquet
+            # is rejected by schema inference without it, which would
+            # otherwise send exactly the variant this probe exists for
+            # down the wrong-schema fallback.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             try:
                 reader = spark.read
                 if glob is not None:
                     reader = reader.option("pathGlobFilter", glob)
                 schema = reader.parquet(path).schema
-            except Exception:
+            except AnalysisException:
                 schema = EVENTS_SCHEMA
         reader = (
             spark.readStream.schema(schema)
