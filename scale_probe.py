@@ -87,6 +87,20 @@ def probe(spark, docs) -> dict[str, float]:
         "shuffle_shards",
         lambda: curation.shuffle_shards(docs, n_shards=32).count(),
     )
+    # r3 ops: per-domain window (thousands of independent partitions)
+    # and the one-scan multi-column profile.
+    t(
+        "domain_cap",
+        lambda: curation.domain_cap(
+            docs, max_per_domain=50, domain_col="source"
+        ).count(),
+    )
+    t(
+        "table_profile",
+        lambda: __import__(
+            "mr_lda_spark.operators.profile", fromlist=["table_profile"]
+        ).table_profile(docs, ["doc_id", "lang", "source"]).count(),
+    )
 
     def lda_one_iter():
         tokens = parse.tokenize(docs)
