@@ -360,6 +360,7 @@ def cmd_convert(args) -> None:
     if args.direction == "to-parquet":
         reader = {
             "corpus": sf.read_corpus,
+            "poly-corpus": sf.read_poly_corpus,
             "term": sf.read_term_dict,
             "title": sf.read_title_index,
             "alpha": sf.read_alpha,
@@ -527,7 +528,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument(
         "--what",
-        choices=["corpus", "term", "title", "alpha"],
+        choices=["corpus", "poly-corpus", "term", "title", "alpha"],
         default="corpus",
         help="which reference output layout to decode (to-parquet only)",
     )
