@@ -37,14 +37,25 @@ def top_terms_per_topic(
     return top.select("topic", "rank", "term_id", "log_beta")
 
 
-def display_document(gamma: DataFrame, doc_ids=None) -> DataFrame:
+def display_document(gamma: DataFrame, doc_ids=None, flat: bool = False) -> DataFrame:
     """DisplayDocument: dump per-doc topic posteriors
-    (DisplayDocument.java:83-100) — normalized to a distribution."""
+    (DisplayDocument.java:83-100) — normalized to a distribution.
+
+    ``flat=True`` explodes the distribution to one ``(doc_id, topic,
+    weight)`` row per topic — a plain relational shape any downstream
+    consumer (or row-hash comparator) can sort and digest.
+    """
     out = gamma
     if doc_ids is not None:
         out = out.filter(F.col("doc_id").isin(list(doc_ids)))
     total = F.aggregate("gamma", F.lit(0.0), lambda a, x: a + x)
-    return out.select(
+    dist = out.select(
         "doc_id",
         F.transform("gamma", lambda x: x / total).alias("topic_distribution"),
+    )
+    if not flat:
+        return dist
+    return dist.select(
+        "doc_id",
+        F.posexplode("topic_distribution").alias("topic", "weight"),
     )

@@ -2702,7 +2702,9 @@ def lda_train_topics(spark, sf_dir):
 @register("lda_doc_topics")
 def lda_doc_topics(spark, sf_dir):
     """Held-out inference (test mode): per-doc topic posterior γ,
-    normalized, for the first 50 docs."""
+    normalized, for the first 50 docs — flattened to one
+    (doc_id, topic, weight) row per topic so the result is a plain
+    sortable relation (array columns defeat generic row comparators)."""
     from mr_lda_spark.plans import lda as lda_plan
 
     dictionary, corpus_doc = _lda_setup(spark, sf_dir)
@@ -2710,7 +2712,7 @@ def lda_doc_topics(spark, sf_dir):
     gamma = lda_plan.infer(spark, corpus_doc, state, max_gamma_iter=15).filter(
         F.col("doc_id") < 50
     )
-    return display.display_document(gamma)
+    return display.display_document(gamma, flat=True)
 
 
 @register("lda_join_mode_topics")

@@ -149,3 +149,20 @@ def test_resume_from_gamma(spark, encoded):
         spark, warm_corpus, num_terms, K, max_iterations=1, max_gamma_iter=10, seed=3
     )
     assert s2.history[0] >= s1.history[0]
+
+
+def test_display_document_flat(spark, encoded, trained):
+    """flat=True explodes the normalized posterior to (doc_id, topic,
+    weight) scalar rows — per-doc weights sum to 1, one row per topic."""
+    from mr_lda_spark.operators import display
+
+    corpus_doc, _ = encoded
+    _, state, _ = trained
+    gamma = lda.infer(spark, corpus_doc, state, max_gamma_iter=5)
+    flat = display.display_document(gamma, flat=True)
+    assert flat.columns == ["doc_id", "topic", "weight"]
+    agg = flat.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum("weight").alias("s")
+    ).collect()
+    assert all(r["n"] == K for r in agg)
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in agg)
