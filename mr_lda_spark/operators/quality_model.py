@@ -92,20 +92,41 @@ def train_quality_classifier(
 
 
 def score_with_model(
-    docs: DataFrame, model: dict, text_col: str = "text"
+    docs: DataFrame, model: dict, text_col: str = "text",
+    decimal_exact: bool = False,
 ) -> DataFrame:
     """Serve the trained weights as a pure codegen expression: one
     narrow projection over the feature relation, learned weights inlined
     as literals (no broadcast, no UDF, no shuffle beyond the feature
-    computation itself)."""
+    computation itself).
+
+    ``decimal_exact=True`` accumulates the margin in DECIMAL(18,6)
+    arithmetic instead of double.  The features are already rounded to
+    6 decimals, so decimal products/sums are *exact* and bit-identical
+    across engines — double accumulation differs in the last ulp
+    between JVM and C float association, which flips the 6th rounded
+    decimal on knife-edge rows.  Doubles are the fast path for serving;
+    decimal is for cross-engine-reproducible audits.
+    """
     feats = quality_scores(docs, text_col)
-    margin = F.lit(model["intercept"])
-    for f_name in FEATURES:
-        margin = margin + F.lit(model["coef"][f_name]) * F.col(f_name)
+    if decimal_exact:
+        dec = "decimal(18,6)"
+        margin = F.lit(str(model["intercept"])).cast(dec)
+        for f_name in FEATURES:
+            margin = margin + (
+                F.lit(str(model["coef"][f_name])).cast(dec)
+                * F.col(f_name).cast(dec)
+            )
+        margin_d = margin.cast("double")
+    else:
+        margin = F.lit(model["intercept"])
+        for f_name in FEATURES:
+            margin = margin + F.lit(model["coef"][f_name]) * F.col(f_name)
+        margin_d = margin
     return feats.select(
         "doc_id",
-        F.round(margin, 6).alias("margin"),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6).alias(
+        F.round(margin, 6).cast("double").alias("margin"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin_d)), 6).alias(
             "model_prob"
         ),
         (margin > 0).alias("keep"),

@@ -3733,6 +3733,74 @@ def events_pivot_daily(spark, sf_dir):
     )
 
 
+# Frozen student weights for the oracle-checkable serving half of the
+# quality-model loop: scoring is a pure dot product over the four rounded
+# quality features, so a pinned coefficient vector is exactly expressible
+# in ANSI SQL (the *fit* stays in quality_distilled_scores, rows-only).
+_FROZEN_QUALITY_MODEL = {
+    "coef": {
+        "n_tokens": 0.02,
+        "mean_word_len": -0.3,
+        "stop_ratio": 3.0,
+        "digit_ratio": -5.0,
+    },
+    "intercept": -2.5,
+}
+
+
+@register(
+    "quality_model_serve",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+               AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CAST(n_tok AS INT) AS n_tokens,
+             round((n_chars - (n_tok - 1)) / CAST(n_tok AS DOUBLE), 6)
+               AS mean_word_len,
+             round(stop_hits / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+             round(digit_chars / CAST(n_chars AS DOUBLE), 6) AS digit_ratio
+      FROM base
+    ), scored AS (
+      -- DECIMAL(18,6) accumulation: exact given 6dp-rounded features,
+      -- so the rounded margin is bit-identical to the Spark plan's
+      -- decimal_exact path (double accumulation differs in the last
+      -- ulp between engines and flips knife-edge 6th decimals).
+      SELECT doc_id,
+             ((((CAST(-2.5 AS DECIMAL(18,6))
+                 + CAST(0.02 AS DECIMAL(18,6)) * CAST(n_tokens AS DECIMAL(18,6)))
+                + CAST(-0.3 AS DECIMAL(18,6)) * CAST(mean_word_len AS DECIMAL(18,6)))
+               + CAST(3.0 AS DECIMAL(18,6)) * CAST(stop_ratio AS DECIMAL(18,6)))
+              + CAST(-5.0 AS DECIMAL(18,6)) * CAST(digit_ratio AS DECIMAL(18,6)))
+             AS m
+      FROM feats
+    )
+    SELECT doc_id,
+           CAST(round(m, 6) AS DOUBLE) AS margin,
+           round(1.0 / (1.0 + exp(-CAST(m AS DOUBLE))), 6) AS model_prob,
+           m > 0 AS keep
+    FROM scored
+    """,
+)
+def quality_model_serve(spark, sf_dir):
+    """Serving half of the model-based quality filter with a frozen
+    coefficient vector: the learned weights inlined as literals into a
+    shuffle-free codegen projection (no vector UDF, no broadcast).
+    Deterministic ⇒ full DuckDB dot-product oracle; the stochastic
+    L-BFGS fit is exercised separately by quality_distilled_scores."""
+    from mr_lda_spark.operators import quality_model as qm
+
+    docs = _t(spark, sf_dir, "documents")
+    return qm.score_with_model(docs, _FROZEN_QUALITY_MODEL, decimal_exact=True)
+
+
 @register("quality_distilled_scores")
 def quality_distilled_scores(spark, sf_dir):
     """Model-based quality filter, full loop: distill an MLlib logistic
