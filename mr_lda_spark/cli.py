@@ -351,9 +351,10 @@ def cmd_display_document(args) -> None:
 
 def cmd_convert(args) -> None:
     """Mr.LDA SequenceFile interop (README.md:297 layout): ingest a
-    reference on-disk corpus / dictionary / title / alpha directory into
-    engine parquet, or export a parquet doc-form corpus back to
-    `SequenceFile<IntWritable, cc.mrlda.Document>` part files."""
+    reference on-disk corpus / dictionary / title / alpha / trained-beta
+    directory into engine parquet, or export a parquet doc-form corpus
+    (`SequenceFile<IntWritable, cc.mrlda.Document>`) or beta relation
+    (`SequenceFile<PairOfIntFloat, HMapIDW>`) back to part files."""
     from mr_lda_spark.sources import sequencefile as sf
 
     spark = _spark("mrlda-convert")
@@ -364,6 +365,7 @@ def cmd_convert(args) -> None:
             "term": sf.read_term_dict,
             "title": sf.read_title_index,
             "alpha": sf.read_alpha,
+            "beta": sf.read_beta,
         }[args.what]
         df = reader(spark, args.input)
         df.write.mode("overwrite").parquet(args.output)
@@ -372,9 +374,12 @@ def cmd_convert(args) -> None:
         # and re-decode every SequenceFile a second time.
         print(json.dumps({"rows": spark.read.parquet(args.output).count(),
                           "output": args.output}))
-    else:  # to-sequencefile (corpus only — the format the trainer reads)
-        corpus = spark.read.parquet(args.input)
-        n = sf.write_corpus(corpus, args.output, compression=args.compression)
+    else:  # to-sequencefile: corpus (trainer input) or trained-beta
+        df = spark.read.parquet(args.input)
+        if args.what == "beta":
+            n = sf.write_beta(df, args.output, compression=args.compression)
+        else:
+            n = sf.write_corpus(df, args.output, compression=args.compression)
         print(json.dumps({"part_files": n, "output": args.output}))
 
 
@@ -528,9 +533,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument(
         "--what",
-        choices=["corpus", "poly-corpus", "term", "title", "alpha"],
+        choices=["corpus", "poly-corpus", "term", "title", "alpha", "beta"],
         default="corpus",
-        help="which reference output layout to decode (to-parquet only)",
+        help="which reference output layout to decode / encode",
     )
     pc.add_argument("--input", required=True)
     pc.add_argument("--output", required=True)

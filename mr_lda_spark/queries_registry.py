@@ -191,6 +191,55 @@ def interop_sequencefile_roundtrip(spark, sf_dir):
 
 
 @register(
+    "interop_beta_roundtrip",
+    f"""
+    WITH stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
+    ), dict AS (
+      SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, term ASC) AS INT)
+               AS term_id, df, tf
+      FROM stats
+      WHERE df >= 0.02 * (SELECT count(*) FROM documents)
+    )
+    SELECT CAST(term_id % 4 AS INT) AS topic,
+           term_id,
+           round(-(tf / CAST(df AS DOUBLE)) - term_id * 0.001, 6) AS log_beta
+    FROM dict
+    """,
+)
+def interop_beta_roundtrip(spark, sf_dir):
+    """Trained-β interop, driver-checked end-to-end: derive a
+    deterministic β relation from the dictionary, EXPORT it to the
+    reference's `SequenceFile<PairOfIntFloat, HMapIDW>` layout
+    (TermReducer.java:232-235, record-compressed), re-INGEST with
+    read_beta, and hash-match the same values computed in DuckDB —
+    doubles survive the Writable round trip bit-exactly."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from mr_lda_spark.sources import sequencefile as seqf
+
+    _, _, _, _, dictionary = _parse_shared(spark, sf_dir)
+    beta = dictionary.select(
+        (F.col("term_id") % 4).cast("int").alias("topic"),
+        "term_id",
+        F.round(
+            -(F.col("tf") / F.col("df")) - F.col("term_id") * F.lit(0.001), 6
+        ).alias("log_beta"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"mrlda_beta_rt_{spark.sparkContext.applicationId}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    seqf.write_beta(beta, out, compression="record")
+    return seqf.read_beta(spark, out)
+
+
+@register(
     "parse_doc_stats",
     f"""
     WITH stats AS (

@@ -26,9 +26,23 @@ records/Writables with ``struct`` inside an Arrow-batched
 Supported encodings: uncompressed, RECORD-compressed, and
 BLOCK-compressed, with DefaultCodec (zlib) / GzipCodec — the reference
 compresses with the Hadoop defaults (`ParseCorpus.java:394,533`:
-setCompressOutput(true) → RECORD + DefaultCodec).  Trained-β import is
-deliberately out of scope: its value type is cloud9's `HMapIDW`, whose
-source is not available here to pin the wire format.
+setCompressOutput(true) → RECORD + DefaultCodec).
+
+Trained-β files (`SequenceFile<PairOfIntFloat, HMapIDW>`, written at
+`VariationalInference.java:346-348` / `TermReducer.java:186,232-235`)
+are supported too.  The two cloud9 Writables follow the library's
+uniform DataOutput layout (public cloud9 `edu.umd.cloud9.io` wire
+format, the same size-prefixed big-endian style `cc.mrlda.Document`
+uses, Document.java:241-263):
+
+- `PairOfIntFloat.write`: `int left, float right` — here
+  `(topic 1..K, digamma(Σ_v λ_kv))` (TermReducer.java:174);
+- `HMapIDW.write`: `int numEntries, (int key, double value)×n` — here
+  `term_id → digamma(λ_kv)` (TermReducer.java:196,215).
+
+The reference's own consumer recovers `E[log β] = map[term] − key.right`
+(DocumentMapper.importBeta:497-513, 1-based topics); `read_beta`
+applies the same normalization and 0-based topic shift.
 """
 
 from __future__ import annotations
@@ -71,6 +85,14 @@ INT_DOUBLE_SCHEMA = T.StructType(
     [
         T.StructField("id", T.IntegerType()),
         T.StructField("value", T.DoubleType()),
+    ]
+)
+
+BETA_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.IntegerType()),
+        T.StructField("term_id", T.IntegerType()),
+        T.StructField("log_beta", T.DoubleType()),
     ]
 )
 
@@ -131,7 +153,13 @@ def iter_records(data: bytes):
     """Yield raw ``(key_bytes, value_bytes)`` from one SequenceFile blob.
 
     Handles header v6, sync markers, and all three compression layouts.
+    A zero-length blob yields no records: MapReduce reducers routinely
+    produce empty part files (the reference even ships a
+    NonEmptySequenceFileOutputFormat to suppress them, SURVEY §2 S4),
+    and the part-* glob will pick any up.
     """
+    if len(data) == 0:
+        return
     if data[:3] != SEQ_MAGIC:
         raise ValueError("not a SequenceFile (missing SEQ magic)")
     version = data[3]
@@ -291,6 +319,19 @@ def _block_buffers(batch):
     return key_lens.getvalue(), keys.getvalue(), val_lens.getvalue(), vals.getvalue()
 
 
+def _iter_blob_records(path: str, blob) -> "tuple[bytes, bytes]":
+    """iter_records over one binaryFile row, naming the file on failure:
+    a truncated part file should say *which* file is bad, not abort the
+    whole distributed read with a bare struct error."""
+    data = bytes(blob)
+    try:
+        yield from iter_records(data)
+    except (ValueError, struct.error, zlib.error) as e:
+        raise ValueError(
+            f"corrupt or truncated SequenceFile {path!r}: {e}"
+        ) from None
+
+
 # --------------------------------------------------------------------------
 # Mr.LDA Writable payloads
 # --------------------------------------------------------------------------
@@ -349,6 +390,42 @@ def encode_poly_document(lang_term_ids, lang_term_counts, gamma=None) -> bytes:
     return out.getvalue()
 
 
+def decode_pair_int_float(key: bytes) -> tuple[int, float]:
+    """cloud9 `PairOfIntFloat.readFields`: `int left, float right`
+    big-endian (the uniform cloud9 pair layout)."""
+    return struct.unpack(">if", key[:8])
+
+
+def encode_pair_int_float(left: int, right: float) -> bytes:
+    """cloud9 `PairOfIntFloat.write`."""
+    return struct.pack(">if", int(left), float(right))
+
+
+def decode_hmap_idw(val: bytes) -> tuple[list[int], list[float]]:
+    """cloud9 `HMapIDW.readFields`: `int numEntries,
+    (int key, double value)×n` big-endian — the same size-prefixed
+    layout family as cc.mrlda.Document (Document.java:147-172)."""
+    n = struct.unpack_from(">i", val, 0)[0]
+    n = max(n, 0)
+    ids, values = [], []
+    off = 4
+    for _ in range(n):
+        k, v = struct.unpack_from(">id", val, off)
+        ids.append(k)
+        values.append(v)
+        off += 12
+    return ids, values
+
+
+def encode_hmap_idw(ids, values) -> bytes:
+    """cloud9 `HMapIDW.write`."""
+    out = io.BytesIO()
+    out.write(struct.pack(">i", len(ids)))
+    for k, v in zip(ids, values):
+        out.write(struct.pack(">id", int(k), float(v)))
+    return out.getvalue()
+
+
 def encode_document(
     term_ids, term_counts, gamma=None
 ) -> bytes:
@@ -378,7 +455,7 @@ def _binary_files(spark: SparkSession, path: str) -> DataFrame:
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "part-*")
         .load(path)
-        .select("content")
+        .select("path", "content")
     )
 
 
@@ -389,9 +466,9 @@ def read_corpus(spark: SparkSession, path: str) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            for blob in pdf["content"]:
+            for path, blob in zip(pdf["path"], pdf["content"]):
                 rows = {"doc_id": [], "term_ids": [], "term_counts": [], "gamma": []}
-                for key, val in iter_records(bytes(blob)):
+                for key, val in _iter_blob_records(path, blob):
                     rows["doc_id"].append(struct.unpack(">i", key)[0])
                     tids, counts, gamma = decode_document(val)
                     rows["term_ids"].append(tids)
@@ -425,14 +502,14 @@ def read_poly_corpus(spark: SparkSession, path: str) -> DataFrame:
 
     def decode(batches):
         for pdf in batches:
-            for blob in pdf["content"]:
+            for path, blob in zip(pdf["path"], pdf["content"]):
                 rows = {
                     "doc_id": [],
                     "lang_term_ids": [],
                     "lang_term_counts": [],
                     "gamma": [],
                 }
-                for key, val in iter_records(bytes(blob)):
+                for key, val in _iter_blob_records(path, blob):
                     rows["doc_id"].append(struct.unpack(">i", key)[0])
                     ids, counts, gamma = decode_poly_document(val)
                     rows["lang_term_ids"].append(ids)
@@ -447,9 +524,9 @@ def read_poly_corpus(spark: SparkSession, path: str) -> DataFrame:
 def _read_int_value(spark, path, decode_val, schema) -> DataFrame:
     def decode(batches):
         for pdf in batches:
-            for blob in pdf["content"]:
+            for path, blob in zip(pdf["path"], pdf["content"]):
                 ids, values = [], []
-                for key, val in iter_records(bytes(blob)):
+                for key, val in _iter_blob_records(path, blob):
                     ids.append(struct.unpack(">i", key)[0])
                     values.append(decode_val(val))
                 if ids:
@@ -486,6 +563,88 @@ def read_alpha(spark: SparkSession, path: str) -> DataFrame:
         INT_DOUBLE_SCHEMA,
     )
     return df.withColumnRenamed("id", "topic").withColumnRenamed("value", "alpha")
+
+
+def read_beta(spark: SparkSession, path: str) -> DataFrame:
+    """Read a trained-β directory (`SequenceFile<PairOfIntFloat,
+    HMapIDW>`, one record per topic, VariationalInference.java:346-348)
+    into the engine's flat BETA relation (topic, term_id, log_beta).
+
+    Matches the reference's own import math (DocumentMapper.importBeta:
+    497-513): file topics are 1-based → shifted to 0-based; the stored
+    per-term value is `digamma(λ_kv)` and the key's float is
+    `digamma(Σ_v λ_kv)` (TermReducer.java:174,196), so
+    `log_beta = value − key.right` — exactly E[log β | λ]."""
+
+    def decode(batches):
+        for pdf in batches:
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                rows = {"topic": [], "term_id": [], "log_beta": []}
+                for key, val in _iter_blob_records(path_, blob):
+                    topic1, log_norm = decode_pair_int_float(key)
+                    ids, values = decode_hmap_idw(val)
+                    rows["topic"].extend([topic1 - 1] * len(ids))
+                    rows["term_id"].extend(ids)
+                    rows["log_beta"].extend(v - log_norm for v in values)
+                if rows["topic"]:
+                    yield pd.DataFrame(rows)
+
+    return _binary_files(spark, path).mapInPandas(decode, schema=BETA_SCHEMA)
+
+
+def write_beta(
+    beta: DataFrame,
+    path: str,
+    compression: str | None = "record",
+) -> int:
+    """Export a flat BETA relation back to the reference's on-disk β
+    layout.  Written with key = (topic+1, 0.0f) and value map
+    term_id → log_beta: `importBeta` subtracts the key's float, so a
+    zero normalizer round-trips our E[log β] values bit-exactly, and
+    DisplayTopic's per-topic ranking (DisplayTopic.java:119-127) is
+    unchanged (it is invariant to a per-topic additive constant).
+
+    One record per topic, as the reference's reducer emits
+    (TermReducer.java:232-235): rows hash-partition by topic so a
+    topic's vocabulary row-set lands in one task — the same per-topic
+    memory footprint as the reference's own HMapIDW accumulation.
+    Returns the number of part files written."""
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(beta.sparkSession)
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(idx, rows):
+        groups: dict[int, tuple[list[int], list[float]]] = {}
+        for r in rows:
+            ids, values = groups.setdefault(int(r["topic"]), ([], []))
+            ids.append(int(r["term_id"]))
+            values.append(float(r["log_beta"]))
+        if not groups:
+            return
+        recs = (
+            (
+                encode_pair_int_float(topic + 1, 0.0),
+                encode_hmap_idw(*groups[topic]),
+            )
+            for topic in sorted(groups)
+        )
+        with open(os.path.join(path, f"part-{idx:05d}"), "wb") as fh:
+            write_records(
+                fh,
+                recs,
+                "edu.umd.cloud9.io.pair.PairOfIntFloat",
+                "edu.umd.cloud9.io.map.HMapIDW",
+                compression=compression,
+            )
+        yield idx
+
+    parts = (
+        beta.repartition("topic")
+        .rdd.mapPartitionsWithIndex(write_partition)
+        .collect()
+    )
+    return len(parts)
 
 
 def write_corpus(
