@@ -243,9 +243,13 @@ def domain_cap(
     dominating a pretraining mix.
 
     Plan: one window partitioned BY DOMAIN (thousands of independent
-    partitions — never a global sort); with a skewed giant domain the
-    rank still distributes because the window key is the domain and
-    AQE splits oversized partitions.
+    partitions — never a global sort).  Note a mega-domain IS a
+    straggler here: row_number needs all of one domain's rows in one
+    task, and AQE skew mitigation applies to joins/rebalance, not
+    window partitions.  If a single domain dwarfs the rest, the
+    standard mitigation is a salted two-phase cap: per-(domain, salt)
+    top-``max_per_domain`` first, then this exact cap over the
+    survivors (≤ salt_buckets × max_per_domain rows per domain).
     """
     from pyspark.sql import Window
 
@@ -267,6 +271,7 @@ def interleave_domains(
     domain_col: str = "source",
     key_col: str = "doc_id",
     salt: str = "interleave",
+    scalable: bool = True,
 ) -> DataFrame:
     """Domain-interleaved training order: round-robin across domains so
     consecutive examples come from different sources (batch
@@ -275,24 +280,32 @@ def interleave_domains(
     Each doc gets ``round`` = its position within its domain (ordered
     by hash) and ``interleave_pos`` = rank over (round, hash) — i.e.
     all domains' round-0 docs first (hash-shuffled), then round-1, etc.
-    Two windows: one partitioned by domain, one partitioned by nothing
-    BUT ranking only (round, hash) pairs — at 100 TB emit shard-local
-    order instead by composing with ``shuffle_shards`` (the global rank
-    here is for small curated subsets / oracle checkability).
+
+    The per-domain round is a window partitioned by domain (independent
+    partitions).  The global position is NOT a global window: with
+    ``scalable=True`` (default) it is ``parse.assign_dense_ids`` —
+    range-partition on (round, hash, key), rank within partitions, add
+    per-partition offsets from a tiny (pid, count) collect.  Identical
+    ids to a global row_number, fully parallel at any corpus size.
+    ``scalable=False`` keeps the simple single-partition window for
+    tiny curated subsets.
     """
     from pyspark.sql import Window
+
+    from mr_lda_spark.operators.parse import assign_dense_ids
 
     h = F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string")))
     with_h = docs.withColumn("_h", h)
     w_dom = Window.partitionBy(domain_col).orderBy("_h", key_col)
-    w_all = Window.orderBy("round", "_h", key_col)
-    return (
-        with_h.withColumn(
-            "round", (F.row_number().over(w_dom) - 1).cast("int")
-        )
-        .withColumn("interleave_pos", F.row_number().over(w_all).cast("int"))
-        .drop("_h")
+    rounds = with_h.withColumn(
+        "round", (F.row_number().over(w_dom) - 1).cast("int")
     )
+    return assign_dense_ids(
+        rounds,
+        ["round", "_h", key_col],
+        id_col="interleave_pos",
+        scalable=scalable,
+    ).drop("_h")
 
 
 def upsample(

@@ -253,3 +253,12 @@ def test_registry_sweep_no_cartesian_no_pickled_udf(spark):
             offenders.append((name, "CartesianProduct"))
     assert swept >= 60, f"sweep unexpectedly small: {swept}"
     assert not offenders, offenders
+
+
+def test_interleave_domains_no_global_sort(spark):
+    """VERDICT r3 #4: the interleave position must come from the
+    range-partitioned rank + offset join, never a single-partition
+    global window — no Exchange SinglePartition anywhere in the plan."""
+    plan, _ = _plan(spark, "curation_interleave_domains")
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan
