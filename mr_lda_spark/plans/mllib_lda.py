@@ -21,10 +21,15 @@ def corpus_to_vectors(corpus_doc: DataFrame, num_terms: int) -> DataFrame:
     Dictionary ids are 1-based (index 0 reserved, README.md:61); MLlib
     vectors are 0-based, so slot v holds term_id v (size V+1, slot 0
     always empty) to keep the id mapping trivial.
+
+    Arrow-batched (``useArrow=True`` → ArrowEvalPython): the inputs
+    cross to Python as Arrow columns, not pickled rows — VectorUDT has
+    no built-in constructor expression, so a Python UDF is unavoidable
+    here, but it need not be the row-serialized kind.
     """
     size = num_terms + 1
 
-    @F.udf(returnType=VectorUDT())
+    @F.udf(returnType=VectorUDT(), useArrow=True)
     def to_vec(term_ids, term_counts):
         pairs = sorted(zip(term_ids, term_counts))
         return Vectors.sparse(

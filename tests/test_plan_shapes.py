@@ -262,3 +262,20 @@ def test_interleave_domains_no_global_sort(spark):
     plan, _ = _plan(spark, "curation_interleave_domains")
     assert "SinglePartition" not in plan
     assert "rangepartitioning" in plan
+
+
+def test_mllib_vector_assembly_is_arrow_batched(spark):
+    """VERDICT r3 #5: the MLlib cross-check's vector assembly must not
+    be a row-pickled Python UDF — Arrow-batched (ArrowEvalPython) only.
+    This extends the no-pickled-UDF sweep to the lda_-prefixed path the
+    registry sweep skips."""
+    from mr_lda_spark.plans.mllib_lda import corpus_to_vectors
+
+    corpus = spark.createDataFrame(
+        [(1, [1, 3], [2, 1]), (2, [2], [5])],
+        "doc_id long, term_ids array<int>, term_counts array<int>",
+    )
+    vecs = corpus_to_vectors(corpus, num_terms=4)
+    plan = vecs._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
