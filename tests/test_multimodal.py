@@ -72,3 +72,88 @@ def test_extract_audio_features(spark, media):
     assert {r["media_id"]: r["feature"] for r in out} == {
         r["media_id"]: r["feature"] for r in again
     }
+
+
+def test_wav_roundtrip_real_bytes():
+    """encode_wav_pcm8 writes an actual RIFF/WAV the stdlib wave module
+    (an independent parser) reads back sample-exact."""
+    import numpy as np
+
+    data = bytes(range(200)) * 3
+    payload = mm.encode_wav_pcm8(data, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    w = mm.decode_wav(payload)
+    assert w["sample_rate"] == 8000
+    assert w["n_channels"] == 1 and w["sample_width"] == 1
+    assert w["n_frames"] == len(data)
+    assert bytes(w["samples"]) == data
+    # sniffing: decode_audio takes the REAL path (no fake flag needed)
+    feat = mm.decode_audio(payload)
+    assert feat.shape == (32,) and abs(feat.sum() - 1.0) < 1e-6
+
+
+def test_png_roundtrip_real_bytes():
+    """encode_png_gray8 writes a spec-valid PNG; the chunk-walking
+    decoder recovers the pixels exactly, and CRCs verify."""
+    import binascii
+    import struct as st
+
+    import numpy as np
+
+    px = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    payload = mm.encode_png_gray8(px)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    # independently verify every chunk CRC per the PNG spec
+    off = 8
+    tags = []
+    while off < len(payload):
+        (length,) = st.unpack_from(">I", payload, off)
+        tag = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + length]
+        (crc,) = st.unpack_from(">I", payload, off + 8 + length)
+        assert binascii.crc32(tag + body) & 0xFFFFFFFF == crc, tag
+        tags.append(tag)
+        off += 12 + length
+    assert tags == [b"IHDR", b"IDAT", b"IEND"]
+    back = mm.decode_png_gray8(payload)
+    assert (back == px).all()
+    feat = mm.decode_image(payload)
+    assert feat.shape == (64,)
+    assert feat[1] == pytest.approx(1 / 255.0)
+
+
+def test_real_media_stats_match_source_text(spark):
+    """wav/png stats decoded from real payloads equal values computed
+    straight from the source text — the decode is faithful."""
+    docs = spark.createDataFrame(
+        [(0, "abcd" * 100), (1, "xy"), (2, "zzz"), (3, "q" * 10),
+         (4, "hello world")],
+        "doc_id long, text string",
+    )
+    media = mm.real_media_from_documents(docs)
+    wav = {r["media_id"]: r for r in mm.wav_waveform_stats(media).collect()}
+    assert set(wav) == {1, 4}  # doc_id % 3 == 1
+    t4 = "hello world".encode()
+    assert wav[4]["n_frames"] == len(t4)
+    assert wav[4]["mean_amp"] == pytest.approx(sum(t4) / len(t4), abs=1e-6)
+    assert wav[1]["sample_rate"] == 8000
+    png = {r["media_id"]: r for r in mm.png_image_stats(media).collect()}
+    assert set(png) == {0, 3}
+    t0 = ("abcd" * 100).encode()[:256]
+    assert png[0]["width"] == 16 and png[0]["height"] == 16
+    assert png[0]["mean_pixel"] == pytest.approx(sum(t0) / 256.0, abs=1e-6)
+    t3 = ("q" * 10).encode()  # shorter than 256 -> zero padded
+    assert png[3]["mean_pixel"] == pytest.approx(sum(t3) / 256.0, abs=1e-6)
+
+
+def test_decode_rejects_unsupported_png_features():
+    import struct as st
+
+    import numpy as np
+
+    px = np.zeros((4, 4), dtype=np.uint8)
+    payload = bytearray(mm.encode_png_gray8(px))
+    # flip color type to RGB in IHDR (offset: 8 sig + 8 len/tag + 9th byte)
+    payload[8 + 8 + 9] = 2
+    with pytest.raises(NotImplementedError):
+        mm.decode_png_gray8(bytes(payload))
