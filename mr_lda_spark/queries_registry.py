@@ -2096,9 +2096,7 @@ def lda_topic_coherence(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
-@register(
-    "similarity_cosine_topk",
-    f"""
+_SQL_EXACT_TOPK = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {SIM_QUERIES}),
     scored AS (
@@ -2116,14 +2114,45 @@ def lda_topic_coherence(spark, sf_dir):
                                 ORDER BY cos DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= {SIM_K}
-    """,
-)
+    """
+
+
+@register("similarity_cosine_topk", _SQL_EXACT_TOPK)
 def similarity_cosine_topk(spark, sf_dir):
     """Exact brute-force ANN baseline: broadcast queries, codegen dot
     products, per-query rank window."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
     return similarity.cosine_topk(emb, queries, k=SIM_K)
+
+
+@register("similarity_ivf_fullprobe_topk", _SQL_EXACT_TOPK)
+def similarity_ivf_fullprobe_topk(spark, sf_dir):
+    """IVF ANN at full probe (n_probe = n_centroids): probing every
+    cell makes the candidate set the whole corpus, so the result must
+    EQUAL the exact top-k — hash-checked against the same DuckDB
+    oracle as similarity_cosine_topk.  This driver-greens the IVF
+    machinery itself (assign, probe explode, candidate join, re-rank);
+    recall at partial probe is pinned by seeded pytest recall tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.ivf_topk(
+        emb, queries, k=SIM_K, n_centroids=16, n_probe=16
+    )
+
+
+@register("similarity_ivf_kmeans_fullprobe_topk", _SQL_EXACT_TOPK)
+def similarity_ivf_kmeans_fullprobe_topk(spark, sf_dir):
+    """Full-probe IVF with the k-means-trained quantizer: same
+    exact-equivalence contract as similarity_ivf_fullprobe_topk, also
+    driver-greening the codebook-training path (bounded one-pass
+    bottom-k sample, Lloyd iterations)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    cents = similarity.kmeans_centroids(emb, n_centroids=16)
+    return similarity.ivf_topk(
+        emb, queries, k=SIM_K, n_centroids=16, n_probe=16, centroids=cents
+    )
 
 
 @register(
