@@ -79,34 +79,59 @@ def tokenize(
     return tokens
 
 
-def _analyzer_token_col(analyzer, col, batched: bool):
-    """Resolve the U1 analyzer into a token-array Column (see
-    ``tokenize``).  Column-native analyzers are probed first — if
-    calling the analyzer on the Column yields a Column, no Python ever
-    runs; otherwise it becomes ONE Arrow-batched pandas_udf.
-
-    A probe failure on an analyzer that DECLARES a Column signature
-    (parameter or return annotated ``Column``) re-raises: silently
-    demoting a buggy Column-native analyzer to per-row Python would
-    mask the real defect and lose the documented zero-Python path."""
+def _analyzer_hints(analyzer) -> list[str]:
     import inspect
 
+    try:
+        sig = inspect.signature(analyzer)
+        return [str(p.annotation) for p in sig.parameters.values()] + [
+            str(sig.return_annotation)
+        ]
+    except (TypeError, ValueError):
+        return []
+
+
+def _analyzer_token_col(analyzer, col, batched: bool):
+    """Resolve the U1 analyzer into a token-array Column (see
+    ``tokenize``).  Resolution order:
+
+    1. **Signature annotations first** — an analyzer annotated with
+       ``Column`` (parameter or return) is called directly as
+       Column-native, and any error it raises propagates (silently
+       demoting a buggy Column analyzer to per-row Python would mask
+       the defect and lose the zero-Python path).  One annotated with
+       anything else (``str``, ``pd.Series``, …) goes straight to the
+       pandas path WITHOUT ever being invoked at plan time — a
+       side-effectful plain analyzer must not be probed with a Column
+       argument it never expected.
+    2. **Call-and-see probe as the fallback** for un-annotated
+       callables only: if calling it on the Column yields a Column,
+       it's Column-native; otherwise it becomes ONE Arrow-batched
+       pandas_udf.
+    """
     from pyspark.sql import Column
 
-    try:
+    hints = _analyzer_hints(analyzer)
+    if any("Column" in h for h in hints):
         out = analyzer(col)
-        if isinstance(out, Column):
-            return out
-    except Exception:
+        if not isinstance(out, Column):
+            raise TypeError(
+                "analyzer is annotated Column-native but returned "
+                f"{type(out).__name__}, not a Column"
+            )
+        return out
+    annotated_non_column = any(
+        h not in ("<class 'inspect._empty'>", "inspect.Parameter.empty")
+        and "empty" not in h
+        for h in hints
+    )
+    if not annotated_non_column:
         try:
-            hints = [
-                str(p.annotation)
-                for p in inspect.signature(analyzer).parameters.values()
-            ] + [str(inspect.signature(analyzer).return_annotation)]
-        except (TypeError, ValueError):
-            hints = []
-        if any("Column" in h for h in hints):
-            raise
+            out = analyzer(col)
+            if isinstance(out, Column):
+                return out
+        except Exception:
+            pass
 
     if batched:
         def fn(s: pd.Series) -> pd.Series:

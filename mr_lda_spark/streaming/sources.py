@@ -19,7 +19,6 @@ entry points.  Three sources behind one call:
 
 from __future__ import annotations
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -94,19 +93,48 @@ def read_stream(
             # generator variants — e.g. events.ts as nanos-INT64 vs
             # TIMESTAMP — are typed as they actually are instead of
             # trusting the static default; EVENTS_SCHEMA remains the
-            # fallback for an EMPTY landing directory only.  The legacy
-            # conf must be set BEFORE the probe: nanos-TIMESTAMP parquet
-            # is rejected by schema inference without it, which would
-            # otherwise send exactly the variant this probe exists for
-            # down the wrong-schema fallback.
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            try:
+            # fallback for an empty/unreadable landing directory.
+            #
+            # Conf discipline (ADVICE r3): probe plainly first, so a
+            # session reading ordinary parquet never has the legacy
+            # nanosAsLong conf flipped as a side effect of *defining* a
+            # stream.  Only when the plain probe fails do we retry with
+            # the conf set — nanos-TIMESTAMP parquet is rejected by
+            # schema inference without it — and if that retry succeeds
+            # the conf deliberately STAYS set: the streaming scan that
+            # executes later needs it for exactly those files.  If the
+            # retry also fails, the previous conf value is restored and
+            # the static schema is the fallback (any probe failure, not
+            # just AnalysisException — a corrupt footer should not
+            # abort stream definition where the static-schema path
+            # works).
+            def _probe():
                 reader = spark.read
                 if glob is not None:
                     reader = reader.option("pathGlobFilter", glob)
-                schema = reader.parquet(path).schema
-            except AnalysisException:
-                schema = EVENTS_SCHEMA
+                return reader.parquet(path).schema
+
+            conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+            try:
+                schema = _probe()
+            except Exception as first_err:
+                prev = spark.conf.get(conf_key, None)
+                try:
+                    spark.conf.set(conf_key, "true")
+                    schema = _probe()
+                except Exception:
+                    if prev is None:
+                        spark.conf.unset(conf_key)
+                    else:
+                        spark.conf.set(conf_key, prev)
+                    import warnings
+
+                    warnings.warn(
+                        f"stream schema probe failed for {path!r} "
+                        f"({type(first_err).__name__}: {first_err}); "
+                        "falling back to the static EVENTS_SCHEMA"
+                    )
+                    schema = EVENTS_SCHEMA
         reader = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)

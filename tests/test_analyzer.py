@@ -79,3 +79,38 @@ def test_named_analyzer_registry(spark, documents):
     assert rows and all(r["term"] == r["term"].lower() for r in rows)
     with _pytest.raises(ValueError, match="unknown analyzer"):
         analyzers.by_name("nope")
+
+
+def test_str_annotated_analyzer_never_probed_with_column(spark):
+    """ADVICE r3: a plain str->list analyzer must not be invoked with a
+    Column at plan time — annotation routes it straight to the pandas
+    path, so plan-time call count stays zero."""
+    from mr_lda_spark.operators import parse
+
+    calls = []
+
+    def counting(text: str) -> list:
+        calls.append(type(text).__name__)
+        return text.split("|")
+
+    docs = spark.createDataFrame([(1, "a|b")], "doc_id long, text string")
+    toks = parse.tokenize(docs, analyzer=counting)  # plan only
+    assert calls == []  # not probed at plan time
+    assert sorted(r["term"] for r in toks.collect()) == ["a", "b"]
+    assert all(c == "str" for c in calls)  # executor-side: real strings only
+
+
+def test_buggy_column_annotated_analyzer_raises(spark):
+    """A Column-annotated analyzer that misbehaves must raise at plan
+    time, not silently demote to the Python path."""
+    import pytest
+    from pyspark.sql import Column
+
+    from mr_lda_spark.operators import parse
+
+    def bad(text: Column) -> Column:
+        return ["not", "a", "column"]
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(TypeError, match="Column-native"):
+        parse.tokenize(docs, analyzer=bad)

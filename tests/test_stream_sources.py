@@ -56,3 +56,39 @@ def test_kafka_gated_with_clear_error(spark):
         sources.read_stream(
             spark, "kafka", bootstrap_servers="b:9092", topic="t"
         )
+
+
+def test_probe_conf_discipline(spark, tmp_path):
+    """ADVICE r3: defining a stream over ordinary parquet must not flip
+    the session-wide nanosAsLong conf; an unreadable path falls back to
+    EVENTS_SCHEMA with a warning (any failure, not just
+    AnalysisException), leaving the conf untouched."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.unset(key)
+    except Exception:
+        pass
+    try:
+        # ordinary parquet: probe succeeds without the conf
+        p = str(tmp_path / "plain")
+        spark.range(3).select(
+            F.col("id").alias("event_id")
+        ).write.parquet(p)
+        df = sources.read_stream(spark, "file", path=p)
+        assert df.isStreaming
+        assert spark.conf.get(key, None) is None
+
+        # corrupt footer: warn + static fallback (not just
+        # AnalysisException), conf untouched, stream still defined
+        bad = tmp_path / "corrupt"
+        bad.mkdir()
+        (bad / "junk.parquet").write_bytes(b"not a parquet file at all")
+        with pytest.warns(UserWarning, match="schema probe failed"):
+            df2 = sources.read_stream(spark, "file", path=str(bad))
+        assert df2.isStreaming
+        assert df2.schema == sources.EVENTS_SCHEMA
+        assert spark.conf.get(key, None) is None
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
