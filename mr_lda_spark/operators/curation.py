@@ -89,6 +89,43 @@ def curate(
     return final
 
 
+def adaptive_quality_filter(
+    docs: DataFrame,
+    group_col: str = "source",
+    quantile: float = 0.5,
+) -> DataFrame:
+    """Per-group adaptive quality gate: keep documents scoring at or
+    above their OWN group's quality quantile, instead of one global
+    threshold.  This is the standard fix for mixed-domain corpora —
+    a fixed threshold either guts low-scoring-but-valuable domains
+    (code, math) or lets spam through high-scoring ones.
+
+    Plan: score once (pure codegen), reduce each group to a single
+    exact interpolated percentile (map-side partial agg → one tiny
+    row per group), broadcast the thresholds back over the scored
+    stream.  The corpus itself never shuffles — at 100 TB the only
+    exchanged data is #groups rows.  No window over the full corpus
+    (a percent_rank formulation would shuffle every row into
+    per-group sort partitions for the same answer).
+    """
+    from mr_lda_spark.operators.textops import quality_scores
+
+    scored = quality_scores(docs, keep_cols=(group_col,))
+    thr = scored.groupBy(group_col).agg(
+        F.expr(f"percentile(quality_score, {quantile})").alias("thr")
+    )
+    return (
+        scored.join(F.broadcast(thr), group_col)
+        .filter(F.col("quality_score") >= F.col("thr"))
+        .select(
+            group_col,
+            "doc_id",
+            "quality_score",
+            F.round("thr", 6).alias("group_threshold"),
+        )
+    )
+
+
 def hash_sample(
     docs: DataFrame,
     fraction: float,

@@ -482,6 +482,83 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str =
     )
 
 
+def semdedup_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    threshold: float = 0.5,
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    partition the embedding space into clusters, then find high-cosine
+    pairs ONLY within each cluster — the cluster partition turns the
+    quadratic all-pairs search into sum-of-squares over cluster sizes.
+
+    Clusters here are the per-label centroids (``label_centroids``),
+    which keeps the whole computation deterministic and
+    oracle-checkable; at scale the label column is a k-means assignment
+    (``kmeans_centroids`` + ``ivf_assign``) and everything downstream
+    is identical.
+
+    Plan shape (the 100 TB story):
+    - centroids: one posexplode shuffle keyed on (label, pos) — tiny.
+    - assignment: broadcast the K centroid arrays against the corpus
+      (one scan, no corpus shuffle), argmax via a per-vector rank
+      window (fine-grained keys, never a global sort).
+    - pairs: equi-join on cluster id — fan-out bounded by the largest
+      cluster; a mega-cluster is handled by raising K (SemDeDup's own
+      prescription), not by capping here, so recall is exact within
+      the partition by construction.
+    Cross-cluster pairs are invisible by design — that is SemDeDup's
+    documented recall trade.
+    """
+    cent = label_centroids(emb, vec_col=vec_col, label_col=label_col)
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "centroid"))),
+            lambda s: s["centroid"],
+        ).alias("cv")
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    scored = vecs.crossJoin(
+        F.broadcast(cent_arr.select(F.col("label").alias("cluster"), "cv"))
+    ).select(
+        "vec_id",
+        "cluster",
+        "v",
+        (_dot(F.col("v"), F.col("cv")) / (_norm(F.col("v")) * _norm(F.col("cv")))).alias(
+            "cos_c"
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster", "vec_id", "v")
+        .persist()  # feeds both sides of the within-cluster self-join
+    )
+    a = assigned.select(
+        "cluster", F.col("vec_id").alias("a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        "cluster", F.col("vec_id").alias("b"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", _pair_cos(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(
+            "cluster", "a", "b", F.round("cos", round_to).alias("cos_sim")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ): compressed-domain ANN scoring
 # --------------------------------------------------------------------------

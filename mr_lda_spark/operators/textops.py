@@ -72,12 +72,17 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_scores(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
     """Heuristic quality features + a composite score.
 
     Classic Gopher/C4-style cheap filters: length, mean word length,
     stop-word density, digit/symbol density.  All arithmetic stays in
     codegen; score is rounded for cross-engine determinism.
+    ``keep_cols`` passes extra columns through the projection so
+    downstream group-wise consumers never need a corpus-sized
+    join-back on doc_id.
     """
     text = F.col(text_col)
     toks = _tokens(text)
@@ -98,6 +103,7 @@ def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *keep_cols,
         n_tok.alias("n_tokens"),
         F.round(mean_word_len, 6).alias("mean_word_len"),
         F.round(stop_ratio, 6).alias("stop_ratio"),

@@ -851,6 +851,52 @@ def events_sessionize(spark, sf_dir):
 
 
 @register(
+    "events_sessionize_stream",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sid AS (
+      SELECT *,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sid GROUP BY user_id, session_id
+    """,
+)
+def events_sessionize_stream(spark, sf_dir):
+    """Genuine streaming session windows: the built-in
+    ``session_window`` stateful aggregation (watermark-bounded gap
+    merge) drained with availableNow.  Boundary semantics pinned by
+    test: an event exactly ``gap`` after the previous one MERGES, so
+    the batch/oracle twin's strict ``> gap`` new-session rule is
+    exact.  Full-precision (microsecond) gap comparison on both
+    sides."""
+    import uuid
+
+    from mr_lda_spark.streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_stream_to_batch(
+        se.sessionize_stream(stream),
+        f"sess_{uuid.uuid4().hex[:8]}",
+    )
+
+
+@register(
     "events_hourly_stream",
     """
     SELECT event_type,
@@ -1551,6 +1597,36 @@ def curation_quality_filter(spark, sf_dir):
 
 
 @register(
+    "curation_adaptive_quality",
+    f"""
+    WITH q AS ({_SQL_QUALITY}),
+    qq AS (
+      SELECT d.source, q.doc_id, q.quality_score
+      FROM q JOIN documents d USING (doc_id)
+    ),
+    thr AS (
+      SELECT source, quantile_cont(quality_score, 0.5) AS thr
+      FROM qq GROUP BY source
+    )
+    SELECT qq.source, qq.doc_id, qq.quality_score,
+           round(thr.thr, 6) AS group_threshold
+    FROM qq JOIN thr USING (source)
+    WHERE qq.quality_score >= thr.thr
+    """,
+)
+def curation_adaptive_quality(spark, sf_dir):
+    """Per-source adaptive quality gate: each source keeps its docs at
+    or above its OWN median quality — the mixed-domain fix a single
+    global threshold can't express.  One corpus scan, per-group scalar
+    thresholds broadcast back; no corpus shuffle."""
+    from mr_lda_spark.operators.curation import adaptive_quality_filter
+
+    return adaptive_quality_filter(
+        _t(spark, sf_dir, "documents"), group_col="source", quantile=0.5
+    )
+
+
+@register(
     "embedding_label_centroids",
     """
     SELECT label, CAST(i - 1 AS INT) AS pos,
@@ -2242,6 +2318,52 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     construction < 1 — floor asserted in tests)."""
     return similarity.embedding_near_dupes(
         _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "dedup_semdedup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    cent_tall AS (
+      SELECT label AS cluster, i AS pos, round(avg(v[i]), 6) AS c
+      FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    cent AS (
+      SELECT cluster, list(c ORDER BY pos) AS cv FROM cent_tall GROUP BY 1
+    ),
+    assign AS (
+      SELECT vec_id, cluster, v FROM (
+        SELECT e.vec_id, cent.cluster, e.v,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(e.v, cent.cv)
+                          / (sqrt(list_dot_product(e.v, e.v))
+                             * sqrt(list_dot_product(cent.cv, cent.cv))) DESC,
+                 cent.cluster ASC) AS rk
+        FROM e CROSS JOIN cent
+      ) WHERE rk = 1
+    )
+    SELECT cluster, a, b, round(cos, 4) AS cos_sim FROM (
+      SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+             list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))) AS cos
+      FROM assign x JOIN assign y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    ) WHERE cos >= 0.35
+    """,
+)
+def dedup_semdedup_pairs(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): cluster-partitioned semantic
+    near-dup pairs — assign each vector to its nearest deterministic
+    centroid, then exact cosine pairs within each cluster only.  The
+    oracle replays the identical centroid/assign/pair computation in
+    DuckDB list algebra."""
+    return similarity.semdedup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
     )
 
 

@@ -135,3 +135,39 @@ def test_interleave_domains_rotates_and_is_deterministic(spark):
     for start in range(0, 40, 4):
         block = {r["source"] for r in a[start : start + 4]}
         assert len(block) == 4
+
+
+def test_adaptive_quality_filter_per_group_median(spark):
+    # Two sources with clearly different score distributions: each
+    # keeps its own >= median half, not a global cut.
+    rows = []
+    for i in range(8):
+        # "good" source: long, stop-wordy docs (high score).
+        rows.append((i, "the quick brown fox jumps over a lazy dog " * (i + 3), "web"))
+    for i in range(8):
+        # "short" source: terse low-score docs.
+        rows.append((100 + i, "x" + " y" * (5 + i), "logs"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.adaptive_quality_filter(docs, group_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # Both groups survive with their own thresholds.
+    assert set(by_src) == {"web", "logs"}
+    thr = {s: rs[0]["group_threshold"] for s, rs in by_src.items()}
+    assert thr["web"] != thr["logs"]
+    for s, rs in by_src.items():
+        assert all(r["quality_score"] >= thr[s] for r in rs)
+        # Median gate keeps at least half, never everything (scores differ).
+        assert 4 <= len(rs) <= 8
+
+
+def test_adaptive_quality_filter_plan_no_corpus_shuffle(spark):
+    docs = spark.createDataFrame(
+        [(1, "the a of and to in is it words here", "s1")],
+        "doc_id long, text string, source string",
+    )
+    plan = curation.adaptive_quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    # Thresholds come back via broadcast, not a shuffled corpus join.
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -210,3 +210,56 @@ def test_codebook_training_never_counts_corpus(spark, emb):
     assert cents.shape[0] == 4
     books = similarity.pq_train(_NoCountDF(emb), n_subspaces=8, n_codes=8)
     assert books.shape[:2] == (8, 8)
+
+
+def test_semdedup_finds_planted_within_cluster_dupes(spark):
+    """Planted near-copies sharing a label are found; a cross-cluster
+    near-copy is invisible by design (SemDeDup's recall trade)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    protos = rng.standard_normal((3, 16)) * 4
+    rows = []
+    vid = 0
+    for lbl in range(3):
+        for _ in range(6):
+            v = protos[lbl] + 0.3 * rng.standard_normal(16)
+            rows.append((vid, [float(x) for x in v], lbl))
+            vid += 1
+    # Planted exact near-copy inside label 0 (vec 0 and vec 100).
+    rows.append((100, [float(x) for x in protos[0] + 0.01 * rng.standard_normal(16)], 0))
+    # Same vector but mislabeled into cluster 1 -> cross-cluster, invisible.
+    rows.append((101, [float(x) for x in protos[0] + 0.01 * rng.standard_normal(16)], 1))
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>, label int"
+    )
+    pairs = similarity.semdedup_pairs(df, threshold=0.95).collect()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 100) in got
+    # 101 sits nearest cluster 0's centroid despite label 1 -> assignment
+    # follows geometry, so (0, 101) is ALSO found in cluster 0.
+    assert (0, 101) in got
+    for r in pairs:
+        assert r["cos_sim"] >= 0.95
+
+
+def test_semdedup_cluster_partition_bounds_pairs(spark):
+    """Every reported pair is within one cluster: pair count is bounded
+    by sum-of-squares of cluster sizes, never the corpus square."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    protos = rng.standard_normal((4, 8)) * 10
+    rows = []
+    for i in range(40):
+        lbl = i % 4
+        v = protos[lbl] + 0.2 * rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v], lbl))
+    df = spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<double>, label int"
+    )
+    pairs = similarity.semdedup_pairs(df, threshold=-1.0).collect()
+    # threshold=-1 keeps every within-cluster pair: 4 clusters x C(10,2).
+    assert len(pairs) == 4 * 45
+    clusters = {r["cluster"] for r in pairs}
+    assert clusters == {0, 1, 2, 3}

@@ -91,3 +91,30 @@ def test_segment_revenue_stream_matches_batch(spark):
     assert sorted(map(tuple, result.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Pins the boundary rule the events_sessionize_stream oracle
+    depends on: an event exactly ``gap`` after the previous one MERGES
+    into the session (so new-session requires a STRICTLY greater
+    gap)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base),
+        (1, base + dt.timedelta(seconds=1800)),  # exact gap -> merge
+        (2, base),
+        (2, base + dt.timedelta(seconds=1800.000001)),  # just over -> split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n"])
+    assert per_user[1] == [2]
+    assert sorted(per_user[2]) == [1, 1]
