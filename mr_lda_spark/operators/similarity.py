@@ -559,6 +559,68 @@ def semdedup_pairs(
     )
 
 
+def random_projection(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    salt: str = "rp",
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC ±1 projection (Achlioptas 2001 sign matrix, entries
+    derived from md5 so every engine/run/partitioning regenerates the
+    identical matrix — same idea as ``hash_sample``).
+
+    y[o] = Σ_p sign(o,p)·x[p] / √out_dim, sign = ±1 by md5 parity of
+    "salt:o:p".  Returns tall (vec_id, out_dim, rp_value) rows.
+
+    Plan: the out_dim×in_dim sign matrix is built from two tiny
+    ``spark.range`` cross products and BROADCAST; vectors posexplode
+    and aggregate per (vec_id, o) — one shuffle keyed on fine-grained
+    (vec_id, o), map-side partial sums.  At 100 TB nothing is
+    driver-side and the matrix is a few KB however wide the corpus.
+    Use it in front of the LSH/IVF paths when the raw dimensionality
+    makes per-pair folds the dominant cost.
+    """
+    spark = emb.sparkSession
+    even = list("02468ace")
+    mat = (
+        spark.range(out_dim)
+        .select(F.col("id").alias("o"))
+        .crossJoin(spark.range(in_dim).select(F.col("id").alias("pos")))
+        .select(
+            "o",
+            "pos",
+            F.when(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(salt), "o", "pos")), 1, 1
+                ).isin(even),
+                F.lit(1.0),
+            )
+            .otherwise(F.lit(-1.0))
+            .alias("sign"),
+        )
+    )
+    ex = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "val"),
+    )
+    return (
+        ex.join(F.broadcast(mat), "pos")
+        .groupBy("vec_id", "o")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("sign"))
+                / F.lit(float(out_dim) ** 0.5),
+                round_to,
+            ).alias("rp_value")
+        )
+        .select("vec_id", F.col("o").cast("int").alias("out_dim"), "rp_value")
+    )
+
+
 # --------------------------------------------------------------------------
 # Product quantization (PQ): compressed-domain ANN scoring
 # --------------------------------------------------------------------------

@@ -1597,6 +1597,37 @@ def curation_quality_filter(spark, sf_dir):
 
 
 @register(
+    "embedding_random_projection",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT o.o, p.pos,
+             CASE WHEN strpos('02468ace',
+                              substr(md5('rp:' || o.o || ':' || p.pos), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS sign
+      FROM (SELECT unnest(range(0, 16)) AS o) o,
+           (SELECT unnest(range(0, 64)) AS pos) p
+    ),
+    ex AS (
+      SELECT vec_id, i - 1 AS pos, v[i] AS val
+      FROM e, unnest(range(1, len(v) + 1)) AS u(i)
+    )
+    SELECT vec_id, CAST(m.o AS INT) AS out_dim,
+           round(sum(val * sign) / sqrt(16), 6) AS rp_value
+    FROM ex JOIN m ON ex.pos = m.pos
+    GROUP BY 1, 2
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Deterministic JL random projection 64→16 (hash-derived ±1
+    matrix): the dimensionality-reduction front end for the LSH/IVF
+    similarity paths, regenerable identically on any engine."""
+    return similarity.random_projection(
+        _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
+    )
+
+
+@register(
     "curation_adaptive_quality",
     f"""
     WITH q AS ({_SQL_QUALITY}),
@@ -2969,6 +3000,38 @@ def lda_doc_topics(spark, sf_dir):
         F.col("doc_id") < 50
     )
     return display.display_document(gamma, flat=True)
+
+
+@register("lda_heldout_perplexity")
+def lda_heldout_perplexity(spark, sf_dir):
+    """Corpus-level held-out evaluation (the reference -test mode's
+    log-likelihood counter, VariationalInference.java held-out path):
+    one audit row with summed variational doc log-likelihood and
+    per-token perplexity exp(-ll/N).  Deterministic given the seeded
+    trained state; rows-only (stochastic-EM core is not
+    SQL-expressible)."""
+    from mr_lda_spark.plans import lda as lda_plan
+
+    _, corpus_doc = _lda_setup(spark, sf_dir)
+    state = _lda_trained(spark, sf_dir)
+    scored = lda_plan.infer(spark, corpus_doc, state, max_gamma_iter=15)
+    tokens = corpus_doc.select(
+        "doc_id",
+        F.aggregate(
+            "term_counts", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_tokens"),
+    )
+    return (
+        scored.join(tokens, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.sum("doc_ll"), 4).alias("total_ll"),
+            F.round(
+                F.exp(-F.sum("doc_ll") / F.sum("n_tokens")), 4
+            ).alias("perplexity"),
+        )
+    )
 
 
 @register("lda_join_mode_topics")

@@ -263,3 +263,34 @@ def test_semdedup_cluster_partition_bounds_pairs(spark):
     assert len(pairs) == 4 * 45
     clusters = {r["cluster"] for r in pairs}
     assert clusters == {0, 1, 2, 3}
+
+
+def test_random_projection_deterministic_and_jl(spark):
+    """The hash-derived matrix is identical across invocations, and
+    the projection roughly preserves relative distances (JL)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((30, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    a = similarity.random_projection(df, in_dim=64, out_dim=16).collect()
+    b = similarity.random_projection(df, in_dim=64, out_dim=16).collect()
+    key = lambda r: (r["vec_id"], r["out_dim"])  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # Rebuild projected matrix and check distance-ratio concentration.
+    Y = np.zeros((30, 16))
+    for r in a:
+        Y[r["vec_id"], r["out_dim"]] = r["rp_value"]
+    ratios = []
+    for i in range(0, 30, 3):
+        for j in range(i + 1, 30, 7):
+            dx = np.linalg.norm(X[i] - X[j])
+            dy = np.linalg.norm(Y[i] - Y[j])
+            ratios.append(dy / dx)
+    ratios = np.array(ratios)
+    # ±1/√k JL: ratios concentrate around 1 (loose 3-sigma band).
+    assert 0.5 < ratios.mean() < 1.5
+    assert (ratios > 0.3).all() and (ratios < 2.0).all()
