@@ -120,23 +120,46 @@ def minhash_band_buckets(
 def lsh_candidate_pairs(
     buckets: DataFrame, max_bucket_size: int = 1000
 ) -> DataFrame:
-    """Self-join band buckets → candidate pairs (a < b).
+    """Band buckets → candidate pairs (a < b).
 
     ``max_bucket_size`` caps degenerate hot buckets before the O(n²)
     pair explosion — at 100 TB a boilerplate shingle can put millions of
     docs in one bucket; dropping those buckets (they would be caught by
-    the verify step's cheaper exact/threshold paths) bounds the join.
+    the verify step's cheaper exact/threshold paths) bounds the work.
+
+    The cap is enforced with a pre-aggregated size table joined back
+    BEFORE the per-bucket doc lists are collected — a window count
+    would buffer the whole mega-bucket in one task just to discard it,
+    and a bucket self-join re-executes the upstream signature lineage
+    once per side.  Pair generation is then the same in-array explode
+    as the capped Jaccard path (fan-out bounded by cap²/2 per bucket).
     """
-    sized = buckets.withColumn(
-        "bucket_n",
-        F.count(F.lit(1)).over(Window.partitionBy("band", "band_key")),
-    ).filter(F.col("bucket_n") <= max_bucket_size)
-    a = sized.select("band", "band_key", F.col("doc_id").alias("a"))
-    b = sized.select("band", "band_key", F.col("doc_id").alias("b"))
+    sizes = (
+        buckets.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(
+            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= max_bucket_size)
+        )
+    )
+    bounded = buckets.join(sizes.select("band", "band_key"), ["band", "band_key"])
+    doc_lists = bounded.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        doc_lists.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ds"),
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
@@ -208,7 +231,11 @@ def near_duplicates_minhash(
     sigs = minhash_signatures(
         docs, text_col, num_hashes, shingle_n, shingle_sets=sets
     )
-    buckets = minhash_band_buckets(sigs, rows_per_band)
+    # Persist the bucket relation (docs × bands rows — tiny): the
+    # candidate step has three consumers (size table, bounded join,
+    # doc lists) that would otherwise each re-execute the md5
+    # signature chain.
+    buckets = minhash_band_buckets(sigs, rows_per_band).persist()
     cands = lsh_candidate_pairs(buckets)
     return jaccard_verify(
         docs, cands, text_col, shingle_n, threshold, shingle_sets=sets
@@ -308,22 +335,6 @@ def jaccard_near_dupes_exact(
     they would generate are found through their rarer shingles or the
     MinHash path).
     """
-    # The shingle sets feed the self-join twice plus the size table —
-    # persist so the (possibly expensive) upstream lineage runs once.
-    # Plain distinct (NOT pre-repartitioned by shingle): the partial
-    # aggregation collapses the exploded shingle stream map-side (~20×
-    # here) before any exchange, so the shuffled relation is the small
-    # distinct set — cheaper than co-partitioning for downstream reuse.
-    sets = shingles(docs, text_col, shingle_n).distinct().persist()
-    if max_shingle_df is not None:
-        # Materialize the cache eagerly: the capped plan's three
-        # consumers (doc-lists, two size joins) otherwise race to
-        # compute the unpopulated cache concurrently within one job and
-        # each re-runs the shingle explode (the uncapped plan avoids
-        # this only by accident — its broadcast-exchange stage runs
-        # first and fills the cache).
-        sets.count()
-    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     if max_shingle_df is not None:
         # No silent caps: the excluded boilerplate shingles are
         # enumerable via hot_shingles(docs, ...) with the same cap.
@@ -332,14 +343,36 @@ def jaccard_near_dupes_exact(
             "hotter shingles are excluded from candidate generation",
             max_shingle_df,
         )
-        # Capped path = ONE shuffle: group each shingle's (sorted)
-        # doc list, drop hot shingles by list size — the cap makes the
-        # per-row pair fan-out bounded (≤ cap²/2), so pairs can be
-        # generated with array ops instead of a second self-join
-        # shuffle of the full shingle relation.
+        # Capped path = THREE shuffles total, ZERO joins:
+        # 1. groupBy(doc_id) collect_set builds each doc's
+        #    distinct-shingle SET + its size in ONE exchange (partial
+        #    aggregation dedupes the exploded stream map-side).  The
+        #    set is an Aggregate output attribute, so the multiple
+        #    downstream references (size + explode) read a stored
+        #    value — an `array_distinct` projection alias here gets
+        #    INLINED by projection collapse and recomputed per
+        #    reference (measured 3× slower);
+        # 2. one groupBy(shingle) collects (doc_id, n_sh) structs;
+        #    hot shingles are dropped by list size (the cap bounds the
+        #    per-row pair fan-out at cap²/2);
+        # 3. pairs are generated with array ops CARRYING both sizes,
+        #    so the Jaccard denominator needs no post-aggregation join
+        #    back to a corpus-cardinality size table (measured: those
+        #    two joins were the most expensive stage of the old plan,
+        #    and a broadcast would not survive 100 TB — sizes has one
+        #    row per document).
+        doc_sets = (
+            shingles(docs, text_col, shingle_n)
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("shs"))
+        )
+        ex = doc_sets.select(
+            F.struct("doc_id", F.size("shs").alias("n_sh")).alias("d"),
+            F.explode("shs").alias("shingle"),
+        )
         doc_lists = (
-            sets.groupBy("shingle")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            ex.groupBy("shingle")
+            .agg(F.array_sort(F.collect_list("d")).alias("ds"))
             .filter(
                 (F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df)
             )
@@ -351,26 +384,46 @@ def jaccard_near_dupes_exact(
                         F.col("ds"),
                         lambda x, i: F.transform(
                             F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                            lambda y: F.struct(
+                                x["doc_id"].alias("a"),
+                                x["n_sh"].alias("n_a"),
+                                y["doc_id"].alias("b"),
+                                y["n_sh"].alias("n_b"),
+                            ),
                         ),
                     )
                 )
             ).alias("p")
-        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        common = pairs.groupBy("a", "b").agg(
+        ).select("p.a", "p.n_a", "p.b", "p.n_b")
+        common = pairs.groupBy("a", "n_a", "b", "n_b").agg(
             F.count(F.lit(1)).alias("n_common")
         )
-    else:
-        # Uncapped (oracle/exact) path: inverted-index self-join — a
-        # hot shingle here would fan out quadratically, which is
-        # exactly what the cap exists to prevent at scale.
-        common = (
-            sets.select(F.col("doc_id").alias("a"), "shingle")
-            .join(sets.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
-            .filter(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
+        return common.select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        ).filter(F.col("jaccard") >= threshold)
+    # Uncapped (oracle/exact) path below.  The shingle sets feed the
+    # self-join twice plus the size table — persist so the upstream
+    # lineage runs once.  Plain distinct (NOT pre-repartitioned by
+    # shingle): the partial aggregation collapses the exploded shingle
+    # stream map-side (~20× here) before any exchange, so the shuffled
+    # relation is the small distinct set.
+    sets = shingles(docs, text_col, shingle_n).distinct().persist()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # A hot shingle here would fan out quadratically, which is exactly
+    # what the cap exists to prevent at scale.
+    common = (
+        sets.select(F.col("doc_id").alias("a"), "shingle")
+        .join(sets.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
     return (
         common.join(
             sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a"

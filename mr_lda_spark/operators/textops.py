@@ -276,7 +276,13 @@ def npmi_coherence(
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Explode each doc into its n-token shingles (1-based positions so
     the DuckDB oracle matches exactly).  Docs shorter than n tokens are
-    dropped."""
+    dropped.
+
+    The token array is materialized behind a Filter barrier on
+    purpose: a single-select formulation lets projection collapse
+    inline the tokenize `split` into every `element_at` of the shingle
+    lambda (3 re-splits per shingle — measured ~13× slower at
+    sf0.1)."""
     toks = _tokens(F.col(text_col))
     with_toks = docs.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") >= n
