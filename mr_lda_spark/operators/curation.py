@@ -43,6 +43,12 @@ def _curate_stages(
     scored = (
         docs.select("doc_id").join(lang, "doc_id").join(quality, "doc_id")
     ).persist()
+    # Eager: the pipeline's final plan reads `scored` from several
+    # independent stages (quality gate, final projection) — left lazy,
+    # those stages race to fill the cache and each re-runs the
+    # language-ID scan (nondeterministically, depending on stage
+    # scheduling; measured 4-10 s swings at sf0.1).
+    scored.count()
     after_lang = scored.filter(F.col("pred_lang").isin(list(keep_langs)))
     base = after_lang.filter(F.col("quality_score") >= min_quality)
     survivors = docs.join(base.select("doc_id"), "doc_id")

@@ -228,6 +228,13 @@ def near_duplicates_minhash(
         .distinct()
         .persist()
     )
+    # Materialize BOTH caches eagerly: their consumers are independent
+    # stages of the one final job, and concurrent stages each
+    # recompute an unpopulated cache (the recompute multiplicity
+    # varies with scheduling — measured as bimodal 3 s / 10 s / 29 s
+    # runs of this operator under host load).  Two scalar-count jobs
+    # buy a deterministic single materialization.
+    sets.count()
     sigs = minhash_signatures(
         docs, text_col, num_hashes, shingle_n, shingle_sets=sets
     )
@@ -236,6 +243,7 @@ def near_duplicates_minhash(
     # doc lists) that would otherwise each re-execute the md5
     # signature chain.
     buckets = minhash_band_buckets(sigs, rows_per_band).persist()
+    buckets.count()
     cands = lsh_candidate_pairs(buckets)
     return jaccard_verify(
         docs, cands, text_col, shingle_n, threshold, shingle_sets=sets
@@ -268,8 +276,10 @@ def simhash_near_dupes(
     """
     # The fingerprint relation feeds both sides of the band self-join —
     # persist it (doc_id + one long per doc, tiny) or the two-shuffle
-    # simhash computation runs twice.
+    # simhash computation runs twice; materialize eagerly or the two
+    # join sides race to fill the cache concurrently and BOTH run it.
     fp = simhash(docs, text_col, bits).persist()
+    fp.count()
     n_bands = max_hamming + 1
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
     banded = fp.select(
@@ -414,6 +424,7 @@ def jaccard_near_dupes_exact(
     # stream map-side (~20× here) before any exchange, so the shuffled
     # relation is the small distinct set.
     sets = shingles(docs, text_col, shingle_n).distinct().persist()
+    sets.count()  # eager: 3 independent consumers below would race
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # A hot shingle here would fan out quadratically, which is exactly
     # what the cap exists to prevent at scale.

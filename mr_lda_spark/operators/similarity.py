@@ -195,7 +195,10 @@ def embedding_near_dupes(
         # Both sides of the bucket self-join read this relation —
         # persist so the bucketing matmul and the hot-bucket window
         # run once, not twice (A/B: persist wins by ~15% here).
+        # Eager count: the two join sides are independent stages and
+        # race to fill a lazy cache (each re-running the matmul).
         lb = lb.persist()
+        lb.count()
         left = lb.select("band", "bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
         right = lb.select("band", "bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
         pairs = left.join(right, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
@@ -542,6 +545,7 @@ def semdedup_pairs(
         .select("cluster", "vec_id", "v")
         .persist()  # feeds both sides of the within-cluster self-join
     )
+    assigned.count()  # eager: the two join sides race a lazy cache
     a = assigned.select(
         "cluster", F.col("vec_id").alias("a"), F.col("v").alias("va")
     )

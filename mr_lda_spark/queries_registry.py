@@ -90,6 +90,12 @@ def _parse_shared(spark, sf_dir):
     dictionary = parse.build_dictionary(
         parse.term_stats(tokens_stop), n_docs, min_df_frac=MIN_DF_FRAC
     ).persist()
+    # Materialize eagerly, in dependency order: queries that read
+    # tokens_stop AND dictionary in one plan otherwise race the
+    # unpopulated caches from independent stages (each recomputing the
+    # tokenize).  The dictionary count fills tokens_stop on the way.
+    dictionary.count()
+    tokens_raw.count()
     state = (docs, n_docs, tokens_raw, tokens_stop, dictionary)
     _PARSE_CACHE[key] = state
     return state
