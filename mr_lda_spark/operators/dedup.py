@@ -335,6 +335,7 @@ def jaccard_near_dupes_exact(
     shingle_n: int = 3,
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
+    new_from: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index
     self-join on shingles (never a cross join): pairs that share at
@@ -344,6 +345,14 @@ def jaccard_near_dupes_exact(
     in more than N docs before the pair explosion (the candidate pairs
     they would generate are found through their rarer shingles or the
     MinHash path).
+
+    ``new_from`` (capped path) enables INCREMENTAL dedup: only pairs
+    involving at least one document with ``doc_id >= new_from`` are
+    emitted — the daily-delta regime, where re-scoring the existing
+    corpus against itself every ingest would be quadratic waste.  Old
+    docs still participate as comparison targets (a new doc duplicating
+    an old one IS found); old-old pairs are pruned inside the in-array
+    pair generation, before anything is exploded or shuffled.
     """
     if max_shingle_df is not None:
         # No silent caps: the excluded boilerplate shingles are
@@ -387,24 +396,28 @@ def jaccard_near_dupes_exact(
                 (F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df)
             )
         )
-        pairs = doc_lists.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("ds"),
-                        lambda x, i: F.transform(
-                            F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                            lambda y: F.struct(
-                                x["doc_id"].alias("a"),
-                                x["n_sh"].alias("n_a"),
-                                y["doc_id"].alias("b"),
-                                y["n_sh"].alias("n_b"),
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        ).select("p.a", "p.n_a", "p.b", "p.n_b")
+        flat = F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("a"),
+                        x["n_sh"].alias("n_a"),
+                        y["doc_id"].alias("b"),
+                        y["n_sh"].alias("n_b"),
+                    ),
+                ),
+            )
+        )
+        if new_from is not None:
+            # b = max(a, b) (lists are sorted), so `b >= new_from` ≡
+            # "pair touches the new batch".  Pruned pre-explode: the
+            # old-old quadratic mass never reaches the shuffle.
+            flat = F.filter(flat, lambda p: p["b"] >= F.lit(new_from))
+        pairs = doc_lists.select(F.explode(flat).alias("p")).select(
+            "p.a", "p.n_a", "p.b", "p.n_b"
+        )
         common = pairs.groupBy("a", "n_a", "b", "n_b").agg(
             F.count(F.lit(1)).alias("n_common")
         )

@@ -1144,6 +1144,29 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_incremental_pairs",
+    f"""
+    SELECT * FROM ({_SQL_JACCARD_PAIRS})
+    WHERE b >= (SELECT CAST(floor(max(doc_id) / 2) AS BIGINT) FROM documents)
+    """,
+)
+def dedup_incremental_pairs(spark, sf_dir):
+    """Incremental (delta) dedup: the daily-ingest regime — near-dup
+    pairs touching the NEW half of the corpus only (old docs remain
+    comparison targets; old-old pairs are pruned inside pair
+    generation, before any shuffle).  Split point = max(doc_id)/2 so
+    the query is scale-relative."""
+    docs = _t(spark, sf_dir, "documents")
+    split = docs.agg(F.max("doc_id")).collect()[0][0] // 2  # scalar
+    return dedup.jaccard_near_dupes_exact(
+        docs,
+        threshold=0.2,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        new_from=split,
+    )
+
+
+@register(
     "dedup_jaccard_hot_shingles",
     f"""
     WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES}))

@@ -42,3 +42,32 @@ def test_jaccard_pipeline_matches_python(spark, docs):
     assert set(got) == set(want)
     for k in want:
         assert got[k] == pytest.approx(round(want[k], 6), abs=1e-6)
+
+
+def test_incremental_jaccard_prunes_old_old_pairs(spark):
+    """new_from keeps exactly the pairs touching the new batch:
+    equals the full result filtered on b >= split, and an old-old
+    planted dupe disappears while old-new survives."""
+    from mr_lda_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base + " one"),
+        (2, base + " one"),          # old-old dup with 1
+        (50, "totally different words here about spark engines run"),
+        (100, base + " one"),        # new, dup with 1 and 2
+        (101, "totally different words here about spark engines run"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    full = dedup.jaccard_near_dupes_exact(
+        docs, threshold=0.5, max_shingle_df=100
+    ).collect()
+    inc = dedup.jaccard_near_dupes_exact(
+        docs, threshold=0.5, max_shingle_df=100, new_from=100
+    ).collect()
+    full_pairs = {(r["a"], r["b"]) for r in full}
+    inc_pairs = {(r["a"], r["b"]) for r in inc}
+    assert (1, 2) in full_pairs
+    assert inc_pairs == {(a, b) for a, b in full_pairs if b >= 100}
+    assert (1, 100) in inc_pairs and (50, 101) in inc_pairs
+    assert (1, 2) not in inc_pairs
