@@ -278,6 +278,7 @@ def domain_cap(
     domain_col: str = "source",
     score_col: str | None = None,
     key_col: str = "doc_id",
+    salt_buckets: int | None = 16,
 ) -> DataFrame:
     """Cap any single domain's contribution: keep at most
     ``max_per_domain`` docs per domain, preferring high ``score_col``
@@ -285,14 +286,20 @@ def domain_cap(
     deterministic result) — the guard that stops one crawled site from
     dominating a pretraining mix.
 
-    Plan: one window partitioned BY DOMAIN (thousands of independent
-    partitions — never a global sort).  Note a mega-domain IS a
-    straggler here: row_number needs all of one domain's rows in one
-    task, and AQE skew mitigation applies to joins/rebalance, not
-    window partitions.  If a single domain dwarfs the rest, the
-    standard mitigation is a salted two-phase cap: per-(domain, salt)
-    top-``max_per_domain`` first, then this exact cap over the
-    survivors (≤ salt_buckets × max_per_domain rows per domain).
+    Plan: the salted TWO-PHASE cap (default) — a single per-domain
+    window would need all of a domain's rows in one task (row_number
+    over a window partition; AQE skew mitigation applies to
+    joins/rebalance, not windows), so one mega-domain is a straggler.
+    Phase 1 ranks within (domain, salt-of-key) — ``salt_buckets``×
+    more, smaller partitions — and keeps each bucket's top
+    ``max_per_domain``; phase 2 applies the exact cap over the
+    survivors, whose count is bounded at salt_buckets × max_per_domain
+    rows PER DOMAIN regardless of corpus size.  Output is provably
+    identical to the single-phase cap: every row of the true per-domain
+    top-N is in its own bucket's top-N (the ordering is total thanks to
+    the key tiebreak), so phase 1 never discards a final survivor.
+    ``salt_buckets=None`` forces the single-phase window (used by the
+    equivalence test).
     """
     from pyspark.sql import Window
 
@@ -301,6 +308,18 @@ def domain_cap(
         if score_col
         else [F.col(key_col).asc()]
     )
+    if salt_buckets is not None and salt_buckets > 1:
+        # Salt only partitions work; it never touches the result, so a
+        # plain (engine-local) hash is fine here.
+        salted = docs.withColumn(
+            "_salt", F.pmod(F.hash(F.col(key_col)), F.lit(salt_buckets))
+        )
+        w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order)
+        docs = (
+            salted.withColumn("_rk1", F.row_number().over(w1))
+            .filter(F.col("_rk1") <= max_per_domain)
+            .drop("_rk1", "_salt")
+        )
     w = Window.partitionBy(domain_col).orderBy(*order)
     return (
         docs.withColumn("_rk", F.row_number().over(w))

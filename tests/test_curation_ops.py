@@ -171,3 +171,27 @@ def test_adaptive_quality_filter_plan_no_corpus_shuffle(spark):
     # Thresholds come back via broadcast, not a shuffled corpus join.
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_domain_cap_salted_two_phase_equals_single_phase(spark):
+    """The default salted two-phase cap is output-identical to the
+    single-phase window (every true top-N row survives its salt
+    bucket's top-N), including under a score ordering with ties."""
+    rows = []
+    for i in range(200):
+        rows.append((i, "mega", float(i % 7)))   # skewed giant domain
+    for i in range(200, 215):
+        rows.append((i, "small", float(i % 3)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    two = curation.domain_cap(
+        docs, 10, score_col="score", salt_buckets=8
+    ).collect()
+    one = curation.domain_cap(
+        docs, 10, score_col="score", salt_buckets=None
+    ).collect()
+    key = lambda r: (r["source"], r["doc_id"])  # noqa: E731
+    assert sorted(map(tuple, two)) == sorted(map(tuple, one))
+    per_dom = {}
+    for r in two:
+        per_dom[r["source"]] = per_dom.get(r["source"], 0) + 1
+    assert per_dom == {"mega": 10, "small": 10}
