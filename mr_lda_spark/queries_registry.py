@@ -3063,6 +3063,48 @@ def lda_heldout_perplexity(spark, sf_dir):
     )
 
 
+@register("curation_perplexity_filter")
+def curation_perplexity_filter(spark, sf_dir):
+    """Model-based quality filtering (perplexity filtering, the
+    CCNet/Wenzek-style recipe with this engine's own topic model as
+    the scorer): score every doc's per-token variational
+    log-likelihood under the trained LDA state, keep docs at or above
+    the corpus 25th percentile.  The threshold is a scalar aggregate
+    broadcast into the filter — one scoring pass, no corpus shuffle.
+    Rows-only (stochastic-EM scorer)."""
+    from mr_lda_spark.plans import lda as lda_plan
+
+    _, corpus_doc = _lda_setup(spark, sf_dir)
+    state = _lda_trained(spark, sf_dir)
+    scored = lda_plan.infer(spark, corpus_doc, state, max_gamma_iter=15)
+    per_tok = (
+        scored.join(
+            corpus_doc.select(
+                "doc_id",
+                F.aggregate(
+                    "term_counts", F.lit(0).cast("long"), lambda a, x: a + x
+                ).alias("n_tokens"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("doc_ll") / F.col("n_tokens"), 6).alias(
+                "ll_per_token"
+            ),
+        )
+    )
+    thr = per_tok.agg(
+        F.expr("percentile(ll_per_token, 0.25)").alias("thr")
+    )
+    return (
+        per_tok.join(F.broadcast(thr))
+        .filter(F.col("ll_per_token") >= F.col("thr"))
+        .select("doc_id", "n_tokens", "ll_per_token")
+    )
+
+
 @register("lda_join_mode_topics")
 def lda_join_mode_topics(spark, sf_dir):
     """Shuffle-join E-step (distributed beta — the scale path for
