@@ -1625,9 +1625,7 @@ def curation_quality_filter(spark, sf_dir):
     )
 
 
-@register(
-    "embedding_random_projection",
-    """
+_SQL_RP = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     m AS (
       SELECT o.o, p.pos,
@@ -1645,8 +1643,10 @@ def curation_quality_filter(spark, sf_dir):
            round(sum(val * sign) / sqrt(16), 6) AS rp_value
     FROM ex JOIN m ON ex.pos = m.pos
     GROUP BY 1, 2
-    """,
-)
+"""
+
+
+@register("embedding_random_projection", _SQL_RP)
 def embedding_random_projection(spark, sf_dir):
     """Deterministic JL random projection 64→16 (hash-derived ±1
     matrix): the dimensionality-reduction front end for the LSH/IVF
@@ -1654,6 +1654,51 @@ def embedding_random_projection(spark, sf_dir):
     return similarity.random_projection(
         _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
     )
+
+
+@register(
+    "similarity_rp_topk",
+    f"""
+    WITH rp AS ({_SQL_RP}),
+    vecs AS (
+      SELECT vec_id, list(rp_value ORDER BY out_dim) AS rv
+      FROM rp GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.rv, c.rv)
+               / (sqrt(list_dot_product(q.rv, q.rv))
+                  * sqrt(list_dot_product(c.rv, c.rv))) AS cos
+      FROM vecs q JOIN vecs c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {SIM_QUERIES}
+    )
+    SELECT query_id, rank, neighbor_id, round(cos, 4) AS cos_sim FROM (
+      SELECT query_id, neighbor_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC)
+                  AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {SIM_K}
+    """,
+)
+def similarity_rp_topk(spark, sf_dir):
+    """Compressed-domain exact search: cosine top-k in the 16-dim
+    JL-projected space (4× fewer multiply-adds per candidate than the
+    64-dim scan; both engines regenerate the identical deterministic
+    projection, so this ANN variant is FULLY oracle-checked — the rank
+    arithmetic runs on 6-dp-rounded projections, bit-identical across
+    engines)."""
+    rp = similarity.random_projection(
+        _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
+    )
+    vecs = rp.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("out_dim", "rp_value"))),
+            lambda s: s["rp_value"],
+        ).alias("embedding")
+    )
+    queries = vecs.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.cosine_topk(vecs, queries, k=SIM_K)
 
 
 @register(

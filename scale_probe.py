@@ -101,6 +101,14 @@ def probe(spark, docs) -> dict[str, float]:
             "mr_lda_spark.operators.profile", fromlist=["table_profile"]
         ).table_profile(docs, ["doc_id", "lang", "source"]).count(),
     )
+    # r4 op: per-group scalar quality thresholds (broadcast back, no
+    # corpus shuffle).  Near-dup pair ops (incl. the incremental path)
+    # stay excluded — cloning plants duplicates, making their cost
+    # output-bound (see module docstring).
+    t(
+        "adaptive_quality",
+        lambda: curation.adaptive_quality_filter(docs).count(),
+    )
 
     def lda_one_iter():
         tokens = parse.tokenize(docs)
