@@ -702,6 +702,25 @@ def _pq_encode_udf(books: np.ndarray):
     return f
 
 
+def _pq_lut_udf(books: np.ndarray):
+    """Arrow-batched ADC lookup-table builder: one (subspace × code)
+    inner-product row per query vector, flattened to m·n_codes doubles
+    (addressed by ``element_at`` in the scoring expression)."""
+    from pyspark.sql import types as T
+
+    m, n_codes_b, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut_udf(vs: pd.Series) -> pd.Series:
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Qs = Q.reshape(len(Q), m, dsub)
+        luts = np.einsum("bjd,jcd->bjc", Qs, books)  # (B, m, n_codes)
+        return pd.Series(list(luts.reshape(len(Q), m * n_codes_b)))
+
+    return lut_udf
+
+
 def pq_encode(
     embeddings: DataFrame,
     books: np.ndarray,
@@ -755,17 +774,7 @@ def pq_topk(
             vec_col=vec_col,
         )
     m, n_codes_b, dsub = books.shape
-
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def lut_udf(vs: pd.Series) -> pd.Series:
-        Q = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-        Qs = Q.reshape(len(Q), m, dsub)
-        luts = np.einsum("bjd,jcd->bjc", Qs, books)  # (B, m, n_codes)
-        return pd.Series(list(luts.reshape(len(Q), m * n_codes_b)))
-
+    lut_udf = _pq_lut_udf(books)
     qdf = queries.select(
         F.col(id_col).alias("query_id"),
         lut_udf(_as_double(F.col(vec_col))).alias("lut"),
@@ -781,6 +790,98 @@ def pq_topk(
     )
     cands = (
         encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("approx", 4).alias("approx_cos"),
+        )
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+    books: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ — the composed index every large-scale ANN system
+    actually deploys (FAISS ``IVFxx,PQyy``): a k-means coarse quantizer
+    routes each query to ``n_probe`` cells, and within those cells the
+    corpus is scanned in PQ-compressed form via the ADC lookup-table
+    trick.  At 100 TB the stored index is (vec_id, cell, m-byte codes)
+    — ~10 bytes a vector — and a query touches only
+    ``n_probe/n_centroids`` of it.
+
+    Plan shape:
+    - index build: ONE zero-shuffle projection computes both the cell
+      assignment and the PQ codes (two Arrow kernels over the same
+      scan) — no corpus join, exactly what the index-writing job looks
+      like at scale;
+    - queries: LUT + probed cells in one projection, exploded to
+      (query, cell, lut) and BROADCAST;
+    - scan: equi-join on cell (never a cross join), scoring is m
+      codegen ``element_at`` terms over the broadcast LUT.
+
+    Both quantizers train on bounded deterministic hash samples
+    (driver-side, model-sized regardless of corpus).  ``n_probe =
+    n_centroids`` degrades to exactly ``pq_topk`` — pinned by test.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            embeddings, n_centroids, id_col=id_col, vec_col=vec_col
+        )
+    if books is None:
+        books = pq_train(
+            embeddings, n_subspaces, n_codes, id_col=id_col, vec_col=vec_col
+        )
+    m, n_codes_b, _ = books.shape
+
+    top1 = _top_cells_udf(centroids, 1)
+    enc = _pq_encode_udf(books)
+    index = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.element_at(top1(_as_double(F.col(vec_col))), 1).alias("cell"),
+        enc(_as_double(F.col(vec_col))).alias("codes"),
+    )
+
+    topn = _top_cells_udf(centroids, n_probe)
+    lut_udf = _pq_lut_udf(books)
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut_udf(_as_double(F.col(vec_col))).alias("lut"),
+        topn(_as_double(F.col(vec_col))).alias("cells"),
+    ).select("query_id", "lut", F.explode("cells").alias("cell"))
+
+    score = sum(
+        F.element_at(
+            "lut",
+            (F.lit(j * n_codes_b) + F.element_at("codes", j + 1) + 1).cast("int"),
+        )
+        for j in range(m)
+    )
+    cands = (
+        index.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",

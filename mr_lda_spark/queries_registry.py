@@ -1144,6 +1144,40 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "lineitem_salted_join_revenue",
+    """
+    SELECT s_nationkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY 1
+    """,
+)
+def lineitem_salted_join_revenue(spark, sf_dir):
+    """Explicit salted hot-key join (operators.skew.salted_join): the
+    big side scatters across 8 salts, the small side replicates per
+    salt — result provably equals the plain join (the oracle IS the
+    plain join), while any one hot key's shuffle spreads over 8
+    reducers.  The tool for skew beyond AQE's runtime splitting
+    (streaming joins, pathological single keys)."""
+    from mr_lda_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, sup, "l_suppkey", n_salts=8)
+    return joined.groupBy("s_nationkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "dedup_incremental_pairs",
     f"""
     SELECT * FROM ({_SQL_JACCARD_PAIRS})
@@ -1290,6 +1324,27 @@ def similarity_pq_topk(spark, sf_dir):
     books = similarity.pq_train(emb, n_subspaces=16, n_codes=32)
     return similarity.pq_topk(
         emb, queries, k=SIM_K, n_subspaces=16, n_codes=32, books=books
+    )
+
+
+@register("similarity_ivfpq_topk")
+def similarity_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed index (FAISS IVFxx,PQyy shape): k-means coarse
+    probe routes each query to 4 of 16 cells; within them the corpus
+    is ADC-scanned in PQ-compressed form.  The stored index is
+    (vec_id, cell, codes) built in ONE zero-shuffle projection.
+    Rows-only; full-probe ≡ pq_topk and recall floors are pinned by
+    pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.ivfpq_topk(
+        emb,
+        queries,
+        k=SIM_K,
+        n_centroids=16,
+        n_probe=4,
+        n_subspaces=16,
+        n_codes=32,
     )
 
 
