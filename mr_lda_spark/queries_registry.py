@@ -903,6 +903,30 @@ def events_sessionize_stream(spark, sf_dir):
 
 
 @register(
+    "documents_stream_dedup",
+    "SELECT DISTINCT md5(text) AS text_hash FROM documents",
+)
+def documents_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup drained through the exactly-once parquet
+    sink: first-arrival-wins dropDuplicates on the content digest,
+    committed via checkpointed file-sink semantics, read back as the
+    surviving digest set (which arrival wins is scheduling-dependent,
+    the digest SET is not — that is what the oracle checks)."""
+    import tempfile
+    import uuid
+
+    from mr_lda_spark.streaming import dedup_stream as ds
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    out = f"{base}/stream_dedup_{run}/out"
+    ckpt = f"{base}/stream_dedup_{run}/ckpt"
+    stream = ds.dedup_stream(ds.read_documents_stream(spark, sf_dir))
+    ds.run_to_parquet(stream, out, ckpt)
+    return spark.read.parquet(out).select("text_hash")
+
+
+@register(
     "events_hourly_stream",
     """
     SELECT event_type,
