@@ -152,6 +152,46 @@ _SQL_ENCODED_CORPUS = f"""
     """
 
 
+@register(
+    "interop_ldac_roundtrip",
+    f"""
+    WITH enc AS ({_SQL_ENCODED_CORPUS}),
+    lines AS (
+      SELECT doc_id,
+             CAST(dense_rank() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS line
+      FROM (SELECT DISTINCT doc_id FROM enc)
+    )
+    SELECT l.line, e.term_id, e.term_count
+    FROM enc e JOIN lines l USING (doc_id)
+    """,
+)
+def interop_ldac_roundtrip(spark, sf_dir):
+    """Blei lda-c DATA-format interop, driver-checked end-to-end:
+    encode the corpus, export it as `N id:cnt ...` lines (0-based ids,
+    doc identity = line number), re-read it, and hash-match the tall
+    encoded relation keyed by line index — closing the loop with the
+    `export-ldac` model export (`cli.py`) for the reference's
+    documented held-out workflow."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from mr_lda_spark.sources.corpus import (
+        read_ldac_corpus,
+        write_ldac_corpus,
+    )
+
+    _, corpus_doc = _lda_setup(spark, sf_dir)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"mrlda_ldac_rt_{spark.sparkContext.applicationId}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_ldac_corpus(corpus_doc, out)
+    return read_ldac_corpus(spark, out)
+
+
 @register("parse_encoded_corpus", _SQL_ENCODED_CORPUS)
 def parse_encoded_corpus(spark, sf_dir):
     """J1+P5+A1: dictionary-encoded corpus (broadcast inner join)."""

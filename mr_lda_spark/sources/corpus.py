@@ -124,3 +124,57 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL sink (gzip) — the interchange-format counterpart of the
     Parquet sink; compression keeps the 100 TB egress bounded."""
     df.write.mode(mode).option("compression", "gzip").json(path)
+
+
+def write_ldac_corpus(corpus_doc: DataFrame, path: str) -> None:
+    """Write the encoded corpus in Blei's lda-c DATA format
+    (`lda-c/readme.txt`): one doc per line, ``N id1:c1 id2:c2 ...``
+    with 0-BASED term ids (this engine's dictionary is 1-based, the
+    reference's convention — the shift is undone on read).
+
+    lda-c is an inherently single-file, line-ordered format (doc
+    identity IS the line number), so the writer sorts by doc_id and
+    coalesces to one file — an interop export like the reference's
+    DisplayTopic driver outputs, not a sharded 100 TB sink (that is
+    what the parquet/SequenceFile sinks are for).
+    """
+    line = F.concat_ws(
+        " ",
+        F.size("term_ids").cast("string"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(arrays_zip(term_ids, term_counts), "
+                "p -> concat(p.term_ids - 1, ':', p.term_counts))"
+            ),
+        ),
+    )
+    (
+        corpus_doc.orderBy("doc_id")
+        .select(line.alias("value"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+
+
+def read_ldac_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """Read a Blei lda-c data file back into the tall encoded relation
+    (line, term_id, term_count), term ids re-shifted to this engine's
+    1-based convention.  Line numbers come from ``zipWithIndex`` —
+    deterministic for the single file the format implies."""
+    rdd = (
+        spark.read.text(path)
+        .rdd.zipWithIndex()
+        .map(lambda t: (t[1], t[0]["value"]))
+    )
+    lines = spark.createDataFrame(rdd, "line long, value string")
+    pairs = lines.select(
+        "line",
+        F.explode(F.slice(F.split("value", " "), 2, 1_000_000)).alias("p"),
+    ).filter(F.col("p") != "")
+    return pairs.select(
+        "line",
+        (F.split("p", ":").getItem(0).cast("int") + 1).alias("term_id"),
+        F.split("p", ":").getItem(1).cast("int").alias("term_count"),
+    )

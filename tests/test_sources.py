@@ -56,3 +56,32 @@ def test_jsonl_roundtrip(spark, tmp_path):
         ("a", "hello world"),
         ("b", "second doc"),
     ]
+
+
+def test_ldac_corpus_roundtrip(spark, tmp_path):
+    """lda-c data-format round trip: 0-based on disk, 1-based back,
+    doc identity = line number in doc_id sort order."""
+    from mr_lda_spark.sources.corpus import (
+        read_ldac_corpus,
+        write_ldac_corpus,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (7, [1, 3, 9], [2, 1, 4], None),
+            (2, [5], [1], None),
+        ],
+        "doc_id long, term_ids array<int>, term_counts array<int>, gamma array<double>",
+    )
+    out = str(tmp_path / "ldac")
+    write_ldac_corpus(corpus, out)
+    back = read_ldac_corpus(spark, out).collect()
+    got = sorted((r["line"], r["term_id"], r["term_count"]) for r in back)
+    # doc 2 sorts first -> line 0; doc 7 -> line 1.
+    assert got == [(0, 5, 1), (1, 1, 2), (1, 3, 1), (1, 9, 4)]
+    # On-disk ids are 0-based lda-c convention.
+    import glob
+    [f] = glob.glob(out + "/part-*")
+    lines = open(f).read().splitlines()
+    assert lines[0] == "1 4:1"
+    assert lines[1] == "3 0:2 2:1 8:4"
