@@ -326,6 +326,35 @@ def cmd_informed_prior(args) -> None:
     print(json.dumps({"seed_entries": eta.count(), "output": args.output}))
 
 
+def cmd_curate(args) -> None:
+    """Training-data curation pipeline over a documents parquet:
+    language filter → quality gate → exact dedup → near-dup removal,
+    written as parquet, with a one-row per-stage audit on stdout."""
+    from mr_lda_spark.operators.curation import _curate_stages
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-curate")
+    docs = spark.read.parquet(args.input)
+    scored, after_lang, final = _curate_stages(
+        docs,
+        keep_langs=tuple(args.langs.split(",")),
+        min_quality=args.min_quality,
+        jaccard_threshold=args.jaccard_threshold,
+        max_shingle_df=args.max_shingle_df,
+    )
+    write_table(final, args.output)
+    print(
+        json.dumps(
+            {
+                "total_docs": scored.count(),
+                "after_lang_filter": after_lang.count(),
+                "final_docs": spark.read.parquet(args.output).count(),
+                "output": args.output,
+            }
+        )
+    )
+
+
 def cmd_display_topic(args) -> None:
     from mr_lda_spark.operators.display import top_terms_per_topic
 
@@ -557,6 +586,19 @@ def build_parser() -> argparse.ArgumentParser:
     pl.add_argument("--alpha", required=True, help="alpha json file")
     pl.add_argument("--prefix", required=True, help="output file prefix")
     pl.set_defaults(fn=cmd_export_ldac)
+
+    pcu = sub.add_parser(
+        "curate",
+        help="training-data curation: lang filter -> quality gate -> "
+        "exact dedup -> near-dup removal (beyond the reference)",
+    )
+    pcu.add_argument("--input", required=True, help="documents parquet")
+    pcu.add_argument("--output", required=True)
+    pcu.add_argument("--langs", default="en", help="comma-separated keep list")
+    pcu.add_argument("--min-quality", type=float, default=0.3)
+    pcu.add_argument("--jaccard-threshold", type=float, default=0.5)
+    pcu.add_argument("--max-shingle-df", type=int, default=100)
+    pcu.set_defaults(fn=cmd_curate)
 
     return p
 

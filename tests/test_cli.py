@@ -73,3 +73,25 @@ def test_cli_full_workflow(tmp_path):
         tmp_path,
     )
     assert len([l for l in out.splitlines() if "\t" in l]) >= 2
+
+
+def test_cli_curate(tmp_path):
+    """`curate` runs the full pipeline off a documents parquet and
+    reports the per-stage audit counts."""
+    out_dir = str(tmp_path / "curated")
+    stdout = _run(
+        [
+            "curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out_dir,
+            "--langs", "en",
+            "--min-quality", "0.3",
+        ],
+        cwd=str(tmp_path),
+    )
+    audit = json.loads(stdout.strip().splitlines()[-1])
+    assert audit["total_docs"] > 0
+    assert 0 < audit["final_docs"] <= audit["after_lang_filter"] <= audit["total_docs"]
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM '{out_dir}/*.parquet'").fetchone()[0]
+    assert n == audit["final_docs"]
