@@ -100,6 +100,64 @@ def init_elog_beta(num_terms: int, num_topics: int, seed: int) -> np.ndarray:
     return log_raw - norm
 
 
+def numpy_sweep_backend(
+    elb: np.ndarray,
+    counts_pad: np.ndarray,
+    gamma: np.ndarray,
+    alpha: np.ndarray,
+    max_gamma_iter: int,
+    gamma_tol: float,
+):
+    """Default (CPU/numpy) coordinate-ascent sweep kernel: runs the
+    per-doc γ/φ fixed-point iterations for one padded Arrow batch.
+
+    This is the engine's compute-backend extension point.  The whole
+    E-step hot loop is expressed as dense tensor ops on
+    ``(B, n_max, K)`` arrays, so an accelerator backend (CuPy, JAX,
+    torch) can drop in by implementing this exact signature — move the
+    three inputs to device memory, run the same einsum/logsumexp
+    algebra, return host ndarrays.  Everything outside this function
+    (Arrow decode, padding, scatter-add combine) stays unchanged, and
+    the backend callable is shipped to executors via the normal
+    closure-serialization path, one resolve per task.
+
+    Inputs: ``elb`` (B, n_max, K) E[log β] gathered per token slot;
+    ``counts_pad`` (B, n_max) token counts, 0 on padding; ``gamma``
+    (B, K) the warm-start state (mutated freely); ``alpha`` (K,).
+    Returns ``(gamma, lpn, phi)`` with ``lpn`` the log-normalized φ of
+    the LAST sweep, both (B, n_max, K).
+    """
+    lpn = None
+    phi = None
+    for _ in range(max_gamma_iter):
+        dg = digamma(gamma)  # (B, K)
+        lp = elb + dg[:, None, :]
+        m = lp.max(axis=2, keepdims=True)
+        norm = m + np.log(np.exp(lp - m).sum(axis=2, keepdims=True))
+        lpn = lp - norm  # (B, n_max, K)
+        phi = np.exp(lpn)
+        # γ = α + Σ_w c_w φ_w — φ is a normalized probability,
+        # so the sum is numerically safe in LINEAR space; the
+        # log-space logaddexp fold the reference uses
+        # (DocumentMapper.java:237-247) is only needed when the
+        # accumulator itself lives in log space.  Linear form
+        # saves a (B, n_max+1, K) concatenate + two exp/log
+        # passes per sweep (~1.5× sweep cost at sf0.1).
+        prev_gamma = gamma
+        gamma = alpha[None, :] + np.einsum(
+            "bn,bnk->bk", counts_pad, phi
+        )
+        if gamma_tol > 0.0 and np.max(
+            np.abs(gamma - prev_gamma) / prev_gamma
+        ) < gamma_tol:
+            # Convergence-gated sweeps (SURVEY §7.3): the
+            # reference burns a fixed 100 sweeps per doc per
+            # iteration (Settings.java:54) — warm-started
+            # iterations converge in a handful.
+            break
+    return gamma, lpn, phi
+
+
 def _estep_kernel(
     alpha: np.ndarray,
     elog_beta,
@@ -107,6 +165,7 @@ def _estep_kernel(
     learning: bool,
     random_start_gamma: bool,
     gamma_tol: float = 0.0,
+    sweep_backend=None,
 ):
     """Build the mapInPandas function for one E-step pass.
 
@@ -131,6 +190,7 @@ def _estep_kernel(
     K = len(alpha)
     l_alpha = float(gammaln(alpha.sum()) - gammaln(alpha).sum())
     elog_beta_ref = elog_beta
+    sweep = sweep_backend if sweep_backend is not None else numpy_sweep_backend
 
     def run(batches):
         # Resolve the broadcast handle executor-side (one fetch per
@@ -181,34 +241,9 @@ def _estep_kernel(
                         gamma[j] = np.asarray(g, dtype=np.float64)
 
             elb = elog_beta[terms_pad]  # (B, n_max, K)
-            lpn = None
-            phi = None
-            for _ in range(max_gamma_iter):
-                dg = digamma(gamma)  # (B, K)
-                lp = elb + dg[:, None, :]
-                m = lp.max(axis=2, keepdims=True)
-                norm = m + np.log(np.exp(lp - m).sum(axis=2, keepdims=True))
-                lpn = lp - norm  # (B, n_max, K)
-                phi = np.exp(lpn)
-                # γ = α + Σ_w c_w φ_w — φ is a normalized probability,
-                # so the sum is numerically safe in LINEAR space; the
-                # log-space logaddexp fold the reference uses
-                # (DocumentMapper.java:237-247) is only needed when the
-                # accumulator itself lives in log space.  Linear form
-                # saves a (B, n_max+1, K) concatenate + two exp/log
-                # passes per sweep (~1.5× sweep cost at sf0.1).
-                prev_gamma = gamma
-                gamma = alpha[None, :] + np.einsum(
-                    "bn,bnk->bk", counts_pad, phi
-                )
-                if gamma_tol > 0.0 and np.max(
-                    np.abs(gamma - prev_gamma) / prev_gamma
-                ) < gamma_tol:
-                    # Convergence-gated sweeps (SURVEY §7.3): the
-                    # reference burns a fixed 100 sweeps per doc per
-                    # iteration (Settings.java:54) — warm-started
-                    # iterations converge in a handful.
-                    break
+            gamma, lpn, phi = sweep(
+                elb, counts_pad, gamma, alpha, max_gamma_iter, gamma_tol
+            )
             ll_phi = (
                 counts_pad[:, :, None] * phi * (elb - lpn)
             ).sum(axis=(1, 2))
@@ -333,11 +368,17 @@ def train(
     snapshot_dir: str | None = None,
     truncate_beta: int | None = None,
     gamma_tol: float = 0.0,
+    estep_backend=None,
 ) -> tuple[DataFrame, LdaState]:
     """Run the EM loop.  Returns (corpus with final γ column, state).
 
     ``corpus_doc`` must have columns (doc_id, term_ids, term_counts)
     and optionally gamma (resume — the reference's -modelindex).
+
+    ``estep_backend`` swaps the per-batch sweep kernel (see
+    ``numpy_sweep_backend`` for the contract) — the accelerator hook:
+    a CuPy/JAX implementation of the same (B, n_max, K) tensor algebra
+    plugs in here without touching the Spark plan.
     """
     from mr_lda_spark.session import ensure_package_shipped
 
@@ -396,6 +437,7 @@ def train(
             learning=True,
             random_start_gamma=random_start_gamma and it == 0,
             gamma_tol=gamma_tol,
+            sweep_backend=estep_backend,
         )
         if gamma_df is None:
             inp = static_corpus.withColumn(
@@ -537,10 +579,11 @@ def infer(
     corpus_doc: DataFrame,
     state: LdaState,
     max_gamma_iter: int = 50,
+    estep_backend=None,
 ) -> DataFrame:
     """Test/held-out mode (-test: learning=false, single γ-only pass —
     VariationalInferenceOptions.java:166-178).  Returns (doc_id, gamma,
-    doc_ll)."""
+    doc_ll).  ``estep_backend`` as in ``train``."""
     from mr_lda_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
@@ -550,6 +593,7 @@ def infer(
         max_gamma_iter,
         learning=False,
         random_start_gamma=False,
+        sweep_backend=estep_backend,
     )
     if "gamma" not in corpus_doc.columns:
         corpus_doc = corpus_doc.withColumn(

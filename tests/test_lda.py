@@ -166,3 +166,48 @@ def test_display_document_flat(spark, encoded, trained):
     ).collect()
     assert all(r["n"] == K for r in agg)
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in agg)
+
+
+def test_estep_backend_hook(spark, encoded):
+    """The pluggable sweep backend (accelerator hook): a delegating
+    backend is bit-identical to the default; a truncated backend
+    diverges — i.e. the injected kernel really runs on executors.
+
+    The backends are nested closures so cloudpickle ships them by
+    VALUE (a user's custom kernel won't be importable on executors
+    either — this also pins that the hook survives that path).
+    """
+    from mr_lda_spark.plans.lda import numpy_sweep_backend
+
+    def _tracing_backend(elb, counts_pad, gamma, alpha, max_iter, tol):
+        return numpy_sweep_backend(
+            elb, counts_pad, gamma, alpha, max_iter, tol
+        )
+
+    def _one_sweep_backend(elb, counts_pad, gamma, alpha, max_iter, tol):
+        # Truncate to a single sweep — observably different model
+        # trajectory proves the hook is in the executor hot path.
+        return numpy_sweep_backend(elb, counts_pad, gamma, alpha, 1, 0.0)
+
+    corpus_doc, num_terms = encoded
+    _, base = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=2, max_gamma_iter=10, seed=11,
+    )
+    _, same = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=2, max_gamma_iter=10, seed=11,
+        estep_backend=_tracing_backend,
+    )
+    # Tight allclose, not bitwise: the φ logsumexp combiner sums
+    # partition partials in shuffle arrival order, so two runs of the
+    # SAME code already differ by ~1 ulp.
+    np.testing.assert_allclose(base.elog_beta, same.elog_beta, rtol=1e-12)
+    np.testing.assert_allclose(base.alpha, same.alpha, rtol=1e-12)
+
+    _, diff = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=2, max_gamma_iter=10, seed=11,
+        estep_backend=_one_sweep_backend,
+    )
+    assert not np.allclose(base.elog_beta, diff.elog_beta, rtol=1e-6)
