@@ -462,16 +462,34 @@ def train(
             F.col("doc_id").cast("int").alias("id"),
             F.posexplode("vec").alias("pos", "v"),
         )
-        maxes = stats.groupBy("kind", "id", "pos").agg(F.max("v").alias("__max"))
+        # Stable logsumexp in ONE shuffle: each (kind, id, pos) key has
+        # at most P partition partials (P = input partitions), so
+        # collect_list-ing them into a ≤P-element array and folding the
+        # LSE with codegen array ops beats the former two-shuffle
+        # groupBy(max) + re-join(sub/exp/sum) plan — the V×K-keyed
+        # shuffle runs once instead of twice and no V×K×P join ever
+        # materializes.  The array stays bounded by cluster parallelism
+        # (it is per-key PARTIAL count, not data volume), so this holds
+        # at 100 TB: P=10⁴ tasks → ≤10⁴ doubles per key transiently.
         combined = (
-            stats.join(maxes, ["kind", "id", "pos"])
-            .groupBy("kind", "id", "pos")
-            .agg(
+            stats.groupBy("kind", "id", "pos")
+            .agg(F.collect_list("v").alias("vs"), F.sum("v").alias("s"))
+            .withColumn("__max", F.array_max("vs"))
+            .select(
+                "kind",
+                "id",
+                "pos",
                 (
-                    F.first("__max")
-                    + F.log(F.sum(F.exp(F.col("v") - F.col("__max"))))
+                    F.col("__max")
+                    + F.log(
+                        F.aggregate(
+                            "vs",
+                            F.lit(0.0),
+                            lambda acc, x: acc + F.exp(x - F.col("__max")),
+                        )
+                    )
                 ).alias("lse"),
-                F.sum("v").alias("s"),
+                "s",
             )
             .collect()
         )
