@@ -339,13 +339,43 @@ def train_poly(
             inp = static_corpus.join(gamma_df, "doc_id", "left")
         out = inp.mapInPandas(kernel, schema=_POLY_ESTEP_SCHEMA).persist()
 
+        # Reduce the per-partition φ partials ON CLUSTER before any
+        # driver pull: each (lang, term, topic) key has ≤P partials
+        # (P = input partitions), so the collect_list array is bounded
+        # by parallelism and the stable LSE folds in codegen — the
+        # driver then collects V×K scalars instead of P×V×K vectors
+        # (same single-shuffle shape as the mono plan's combine,
+        # plans/lda.py).
         phi_by_lang: dict[int, list] = {lang: [] for lang in range(L)}
-        for r in (
+        phi_scal = (
             out.filter(F.col("kind") == "phi")
-            .select("lang", "doc_id", "vec")
+            .select(
+                "lang",
+                F.col("doc_id").cast("int").alias("id"),
+                F.posexplode("vec").alias("pos", "v"),
+            )
+            .groupBy("lang", "id", "pos")
+            .agg(F.collect_list("v").alias("vs"))
+            .withColumn("__max", F.array_max("vs"))
+            .select(
+                "lang",
+                "id",
+                "pos",
+                (
+                    F.col("__max")
+                    + F.log(
+                        F.aggregate(
+                            "vs",
+                            F.lit(0.0),
+                            lambda acc, x: acc + F.exp(x - F.col("__max")),
+                        )
+                    )
+                ).alias("lse"),
+            )
             .collect()
-        ):
-            phi_by_lang[r["lang"]].append((r["doc_id"], r["vec"]))
+        )
+        for r in phi_scal:
+            phi_by_lang[r["lang"]].append((r["id"], r["pos"], r["lse"]))
         alpha_ss = np.sum(
             [
                 np.asarray(r["vec"])
