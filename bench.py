@@ -55,6 +55,14 @@ EXTRA = [
     "similarity_knn_classify",
     "curation_domain_cap",
     "documents_profile",
+    # r4 additions (recorded, not in the round-over-round total):
+    "similarity_ivfpq_topk",
+    "similarity_rp_topk",
+    "lineitem_salted_join_revenue",
+    "dedup_semdedup_pairs",
+    "dedup_incremental_pairs",
+    "curation_adaptive_quality",
+    "quality_model_serve",
 ]
 
 
