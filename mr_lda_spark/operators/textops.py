@@ -430,6 +430,73 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval scoring: top-k documents for a bag-of-words
+    query (Robertson/Sparck-Jones idf with the +1 floor, the Lucene/
+    Okapi default) — the workhorse of quality-by-retrieval curation
+    (e.g. "find pretraining docs similar to a trusted seed set").
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1).
+
+    Plan: doc length is a pure projection (``size`` of the token
+    array — no explode, no shuffle); the token explode is filtered to
+    the query terms BEFORE any aggregation, so the only (doc, term)
+    shuffle carries query-matching tokens only.  df (|q| rows) and the
+    (N, avgdl) scalar row broadcast; the doc-length join is the one
+    corpus-keyed shuffle.  Scores round to 6dp and tie-break on doc_id
+    so the top-k frontier is deterministic across engines.
+    """
+    lens = docs.select(
+        "doc_id", F.size(_tokens(F.col(text_col))).alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qtoks = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
+    tf = qtoks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtoks.groupBy("term").agg(
+        F.count_distinct(F.col("doc_id")).alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                    + 1.0
+                )
+                * F.col("tf")
+                * (k1 + 1.0)
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 def top_ngrams(
     docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 20
 ) -> DataFrame:

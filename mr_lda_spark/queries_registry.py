@@ -1683,6 +1683,51 @@ def text_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+_BM25_QUERY = ("hash", "join", "scan")
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    qtoks AS (
+      SELECT doc_id, term FROM toks
+      WHERE term IN {str(tuple(_BM25_QUERY))}
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM qtoks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1)
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             * tf * 2.2
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+           ), 6) AS bm25
+    FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-20 docs for a fixed bag-of-words query (k1=1.2,
+    b=0.75, Lucene-default idf floor) — retrieval-based curation.
+    Doc length is a shuffle-free projection; the token explode is
+    filtered to query terms before any aggregation."""
+    return textops.bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_BM25_QUERY), k=20
+    )
+
+
 @register(
     "text_top_ngrams",
     f"""
