@@ -341,6 +341,128 @@ def simhash_near_dupes(
     )
 
 
+def _capped_pair_counts(
+    docs: DataFrame,
+    text_col: str,
+    shingle_n: int,
+    max_shingle_df: int,
+    new_from: int | None = None,
+) -> DataFrame:
+    """Shared shingle-overlap pair counting for the capped set-
+    similarity family (Jaccard / containment): returns
+    (a, n_a, b, n_b, n_common) where n_common counts shared shingles
+    rarer than the df cap and n_a/n_b are FULL distinct-set sizes.
+
+    THREE shuffles total, ZERO joins:
+    1. groupBy(doc_id) collect_set builds each doc's
+       distinct-shingle SET + its size in ONE exchange (partial
+       aggregation dedupes the exploded stream map-side).  The
+       set is an Aggregate output attribute, so the multiple
+       downstream references (size + explode) read a stored
+       value — an `array_distinct` projection alias here gets
+       INLINED by projection collapse and recomputed per
+       reference (measured 3× slower);
+    2. one groupBy(shingle) collects (doc_id, n_sh) structs;
+       hot shingles are dropped by list size (the cap bounds the
+       per-row pair fan-out at cap²/2);
+    3. pairs are generated with array ops CARRYING both sizes,
+       so the similarity denominator needs no post-aggregation join
+       back to a corpus-cardinality size table (measured: those
+       two joins were the most expensive stage of the old plan,
+       and a broadcast would not survive 100 TB — sizes has one
+       row per document).
+    """
+    # No silent caps: the excluded boilerplate shingles are
+    # enumerable via hot_shingles(docs, ...) with the same cap.
+    logger.info(
+        "capped pair counts: shingle-df cap active (df <= %d); "
+        "hotter shingles are excluded from candidate generation",
+        max_shingle_df,
+    )
+    doc_sets = (
+        shingles(docs, text_col, shingle_n)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shs"))
+    )
+    ex = doc_sets.select(
+        F.struct("doc_id", F.size("shs").alias("n_sh")).alias("d"),
+        F.explode("shs").alias("shingle"),
+    )
+    doc_lists = (
+        ex.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("d")).alias("ds"))
+        .filter(
+            (F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df)
+        )
+    )
+    flat = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("a"),
+                    x["n_sh"].alias("n_a"),
+                    y["doc_id"].alias("b"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    if new_from is not None:
+        # b = max(a, b) (lists are sorted), so `b >= new_from` ≡
+        # "pair touches the new batch".  Pruned pre-explode: the
+        # old-old quadratic mass never reaches the shuffle.
+        flat = F.filter(flat, lambda p: p["b"] >= F.lit(new_from))
+    pairs = doc_lists.select(F.explode(flat).alias("p")).select(
+        "p.a", "p.n_a", "p.b", "p.n_b"
+    )
+    return pairs.groupBy("a", "n_a", "b", "n_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_df: int = 64,
+    new_from: int | None = None,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    — the DIRECTIONAL similarity Jaccard misses when a small document
+    is embedded verbatim in a much larger one (quotes, article-in-
+    aggregator pages, prompt/response supersets).  A 100-shingle doc
+    fully contained in a 10k-shingle page has Jaccard ≈ 0.01 but
+    containment 1.0.
+
+    Same three-shuffle zero-join capped plan as the exact Jaccard path
+    (``_capped_pair_counts``); only the denominator differs.  Returns
+    (a, b, containment, jaccard) above the containment threshold —
+    jaccard rides along for free so downstream policy can distinguish
+    "true near-dup" from "subset".
+    """
+    common = _capped_pair_counts(
+        docs, text_col, shingle_n, max_shingle_df, new_from
+    )
+    return (
+        common.select(
+            "a",
+            "b",
+            F.round(
+                F.col("n_common") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def jaccard_near_dupes_exact(
     docs: DataFrame,
     text_col: str = "text",
@@ -367,71 +489,8 @@ def jaccard_near_dupes_exact(
     pair generation, before anything is exploded or shuffled.
     """
     if max_shingle_df is not None:
-        # No silent caps: the excluded boilerplate shingles are
-        # enumerable via hot_shingles(docs, ...) with the same cap.
-        logger.info(
-            "jaccard_near_dupes_exact: shingle-df cap active (df <= %d); "
-            "hotter shingles are excluded from candidate generation",
-            max_shingle_df,
-        )
-        # Capped path = THREE shuffles total, ZERO joins:
-        # 1. groupBy(doc_id) collect_set builds each doc's
-        #    distinct-shingle SET + its size in ONE exchange (partial
-        #    aggregation dedupes the exploded stream map-side).  The
-        #    set is an Aggregate output attribute, so the multiple
-        #    downstream references (size + explode) read a stored
-        #    value — an `array_distinct` projection alias here gets
-        #    INLINED by projection collapse and recomputed per
-        #    reference (measured 3× slower);
-        # 2. one groupBy(shingle) collects (doc_id, n_sh) structs;
-        #    hot shingles are dropped by list size (the cap bounds the
-        #    per-row pair fan-out at cap²/2);
-        # 3. pairs are generated with array ops CARRYING both sizes,
-        #    so the Jaccard denominator needs no post-aggregation join
-        #    back to a corpus-cardinality size table (measured: those
-        #    two joins were the most expensive stage of the old plan,
-        #    and a broadcast would not survive 100 TB — sizes has one
-        #    row per document).
-        doc_sets = (
-            shingles(docs, text_col, shingle_n)
-            .groupBy("doc_id")
-            .agg(F.collect_set("shingle").alias("shs"))
-        )
-        ex = doc_sets.select(
-            F.struct("doc_id", F.size("shs").alias("n_sh")).alias("d"),
-            F.explode("shs").alias("shingle"),
-        )
-        doc_lists = (
-            ex.groupBy("shingle")
-            .agg(F.array_sort(F.collect_list("d")).alias("ds"))
-            .filter(
-                (F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df)
-            )
-        )
-        flat = F.flatten(
-            F.transform(
-                F.col("ds"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("a"),
-                        x["n_sh"].alias("n_a"),
-                        y["doc_id"].alias("b"),
-                        y["n_sh"].alias("n_b"),
-                    ),
-                ),
-            )
-        )
-        if new_from is not None:
-            # b = max(a, b) (lists are sorted), so `b >= new_from` ≡
-            # "pair touches the new batch".  Pruned pre-explode: the
-            # old-old quadratic mass never reaches the shuffle.
-            flat = F.filter(flat, lambda p: p["b"] >= F.lit(new_from))
-        pairs = doc_lists.select(F.explode(flat).alias("p")).select(
-            "p.a", "p.n_a", "p.b", "p.n_b"
-        )
-        common = pairs.groupBy("a", "n_a", "b", "n_b").agg(
-            F.count(F.lit(1)).alias("n_common")
+        common = _capped_pair_counts(
+            docs, text_col, shingle_n, max_shingle_df, new_from
         )
         return common.select(
             "a",

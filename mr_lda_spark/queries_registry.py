@@ -1208,6 +1208,44 @@ def dedup_jaccard_pairs(spark, sf_dir):
 
 
 @register(
+    "dedup_containment_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    rare AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}
+    ),
+    shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    common AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+      FROM shr x JOIN shr y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+             AS containment,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_common / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.6
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Directional shingle containment |A∩B|/min(|A|,|B|) ≥ 0.6 —
+    catches a small doc embedded verbatim in a large one, which
+    Jaccard scores near zero.  Same capped zero-join plan as
+    dedup_jaccard_pairs; the oracle applies the identical cap."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.6,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
+
+
+@register(
     "lineitem_salted_join_revenue",
     """
     SELECT s_nationkey,

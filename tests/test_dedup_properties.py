@@ -71,3 +71,30 @@ def test_incremental_jaccard_prunes_old_old_pairs(spark):
     assert inc_pairs == {(a, b) for a, b in full_pairs if b >= 100}
     assert (1, 100) in inc_pairs and (50, 101) in inc_pairs
     assert (1, 2) not in inc_pairs
+
+
+def test_containment_catches_embedded_doc(spark):
+    """A small doc embedded verbatim in a much larger one scores
+    containment 1.0 while its Jaccard is far below any useful
+    near-dup threshold — the case the directional metric exists for."""
+    from mr_lda_spark.operators import dedup
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [
+        (1, small),
+        (2, filler + " " + small + " " + filler),  # contains doc 1
+        (3, "entirely unrelated words about engines and rivers flow"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r
+        for r in dedup.containment_pairs(
+            docs, threshold=0.9, max_shingle_df=100
+        ).collect()
+    }
+    assert (1, 2) in got
+    r = got[(1, 2)]
+    assert r["containment"] == pytest.approx(1.0)
+    assert r["jaccard"] < 0.2
+    assert all(a == 1 and b == 2 for (a, b) in got)
