@@ -1381,11 +1381,58 @@ def dedup_survivors(spark, sf_dir):
     return dedup.dedup_survivors(docs, pairs)
 
 
-@register("dedup_minhash_near_dupes")
+@register(
+    "dedup_minhash_near_dupes",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    sig AS (
+      SELECT doc_id, CAST(seed AS INT) AS seed,
+             min(('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT)
+               AS minhash
+      FROM sh, unnest(range(0, 8)) AS s(seed)
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)
+               AS band_key
+      FROM sig GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT band, band_key FROM bands GROUP BY 1, 2
+      HAVING count(*) BETWEEN 2 AND 1000
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                  AND x.doc_id < y.doc_id
+      JOIN ok ON ok.band = x.band AND ok.band_key = x.band_key
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.a, c.b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2
+    )
+    SELECT a, b,
+           round(n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
+    """,
+)
 def dedup_minhash_near_dupes(spark, sf_dir):
     """Full MinHash → LSH banding → candidate pairs → exact Jaccard
-    verify pipeline (rows-only: the LSH candidate set is
-    probe-order-free but band parameters are engine-internal)."""
+    verify pipeline.  Every stage is md5-deterministic, so the WHOLE
+    pipeline has a DuckDB oracle: same 8-hash signatures, 4 bands of 2
+    rows, identical 2..1000 bucket-size gate, same verify — band keys
+    compared as the sorted minhash CSV the engine md5-compacts
+    (md5 equality ≡ string equality)."""
     return dedup.near_duplicates_minhash(
         _t(spark, sf_dir, "documents"), threshold=0.2
     )
