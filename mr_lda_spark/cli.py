@@ -355,6 +355,73 @@ def cmd_curate(args) -> None:
     )
 
 
+def cmd_dedup(args) -> None:
+    """Standalone dedup over a documents parquet: pick a method, write
+    the surviving corpus (+ optional pair report), print a JSON audit.
+
+    Methods map to the operator family (operators/dedup.py): ``exact``
+    (md5 groups), ``jaccard`` (capped inverted-index exact pairs),
+    ``minhash`` (MinHash→LSH→verify), ``simhash`` (banded hamming),
+    ``containment`` (directional subset detection).  Survivor policy
+    for pair methods is connected-component collapse to the minimum
+    doc_id (dedup_survivors)."""
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import dedup
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-dedup")
+    docs = spark.read.parquet(args.input)
+    n_in = docs.count()
+    if args.method == "exact":
+        groups = dedup.exact_duplicates(docs)
+        keep = groups.select(
+            F.col("canonical_doc_id").alias("doc_id")
+        )
+        survivors = docs.join(keep, "doc_id", "left_semi")
+        n_pairs = 0
+    else:
+        if args.method == "jaccard":
+            pairs = dedup.jaccard_near_dupes_exact(
+                docs,
+                threshold=args.threshold,
+                max_shingle_df=args.max_shingle_df,
+            )
+        elif args.method == "minhash":
+            pairs = dedup.near_duplicates_minhash(
+                docs, threshold=args.threshold
+            )
+        elif args.method == "simhash":
+            pairs = dedup.simhash_near_dupes(
+                docs, max_hamming=args.max_hamming
+            )
+        else:  # containment
+            pairs = dedup.containment_pairs(
+                docs,
+                threshold=args.threshold,
+                max_shingle_df=args.max_shingle_df,
+            )
+        pairs = pairs.persist()
+        n_pairs = pairs.count()  # eager: survivors + optional report
+        if args.pairs_output:
+            write_table(pairs, args.pairs_output)
+        survivors = dedup.dedup_survivors(docs, pairs)
+    write_table(survivors, args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "method": args.method,
+                "input_docs": n_in,
+                "dup_pairs": n_pairs,
+                "removed": n_in - n_out,
+                "surviving_docs": n_out,
+                "output": args.output,
+            }
+        )
+    )
+
+
 def cmd_display_topic(args) -> None:
     from mr_lda_spark.operators.display import top_terms_per_topic
 
@@ -599,6 +666,31 @@ def build_parser() -> argparse.ArgumentParser:
     pcu.add_argument("--jaccard-threshold", type=float, default=0.5)
     pcu.add_argument("--max-shingle-df", type=int, default=100)
     pcu.set_defaults(fn=cmd_curate)
+
+    pdu = sub.add_parser(
+        "dedup",
+        help="standalone corpus dedup: exact | jaccard | minhash | "
+        "simhash | containment (beyond the reference)",
+    )
+    pdu.add_argument("--input", required=True, help="documents parquet")
+    pdu.add_argument("--output", required=True, help="survivors parquet")
+    pdu.add_argument(
+        "--method",
+        choices=["exact", "jaccard", "minhash", "simhash", "containment"],
+        default="exact",
+    )
+    pdu.add_argument(
+        "--threshold",
+        type=float,
+        default=0.5,
+        help="jaccard/minhash similarity or containment threshold",
+    )
+    pdu.add_argument("--max-shingle-df", type=int, default=100)
+    pdu.add_argument("--max-hamming", type=int, default=6)
+    pdu.add_argument(
+        "--pairs-output", default=None, help="also write the dup-pair report"
+    )
+    pdu.set_defaults(fn=cmd_dedup)
 
     return p
 

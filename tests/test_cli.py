@@ -95,3 +95,32 @@ def test_cli_curate(tmp_path):
     con = duckdb.connect()
     n = con.execute(f"SELECT count(*) FROM '{out_dir}/*.parquet'").fetchone()[0]
     assert n == audit["final_docs"]
+
+
+def test_cli_dedup_exact_and_containment(tmp_path):
+    """`dedup` writes survivors + audit for both a grouping method
+    (exact) and a pair method (containment via connected components);
+    survivor count equals input minus removed and the parquet on disk
+    agrees."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    n_in = con.execute(f"SELECT count(*) FROM '{src}'").fetchone()[0]
+    for method, extra in [
+        ("exact", []),
+        ("containment", ["--threshold", "0.8", "--max-shingle-df", "100"]),
+    ]:
+        out_dir = str(tmp_path / f"dedup_{method}")
+        stdout = _run(
+            ["dedup", "--input", src, "--output", out_dir,
+             "--method", method, *extra],
+            cwd=str(tmp_path),
+        )
+        audit = json.loads(stdout.strip().splitlines()[-1])
+        assert audit["method"] == method
+        assert audit["input_docs"] == n_in
+        assert audit["surviving_docs"] == n_in - audit["removed"]
+        assert 0 < audit["surviving_docs"] <= n_in
+        n_disk = con.execute(
+            f"SELECT count(*) FROM '{out_dir}/*.parquet'"
+        ).fetchone()[0]
+        assert n_disk == audit["surviving_docs"]
