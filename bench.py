@@ -63,6 +63,8 @@ EXTRA = [
     "dedup_incremental_pairs",
     "curation_adaptive_quality",
     "quality_model_serve",
+    "text_bm25_topk",
+    "dedup_containment_pairs",
 ]
 
 
