@@ -966,6 +966,8 @@ def documents_stream_dedup(spark, sf_dir):
     return spark.read.parquet(out).select("text_hash")
 
 
+
+
 @register(
     "events_hourly_stream",
     """
@@ -1381,9 +1383,7 @@ def dedup_survivors(spark, sf_dir):
     return dedup.dedup_survivors(docs, pairs)
 
 
-@register(
-    "dedup_minhash_near_dupes",
-    f"""
+_SQL_MINHASH_PAIRS = f"""
     WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
     sig AS (
       SELECT doc_id, CAST(seed AS INT) AS seed,
@@ -1424,8 +1424,10 @@ def dedup_survivors(spark, sf_dir):
     JOIN sizes sa ON sa.doc_id = a
     JOIN sizes sb ON sb.doc_id = b
     WHERE n_common / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) >= 0.2
-    """,
-)
+"""
+
+
+@register("dedup_minhash_near_dupes", _SQL_MINHASH_PAIRS)
 def dedup_minhash_near_dupes(spark, sf_dir):
     """Full MinHash → LSH banding → candidate pairs → exact Jaccard
     verify pipeline.  Every stage is md5-deterministic, so the WHOLE
@@ -1436,6 +1438,57 @@ def dedup_minhash_near_dupes(spark, sf_dir):
     return dedup.near_duplicates_minhash(
         _t(spark, sf_dir, "documents"), threshold=0.2
     )
+
+
+@register(
+    "documents_stream_near_dedup",
+    f"""
+    WITH RECURSIVE pr AS ({_SQL_MINHASH_PAIRS}),
+    edges AS (
+      SELECT a, b FROM pr
+      UNION
+      SELECT b AS a, a AS b FROM pr
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    clus AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster
+      FROM reach GROUP BY src
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (
+      SELECT doc_id FROM clus WHERE doc_id <> cluster
+    )
+    """,
+)
+def documents_stream_near_dedup(spark, sf_dir):
+    """Streaming NEAR-dup dedup through the replay-safe LSH-index sink
+    (NearDedupSink): admitted doc_ids after MinHash→LSH→verify with
+    connected-component collapse.  The whole pipeline is
+    md5-deterministic, so the oracle is batch SQL: the same pair
+    relation plus a recursive-CTE reachability closure picking each
+    component's minimum id (the file source delivers sf_dir's single
+    documents.parquet as one micro-batch; the cross-batch index path
+    is pinned by tests/test_dedup_stream.py)."""
+    import tempfile
+    import uuid
+
+    from mr_lda_spark.streaming import dedup_stream as ds
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    sink = ds.NearDedupSink(
+        f"{base}/stream_near_dedup_{run}", threshold=0.2
+    )
+    ds.run_near_dedup_stream(
+        ds.read_documents_stream(spark, sf_dir),
+        sink,
+        f"{base}/stream_near_dedup_{run}/ckpt",
+    )
+    return sink.survivors(spark).select("doc_id")
 
 
 @register("similarity_ivf_topk")

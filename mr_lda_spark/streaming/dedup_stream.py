@@ -59,3 +59,170 @@ def run_to_parquet(
         .start()
     )
     q.awaitTermination(timeout_sec)
+
+
+class NearDedupSink:
+    """Streaming NEAR-dup dedup: a ``foreachBatch`` sink that maintains
+    a growing MinHash-LSH bucket index and admits only documents that
+    are near-dup-free against BOTH the current micro-batch and all
+    previously admitted history — the continuous-ingest twin of
+    ``dedup.near_duplicates_minhash``.
+
+    Per batch (all bounded work, nothing rescans admitted text except
+    the candidate-matched slice):
+
+    1. within-batch collapse: full MinHash→LSH→verify over the batch,
+       connected components to the minimum doc_id;
+    2. history probe: the batch's band buckets equi-join the committed
+       bucket index (a compact (doc_id, band, band_key) relation —
+       ~4 rows/doc regardless of text size); only docs sharing a
+       bucket with history become candidates;
+    3. exact Jaccard verify of those candidates against the matched
+       old docs only (left-semi read of the survivor store — predicate
+       pushdown keeps this the candidate slice, not history);
+    4. survivors append under ``docs/batch_id=N``, their buckets under
+       ``index/batch_id=N``, commit marker LAST — the same replay-safe
+       recipe as ``exactly_once.IdempotentBatchSink``: a re-delivered
+       batch_id is skipped, a half-written batch is invisible (readers
+       go through the commit log) and overwritten on replay.
+
+    At 100 TB the per-batch cost is O(batch) + O(index ∩ batch bucket
+    keys): the index join shuffles on high-cardinality (band, key) and
+    the verify joins only candidate pairs.
+    """
+
+    def __init__(
+        self,
+        out_dir: str,
+        threshold: float = 0.5,
+        shingle_n: int = 3,
+    ):
+        import os
+
+        self.out_dir = out_dir
+        self.docs_dir = os.path.join(out_dir, "docs")
+        self.index_dir = os.path.join(out_dir, "index")
+        self.commit_dir = os.path.join(out_dir, "_commits")
+        self.threshold = threshold
+        self.shingle_n = shingle_n
+        os.makedirs(self.commit_dir, exist_ok=True)
+        self.replays_skipped = 0
+
+    def _marker(self, batch_id: int) -> str:
+        import os
+
+        return os.path.join(self.commit_dir, f"{int(batch_id)}.commit")
+
+    def _committed(self) -> list[int]:
+        import os
+
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self.commit_dir)
+            if f.endswith(".commit")
+        )
+
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        """All documents admitted by committed batches."""
+        import os
+
+        paths = [
+            os.path.join(self.docs_dir, f"batch_id={b}")
+            for b in self._committed()
+        ]
+        if not paths:
+            raise ValueError(f"no committed batches under {self.out_dir}")
+        return spark.read.parquet(*paths)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from mr_lda_spark.operators import dedup
+
+        if os.path.exists(self._marker(batch_id)):
+            self.replays_skipped += 1
+            return
+        spark = batch_df.sparkSession
+        batch = batch_df.persist()
+        if batch.count() > 0:
+            within = dedup.near_duplicates_minhash(
+                batch, threshold=self.threshold, shingle_n=self.shingle_n
+            )
+            final = dedup.dedup_survivors(batch, within).persist()
+            final.count()
+            committed = self._committed()
+            if committed:
+                old_buckets = spark.read.parquet(
+                    *[
+                        os.path.join(self.index_dir, f"batch_id={b}")
+                        for b in committed
+                    ]
+                )
+                new_buckets = dedup.minhash_band_buckets(
+                    dedup.minhash_signatures(
+                        final, shingle_n=self.shingle_n
+                    )
+                )
+                cand = (
+                    new_buckets.select(
+                        "band", "band_key", F.col("doc_id").alias("a")
+                    )
+                    .join(
+                        old_buckets.select(
+                            "band", "band_key", F.col("doc_id").alias("b")
+                        ),
+                        ["band", "band_key"],
+                    )
+                    .select("a", "b")
+                    .distinct()
+                    .persist()
+                )
+                cand.count()
+                old_ids = cand.select(F.col("b").alias("doc_id")).distinct()
+                old_docs = self.survivors(spark).join(
+                    old_ids, "doc_id", "left_semi"
+                )
+                union_docs = final.select("doc_id", "text").unionByName(
+                    old_docs.select("doc_id", "text")
+                )
+                matched = dedup.jaccard_verify(
+                    union_docs,
+                    cand,
+                    shingle_n=self.shingle_n,
+                    threshold=self.threshold,
+                )
+                drop_ids = matched.select(
+                    F.col("a").alias("doc_id")
+                ).distinct()
+                final = final.join(drop_ids, "doc_id", "left_anti")
+            final = final.persist()
+            final.count()
+            final.write.mode("overwrite").parquet(
+                os.path.join(self.docs_dir, f"batch_id={int(batch_id)}")
+            )
+            dedup.minhash_band_buckets(
+                dedup.minhash_signatures(final, shingle_n=self.shingle_n)
+            ).write.mode("overwrite").parquet(
+                os.path.join(self.index_dir, f"batch_id={int(batch_id)}")
+            )
+        with open(self._marker(batch_id), "w") as fh:
+            fh.write("ok")
+
+
+def run_near_dedup_stream(
+    docs_stream: DataFrame,
+    sink: NearDedupSink,
+    checkpoint_dir: str,
+    timeout_sec: int = 180,
+) -> None:
+    """Drain a document stream through the near-dup sink (availableNow:
+    one pass over whatever the source currently holds; restart with the
+    same checkpoint to process only new files)."""
+    q = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)

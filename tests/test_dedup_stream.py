@@ -27,3 +27,37 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     stream2 = ds.dedup_stream(ds.read_documents_stream(spark, SF))
     ds.run_to_parquet(stream2, out, ckpt)
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_near_dedup_stream_two_batches(spark, tmp_path):
+    """Streaming near-dup: batch 2's near-copy of a batch-1 doc is
+    rejected against HISTORY (cross-batch LSH index probe), its fresh
+    doc admitted, and a within-batch dup pair collapses to its
+    canonical id.  A replayed batch_id is a no-op."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base + " one"), (2, "totally different text about rivers and stones flow")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (10, base + " two"),       # near-dup of doc 1 (history)
+            (11, "fresh unique content words nothing shared with others here"),
+            (12, "fresh unique content words nothing shared with others here"),
+            # ^ 11/12 exact dup within batch -> canonical 11 survives
+        ],
+        "doc_id long, text string",
+    )
+    sink = ds.NearDedupSink(str(tmp_path / "near"), threshold=0.5)
+    sink(b1, 0)
+    sink(b2, 1)
+    got = sorted(
+        r["doc_id"] for r in sink.survivors(spark).select("doc_id").collect()
+    )
+    assert got == [1, 2, 11]
+    # replay absorption
+    sink(b2, 1)
+    assert sink.replays_skipped == 1
+    assert sorted(
+        r["doc_id"] for r in sink.survivors(spark).select("doc_id").collect()
+    ) == [1, 2, 11]
