@@ -430,6 +430,57 @@ def tfidf_top_terms(
     )
 
 
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document n-gram language-model perplexity (CCNet's quality
+    gate, KenLM-style, as an exact relational plan): train an add-α
+    bigram model on the corpus, score every document by its average
+    bigram log-probability.  Gibberish / boilerplate-shuffled text
+    scores high-perplexity; fluent-for-this-corpus text scores low —
+    the classic LM quality filter, here with no external model
+    artifact and a full SQL oracle (unlike the LDA-based
+    ``curation.perplexity_filter``, whose model is iterative).
+
+    P(w2|w1) = (c(w1 w2) + α) / (c(w1 ·) + α·V), V = distinct tokens.
+
+    Plan: the bigram relation (2-gram shingles, split once behind the
+    shingle Filter barrier) feeds both the model aggregation and the
+    scoring join; c(w1 w2) and c(w1 ·) are plain groupBy counts, V a
+    broadcast scalar.  The scoring join shuffles on (w1, w2) — model-
+    sized right side, never broadcast (the bigram vocabulary grows
+    with the corpus).  Returns (doc_id, n_bigrams, avg_logprob,
+    perplexity); docs with <2 tokens are dropped (no bigram support).
+    """
+    sp = F.split(F.col("shingle"), " ")
+    pairs = shingles(docs, text_col, 2).select(
+        "doc_id",
+        sp.getItem(0).alias("w1"),
+        sp.getItem(1).alias("w2"),
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = docs.select(
+        F.explode(_tokens(F.col(text_col))).alias("term")
+    ).agg(F.count_distinct("term").alias("v"))
+    lp = F.log(
+        (F.col("c12") + alpha) / (F.col("c1") + alpha * F.col("v"))
+    )
+    return (
+        pairs.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+            F.round(F.exp(-F.avg(lp)), 6).alias("perplexity"),
+        )
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

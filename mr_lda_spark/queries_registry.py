@@ -1821,6 +1821,43 @@ def text_tfidf_top_terms(spark, sf_dir):
     return textops.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+@register(
+    "text_bigram_lm_scores",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, tl[CAST(i AS INT)] AS w1, tl[CAST(i AS INT) + 1] AS w2
+      FROM toks, unnest(range(1, len(tl))) AS r(i)
+      WHERE len(tl) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+    vv AS (
+      SELECT count(DISTINCT term) AS v
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS term
+        FROM documents
+      )
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(ln((c12 + 0.1) / (c1 + 0.1 * v))), 6) AS avg_logprob,
+           round(exp(-avg(ln((c12 + 0.1) / (c1 + 0.1 * v)))), 6)
+             AS perplexity
+    FROM pairs JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_scores(spark, sf_dir):
+    """Corpus-trained add-α bigram LM perplexity per document — the
+    CCNet/KenLM-style quality gate as an exact relational plan (the
+    LDA-based perplexity_filter is its iterative-model sibling)."""
+    return textops.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 _BM25_QUERY = ("hash", "join", "scan")
 
 
