@@ -65,6 +65,7 @@ EXTRA = [
     "quality_model_serve",
     "text_bm25_topk",
     "dedup_containment_pairs",
+    "text_bigram_lm_scores",
 ]
 
 
