@@ -485,6 +485,59 @@ def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str =
     )
 
 
+def embedding_outliers(
+    emb: DataFrame,
+    k_sigma: float = 2.0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space outlier detection: per-label distance-to-centroid
+    z-score — the standard "mislabeled / off-distribution example"
+    sweep of an embedding curation pass (vectors far from their class
+    prototype are label noise or junk content candidates).
+
+    Plan: reuses the tall rounded centroids (``label_centroids``,
+    broadcast — labels × dims rows), computes each vector's Euclidean
+    distance in one (label, pos)-joined aggregation, then per-label
+    mean/stddev (a labels-sized broadcast) flag ``dist > μ + kσ``.
+    Distances round to 6dp BEFORE the μ/σ aggregation so both engines
+    aggregate identical inputs; nothing corpus-sized is ever broadcast.
+    """
+    cents = label_centroids(emb, vec_col, label_col)
+    ex = emb.select(
+        id_col,
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"),
+    )
+    d = (
+        ex.join(
+            F.broadcast(cents.select("label", "pos", "centroid")),
+            ["label", "pos"],
+        )
+        .groupBy(id_col, "label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("v") - F.col("centroid"), 2))), 6
+            ).alias("dist")
+        )
+    )
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mu"), F.stddev_pop("dist").alias("sigma")
+    )
+    z = (F.col("dist") - F.col("mu")) / F.col("sigma")
+    return (
+        d.join(F.broadcast(stats), "label")
+        .select(
+            id_col,
+            "label",
+            "dist",
+            F.round(z, 4).alias("z"),
+            (z > k_sigma).alias("is_outlier"),
+        )
+    )
+
+
 def semdedup_pairs(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -2087,6 +2087,43 @@ def embedding_label_centroids(spark, sf_dir):
 
 
 @register(
+    "embedding_outliers",
+    """
+    WITH cent AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             round(avg(embedding[i]), 6) AS centroid
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT vec_id, label, CAST(i - 1 AS INT) AS pos, embedding[i] AS v
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    d AS (
+      SELECT vec_id, label,
+             round(sqrt(sum((v - centroid) * (v - centroid))), 6) AS dist
+      FROM ex JOIN cent USING (label, pos)
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT label, avg(dist) AS mu, stddev_pop(dist) AS sigma
+      FROM d GROUP BY 1
+    )
+    SELECT vec_id, label, dist,
+           round((dist - mu) / sigma, 4) AS z,
+           (dist - mu) / sigma > 2.0 AS is_outlier
+    FROM d JOIN s USING (label)
+    """,
+)
+def embedding_outliers(spark, sf_dir):
+    """Per-label distance-to-centroid z-score over the embedding table
+    — the mislabeled/off-distribution sweep of embedding curation.
+    Distances round before the μ/σ aggregation so both engines
+    aggregate identical inputs."""
+    return similarity.embedding_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "events_stream_join",
     """
     SELECT v.user_id, v.event_id AS view_id, b.event_id AS purchase_id,
