@@ -1581,9 +1581,7 @@ def text_token_counts(spark, sf_dir):
     return textops.token_counts(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_quality",
-    """
+_SQL_TEXT_QUALITY = """
     WITH base AS (
       SELECT doc_id,
              len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
@@ -1606,10 +1604,44 @@ def text_token_counts(spark, sf_dir):
              + 0.2 * (1 - least(digit_chars / CAST(n_chars AS DOUBLE) * 10, 1.0))
            END, 6) AS quality_score
     FROM base
-    """,
-)
+    """
+
+
+@register("text_quality", _SQL_TEXT_QUALITY)
 def text_quality(spark, sf_dir):
     return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("documents_stream_quality", _SQL_TEXT_QUALITY)
+def documents_stream_quality(spark, sf_dir):
+    """Batch/stream unification: the SAME ``quality_scores`` projection
+    (a stateless codegen expression — no shuffle, no state) runs
+    UNCHANGED on a document stream and drains through the exactly-once
+    parquet sink; the oracle is literally ``text_quality``'s.  This is
+    the DataFrame-unified-engine property the reference's MapReduce
+    architecture cannot express: one operator definition, two
+    execution modes."""
+    import tempfile
+    import uuid
+
+    from mr_lda_spark.streaming import dedup_stream as ds
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    out = f"{base}/stream_quality_{run}/out"
+    ckpt = f"{base}/stream_quality_{run}/ckpt"
+    stream = textops.quality_scores(
+        ds.read_documents_stream(spark, sf_dir)
+    )
+    ds.run_to_parquet(stream, out, ckpt)
+    return spark.read.parquet(out).select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "stop_ratio",
+        "digit_ratio",
+        "quality_score",
+    )
 
 
 @register(
