@@ -116,3 +116,46 @@ def test_mixture_weights_sum_to_one(spark, sf_dir):
     for r in rows:
         if r.n_docs < tot / len(nat):
             assert r.weight > r.n_docs / tot
+
+
+def test_bm25_semantics(spark):
+    """Docs without query terms never appear; a doc matching more query
+    terms outranks a longer doc matching one; idf stays positive even
+    for a term in every doc (Lucene +1 floor)."""
+    from mr_lda_spark.operators.textops import bm25_topk
+
+    rows = [
+        (1, "hash join scan filter sort"),
+        (2, "hash hash hash something else entirely padded out long " + "x " * 40),
+        (3, "no relevant terms at all here"),
+        (4, "hash join other words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(docs, ["hash", "join", "scan"], k=10).collect()
+    ids = [r["doc_id"] for r in got]
+    assert 3 not in ids
+    assert set(ids) == {1, 2, 4}
+    assert ids[0] == 1  # all three query terms, short doc
+    assert all(r["bm25"] > 0 for r in got)
+
+
+def test_bigram_lm_semantics(spark):
+    """<2-token docs are dropped; exact duplicate docs score
+    identically; a doc built from corpus-common bigrams has lower
+    perplexity than one of corpus-unique bigrams."""
+    from mr_lda_spark.operators.textops import bigram_lm_scores
+
+    common = "the cat sat on the mat"
+    rows = [
+        (1, common),
+        (2, common),
+        (3, common),
+        (4, "zeta omega unique bigrams nowhere else"),
+        (5, "single"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert 5 not in got
+    assert got[1]["avg_logprob"] == got[2]["avg_logprob"] == got[3]["avg_logprob"]
+    assert got[1]["perplexity"] < got[4]["perplexity"]
+    assert got[1]["n_bigrams"] == 5
