@@ -788,6 +788,63 @@ def events_funnel(spark, sf_dir):
     )
 
 
+def events_retention_cohorts(spark, sf_dir):
+    """Daily cohort retention matrix: users grouped by first-active
+    day, fraction still active k days later — the standard
+    product-analytics cohort table.  Three narrow aggregations over
+    (user, day) pairs; the cohort-size table is cohort-count-sized and
+    broadcasts."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_n")
+    )
+    act = ev.join(first, "user_id").select(
+        "cohort_day",
+        F.datediff("d", "cohort_day").cast("int").alias("k"),
+        "user_id",
+    )
+    return (
+        act.groupBy("cohort_day", "k")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "k",
+            "n_active",
+            "cohort_n",
+            F.round(F.col("n_active") / F.col("cohort_n"), 6).alias(
+                "retention"
+            ),
+        )
+    )
+
+
+QUERIES["events_retention_cohorts"] = events_retention_cohorts
+ORACLES["events_retention_cohorts"] = """
+    WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    first AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY 1),
+    sizes AS (SELECT cohort_day, count(*) AS cohort_n FROM first GROUP BY 1),
+    act AS (
+      SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, e.d) AS INT) AS k,
+             e.user_id
+      FROM ev e JOIN first f USING (user_id)
+    )
+    SELECT a.cohort_day, a.k,
+           count(DISTINCT a.user_id) AS n_active,
+           s.cohort_n,
+           round(count(DISTINCT a.user_id) / CAST(s.cohort_n AS DOUBLE), 6)
+             AS retention
+    FROM act a JOIN sizes s USING (cohort_day)
+    GROUP BY a.cohort_day, a.k, s.cohort_n
+"""
+
+
 @register(
     "events_value_bands",
     """
