@@ -105,6 +105,20 @@ def probe(spark, docs) -> dict[str, float]:
     # corpus shuffle).  Near-dup pair ops (incl. the incremental path)
     # stay excluded — cloning plants duplicates, making their cost
     # output-bound (see module docstring).
+    # Late-r4 corpus-linear ops: retrieval scoring (query-filtered
+    # token shuffle) and the corpus-trained bigram LM (model agg +
+    # scoring join).  Containment/near-dup pair ops stay excluded —
+    # output-bound under cloning.
+    t(
+        "bm25_topk",
+        lambda: textops.bm25_topk(
+            docs, ["hash", "join", "scan"], k=20
+        ).count(),
+    )
+    t(
+        "bigram_lm",
+        lambda: textops.bigram_lm_scores(docs).count(),
+    )
     t(
         "adaptive_quality",
         lambda: curation.adaptive_quality_filter(docs).count(),
