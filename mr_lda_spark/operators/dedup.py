@@ -186,59 +186,34 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only.
 
-    Plan: the distinct shingle sets are semi-joined down to the docs
-    the candidate pairs actually TOUCH (id-only shuffle), collected to
-    one array per doc, and the pair relation joins those arrays twice;
-    |A∩B| is a codegen ``array_intersect`` size — no exploded
-    (pair × shingle) relation, no groupBy over it, no size-table
-    re-joins.  Measured 1.45× faster than the explode-join form at
-    sf0.1 (identical output, 3 interleaved reps), and at 100 TB the
-    semi-join guarantees only candidate-matched documents' shingle
-    arrays ever move.  ``shingle_sets`` short-circuits the shingle
+    |A∩B| via a (shingle-set ⋈ candidates) count; |A∪B| = |A|+|B|−|A∩B|.
+    The candidate set is tiny relative to the corpus, so both joins
+    broadcast in practice.  ``shingle_sets`` short-circuits the shingle
     recomputation when the caller already holds the distinct sets
-    (the LSH pipeline persists them upstream).
+    (they feed three consumers here — persist upstream).
     """
     sets = (
         shingle_sets
         if shingle_sets is not None
         else shingles(docs, text_col, shingle_n).distinct()
     )
-    touched = (
-        candidates.select(F.col("a").alias("doc_id"))
-        .union(candidates.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    doc_sets = (
-        sets.join(touched, "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shs"))
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        candidates.join(
+            sets.select(F.col("doc_id").alias("a"), "shingle"), "a"
+        )
+        .join(sets.select(F.col("doc_id").alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
     return (
-        candidates.join(
-            doc_sets.select(
-                F.col("doc_id").alias("a"), F.col("shs").alias("sa")
-            ),
-            "a",
-        )
-        .join(
-            doc_sets.select(
-                F.col("doc_id").alias("b"), F.col("shs").alias("sb")
-            ),
-            "b",
-        )
-        .select(
-            "a",
-            "b",
-            F.size(F.array_intersect("sa", "sb")).alias("n_common"),
-            F.size("sa").alias("n_a"),
-            F.size("sb").alias("n_b"),
-        )
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b")), "b")
         .select(
             "a",
             "b",
             F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
                 6,
             ).alias("jaccard"),
         )
