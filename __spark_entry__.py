@@ -29,24 +29,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_order(names):
-    """Order query names so the ones with no prior driver CORRECTNESS
-    row come first.  The driver samples a fixed number of queries per
-    round in `queries()` order; with >50 registered, sampling in
-    registration order would leave a stable tail never exercised.
-    Stable sort: relative order within the seen/unseen groups is
-    preserved, so previously-checked queries still cycle through in
-    their original order after the unchecked ones."""
+    """Order query names so the driver's fixed-size per-round sample
+    reaches the rows that most need (re-)checking.  Priority buckets,
+    most-urgent first:
+
+      0. never sampled in any prior round;
+      1. latest driver row was an error (a fix only clears with a new
+         green row);
+      2. latest driver row was ``no_oracle`` but the query NOW has an
+         oracle (the oracle landed after the last sample);
+      3. everything else, least-recently-sampled first.
+
+    Without the recency tiebreak, once every query has been seen the
+    sort degenerates to registration order and the driver re-checks
+    the same head of the registry forever while the tail starves
+    (VERDICT r4 "What's wrong" #1)."""
     import glob
     import json
+    import re
 
-    seen: set[str] = set()
+    # last_round[name] = newest round number whose CORRECTNESS file has
+    # a row for `name`; last_row[name] = that row.
+    last_round: dict[str, int] = {}
+    last_row: dict[str, dict] = {}
     for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
-                seen |= set(json.load(fh))
+                rows = json.load(fh)
         except Exception:
             continue
-    return sorted(names, key=lambda n: n in seen)
+        for name, row in rows.items():
+            if rnd >= last_round.get(name, -1):
+                last_round[name] = rnd
+                last_row[name] = row if isinstance(row, dict) else {}
+
+    oracles = set(queries_registry.ORACLES)
+
+    def key(n):
+        if n not in last_round:
+            return (0, 0, 0)
+        row = last_row.get(n, {})
+        err = row.get("err")
+        if err not in (None, "no_oracle"):
+            return (1, last_round[n], 0)
+        if err == "no_oracle" and n in oracles:
+            return (2, last_round[n], 0)
+        return (3, last_round[n], 0)
+
+    return sorted(names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
