@@ -400,6 +400,14 @@ def tfidf_top_terms(
     joined in as a broadcast literal row, and a per-doc rank window.
     The corpus is read once; nothing larger than (doc, term) ever
     shuffles.
+
+    The tf ⋈ df join deliberately carries NO broadcast hint: the df
+    relation is vocabulary-sized, and a web-scale corpus has billions
+    of distinct tokens — a forced broadcast OOMs the driver exactly
+    when the corpus is large (same reasoning as ``bigram_lm_scores``'s
+    never-broadcast model side).  A plain shuffle join on ``term``
+    co-partitions with the df aggregation's own exchange, and AQE will
+    still pick a broadcast at runtime when df is genuinely small.
     """
     from pyspark.sql import Window
 
@@ -410,7 +418,7 @@ def tfidf_top_terms(
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",
