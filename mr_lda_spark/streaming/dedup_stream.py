@@ -96,6 +96,7 @@ class NearDedupSink:
         out_dir: str,
         threshold: float = 0.5,
         shingle_n: int = 3,
+        max_bucket_size: int = 1000,
     ):
         import os
 
@@ -105,6 +106,7 @@ class NearDedupSink:
         self.commit_dir = os.path.join(out_dir, "_commits")
         self.threshold = threshold
         self.shingle_n = shingle_n
+        self.max_bucket_size = max_bucket_size
         os.makedirs(self.commit_dir, exist_ok=True)
         self.replays_skipped = 0
 
@@ -122,14 +124,24 @@ class NearDedupSink:
             if f.endswith(".commit")
         )
 
-    def survivors(self, spark: SparkSession) -> DataFrame:
-        """All documents admitted by committed batches."""
+    def _committed_paths(self, base_dir: str) -> list[str]:
+        """Data directories of committed batches that actually exist.
+
+        Markers are only written for non-empty batches, but a sink
+        directory produced by an earlier version (or hand-edited) may
+        carry a marker with no data dir — tolerate it rather than
+        failing every subsequent read with PATH_NOT_FOUND."""
         import os
 
-        paths = [
-            os.path.join(self.docs_dir, f"batch_id={b}")
+        return [
+            p
             for b in self._committed()
+            if os.path.isdir(p := os.path.join(base_dir, f"batch_id={b}"))
         ]
+
+    def survivors(self, spark: SparkSession) -> DataFrame:
+        """All documents admitted by committed batches."""
+        paths = self._committed_paths(self.docs_dir)
         if not paths:
             raise ValueError(f"no committed batches under {self.out_dir}")
         return spark.read.parquet(*paths)
@@ -143,30 +155,48 @@ class NearDedupSink:
             self.replays_skipped += 1
             return
         spark = batch_df.sparkSession
-        batch = batch_df.persist()
-        if batch.count() > 0:
+        pinned: list[DataFrame] = []
+
+        def _persist(df: DataFrame) -> DataFrame:
+            pinned.append(df.persist())
+            return pinned[-1]
+
+        try:
+            batch = _persist(batch_df)
+            if batch.count() == 0:
+                # No data, no marker: an empty batch is a no-op and
+                # replaying it is harmless, while a marker with no
+                # docs/index dir would poison every later history read
+                # (ADVICE r4).
+                return
             within = dedup.near_duplicates_minhash(
                 batch, threshold=self.threshold, shingle_n=self.shingle_n
             )
-            final = dedup.dedup_survivors(batch, within).persist()
+            final = _persist(dedup.dedup_survivors(batch, within))
             final.count()
-            committed = self._committed()
-            if committed:
-                old_buckets = spark.read.parquet(
-                    *[
-                        os.path.join(self.index_dir, f"batch_id={b}")
-                        for b in committed
-                    ]
-                )
+            old_paths = self._committed_paths(self.index_dir)
+            if old_paths:
+                old_buckets = spark.read.parquet(*old_paths)
                 new_buckets = dedup.minhash_band_buckets(
                     dedup.minhash_signatures(
                         final, shingle_n=self.shingle_n
                     )
                 )
-                cand = (
-                    new_buckets.select(
-                        "band", "band_key", F.col("doc_id").alias("a")
-                    )
+                # Hot-bucket gate over the COMBINED old+new relation —
+                # mirrors lsh_candidate_pairs' cap: a degenerate
+                # boilerplate band_key accumulated in history would
+                # otherwise fan out quadratically (ADVICE r4).
+                sized = (
+                    new_buckets.select("band", "band_key")
+                    .unionByName(old_buckets.select("band", "band_key"))
+                    .groupBy("band", "band_key")
+                    .agg(F.count(F.lit(1)).alias("bucket_n"))
+                    .filter(F.col("bucket_n") <= self.max_bucket_size)
+                    .select("band", "band_key")
+                )
+                cand = _persist(
+                    new_buckets.join(sized, ["band", "band_key"], "left_semi")
+                    .select("band", "band_key", F.col("doc_id").alias("a"))
                     .join(
                         old_buckets.select(
                             "band", "band_key", F.col("doc_id").alias("b")
@@ -175,7 +205,6 @@ class NearDedupSink:
                     )
                     .select("a", "b")
                     .distinct()
-                    .persist()
                 )
                 cand.count()
                 old_ids = cand.select(F.col("b").alias("doc_id")).distinct()
@@ -195,7 +224,7 @@ class NearDedupSink:
                     F.col("a").alias("doc_id")
                 ).distinct()
                 final = final.join(drop_ids, "doc_id", "left_anti")
-            final = final.persist()
+            final = _persist(final)
             final.count()
             final.write.mode("overwrite").parquet(
                 os.path.join(self.docs_dir, f"batch_id={int(batch_id)}")
@@ -205,8 +234,13 @@ class NearDedupSink:
             ).write.mode("overwrite").parquet(
                 os.path.join(self.index_dir, f"batch_id={int(batch_id)}")
             )
-        with open(self._marker(batch_id), "w") as fh:
-            fh.write("ok")
+            with open(self._marker(batch_id), "w") as fh:
+                fh.write("ok")
+        finally:
+            # Long-running streams otherwise accumulate executor
+            # storage memory batch over batch (ADVICE r4).
+            for df in pinned:
+                df.unpersist()
 
 
 def run_near_dedup_stream(

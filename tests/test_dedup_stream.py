@@ -61,3 +61,72 @@ def test_near_dedup_stream_two_batches(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in sink.survivors(spark).select("doc_id").collect()
     ) == [1, 2, 11]
+
+
+def test_near_dedup_stream_empty_batch_does_not_poison_sink(spark, tmp_path):
+    """An empty micro-batch must not break the sink: no marker-with-no-
+    data (which used to make every later survivors()/history read raise
+    PATH_NOT_FOUND), and subsequent non-empty batches still dedup
+    against the pre-gap history (ADVICE r4)."""
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota one")],
+        "doc_id long, text string",
+    )
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    b3 = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta eta theta iota two"),
+            (11, "fresh unique content words nothing shared with others"),
+        ],
+        "doc_id long, text string",
+    )
+    sink = ds.NearDedupSink(str(tmp_path / "near"), threshold=0.5)
+    sink(b1, 0)
+    sink(empty, 1)
+    # survivors() works right after the empty batch…
+    assert sorted(
+        r["doc_id"] for r in sink.survivors(spark).select("doc_id").collect()
+    ) == [1]
+    # …and the next batch still probes history across the gap.
+    sink(b3, 2)
+    assert sorted(
+        r["doc_id"] for r in sink.survivors(spark).select("doc_id").collect()
+    ) == [1, 11]
+    # Replaying the empty batch is a harmless no-op (no marker written).
+    sink(empty, 1)
+    assert sorted(
+        r["doc_id"] for r in sink.survivors(spark).select("doc_id").collect()
+    ) == [1, 11]
+
+
+def test_near_dedup_history_hot_bucket_capped(spark, tmp_path):
+    """A degenerate band_key shared by many history docs must not fan
+    out quadratically: with max_bucket_size below the bucket's size the
+    history probe skips it, so the new near-copy is ADMITTED (recall
+    trade, bounded work — same contract as lsh_candidate_pairs)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    hist = spark.createDataFrame(
+        [(i, f"{shared} tail{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, f"{shared} tail999")], "doc_id long, text string"
+    )
+    # Uncapped: the near-copy is rejected against history.
+    strict = ds.NearDedupSink(str(tmp_path / "strict"), threshold=0.3)
+    strict(spark.createDataFrame([(0, f"{shared} tail0")], "doc_id long, text string"), 0)
+    strict(probe, 1)
+    assert sorted(
+        r["doc_id"] for r in strict.survivors(spark).select("doc_id").collect()
+    ) == [0]
+    # Capped below the hot bucket's size: the probe skips the bucket.
+    capped = ds.NearDedupSink(
+        str(tmp_path / "capped"), threshold=0.3, max_bucket_size=1
+    )
+    capped(hist, 0)
+    n_hist = capped.survivors(spark).count()
+    capped(probe, 1)
+    got = sorted(
+        r["doc_id"] for r in capped.survivors(spark).select("doc_id").collect()
+    )
+    assert 100 in got and len(got) == n_hist + 1
