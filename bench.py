@@ -108,6 +108,7 @@ def main() -> None:
     # cold passes reports the operator, not the noise.
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     per_query: dict[str, float] = {}
+    pass1: dict[str, float] = {}
     for _pass in range(passes):
         # Cold-start discipline: drop the cross-query persisted state
         # so each pass pays the same cache-fill cost the first did.
@@ -121,18 +122,33 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
+            if _pass == 0:
+                pass1[name] = dt
             if name not in per_query or dt < per_query[name]:
                 per_query[name] = dt
     total = sum(per_query[n] for n in HEADLINE if n in per_query)
 
     # Round-over-round trend: the sum over the query set BENCH_r01
     # measured (the headline set gained dedup_embedding_cosine_lsh in
-    # r2, so the raw total is not directly comparable).
+    # r2, so the raw total is not directly comparable).  ADVICE r4:
+    # min-of-N is systematically lower than a single shot even on
+    # identical code (JVM/JIT + OS page cache stay warm across passes),
+    # so BOTH totals are reported — `single_shot_*` (pass 1 only) is
+    # the number to compare against the r1–r3 single-shot baselines;
+    # the min-of-N total is the lower-noise estimate of the operators.
     r2_additions = {"dedup_embedding_cosine_lsh"}
-    per_query["r1_comparable_total"] = round(
-        sum(v for k, v in per_query.items()
-            if k in HEADLINE and k not in r2_additions),
-        3,
+
+    def _comparable(d: dict[str, float]) -> float:
+        return round(
+            sum(v for k, v in d.items()
+                if k in HEADLINE and k not in r2_additions),
+            3,
+        )
+
+    per_query["r1_comparable_total"] = _comparable(per_query)
+    per_query["single_shot_r1_comparable_total"] = _comparable(pass1)
+    per_query["single_shot_headline_total"] = round(
+        sum(pass1[n] for n in HEADLINE if n in pass1), 3
     )
 
     # Engine-reported LDA throughput (BASELINE.md instrumentation
