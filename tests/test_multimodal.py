@@ -146,6 +146,79 @@ def test_real_media_stats_match_source_text(spark):
     assert png[3]["mean_pixel"] == pytest.approx(sum(t3) / 256.0, abs=1e-6)
 
 
+def test_y4m_roundtrip_real_bytes():
+    """encode_y4m_mono writes a spec-valid YUV4MPEG2 stream; the
+    header/FRAME parser recovers every luma plane exactly."""
+    import numpy as np
+
+    fr = np.arange(5 * 8 * 8, dtype=np.uint8).reshape(5, 8, 8) % 251
+    payload = mm.encode_y4m_mono(fr, fps_num=30, fps_den=1)
+    assert payload.startswith(b"YUV4MPEG2 W8 H8 F30:1")
+    v = mm.decode_y4m(payload)
+    assert (v["width"], v["height"], v["fps_num"], v["fps_den"]) == (8, 8, 30, 1)
+    assert np.array_equal(v["frames"], fr)
+
+
+def test_y4m_rejects_non_mono_and_truncated():
+    import numpy as np
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_y4m(
+            b"YUV4MPEG2 W8 H8 F25:1 C420jpeg\n" + b"FRAME\n" + bytes(96)
+        )
+    good = mm.encode_y4m_mono(np.zeros((2, 4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        mm.decode_y4m(good[:-3])  # truncated last plane
+    with pytest.raises(ValueError):
+        mm.decode_y4m(b"RIFFnope")
+
+
+def test_y4m_real_media_stats_match_source_text(spark):
+    """Video stats decoded from real Y4M payloads equal values computed
+    straight from the source text (64-byte frames, zero-padded)."""
+    docs = spark.createDataFrame(
+        [(2, "z" * 130), (5, "ab"), (8, "")],
+        "doc_id long, text string",
+    )
+    media = mm.real_media_from_documents(docs)
+    stats = {r["media_id"]: r for r in mm.y4m_video_stats(media).collect()}
+    assert set(stats) == {2, 5, 8}  # doc_id % 3 == 2
+    assert stats[2]["n_frames"] == 3  # ceil(130/64)
+    assert stats[2]["duration_ms"] == 3 * 40
+    assert stats[2]["mean_luma"] == pytest.approx(
+        130 * ord("z") / (3 * 64.0), abs=1e-6
+    )
+    assert stats[5]["n_frames"] == 1
+    assert stats[8]["n_frames"] == 1 and stats[8]["mean_luma"] == 0.0
+    # per-frame explode: frame 0 full of 'z', frame 2 only 2 bytes
+    fm = {
+        (r["media_id"], r["frame_index"]): r["mean_luma"]
+        for r in mm.y4m_frame_means(media).collect()
+    }
+    assert fm[(2, 0)] == pytest.approx(ord("z"), abs=1e-6)
+    assert fm[(2, 2)] == pytest.approx(2 * ord("z") / 64.0, abs=1e-6)
+    assert len(fm) == 3 + 1 + 1
+
+
+def test_sample_video_frames_real_y4m_path(spark):
+    """sample_video_frames sniffs Y4M and emits REAL decoded planes —
+    fake=False must not raise for Y4M payloads, and each sampled frame
+    is byte-identical to the encoded plane it indexes."""
+    import numpy as np
+
+    fr = np.arange(50 * 16, dtype=np.uint8).reshape(50, 4, 4)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(mm.encode_y4m_mono(fr, fps_num=25)),
+          None, None, None, 2000)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.sample_video_frames(media, every_ms=1000, fake=False).collect()
+    # 50 frames @25fps = 2000 ms -> samples at t=0 and t=1000 (frame 25)
+    assert [r["frame_index"] for r in rows] == [0, 1]
+    assert bytes(rows[0]["frame_payload"]) == fr[0].tobytes()
+    assert bytes(rows[1]["frame_payload"]) == fr[25].tobytes()
+
+
 def test_decode_rejects_unsupported_png_features():
     import struct as st
 
