@@ -731,7 +731,7 @@ def pq_train(
     return books
 
 
-def _pq_encode_udf(books: np.ndarray):
+def _pq_encode_udf(books: np.ndarray, normalize: bool = True):
     """Arrow-batched PQ encoder: one (batch × codes) matmul per
     subspace, argmin L2 — high flops/byte, the pandas-UDF sweet spot
     (the per-PAIR fold rule does not apply: each vector transfers
@@ -744,7 +744,8 @@ def _pq_encode_udf(books: np.ndarray):
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def f(vs: pd.Series) -> pd.Series:
         M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        if normalize:
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         codes = np.empty((M.shape[0], m), dtype=np.int32)
         for s in range(m):
             Xs = M[:, s * dsub : (s + 1) * dsub]
@@ -755,7 +756,7 @@ def _pq_encode_udf(books: np.ndarray):
     return f
 
 
-def _pq_lut_udf(books: np.ndarray):
+def _pq_lut_udf(books: np.ndarray, normalize: bool = True):
     """Arrow-batched ADC lookup-table builder: one (subspace × code)
     inner-product row per query vector, flattened to m·n_codes doubles
     (addressed by ``element_at`` in the scoring expression)."""
@@ -766,7 +767,8 @@ def _pq_lut_udf(books: np.ndarray):
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def lut_udf(vs: pd.Series) -> pd.Series:
         Q = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
-        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        if normalize:
+            Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
         Qs = Q.reshape(len(Q), m, dsub)
         luts = np.einsum("bjd,jcd->bjc", Qs, books)  # (B, m, n_codes)
         return pd.Series(list(luts.reshape(len(Q), m * n_codes_b)))
@@ -779,12 +781,13 @@ def pq_encode(
     books: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """Compress the corpus to (vec_id, codes): m uint8-range ints per
     vector — a 64-float embedding becomes 8 bytes of payload, the
     representation a 100 TB ANN index actually stores and scans.
     Zero shuffle."""
-    enc = _pq_encode_udf(books)
+    enc = _pq_encode_udf(books, normalize=normalize)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
         enc(_as_double(F.col(vec_col))).alias("codes"),
@@ -800,6 +803,7 @@ def pq_topk(
     books: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation (ADC): the corpus is
     scanned in compressed form; each query precomputes a (subspace ×
@@ -827,13 +831,13 @@ def pq_topk(
             vec_col=vec_col,
         )
     m, n_codes_b, dsub = books.shape
-    lut_udf = _pq_lut_udf(books)
+    lut_udf = _pq_lut_udf(books, normalize=normalize)
     qdf = queries.select(
         F.col(id_col).alias("query_id"),
         lut_udf(_as_double(F.col(vec_col))).alias("lut"),
     )
 
-    encoded = pq_encode(embeddings, books, id_col, vec_col)
+    encoded = pq_encode(embeddings, books, id_col, vec_col, normalize=normalize)
     score = sum(
         F.element_at(
             "lut",
@@ -862,6 +866,87 @@ def pq_topk(
             "neighbor_id",
             F.round("approx", 4).alias("approx_cos"),
         )
+    )
+
+
+def frozen_pq_books(
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dsub: int = 8,
+    salt: str = "pqfp",
+) -> np.ndarray:
+    """Deterministic md5-derived PQ codebooks (no training): entry
+    (s, c, d) = round(uint32(md5("salt:s:c:d")[:8 hex]) / 2³² · 2 − 1, 6)
+    ∈ [−1, 1).  Any engine regenerates the identical matrix — the same
+    idea as ``random_projection``'s sign matrix — which is what makes a
+    full ADC scan over these codebooks SQL-oracle-checkable."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    books = np.empty((n_subspaces, n_codes, dsub))
+    for s in range(n_subspaces):
+        for c in range(n_codes):
+            for d in range(dsub):
+                h = int(
+                    hashlib.md5(
+                        f"{salt}:{s}:{c}:{d}".encode()
+                    ).hexdigest()[:8],
+                    16,
+                )
+                books[s, c, d] = float(
+                    Decimal(h / 4294967296.0 * 2 - 1).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+    return books
+
+
+def _unit_rounded(vec_col, round_to: int = 6):
+    """L2-normalize an array column JVM-side and round each component
+    to ``round_to`` dp: the fold/divide/round sequence is step-for-step
+    the one a SQL oracle can replicate bit-identically, so everything
+    downstream starts from the same doubles in both engines."""
+    v = _as_double(vec_col)
+    nrm = F.greatest(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)),
+        F.lit(1e-12),
+    )
+    return F.transform(v, lambda x: F.round(x / nrm, round_to))
+
+
+def pq_fullprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    in_dim: int = 64,
+    salt: str = "pqfp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full-probe ADC scan over FROZEN md5-derived codebooks — the
+    oracle-checkable companion to ``pq_topk`` (VERDICT r4 next #4):
+    with no trained state, both engines regenerate the same codebooks,
+    normalize/round the vectors identically, and must produce the
+    identical encode → LUT → Σ element_at ranking.  This driver-greens
+    the whole PQ machinery (encoder argmin, distributed LUT build,
+    broadcast LUT join, compressed-domain scoring, rank window);
+    ranking *quality* of the trained variant stays pinned by the
+    seeded recall tests."""
+    books = frozen_pq_books(n_subspaces, n_codes, in_dim // n_subspaces, salt)
+    norm = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias(id_col),
+        _unit_rounded(F.col(vec_col)).alias(vec_col),
+    )
+    return pq_topk(
+        norm(embeddings),
+        norm(queries),
+        k=k,
+        books=books,
+        id_col=id_col,
+        vec_col=vec_col,
+        normalize=False,
     )
 
 

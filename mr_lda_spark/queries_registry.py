@@ -1607,6 +1607,80 @@ def similarity_ivfpq_topk(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_pq_fullprobe_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> round(
+               x / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6)) AS nv
+      FROM e
+    ),
+    b AS (
+      SELECT s.s, c.c, d.d,
+             round(CAST(('0x' || substr(md5(
+                     'pqfp:' || s.s || ':' || c.c || ':' || d.d), 1, 8)
+                   )::BIGINT AS DOUBLE) / 4294967296.0 * 2 - 1, 6) AS bval
+      FROM (SELECT unnest(range(0, 8)) AS s) s,
+           (SELECT unnest(range(0, 16)) AS c) c,
+           (SELECT unnest(range(0, 8)) AS d) d
+    ),
+    xv AS (
+      SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+             CAST((i - 1) % 8 AS INT) AS d, nv[i] AS val
+      FROM n, unnest(range(1, 65)) AS u(i)
+    ),
+    dist AS (
+      SELECT xv.vec_id, xv.s, b.c,
+             sum(b.bval * b.bval) - 2 * sum(xv.val * b.bval) AS score
+      FROM xv JOIN b ON xv.s = b.s AND xv.d = b.d
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY score ASC, c ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT xv.vec_id AS query_id, xv.s, b.c, sum(xv.val * b.bval) AS ip
+      FROM xv JOIN b ON xv.s = b.s AND xv.d = b.d
+      WHERE xv.vec_id < {SIM_QUERIES}
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT l.query_id, codes.vec_id AS neighbor_id, sum(l.ip) AS approx
+      FROM codes JOIN lut l ON codes.s = l.s AND codes.c = l.c
+      WHERE codes.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           round(approx, 4) AS approx_cos
+    FROM (
+      SELECT query_id, neighbor_id, approx,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {SIM_K}
+    """,
+)
+def similarity_pq_fullprobe_topk(spark, sf_dir):
+    """Full ADC scan over FROZEN md5-derived codebooks: with no trained
+    state, DuckDB regenerates the identical codebooks, re-encodes every
+    corpus vector (argmin per subspace), rebuilds each query's lookup
+    table and must reproduce the identical compressed-domain ranking —
+    hash-greening the entire PQ machinery (encoder, distributed LUT
+    build, broadcast LUT join, Σ element_at scoring, rank window).
+    The TRAINED variant (similarity_pq_topk) stays rows-only as the
+    honestly-approximate path, its quality pinned by recall tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.pq_fullprobe_topk(emb, queries, k=SIM_K)
+
+
 @register("similarity_lsh_topk")
 def similarity_lsh_topk(spark, sf_dir):
     """Approximate ANN: random-hyperplane LSH buckets + bucket-local

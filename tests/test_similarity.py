@@ -180,6 +180,28 @@ def test_pq_topk_recall_vs_exact(spark, emb, exact_topk):
     assert recall >= 0.4, recall
 
 
+def test_frozen_pq_books_deterministic_and_fullprobe_runs(spark, emb):
+    """Frozen md5-derived codebooks: reproducible, bounded to [-1, 1),
+    6-dp grid; the fullprobe query path returns a complete, unique
+    (query, rank) ladder whose neighbors never echo the query."""
+    import numpy as np
+
+    b1 = similarity.frozen_pq_books()
+    b2 = similarity.frozen_pq_books()
+    assert np.array_equal(b1, b2) and b1.shape == (8, 16, 8)
+    assert (b1 >= -1).all() and (b1 < 1).all()
+    assert np.array_equal(b1, np.round(b1, 6))
+    # a different salt gives a different matrix (no accidental collapse)
+    assert not np.array_equal(b1, similarity.frozen_pq_books(salt="other"))
+    q = emb.filter(F.col("vec_id") < 3)
+    rows = similarity.pq_fullprobe_topk(emb, q, k=3).collect()
+    assert len(rows) == 9
+    assert {(r["query_id"], r["rank"]) for r in rows} == {
+        (q, rk) for q in range(3) for rk in (1, 2, 3)
+    }
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+
+
 def test_pq_finer_quantization_helps(spark, emb, exact_topk):
     """A larger codebook must not hurt recall (finer quantization);
     seeded k-means makes both sides deterministic."""
