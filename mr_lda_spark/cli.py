@@ -422,11 +422,39 @@ def cmd_dedup(args) -> None:
     )
 
 
+def _is_sequencefile_dir(path: str) -> bool:
+    """True when ``path`` holds Hadoop SequenceFile part files (sniffed
+    by the SEQ magic) rather than parquet — lets the Display commands
+    accept the reference's own output directories verbatim."""
+    import glob as globlib
+
+    for p in sorted(globlib.glob(os.path.join(path, "part-*"))):
+        try:
+            with open(p, "rb") as fh:
+                head = fh.read(3)
+        except OSError:
+            continue
+        if head == b"SEQ":
+            return True
+        if head:  # non-empty part that isn't a SequenceFile
+            return False
+    return False
+
+
 def cmd_display_topic(args) -> None:
     from mr_lda_spark.operators.display import top_terms_per_topic
 
     spark = _spark("mrlda-display-topic")
-    beta = spark.read.parquet(args.input)
+    if _is_sequencefile_dir(args.input):
+        # The reference's DisplayTopic flow (DisplayTopic.java:110-138)
+        # reads the trained-β SequenceFile directory directly; so do we
+        # (read_beta handles the PairOfIntFloat/HMapIDW wire format and
+        # the importBeta normalization).
+        from mr_lda_spark.sources.sequencefile import read_beta
+
+        beta = read_beta(spark, args.input)
+    else:
+        beta = spark.read.parquet(args.input)
     term_dict = spark.read.parquet(args.index) if args.index else None
     top = top_terms_per_topic(beta, term_dict, k=args.top_display)
     for row in top.orderBy("topic", "rank").collect():
@@ -609,7 +637,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.set_defaults(fn=cmd_informed_prior)
 
     pdt = sub.add_parser("display-topic", help="DisplayTopic equivalent")
-    pdt.add_argument("--input", required=True, help="beta parquet")
+    pdt.add_argument(
+        "--input",
+        required=True,
+        help="beta parquet, or a reference SequenceFile beta directory",
+    )
     pdt.add_argument("--index", default=None, help="term dictionary parquet")
     pdt.add_argument("--top-display", type=int, default=10)
     pdt.set_defaults(fn=cmd_display_topic)

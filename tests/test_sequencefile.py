@@ -392,6 +392,62 @@ def test_write_beta_roundtrip(spark, tmp_path, compression):
         assert r["log_beta"] == expect[(r["topic"], r["term_id"])]
 
 
+def test_read_corpus_tolerates_zero_byte_parts_names_truncated(
+    spark, tmp_path
+):
+    """ADVICE r4 guards: (a) a zero-byte part-* file (MapReduce reducers
+    routinely emit them) must not break the distributed read; (b) a
+    genuinely truncated part must fail with an error NAMING the file."""
+    recs = _doc_records()
+    path = _write_corpus_file(tmp_path, recs, "record")
+    (tmp_path / "corpus" / "part-00001").write_bytes(b"")
+    rows = sf.read_corpus(spark, path).collect()
+    assert len(rows) == len(recs)
+
+    # Truncate a copy of the valid part mid-stream.
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    good = (tmp_path / "corpus" / "part-00000").read_bytes()
+    (bad_dir / "part-00000").write_bytes(good[: len(good) - 7])
+    with pytest.raises(Exception) as ei:
+        sf.read_corpus(spark, str(bad_dir)).collect()
+    assert "part-00000" in str(ei.value)
+
+
+def test_display_topic_reads_beta_sequencefile_directly(
+    spark, tmp_path, capsys
+):
+    """VERDICT r4 next #6: the reference's DisplayTopic flow
+    (DisplayTopic.java:110-138) runs straight off a SequenceFile beta
+    directory — `display-topic --input <beta-seqfile>` must rank
+    identically to top_terms_per_topic over the round-tripped
+    DataFrame, no convert step in between."""
+    from mr_lda_spark import cli
+    from mr_lda_spark.operators.display import top_terms_per_topic
+    from mr_lda_spark.plans.lda import LdaState, beta_dataframe
+
+    rng = np.random.default_rng(23)
+    K, V = 4, 15
+    elog = np.vstack([np.zeros((1, K)), np.log(rng.random((V, K)) + 1e-3)])
+    state = LdaState(alpha=np.full(K, 0.1), elog_beta=elog)
+    beta = beta_dataframe(spark, state)
+
+    seq_dir = str(tmp_path / "beta-seq")
+    sf.write_beta(beta, seq_dir)
+    cli.main(["display-topic", "--input", seq_dir, "--top-display", "5"])
+    cli_lines = [
+        ln for ln in capsys.readouterr().out.splitlines()
+        if ln.startswith("topic")
+    ]
+    expect = [
+        f"topic {r['topic']}\t{r['term_id']}\t{r['log_beta']:.6f}"
+        for r in top_terms_per_topic(
+            sf.read_beta(spark, seq_dir), None, k=5
+        ).orderBy("topic", "rank").collect()
+    ]
+    assert cli_lines == expect and len(cli_lines) == K * 5
+
+
 def test_cli_convert_beta_display_topic(spark, tmp_path, capsys):
     """VERDICT r3 #3 contract: convert --what beta ingests a synthetic
     reference beta file, and display-topic over the imported parquet
