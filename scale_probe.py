@@ -144,6 +144,42 @@ def probe(spark, docs) -> dict[str, float]:
         )
 
     t("lda_one_iteration_k8", lda_one_iter)
+
+    def lda_join_one_iter():
+        # The distributed-β path for V×K past the broadcast cliff
+        # (VERDICT r4 next #7): force the β join to stay a SHUFFLE
+        # join (kill auto-broadcast — at probe scale β is small enough
+        # that Spark/AQE would otherwise degenerate the probe back to
+        # broadcast mode) and time one EM iteration end-to-end against
+        # the broadcast path above at the same tier.
+        from mr_lda_spark.plans import lda_join
+
+        tokens = parse.tokenize(docs)
+        dictionary = parse.build_dictionary(
+            parse.term_stats(tokens), docs.count()
+        )
+        tall = parse.encode_corpus(tokens, dictionary)
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "-1")
+        try:
+            lda_join.train_beta_join(
+                spark,
+                tall,
+                num_terms=dictionary.count(),
+                num_topics=8,
+                max_iterations=1,
+                max_gamma_iter=25,
+                converge=0.0,
+                seed=1,
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    t("lda_join_one_iteration_k8", lda_join_one_iter)
     return times
 
 
@@ -192,20 +228,24 @@ def main() -> None:
     ratios = {
         k: round(tn[k] / t1[k], 2) if t1[k] > 0 else None for k in t1
     }
-    print(
-        json.dumps(
-            {
-                "metric": "scale_probe",
-                "factor": factor,
-                "docs_1x": n_base,
-                "docs_Nx": n_big,
-                "sec_1x": t1,
-                "sec_Nx": tn,
-                "ratio": ratios,
-                "sf_dir": sf_dir,
-            }
+    out = {
+        "metric": "scale_probe",
+        "factor": factor,
+        "docs_1x": n_base,
+        "docs_Nx": n_big,
+        "sec_1x": t1,
+        "sec_Nx": tn,
+        "ratio": ratios,
+        "sf_dir": sf_dir,
+    }
+    # The broadcast-cliff contract (VERDICT r4 #7): at the big tier the
+    # forced-shuffle-join iteration should be within ~2x of the
+    # broadcast iteration — the price of two extra corpus shuffles.
+    if "lda_join_one_iteration_k8" in tn and tn.get("lda_one_iteration_k8"):
+        out["lda_join_vs_broadcast_Nx"] = round(
+            tn["lda_join_one_iteration_k8"] / tn["lda_one_iteration_k8"], 2
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
