@@ -254,14 +254,18 @@ def hyperplane_buckets(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH: sign pattern of ``n_planes`` projections
     → one integer bucket per vector.  One Arrow-batched matmul against
     the seeded plane matrix (the single-band case of
     ``_band_buckets_udf``) — still a narrow projection, zero shuffle,
     but BLAS instead of n_planes × dim interpreted lambda steps/row."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
+    if planes is None:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_planes, dim))
+    else:
+        n_planes, dim = planes.shape
     bucket_udf = _band_buckets_udf(planes, 1, n_planes)
     return embeddings.select(
         F.col(id_col).alias("vec_id"),
@@ -428,13 +432,18 @@ def lsh_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket, then
     exact cosine re-rank within the bucket.  The bucket join shuffles
     only (bucket, id, vec) — at scale, bucket count 2^n_planes is tuned
     so buckets fit in a task."""
-    cb = hyperplane_buckets(embeddings, n_planes, dim, seed, id_col, vec_col)
-    qb = hyperplane_buckets(queries, n_planes, dim, seed, id_col, vec_col).select(
+    cb = hyperplane_buckets(
+        embeddings, n_planes, dim, seed, id_col, vec_col, planes=planes
+    )
+    qb = hyperplane_buckets(
+        queries, n_planes, dim, seed, id_col, vec_col, planes=planes
+    ).select(
         F.col("vec_id").alias("query_id"),
         "bucket",
         F.col(vec_col).alias("qvec"),
@@ -869,6 +878,23 @@ def pq_topk(
     )
 
 
+def _md5_unit(salt: str, *idx: int) -> float:
+    """round(uint32(md5("salt:i:j:…")[:8 hex]) / 2³² · 2 − 1, 6) —
+    a deterministic pseudo-random double in [−1, 1) any engine (incl.
+    a SQL oracle) regenerates identically; HALF_UP rounding matches
+    Spark's F.round and DuckDB's round."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    key = ":".join([salt, *map(str, idx)])
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    return float(
+        Decimal(h / 4294967296.0 * 2 - 1).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP
+        )
+    )
+
+
 def frozen_pq_books(
     n_subspaces: int = 8,
     n_codes: int = 16,
@@ -876,29 +902,58 @@ def frozen_pq_books(
     salt: str = "pqfp",
 ) -> np.ndarray:
     """Deterministic md5-derived PQ codebooks (no training): entry
-    (s, c, d) = round(uint32(md5("salt:s:c:d")[:8 hex]) / 2³² · 2 − 1, 6)
-    ∈ [−1, 1).  Any engine regenerates the identical matrix — the same
-    idea as ``random_projection``'s sign matrix — which is what makes a
-    full ADC scan over these codebooks SQL-oracle-checkable."""
-    import hashlib
-    from decimal import ROUND_HALF_UP, Decimal
-
+    (s, c, d) = ``_md5_unit(salt, s, c, d)`` ∈ [−1, 1).  Any engine
+    regenerates the identical matrix — the same idea as
+    ``random_projection``'s sign matrix — which is what makes a full
+    ADC scan over these codebooks SQL-oracle-checkable."""
     books = np.empty((n_subspaces, n_codes, dsub))
     for s in range(n_subspaces):
         for c in range(n_codes):
             for d in range(dsub):
-                h = int(
-                    hashlib.md5(
-                        f"{salt}:{s}:{c}:{d}".encode()
-                    ).hexdigest()[:8],
-                    16,
-                )
-                books[s, c, d] = float(
-                    Decimal(h / 4294967296.0 * 2 - 1).quantize(
-                        Decimal("0.000001"), ROUND_HALF_UP
-                    )
-                )
+                books[s, c, d] = _md5_unit(salt, s, c, d)
     return books
+
+
+def frozen_hyperplanes(
+    n_planes: int = 8, dim: int = 64, salt: str = "lshfp"
+) -> np.ndarray:
+    """Deterministic md5-derived LSH hyperplanes: entry (p, d) =
+    ``_md5_unit(salt, p, d)``.  Sign-of-dot bucketing is invariant to
+    the entries' distribution shape (uniform vs gaussian only changes
+    plane direction statistics, not the LSH property), and a SQL
+    oracle regenerates the identical matrix."""
+    planes = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            planes[p, d] = _md5_unit(salt, p, d)
+    return planes
+
+
+def lsh_frozen_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 6,
+    in_dim: int = 64,
+    salt: str = "lshfp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``lsh_topk`` over FROZEN md5-derived hyperplanes — the
+    oracle-checkable companion to the seeded variant: both engines
+    regenerate the planes, re-derive every vector's sign-pattern
+    bucket, and must agree on the bucket-restricted candidate set AND
+    the exact-cosine re-rank within it.  This hash-greens the LSH
+    machinery itself (bucketing matmul, bucket equi-join, re-rank
+    window); recall of the seeded variant stays pinned by pytest."""
+    return lsh_topk(
+        embeddings,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        planes=frozen_hyperplanes(n_planes, in_dim, salt),
+    )
 
 
 def _unit_rounded(vec_col, round_to: int = 6):
@@ -962,6 +1017,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
     books: np.ndarray | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """IVF-PQ — the composed index every large-scale ANN system
     actually deploys (FAISS ``IVFxx,PQyy``): a k-means coarse quantizer
@@ -996,7 +1052,7 @@ def ivfpq_topk(
     m, n_codes_b, _ = books.shape
 
     top1 = _top_cells_udf(centroids, 1)
-    enc = _pq_encode_udf(books)
+    enc = _pq_encode_udf(books, normalize=normalize)
     index = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.element_at(top1(_as_double(F.col(vec_col))), 1).alias("cell"),
@@ -1004,7 +1060,7 @@ def ivfpq_topk(
     )
 
     topn = _top_cells_udf(centroids, n_probe)
-    lut_udf = _pq_lut_udf(books)
+    lut_udf = _pq_lut_udf(books, normalize=normalize)
     probes = queries.select(
         F.col(id_col).alias("query_id"),
         lut_udf(_as_double(F.col(vec_col))).alias("lut"),
@@ -1039,4 +1095,45 @@ def ivfpq_topk(
             "neighbor_id",
             F.round("approx", 4).alias("approx_cos"),
         )
+    )
+
+
+def ivfpq_fullprobe_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    in_dim: int = 64,
+    salt: str = "pqfp",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ at full probe over FROZEN md5 codebooks: probing every
+    cell makes the candidate set the whole corpus, and with no
+    residual encoding the ADC scores are exactly ``pq_fullprobe_topk``'s
+    — so the result must EQUAL the frozen-PQ full scan and shares its
+    DuckDB oracle.  This hash-greens the IVF-PQ machinery itself
+    (two-kernel index projection, probe explode, broadcast LUT cell
+    join, compressed-domain scoring); partial-probe recall stays
+    pinned by the seeded pytest recall tests."""
+    books = frozen_pq_books(n_subspaces, n_codes, in_dim // n_subspaces, salt)
+    norm = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias(id_col),
+        _unit_rounded(F.col(vec_col)).alias(vec_col),
+    )
+    return ivfpq_topk(
+        norm(embeddings),
+        norm(queries),
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_centroids,
+        n_subspaces=n_subspaces,
+        n_codes=n_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroids=_ivf_centroids(n_centroids, in_dim, seed=42),
+        books=books,
+        normalize=False,
     )

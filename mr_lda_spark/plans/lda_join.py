@@ -12,7 +12,9 @@ per iteration:
      pre-partitioned by term_id once and reused every iteration)
   2. regroup by doc_id → doc rows carrying their terms' β slices
   3. mapInPandas E-step (same sweeps as plans.lda, β read from rows)
-     → γ/doc-ll rows + per-(doc,term) φ rows
+     → γ/doc-ll rows + PARTITION-COMBINED per-term φ partials
+     (size-bounded in-kernel logsumexp fold — tokens×K never hits a
+     shuffle)
   4. M-step fully relational: logsumexp φ by (term, topic) → η smooth →
      per-topic normalizer → E[log β'] via an Arrow-batched digamma
      kernel → next β DataFrame (localCheckpoint, still distributed)
@@ -61,13 +63,56 @@ def beta_init_dataframe(
     return spark.createDataFrame(rows, schema="term_id int, beta array<double>")
 
 
-def _join_estep_kernel(alpha: np.ndarray, max_gamma_iter: int):
+def _segment_lse(flat_terms: np.ndarray, flat_vecs: np.ndarray):
+    """Vectorized per-term logsumexp of (n_rows, K) log values grouped
+    by ``flat_terms``: sort, reduceat max-shift, reduceat sum."""
+    order = np.argsort(flat_terms, kind="stable")
+    t = flat_terms[order]
+    v = flat_vecs[order]
+    bounds = np.flatnonzero(np.r_[True, t[1:] != t[:-1]])
+    uniq = t[bounds]
+    mx = np.maximum.reduceat(v, bounds, axis=0)
+    seg_sizes = np.diff(np.r_[bounds, len(t)])
+    seg_id = np.repeat(np.arange(len(bounds)), seg_sizes)
+    sm = np.add.reduceat(np.exp(v - mx[seg_id]), bounds, axis=0)
+    return uniq, mx + np.log(sm)
+
+
+def _join_estep_kernel(
+    alpha: np.ndarray, max_gamma_iter: int, phi_flush: int = 1 << 18
+):
     """E-step over doc rows that carry their own β slices
-    (terms, counts, betas aligned arrays)."""
+    (terms, counts, betas aligned arrays).
+
+    φ sufficient statistics are combined PARTITION-LOCALLY (the same
+    in-mapper-combine move as the broadcast path, plans/lda.py:103):
+    instead of one row per (doc, term) — tokens × K doubles into the
+    M-step shuffle, twice, because the two-pass logsumexp re-shuffles
+    its input — the kernel folds each batch's per-term logsumexp into
+    a dict and emits one partial row per distinct term per partition.
+    Memory stays bounded: the dict flushes to output whenever it
+    exceeds ``phi_flush`` terms (so a vocabulary larger than executor
+    memory degrades to more partials, never to OOM), and logsumexp of
+    partials is associative so the relational combine downstream is
+    unchanged."""
     K = len(alpha)
     l_alpha = float(gammaln(alpha.sum()) - gammaln(alpha).sum())
 
     def run(batches):
+        phi_acc: dict[int, np.ndarray] = {}
+
+        def phi_frame():
+            out = pd.DataFrame(
+                {
+                    "kind": "phi",
+                    "id": np.fromiter(phi_acc, dtype=np.int64, count=len(phi_acc)),
+                    "vec": list(phi_acc.values()),
+                    "ll": 0.0,
+                }
+            )
+            phi_acc.clear()
+            return out
+
         for pdf in batches:
             n_docs = len(pdf)
             if n_docs == 0:
@@ -142,19 +187,21 @@ def _join_estep_kernel(alpha: np.ndarray, max_gamma_iter: int):
                     "ll": 0.0,
                 }
             )
-            # φ rows: one per (doc, term) — the honest shuffle volume
-            # of join mode; combined relationally right after.
+            # φ stats: per-term logsumexp within the batch, folded into
+            # the partition-local accumulator (flushed size-bounded).
             contrib = lpn + log_counts[:, :, None]
-            flat_terms = terms_pad[valid]
-            flat_vecs = contrib[valid]
-            yield pd.DataFrame(
-                {
-                    "kind": "phi",
-                    "id": flat_terms.astype("int64"),
-                    "vec": list(flat_vecs),
-                    "ll": 0.0,
-                }
+            uniq, lse = _segment_lse(
+                terms_pad[valid].astype(np.int64), contrib[valid]
             )
+            for t, vec in zip(uniq, lse):
+                prev = phi_acc.get(int(t))
+                phi_acc[int(t)] = (
+                    vec if prev is None else np.logaddexp(prev, vec)
+                )
+            if len(phi_acc) > phi_flush:
+                yield phi_frame()
+        if phi_acc:
+            yield phi_frame()
 
     return run
 

@@ -1607,9 +1607,7 @@ def similarity_ivfpq_topk(spark, sf_dir):
     )
 
 
-@register(
-    "similarity_pq_fullprobe_topk",
-    f"""
+_SQL_PQ_FROZEN_TOPK = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (
       SELECT vec_id,
@@ -1665,8 +1663,10 @@ def similarity_ivfpq_topk(spark, sf_dir):
                                 ORDER BY approx DESC, neighbor_id ASC) AS rank
       FROM scored
     ) WHERE rank <= {SIM_K}
-    """,
-)
+    """
+
+
+@register("similarity_pq_fullprobe_topk", _SQL_PQ_FROZEN_TOPK)
 def similarity_pq_fullprobe_topk(spark, sf_dir):
     """Full ADC scan over FROZEN md5-derived codebooks: with no trained
     state, DuckDB regenerates the identical codebooks, re-encodes every
@@ -1679,6 +1679,84 @@ def similarity_pq_fullprobe_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
     return similarity.pq_fullprobe_topk(emb, queries, k=SIM_K)
+
+
+@register("similarity_ivfpq_fullprobe_topk", _SQL_PQ_FROZEN_TOPK)
+def similarity_ivfpq_fullprobe_topk(spark, sf_dir):
+    """IVF-PQ at full probe over the frozen md5 codebooks: probing all
+    cells makes the candidate set the whole corpus and (no residual
+    encoding) the ADC scores equal the plain PQ full scan, so the
+    composed index must hash-match the SAME DuckDB oracle as
+    similarity_pq_fullprobe_topk — greening the IVF-PQ machinery
+    (two-kernel index projection, probe explode, broadcast LUT cell
+    join).  Partial probe stays rows-only + seeded recall tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.ivfpq_fullprobe_topk(emb, queries, k=SIM_K)
+
+
+@register(
+    "similarity_lsh_frozen_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl AS (
+      SELECT p.p, d.d,
+             round(CAST(('0x' || substr(md5(
+                     'lshfp:' || p.p || ':' || d.d), 1, 8)
+                   )::BIGINT AS DOUBLE) / 4294967296.0 * 2 - 1, 6) AS w
+      FROM (SELECT unnest(range(0, 6)) AS p) p,
+           (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    xv AS (
+      SELECT vec_id, i - 1 AS d, v[i] AS val
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    proj AS (
+      SELECT xv.vec_id, pl.p, sum(xv.val * pl.w) AS dot
+      FROM xv JOIN pl ON xv.d = pl.d
+      GROUP BY 1, 2
+    ),
+    bk AS (
+      SELECT vec_id,
+             sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)
+               AS bucket
+      FROM proj GROUP BY 1
+    ),
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk q JOIN bk c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {SIM_QUERIES}
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(qe.v, ce.v)
+               / (sqrt(list_dot_product(qe.v, qe.v))
+                  * sqrt(list_dot_product(ce.v, ce.v))) AS cos
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           round(cos, 4) AS cos_sim
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {SIM_K}
+    """,
+)
+def similarity_lsh_frozen_topk(spark, sf_dir):
+    """LSH top-k over FROZEN md5-derived hyperplanes: DuckDB
+    regenerates the plane matrix, re-derives every vector's
+    sign-pattern bucket, and must agree on both the bucket-restricted
+    candidate sets and the exact-cosine re-rank — hash-greening the
+    LSH machinery (bucketing matmul, bucket equi-join, re-rank
+    window).  The seeded variant (similarity_lsh_topk) stays rows-only
+    with its recall pinned by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.lsh_frozen_topk(emb, queries, k=SIM_K, n_planes=6)
 
 
 @register("similarity_lsh_topk")

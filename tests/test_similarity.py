@@ -202,6 +202,39 @@ def test_frozen_pq_books_deterministic_and_fullprobe_runs(spark, emb):
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
 
 
+def test_ivfpq_fullprobe_equals_pq_fullprobe(spark, emb):
+    """Full-probe IVF-PQ over the frozen codebooks must EQUAL the plain
+    frozen-PQ full scan — probing every cell recovers the whole corpus
+    and the ADC scores are identical (no residual encoding)."""
+    q = emb.filter(F.col("vec_id") < 3)
+    a = similarity.pq_fullprobe_topk(emb, q, k=3).collect()
+    b = similarity.ivfpq_fullprobe_topk(emb, q, k=3, n_centroids=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lsh_frozen_topk_bucket_restricted_exact_rerank(spark, emb):
+    """Frozen-plane LSH: returned neighbors share the query's bucket,
+    and their cos_sim equals the exact pairwise cosine (the re-rank is
+    exact within the candidate set)."""
+    q = emb.filter(F.col("vec_id") < 3)
+    planes = similarity.frozen_hyperplanes(6, 64)
+    rows = similarity.lsh_frozen_topk(emb, q, k=3, n_planes=6).collect()
+    assert rows
+    buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.hyperplane_buckets(emb, planes=planes).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    import numpy as np
+
+    for r in rows:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+        a = np.asarray(vecs[r["query_id"]], dtype=np.float64)
+        b = np.asarray(vecs[r["neighbor_id"]], dtype=np.float64)
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cos_sim"] == pytest.approx(cos, abs=1e-4)
+
+
 def test_pq_finer_quantization_helps(spark, emb, exact_topk):
     """A larger codebook must not hurt recall (finer quantization);
     seeded k-means makes both sides deterministic."""
