@@ -66,6 +66,10 @@ EXTRA = [
     "text_bm25_topk",
     "dedup_containment_pairs",
     "text_bigram_lm_scores",
+    # r5 additions (recorded, not in the round-over-round total):
+    "similarity_pq_fullprobe_topk",
+    "similarity_lsh_frozen_topk",
+    "multimodal_y4m_stats",
 ]
 
 
