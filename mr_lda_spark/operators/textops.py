@@ -112,6 +112,78 @@ def quality_scores(
     )
 
 
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    the "repetitious text" filters every large-scale corpus pipeline
+    applies): per document,
+
+    - ``dup_token_frac``   = 1 − distinct/total tokens;
+    - ``top_bigram_frac``  = instances of the most frequent 2-gram /
+      total 2-grams (Gopher's top-n-gram fraction);
+    - ``dup_trigram_frac`` = instances of 3-grams occurring ≥2 times /
+      total 3-grams (Gopher's duplicated-n-gram fraction);
+    - ``repetitive``       = top_bigram_frac > 0.18 OR
+      dup_trigram_frac > 0.30 (thresholds in the Gopher table's range,
+      compared on the 6-dp-rounded values so engines agree exactly).
+
+    Plan: three doc-keyed aggregations (tokens, 2-gram counts, 3-gram
+    counts — each with map-side partial agg over the explode) joined
+    back on doc_id.  Nothing wider than (doc, shingle) ever shuffles
+    and there is no global state, so the shape is corpus-linear at any
+    scale.  Docs with zero tokens produce no row (same as the token
+    explode everywhere else); docs too short for an n-gram get 0.0 via
+    the left joins.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tok_stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("term").alias("n_distinct"),
+    )
+    bi = (
+        shingles(docs, text_col, 2)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bi"), F.sum("c").alias("n_bi"))
+    )
+    tri = (
+        shingles(docs, text_col, 3)
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).alias("dup_tri"),
+            F.sum("c").alias("n_tri"),
+        )
+    )
+    out = (
+        tok_stats.join(bi, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("top_bi") / F.col("n_bi"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(F.col("dup_tri") / F.col("n_tri"), F.lit(0.0)), 6
+            ).alias("dup_trigram_frac"),
+        )
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_bigram_frac") > 0.18)
+        | (F.col("dup_trigram_frac") > 0.30),
+    )
+
+
 def char_trigrams(text: Column) -> Column:
     """All character 3-grams of ``' ' || lower(text) || ' '`` (the
     padding makes word-boundary trigrams visible).  Pure codegen

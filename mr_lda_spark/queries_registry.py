@@ -2184,6 +2184,51 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "text_repetition_scores",
+    f"""
+    WITH toks AS (SELECT * FROM ({_SQL_TOKENS}) WHERE term <> ''),
+    ts AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             count(DISTINCT term) AS n_distinct
+      FROM toks GROUP BY 1
+    ),
+    bi AS (
+      SELECT doc_id, max(c) AS top_bi, sum(c) AS n_bi FROM (
+        SELECT doc_id, shingle, count(*) AS c
+        FROM ({_sql_shingles(2)}) GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT doc_id,
+             sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tri,
+             sum(c) AS n_tri
+      FROM (
+        SELECT doc_id, shingle, count(*) AS c
+        FROM ({_sql_shingles(3)}) GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    j AS (
+      SELECT ts.doc_id, CAST(n_tokens AS INT) AS n_tokens,
+             round(1.0 - n_distinct / n_tokens, 6) AS dup_token_frac,
+             round(coalesce(top_bi / n_bi, 0.0), 6) AS top_bigram_frac,
+             round(coalesce(dup_tri / n_tri, 0.0), 6) AS dup_trigram_frac
+      FROM ts
+      LEFT JOIN bi ON ts.doc_id = bi.doc_id
+      LEFT JOIN tri ON ts.doc_id = tri.doc_id
+    )
+    SELECT *, (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30)
+             AS repetitive
+    FROM j
+    """,
+)
+def text_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters (dup-token fraction, top-2-gram
+    fraction, duplicated-3-gram fraction + threshold flag) — three
+    doc-keyed aggregations joined back, corpus-linear."""
+    return textops.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "curation_quality_filter",
     f"""
     WITH q AS ({_SQL_QUALITY}),

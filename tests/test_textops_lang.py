@@ -83,3 +83,40 @@ def test_cjk_analyzer_via_u1_extension_point(spark):
     # The codegen twin produces the identical token relation.
     toks2 = sorted(r["term"] for r in analyzers.tokenize_cjk(df).collect())
     assert toks2 == toks
+
+
+def test_repetition_scores_pinned_semantics(spark):
+    """Gopher-style repetition signals on crafted docs: a looping
+    bigram trips top_bigram_frac, a repeated trigram trips
+    dup_trigram_frac, and diverse text trips neither."""
+    from mr_lda_spark.operators import textops
+
+    docs = spark.createDataFrame(
+        [
+            # "spam ham" * 6 -> top bigram ("spam ham" or "ham spam")
+            # dominates; every trigram repeats.
+            (0, "spam ham " * 6),
+            # 12 distinct tokens, no repeated n-gram at all.
+            (1, "one two three four five six seven eight nine ten up down"),
+            # tokens repeat but never adjacently in the same order:
+            # dup_token_frac high, n-gram signals low.
+            (2, "a b c d e f g a c e g b d f"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.repetition_scores(docs).collect()}
+    r0 = rows[0]
+    assert r0["n_tokens"] == 12
+    assert r0["dup_token_frac"] == pytest.approx(1 - 2 / 12, abs=1e-6)
+    assert r0["top_bigram_frac"] == pytest.approx(6 / 11, abs=1e-6)
+    assert r0["dup_trigram_frac"] == 1.0
+    assert r0["repetitive"]
+    r1 = rows[1]
+    assert r1["dup_token_frac"] == 0.0
+    assert r1["top_bigram_frac"] == pytest.approx(1 / 11, abs=1e-6)
+    assert r1["dup_trigram_frac"] == 0.0
+    assert not r1["repetitive"]
+    r2 = rows[2]
+    assert r2["dup_token_frac"] == pytest.approx(0.5, abs=1e-6)
+    assert r2["dup_trigram_frac"] == 0.0
+    assert not r2["repetitive"]
