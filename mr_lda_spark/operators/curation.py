@@ -328,6 +328,71 @@ def domain_cap(
     )
 
 
+def token_budget_select(
+    scored: DataFrame,
+    budget_tokens: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bucket_dp: int = 3,
+) -> DataFrame:
+    """Data selection under a global token budget: keep the
+    highest-``score_col`` documents whose cumulative ``tokens_col``
+    stays ≤ ``budget_tokens``, in (score DESC, id ASC) order — the
+    "fill the training mix best-first" step of a pretraining pipeline.
+
+    Semantically this is a running sum over a GLOBAL ordering, but the
+    plan never global-sorts: scores are histogrammed into ``bucket_dp``
+    decimal buckets (a model-sized relation — ≤ 10^bucket_dp + 1 rows
+    for scores in [0, 1]), the per-bucket token totals are collected
+    and turned into exact cross-bucket offsets on the driver, and each
+    row's exact global cumulative count is offset(bucket) + a running
+    sum over a window partitioned BY BUCKET.  Buckets run in parallel;
+    no task ever sees more than one bucket's rows.  (Degenerate case:
+    if most of the corpus shares one identical rounded score, that
+    bucket's window is the straggler — raise ``bucket_dp`` so the
+    histogram splits it.)
+
+    Output: the selected rows plus ``cum_tokens`` (the exact global
+    running total, which makes an independent oracle re-check the
+    ORDERING, not just membership).
+    """
+    from pyspark.sql import Window
+
+    scale = 10**bucket_dp
+    bucketed = scored.withColumn(
+        "_bucket", F.floor(F.col(score_col) * scale).cast("long")
+    )
+    hist = (
+        bucketed.groupBy("_bucket")
+        .agg(F.sum(tokens_col).alias("_tok"))
+        .collect()
+    )
+    running = 0
+    offsets = []
+    for row in sorted(hist, key=lambda r: -r["_bucket"]):
+        offsets.append((row["_bucket"], running))
+        running += row["_tok"]
+    spark = scored.sparkSession
+    off_df = spark.createDataFrame(
+        offsets, schema="_bucket long, _offset long"
+    )
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), "_bucket")
+        .withColumn(
+            "cum_tokens",
+            (F.col("_offset") + F.sum(tokens_col).over(w)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop("_bucket", "_offset")
+    )
+
+
 def interleave_domains(
     docs: DataFrame,
     domain_col: str = "source",

@@ -2250,6 +2250,56 @@ def curation_quality_filter(spark, sf_dir):
     )
 
 
+@register(
+    "curation_token_budget",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+               AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+             round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+               0.5 * least(n_tok / 100.0, 1.0)
+               + 0.3 * least(stop_hits / CAST(n_tok AS DOUBLE) * 5, 1.0)
+               + 0.2 * (1 - least(digit_chars / CAST(n_chars AS DOUBLE) * 10,
+                                  1.0))
+             END, 6) AS quality_score
+      FROM base
+    ),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+               AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, n_tokens, quality_score, CAST(cum_tokens AS BIGINT)
+             AS cum_tokens
+    FROM c WHERE cum_tokens <= 15000
+    """,
+)
+def curation_token_budget(spark, sf_dir):
+    """Token-budget data selection: highest-quality docs first until a
+    60k-token budget fills.  The oracle's global ordered cumsum is
+    reproduced exactly WITHOUT a global sort (score-histogram offsets +
+    per-bucket windows); cum_tokens in the output makes the hash check
+    verify the ordering, not just the membership."""
+    from mr_lda_spark.operators import curation
+
+    scored = textops.quality_scores(_t(spark, sf_dir, "documents")).select(
+        "doc_id", F.col("n_tokens").cast("int").alias("n_tokens"),
+        "quality_score",
+    )
+    return curation.token_budget_select(scored, budget_tokens=15000)
+
+
 _SQL_RP = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     m AS (

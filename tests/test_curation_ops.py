@@ -195,3 +195,41 @@ def test_domain_cap_salted_two_phase_equals_single_phase(spark):
     for r in two:
         per_dom[r["source"]] = per_dom.get(r["source"], 0) + 1
     assert per_dom == {"mega": 10, "small": 10}
+
+
+def test_token_budget_select_equals_global_cumsum(spark):
+    """The histogram-offset + per-bucket-window plan must reproduce the
+    naive global-ordered running sum exactly (membership AND
+    cum_tokens), including ties broken by doc_id and a score bucket
+    that straddles the budget boundary."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, float(f"0.{(i * 37) % 100:02d}"), 10 + (i % 5))
+        for i in range(300)
+    ]  # many duplicate scores -> multi-row buckets and ties
+    scored = spark.createDataFrame(
+        rows, "doc_id long, quality_score double, n_tokens int"
+    )
+    budget = 1200
+    got = sorted(
+        map(tuple, curation.token_budget_select(scored, budget).collect())
+    )
+    w = Window.orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = sorted(
+        map(
+            tuple,
+            scored.withColumn(
+                "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+            )
+            .filter(F.col("cum_tokens") <= budget)
+            .collect(),
+        )
+    )
+    assert got == want and 0 < len(got) < 300
+    # degenerate budgets
+    assert curation.token_budget_select(scored, 0).count() == 0
+    assert curation.token_budget_select(scored, 10**9).count() == 300
