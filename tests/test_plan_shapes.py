@@ -179,6 +179,16 @@ def test_tfidf_no_cartesian_and_partial_agg(spark):
     assert optimized.count("strategy=broadcast") <= 1, optimized
 
 
+def test_token_budget_no_global_window(spark):
+    """curation_token_budget's running sum must stay a PER-BUCKET
+    window (histogram offsets supply the cross-bucket part) — a
+    single-partition global window would serialize the whole corpus
+    through one task."""
+    plan, _ = _plan(spark, "curation_token_budget")
+    assert "SinglePartition" not in plan, plan[:600]
+    assert "_bucket" in plan  # the window partitions by the score bucket
+
+
 def test_label_centroids_single_shuffle(spark):
     plan, _ = _plan(spark, "embedding_label_centroids")
     # posexplode + one (label, pos) aggregation: exactly one exchange.
