@@ -380,16 +380,41 @@ def extract_audio_features(media: DataFrame, fake: bool = True) -> DataFrame:
     ).mapInPandas(kernel, schema=AUDIO_FEATURES_SCHEMA)
 
 
+def resize_png_gray8(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize: decode the PNG, nearest-neighbor resample to
+    (height, width) — output pixel (r, c) = source pixel
+    (⌊r·srcH/height⌋, ⌊c·srcW/width⌋), the floor-index convention a SQL
+    oracle can replicate exactly — and re-encode a spec-valid PNG."""
+    px = decode_png_gray8(payload)
+    src_h, src_w = px.shape
+    rows = np.arange(height) * src_h // height
+    cols = np.arange(width) * src_w // width
+    return encode_png_gray8(px[np.ix_(rows, cols)])
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize stub: emits a deterministic payload of the target size
-    (real impl: decoded resize + re-encode).  Shape/schema real."""
+    """Resize images via mapInPandas.  PNG payloads (sniffed by
+    signature) take the REAL path: stdlib decode → nearest-neighbor
+    resample → PNG re-encode, so the output payloads are themselves
+    valid images any viewer opens.  Other formats (JPEG, …) need
+    codecs this environment lacks: ``fake=True`` emits a
+    deterministic payload-seeded stand-in of the right size, else
+    NotImplementedError."""
 
     def kernel(batches):
         for pdf in batches:
             out = []
             for p in pdf["payload"]:
+                p = bytes(p)
+                if p[:8] == _PNG_MAGIC:
+                    out.append(resize_png_gray8(p, width, height))
+                    continue
                 if not fake:
-                    raise NotImplementedError("no image codecs in env")
+                    raise NotImplementedError(
+                        "only PNG has a stdlib decoder; other image codecs "
+                        "are not available in this environment — pass "
+                        "fake=True for the deterministic test double"
+                    )
                 digest = hashlib.sha256(p).digest()
                 reps = (width * height * 3) // len(digest) + 1
                 out.append((digest * reps)[: width * height * 3])

@@ -2918,6 +2918,41 @@ def multimodal_png_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_png_resize_stats",
+    """
+    WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, text, unnest(range(0, 8)) AS r FROM v),
+    gc AS (SELECT doc_id, text, r, unnest(range(0, 8)) AS c FROM g),
+    px AS (
+      SELECT doc_id,
+             CASE WHEN (2 * r * 16 + 2 * c) < length(text)
+                  THEN ord(substr(text, 2 * r * 16 + 2 * c + 1, 1))
+                  ELSE 0 END AS p
+      FROM gc
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           round(sum(p) / 64.0, 6) AS mean_pixel
+    FROM px GROUP BY 1
+    """,
+)
+def multimodal_png_resize_stats(spark, sf_dir):
+    """REAL image resize verified end-to-end: 16×16 PNGs from the
+    documents table are decoded, nearest-neighbor downsampled to 8×8
+    (output (r,c) = source (2r,2c)), RE-ENCODED as valid PNGs, then
+    decoded AGAIN by the stats kernel — and the surviving pixels must
+    hash-match DuckDB picking the same even-index text bytes.  Two full
+    codec round-trips and the resample arithmetic, all fake-free."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.real_media_from_documents(_t(spark, sf_dir, "documents"))
+    return mm.png_image_stats(mm.resize_images(media, 8, 8, fake=False))
+
+
+@register(
     "multimodal_y4m_stats",
     """
     WITH v AS (

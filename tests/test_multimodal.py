@@ -146,6 +146,28 @@ def test_real_media_stats_match_source_text(spark):
     assert png[3]["mean_pixel"] == pytest.approx(sum(t3) / 256.0, abs=1e-6)
 
 
+def test_resize_png_real_roundtrip(spark):
+    """Real resize path: PNG in → nearest-neighbor resample → valid
+    PNG out, pixels exactly source[(2r, 2c)] for a 16→8 downscale."""
+    import numpy as np
+
+    px = np.arange(16 * 16, dtype=np.uint8).reshape(16, 16)
+    payload = mm.encode_png_gray8(px)
+    small = mm.resize_png_gray8(payload, 8, 8)
+    back = mm.decode_png_gray8(small)
+    assert np.array_equal(back, px[::2, ::2])
+    # through the DataFrame op with fake=False (PNG sniff → real path)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(payload), 16, 16, None, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.resize_images(media, 8, 8, fake=False).collect()
+    assert len(rows) == 1 and rows[0]["width"] == 8
+    assert np.array_equal(
+        mm.decode_png_gray8(bytes(rows[0]["payload"])), px[::2, ::2]
+    )
+
+
 def test_y4m_roundtrip_real_bytes():
     """encode_y4m_mono writes a spec-valid YUV4MPEG2 stream; the
     header/FRAME parser recovers every luma plane exactly."""
