@@ -392,6 +392,67 @@ def resize_png_gray8(payload: bytes, width: int, height: int) -> bytes:
     return encode_png_gray8(px[np.ix_(rows, cols)])
 
 
+def resample_wav_pcm8(payload: bytes, factor: int) -> bytes:
+    """REAL audio resample: decode the RIFF/WAV, decimate by taking
+    every ``factor``-th PCM sample (the floor-index convention a SQL
+    oracle replicates: output i = source i·factor), re-encode a
+    playable WAV at sample_rate/factor."""
+    w = decode_wav(payload)
+    if w["sample_width"] != 1 or w["n_channels"] != 1:
+        raise NotImplementedError("resample supports mono 8-bit PCM only")
+    return encode_wav_pcm8(
+        w["samples"][::factor].tobytes(), w["sample_rate"] // factor
+    )
+
+
+def resample_audio(
+    media: DataFrame, factor: int = 2, fake: bool = True
+) -> DataFrame:
+    """Resample audio via mapInPandas — the audio twin of
+    ``resize_images``.  RIFF/WAV payloads take the REAL path (decode →
+    decimate → re-encode); other formats need codecs this environment
+    lacks (``fake=True`` stand-in, else NotImplementedError)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            out, rates, durs = [], [], []
+            for p, sr, dur in zip(
+                pdf["payload"], pdf["sample_rate"], pdf["duration_ms"]
+            ):
+                p = bytes(p)
+                if p[:4] == _RIFF_MAGIC:
+                    out.append(resample_wav_pcm8(p, factor))
+                    rates.append(
+                        None if sr is None or pd.isna(sr) else int(sr) // factor
+                    )
+                    durs.append(dur)
+                    continue
+                if not fake:
+                    raise NotImplementedError(
+                        "only RIFF/WAV has a stdlib decoder; other audio "
+                        "codecs are not available in this environment — "
+                        "pass fake=True for the deterministic test double"
+                    )
+                out.append(hashlib.sha256(p).digest())
+                rates.append(None if sr is None or pd.isna(sr) else int(sr) // factor)
+                durs.append(dur)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "duration_ms": durs,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize images via mapInPandas.  PNG payloads (sniffed by
     signature) take the REAL path: stdlib decode → nearest-neighbor

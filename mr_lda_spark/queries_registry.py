@@ -2953,6 +2953,46 @@ def multimodal_png_resize_stats(spark, sf_dir):
 
 
 @register(
+    "multimodal_wav_resample_stats",
+    """
+    WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+    n AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE (length(text) + 1) // 2 END AS n_out
+      FROM v
+    ),
+    s AS (
+      SELECT doc_id, CAST(sum(ord(substr(text, 2 * i + 1, 1))) AS DOUBLE)
+               AS total
+      FROM n, unnest(range(0, n_out)) AS u(i)
+      GROUP BY 1
+    )
+    SELECT n.doc_id AS media_id,
+           CAST(4000 AS INT) AS sample_rate,
+           CAST(n_out AS INT) AS n_frames,
+           CAST((n_out * 1000) // 4000 AS INT) AS duration_ms,
+           CASE WHEN n_out = 0 THEN 0.0
+                ELSE round(s.total / n_out, 6) END AS mean_amp
+    FROM n LEFT JOIN s ON n.doc_id = s.doc_id
+    """,
+)
+def multimodal_wav_resample_stats(spark, sf_dir):
+    """REAL audio resample verified end-to-end: the text-byte WAVs are
+    decoded, decimated 2× (output i = source 2i), re-encoded as
+    playable 4 kHz WAVs, decoded AGAIN by the stats kernel — and the
+    surviving samples must hash-match DuckDB picking the same
+    even-index text bytes.  The audio twin of
+    multimodal_png_resize_stats."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.real_media_from_documents(_t(spark, sf_dir, "documents"))
+    return mm.wav_waveform_stats(mm.resample_audio(media, 2, fake=False))
+
+
+@register(
     "multimodal_y4m_stats",
     """
     WITH v AS (

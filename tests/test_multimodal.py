@@ -252,3 +252,25 @@ def test_decode_rejects_unsupported_png_features():
     payload[8 + 8 + 9] = 2
     with pytest.raises(NotImplementedError):
         mm.decode_png_gray8(bytes(payload))
+
+
+def test_resample_wav_real_roundtrip(spark):
+    """Real audio resample: WAV in → every-2nd-sample decimation →
+    playable WAV out at half the sample rate."""
+    import numpy as np
+
+    data = bytes(range(200))
+    payload = mm.encode_wav_pcm8(data, sample_rate=8000)
+    small = mm.resample_wav_pcm8(payload, 2)
+    w = mm.decode_wav(small)
+    assert w["sample_rate"] == 4000 and w["n_frames"] == 100
+    assert bytes(w["samples"]) == data[::2]
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), None, None, 8000, 25)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.resample_audio(media, 2, fake=False).collect()
+    assert len(rows) == 1 and rows[0]["sample_rate"] == 4000
+    assert bytes(
+        mm.decode_wav(bytes(rows[0]["payload"]))["samples"]
+    ) == data[::2]
