@@ -70,6 +70,9 @@ EXTRA = [
     "similarity_pq_fullprobe_topk",
     "similarity_lsh_frozen_topk",
     "multimodal_y4m_stats",
+    "text_repetition_scores",
+    "curation_token_budget",
+    "multimodal_wav_resample_stats",
 ]
 
 
