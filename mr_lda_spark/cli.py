@@ -145,7 +145,15 @@ def cmd_train(args) -> None:
     if args.informed_prior:
         from mr_lda_spark.operators.informed_prior import eta_from_rows
 
-        eta = spark.read.parquet(args.informed_prior)
+        if _is_sequencefile_path(args.informed_prior):
+            # The reference's own informed-prior artifact
+            # (SequenceFile<IntWritable, ArrayListOfIntsWritable>,
+            # InformedPrior.java:126) — ingest it directly.
+            from mr_lda_spark.sources.sequencefile import read_eta
+
+            eta = read_eta(spark, args.informed_prior)
+        else:
+            eta = spark.read.parquet(args.informed_prior)
         log_eta = eta_from_rows(eta, num_terms, args.topic)
 
     final_corpus, state = lda.train(
@@ -322,7 +330,14 @@ def cmd_informed_prior(args) -> None:
     spark = _spark("mrlda-informed-prior")
     dictionary = spark.read.parquet(args.index)
     eta = parse_informed_prior(spark, args.input, dictionary)
-    write_table(eta, args.output)
+    if getattr(args, "output_format", "parquet") == "sequencefile":
+        # The reference's own single-file layout (InformedPrior.java:
+        # 122-167) so the artifact feeds either engine's train step.
+        from mr_lda_spark.sources.sequencefile import write_eta
+
+        write_eta(eta, args.output)
+    else:
+        write_table(eta, args.output)
     print(json.dumps({"seed_entries": eta.count(), "output": args.output}))
 
 
@@ -420,6 +435,18 @@ def cmd_dedup(args) -> None:
             }
         )
     )
+
+
+def _is_sequencefile_path(path: str) -> bool:
+    """SEQ-magic sniff that also accepts the reference's single-FILE
+    layouts (informed prior, alpha) alongside part-* directories."""
+    if os.path.isfile(path):
+        try:
+            with open(path, "rb") as fh:
+                return fh.read(3) == b"SEQ"
+        except OSError:
+            return False
+    return _is_sequencefile_dir(path)
 
 
 def _is_sequencefile_dir(path: str) -> bool:
@@ -634,6 +661,12 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--input", required=True)
     pi.add_argument("--output", required=True)
     pi.add_argument("--index", required=True, help="term dictionary parquet")
+    pi.add_argument(
+        "--output-format",
+        choices=["parquet", "sequencefile"],
+        default="parquet",
+        help="sequencefile = the reference's single-file eta layout",
+    )
     pi.set_defaults(fn=cmd_informed_prior)
 
     pdt = sub.add_parser("display-topic", help="DisplayTopic equivalent")

@@ -565,6 +565,78 @@ def read_alpha(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumnRenamed("id", "topic").withColumnRenamed("value", "alpha")
 
 
+def decode_int_array(val: bytes) -> list[int]:
+    """cloud9 ``ArrayListOfIntsWritable.readFields`` wire form: int
+    count + that many big-endian ints."""
+    (n,) = struct.unpack_from(">i", val, 0)
+    return list(struct.unpack_from(f">{n}i", val, 4)) if n else []
+
+
+def encode_int_array(ids) -> bytes:
+    """cloud9 ``ArrayListOfIntsWritable.write``."""
+    ids = [int(i) for i in ids]
+    return struct.pack(f">i{len(ids)}i", len(ids), *ids)
+
+
+def _seq_paths(path: str) -> list[str]:
+    """A SequenceFile location: either one file (the reference's
+    informed-prior output is a single file, InformedPrior.java:122) or
+    a directory of part-* files."""
+    if os.path.isdir(path):
+        import glob as globlib
+
+        return sorted(globlib.glob(os.path.join(path, "part-*")))
+    return [path]
+
+
+def read_eta(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference informed-prior file (`SequenceFile<IntWritable,
+    ArrayListOfIntsWritable>`, one record per topic,
+    InformedPrior.java:126-167) into the engine's η relation
+    (topic, term_id) — directly consumable by ``eta_from_rows``.
+
+    File topics are 1-based (``index++`` precedes the append and
+    importEta asserts > 0, InformedPrior.java:152,190) → shifted to
+    0-based, the same convention shift as ``read_beta``.  Seed lists
+    are model-sized, so the read is driver-side like the reference's
+    own importEta."""
+    rows = []
+    for p in _seq_paths(path):
+        with open(p, "rb") as fh:
+            data = fh.read()
+        for key, val in _iter_blob_records(p, data):
+            topic1 = struct.unpack(">i", key)[0]
+            rows.extend((topic1 - 1, tid) for tid in decode_int_array(val))
+    return spark.createDataFrame(rows, schema="topic int, term_id int")
+
+
+def write_eta(
+    eta: DataFrame, path: str, compression: str | None = None
+) -> int:
+    """Export an η relation (topic, term_id) to the reference's
+    informed-prior layout: ONE SequenceFile (not a directory) with
+    1-based topic keys and the topic's term-id list, exactly what
+    `VariationalInference --informed_prior` ingests
+    (InformedPrior.java:186-200).  η is model-sized (seed lists), so
+    the collect is bounded.  Returns the number of topics written."""
+    groups: dict[int, list[int]] = {}
+    for r in eta.collect():
+        groups.setdefault(int(r["topic"]), []).append(int(r["term_id"]))
+    recs = [
+        (struct.pack(">i", topic + 1), encode_int_array(sorted(ids)))
+        for topic, ids in sorted(groups.items())
+    ]
+    with open(path, "wb") as fh:
+        write_records(
+            fh,
+            recs,
+            "org.apache.hadoop.io.IntWritable",
+            "edu.umd.cloud9.io.array.ArrayListOfIntsWritable",
+            compression=compression,
+        )
+    return len(recs)
+
+
 def read_beta(spark: SparkSession, path: str) -> DataFrame:
     """Read a trained-β directory (`SequenceFile<PairOfIntFloat,
     HMapIDW>`, one record per topic, VariationalInference.java:346-348)

@@ -77,3 +77,76 @@ def test_informed_topics_query_seeds_dominate(spark):
     for topic, term_ids in by_topic.items():
         seeds = {topic * 3 + 1, topic * 3 + 2, topic * 3 + 3}
         assert seeds & set(term_ids), (topic, term_ids)
+
+
+def test_eta_sequencefile_roundtrip_reference_layout(spark, tmp_path):
+    """read_eta/write_eta speak the reference's informed-prior wire
+    format: SequenceFile<IntWritable topic(1-based),
+    ArrayListOfIntsWritable termIds> in ONE file
+    (InformedPrior.java:122-167)."""
+    import struct
+
+    from mr_lda_spark.sources import sequencefile as sf
+
+    # byte layout pin: cloud9 ArrayListOfIntsWritable = count + ints
+    assert sf.encode_int_array([5, 9, 2]) == struct.pack(">iiii", 3, 5, 9, 2)
+    assert sf.decode_int_array(struct.pack(">iii", 2, 7, 1)) == [7, 1]
+    assert sf.decode_int_array(struct.pack(">i", 0)) == []
+
+    eta = spark.createDataFrame(
+        [(0, 5), (0, 2), (1, 9)], schema="topic int, term_id int"
+    )
+    path = str(tmp_path / "eta-seq")
+    assert sf.write_eta(eta, path) == 2
+    # single FILE, not a directory — the reference's layout
+    import os
+
+    assert os.path.isfile(path)
+    with open(path, "rb") as fh:
+        assert fh.read(3) == b"SEQ"
+    back = sorted(
+        (r["topic"], r["term_id"])
+        for r in sf.read_eta(spark, path).collect()
+    )
+    assert back == [(0, 2), (0, 5), (1, 9)]
+    # keys on disk are 1-based (importEta asserts > 0)
+    with open(path, "rb") as fh:
+        recs = list(sf.iter_records(fh.read()))
+    assert [struct.unpack(">i", k)[0] for k, _ in recs] == [1, 2]
+
+
+def test_cli_informed_prior_sequencefile_output(
+    spark, documents, tmp_path, capsys
+):
+    """`informed-prior --output-format sequencefile` emits the
+    reference artifact, and it decodes to the same eta relation the
+    parquet path produces."""
+    from mr_lda_spark import cli
+    from mr_lda_spark.operators import parse
+    from mr_lda_spark.sources import sequencefile as sf
+
+    tokens = parse.tokenize(documents)
+    dictionary = parse.build_dictionary(
+        parse.term_stats(tokens), documents.count()
+    )
+    dict_pq = str(tmp_path / "dict")
+    dictionary.write.parquet(dict_pq)
+    prior_file = tmp_path / "prior.txt"
+    prior_file.write_text("spark query\njoin merge\n")
+
+    seq_out = str(tmp_path / "eta.seq")
+    cli.main(["informed-prior", "--input", str(prior_file),
+              "--index", dict_pq, "--output", seq_out,
+              "--output-format", "sequencefile"])
+    capsys.readouterr()
+    pq_out = str(tmp_path / "eta-pq")
+    cli.main(["informed-prior", "--input", str(prior_file),
+              "--index", dict_pq, "--output", pq_out])
+    capsys.readouterr()
+
+    assert cli._is_sequencefile_path(seq_out)
+    assert not cli._is_sequencefile_path(pq_out)
+    a = sorted(map(tuple, sf.read_eta(spark, seq_out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(pq_out)
+                   .select("topic", "term_id").collect()))
+    assert a == b and len(a) == 4
