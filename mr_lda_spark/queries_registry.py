@@ -286,6 +286,48 @@ def interop_beta_roundtrip(spark, sf_dir):
 
 
 @register(
+    "interop_eta_roundtrip",
+    f"""
+    WITH stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
+    ), dict AS (
+      SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, term ASC) AS INT)
+               AS term_id
+      FROM stats
+      WHERE df >= 0.02 * (SELECT count(*) FROM documents)
+    )
+    SELECT CAST(term_id % 4 AS INT) AS topic, term_id
+    FROM dict WHERE term_id % 3 = 1
+    """,
+)
+def interop_eta_roundtrip(spark, sf_dir):
+    """Informed-prior interop, driver-checked end-to-end: derive a
+    deterministic seed-word η relation from the dictionary, EXPORT it
+    to the reference's single-file `SequenceFile<IntWritable,
+    ArrayListOfIntsWritable>` layout (InformedPrior.java:126-167,
+    1-based topic keys on disk), re-INGEST with read_eta, and
+    hash-match the same relation computed in DuckDB."""
+    import hashlib
+    import tempfile
+
+    from mr_lda_spark.sources import sequencefile as seqf
+
+    _, _, _, _, dictionary = _parse_shared(spark, sf_dir)
+    eta = dictionary.filter(F.col("term_id") % 3 == 1).select(
+        (F.col("term_id") % 4).cast("int").alias("topic"),
+        F.col("term_id").cast("int").alias("term_id"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"mrlda_eta_rt_{spark.sparkContext.applicationId}_"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}.seq",
+    )
+    seqf.write_eta(eta, out)
+    return seqf.read_eta(spark, out)
+
+
+@register(
     "parse_doc_stats",
     f"""
     WITH stats AS (
