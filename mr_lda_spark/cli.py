@@ -503,9 +503,10 @@ def cmd_display_document(args) -> None:
 def cmd_convert(args) -> None:
     """Mr.LDA SequenceFile interop (README.md:297 layout): ingest a
     reference on-disk corpus / dictionary / title / alpha / trained-beta
-    directory into engine parquet, or export a parquet doc-form corpus
-    (`SequenceFile<IntWritable, cc.mrlda.Document>`) or beta relation
-    (`SequenceFile<PairOfIntFloat, HMapIDW>`) back to part files."""
+    directory into engine parquet, or export any of those parquet
+    relations back to the reference's Writable part files (corpus,
+    term dict, title index, alpha, beta — eta goes through
+    `informed-prior --output-format sequencefile`)."""
     from mr_lda_spark.sources import sequencefile as sf
 
     spark = _spark("mrlda-convert")
@@ -525,12 +526,20 @@ def cmd_convert(args) -> None:
         # and re-decode every SequenceFile a second time.
         print(json.dumps({"rows": spark.read.parquet(args.output).count(),
                           "output": args.output}))
-    else:  # to-sequencefile: corpus (trainer input) or trained-beta
+    else:  # to-sequencefile: every reference artifact is exportable
         df = spark.read.parquet(args.input)
-        if args.what == "beta":
-            n = sf.write_beta(df, args.output, compression=args.compression)
-        else:
-            n = sf.write_corpus(df, args.output, compression=args.compression)
+        writer = {
+            "beta": sf.write_beta,
+            "term": sf.write_term_dict,
+            "title": sf.write_title_index,
+            "alpha": sf.write_alpha,
+            "corpus": sf.write_corpus,
+        }.get(args.what)
+        if writer is None:
+            raise SystemExit(
+                f"--what {args.what} has no to-sequencefile exporter"
+            )
+        n = writer(df, args.output, compression=args.compression)
         print(json.dumps({"part_files": n, "output": args.output}))
 
 

@@ -719,6 +719,98 @@ def write_beta(
     return len(parts)
 
 
+def _write_int_keyed(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    encode_val,
+    value_class: str,
+    compression: str | None,
+) -> int:
+    """Partitioned export of an int-keyed relation to `part-NNNNN`
+    SequenceFiles, executor-side like ``write_corpus`` (no driver
+    collect — correct however large the relation grows)."""
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(df.sparkSession)
+    os.makedirs(path, exist_ok=True)
+
+    def write_partition(idx, rows):
+        recs = [
+            (struct.pack(">i", int(r[key_col])), encode_val(r)) for r in rows
+        ]
+        if not recs:
+            return
+        with open(os.path.join(path, f"part-{idx:05d}"), "wb") as fh:
+            write_records(
+                fh,
+                recs,
+                "org.apache.hadoop.io.IntWritable",
+                value_class,
+                compression=compression,
+            )
+        yield idx
+
+    parts = df.rdd.mapPartitionsWithIndex(write_partition).collect()
+    return len(parts)
+
+
+def _encode_text_value(s: str) -> bytes:
+    out = io.BytesIO()
+    _write_text(out, s)
+    return out.getvalue()
+
+
+def write_term_dict(
+    dictionary: DataFrame, path: str, compression: str | None = None
+) -> int:
+    """Export a (term_id, term) dictionary to the reference's `term`
+    layout (`SequenceFile<IntWritable, Text>`, ParseCorpus.java:
+    475-490) — what DisplayTopic's --index flag consumes."""
+    return _write_int_keyed(
+        dictionary.select("term_id", "term"),
+        path,
+        "term_id",
+        lambda r: _encode_text_value(r["term"]),
+        "org.apache.hadoop.io.Text",
+        compression,
+    )
+
+
+def write_title_index(
+    titles: DataFrame, path: str, compression: str | None = None
+) -> int:
+    """Export a (doc_id, title) index to the reference's `title`
+    layout (`SequenceFile<IntWritable, Text>`, ParseCorpus.java:
+    698-710)."""
+    return _write_int_keyed(
+        titles.select("doc_id", "title"),
+        path,
+        "doc_id",
+        lambda r: _encode_text_value(r["title"]),
+        "org.apache.hadoop.io.Text",
+        compression,
+    )
+
+
+def write_alpha(
+    alpha: DataFrame, path: str, compression: str | None = None
+) -> int:
+    """Export a (topic, alpha) relation to the reference's alpha-file
+    layout (`SequenceFile<IntWritable, DoubleWritable>`,
+    VariationalInference.java:521-558) — the artifact our own
+    ``read_alpha`` resume path and the reference's trainer both
+    ingest.  K rows: written as a single part via coalesce."""
+    return _write_int_keyed(
+        alpha.select("topic", "alpha").coalesce(1),
+        path,
+        "topic",
+        lambda r: struct.pack(">d", float(r["alpha"])),
+        "org.apache.hadoop.io.DoubleWritable",
+        compression,
+    )
+
+
 def write_corpus(
     corpus_doc: DataFrame,
     path: str,

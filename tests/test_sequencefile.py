@@ -482,3 +482,52 @@ def test_cli_convert_beta_display_topic(spark, tmp_path, capsys):
         .orderBy("topic", "rank").collect()
     ]
     assert cli_lines == expect
+
+
+def test_write_term_dict_title_alpha_roundtrip(spark, tmp_path):
+    """Export side of the remaining reference artifacts: term dict,
+    title index and alpha all round-trip through their Writable
+    layouts via the readers that already ingest reference output."""
+    dictionary = spark.createDataFrame(
+        [(1, "spark"), (2, "query"), (3, "join")],
+        "term_id int, term string",
+    )
+    d = str(tmp_path / "term")
+    assert sf.write_term_dict(dictionary, d) >= 1
+    assert sorted(map(tuple, sf.read_term_dict(spark, d).collect())) == [
+        (1, "spark"), (2, "query"), (3, "join"),
+    ]
+
+    titles = spark.createDataFrame(
+        [(10, "doc ten"), (11, "doc eleven")], "doc_id int, title string"
+    )
+    t = str(tmp_path / "title")
+    assert sf.write_title_index(titles, t) >= 1
+    assert sorted(map(tuple, sf.read_title_index(spark, t).collect())) == [
+        (10, "doc ten"), (11, "doc eleven"),
+    ]
+
+    alpha = spark.createDataFrame(
+        [(0, 0.25), (1, 0.125), (2, 0.0625)], "topic int, alpha double"
+    )
+    a = str(tmp_path / "alpha")
+    assert sf.write_alpha(alpha, a) == 1  # K rows -> one part
+    back = sorted(map(tuple, sf.read_alpha(spark, a).collect()))
+    assert back == [(0, 0.25), (1, 0.125), (2, 0.0625)]  # bit-exact
+
+
+def test_cli_convert_exports_term_title_alpha(spark, tmp_path, capsys):
+    from mr_lda_spark import cli
+
+    dictionary = spark.createDataFrame(
+        [(1, "spark"), (2, "query")], "term_id int, term string"
+    )
+    pq = str(tmp_path / "dict-pq")
+    dictionary.write.parquet(pq)
+    out = str(tmp_path / "dict-seq")
+    cli.main(["convert", "--direction", "to-sequencefile", "--what", "term",
+              "--input", pq, "--output", out])
+    capsys.readouterr()
+    assert sorted(map(tuple, sf.read_term_dict(spark, out).collect())) == [
+        (1, "spark"), (2, "query"),
+    ]
