@@ -736,11 +736,16 @@ def _write_int_keyed(
     os.makedirs(path, exist_ok=True)
 
     def write_partition(idx, rows):
-        recs = [
-            (struct.pack(">i", int(r[key_col])), encode_val(r)) for r in rows
-        ]
-        if not recs:
+        from itertools import chain
+
+        it = iter(rows)
+        first = next(it, None)
+        if first is None:  # empty partition → no file
             return
+        recs = (
+            (struct.pack(">i", int(r[key_col])), encode_val(r))
+            for r in chain([first], it)
+        )  # streamed, never buffered — partitions can be any size
         with open(os.path.join(path, f"part-{idx:05d}"), "wb") as fh:
             write_records(
                 fh,
