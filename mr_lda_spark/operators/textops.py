@@ -112,6 +112,24 @@ def quality_scores(
     )
 
 
+def blocklist_filter(
+    docs: DataFrame, blocked: list[str], text_col: str = "text"
+) -> DataFrame:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2's "bad words"
+    page filter): flag documents containing ANY blocked token and count
+    the hits.  Pure codegen projection — token filter against a literal
+    list, no shuffle, no UDF, no state — so it composes into any scan
+    at zero extra passes."""
+    hits = F.size(
+        F.filter(_tokens(F.col(text_col)), lambda t: t.isin(*blocked))
+    )
+    return docs.select(
+        "doc_id",
+        hits.cast("int").alias("n_blocked_hits"),
+        (hits > 0).alias("blocked"),
+    )
+
+
 def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
     the "repetitious text" filters every large-scale corpus pipeline

@@ -2226,6 +2226,25 @@ def text_pii_scrub(spark, sf_dir):
 
 
 @register(
+    "text_blocklist_filter",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                x -> x IN ('slow', 'crash'))) AS INT) AS n_blocked_hits,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('slow', 'crash'))) > 0 AS blocked
+    FROM documents
+    """,
+)
+def text_blocklist_filter(spark, sf_dir):
+    """C4-style bad-words page filter: per-doc blocked-token hit count
+    + flag, pure codegen projection (no shuffle/UDF/state)."""
+    return textops.blocklist_filter(
+        _t(spark, sf_dir, "documents"), ["slow", "crash"]
+    )
+
+
+@register(
     "text_repetition_scores",
     f"""
     WITH toks AS (SELECT * FROM ({_SQL_TOKENS}) WHERE term <> ''),

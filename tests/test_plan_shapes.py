@@ -179,6 +179,16 @@ def test_tfidf_no_cartesian_and_partial_agg(spark):
     assert optimized.count("strategy=broadcast") <= 1, optimized
 
 
+def test_multimodal_scan_prunes_to_id_and_text(spark):
+    """The media pipeline must push column pruning to the documents
+    scan: only (doc_id, text) feed the payload synthesis — reading the
+    other columns for a binary-decode query is wasted IO at 100 TB."""
+    plan = _explain(spark, "multimodal_y4m_stats")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "source" not in read
+
+
 def test_token_budget_no_global_window(spark):
     """curation_token_budget's running sum must stay a PER-BUCKET
     window (histogram offsets supply the cross-bucket part) — a
