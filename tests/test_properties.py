@@ -84,3 +84,51 @@ def test_assign_dense_ids_matches_python_sort(spark, rows):
     got = sorted(((r["a"], r["b"]), r["rid"]) for r in out)
     expect = sorted(((a, b), i + 1) for i, (a, b) in enumerate(want))
     assert got == expect
+
+
+@given(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=60),
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_y4m_codec_roundtrip_property(n, h, w, fps, rnd):
+    """Any (n, h, w) uint8 frame stack survives the Y4M container
+    round-trip bit-exactly at any frame rate."""
+    from mr_lda_spark.operators import multimodal as mm
+
+    fr = np.frombuffer(
+        bytes(rnd.getrandbits(8) for _ in range(n * h * w)), dtype=np.uint8
+    ).reshape(n, h, w)
+    v = mm.decode_y4m(mm.encode_y4m_mono(fr, fps_num=fps))
+    assert (v["width"], v["height"], v["fps_num"]) == (w, h, fps)
+    assert np.array_equal(v["frames"], fr)
+
+
+@given(st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1),
+                max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_int_array_writable_roundtrip_property(ids):
+    """cloud9 ArrayListOfIntsWritable codec: any int32 list
+    round-trips."""
+    from mr_lda_spark.sources import sequencefile as sf
+
+    assert sf.decode_int_array(sf.encode_int_array(ids)) == ids
+
+
+@given(
+    st.binary(min_size=0, max_size=500),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_resample_property(data, factor):
+    """Decimation picks exactly every factor-th sample of any PCM
+    payload and divides the rate."""
+    from mr_lda_spark.operators import multimodal as mm
+
+    payload = mm.encode_wav_pcm8(data, sample_rate=8000)
+    w = mm.decode_wav(mm.resample_wav_pcm8(payload, factor))
+    assert bytes(w["samples"]) == data[::factor]
+    assert w["sample_rate"] == 8000 // factor
