@@ -123,6 +123,24 @@ def probe(spark, docs) -> dict[str, float]:
         "adaptive_quality",
         lambda: curation.adaptive_quality_filter(docs).count(),
     )
+    # r5 corpus-linear ops: Gopher repetition signals (three doc-keyed
+    # aggs) and token-budget selection (histogram offsets + per-bucket
+    # windows; budget set selection-complete so the measured cost is
+    # the scan+window work, not the output truncation).
+    t(
+        "repetition_scores",
+        lambda: textops.repetition_scores(docs).count(),
+    )
+
+    def token_budget():
+        scored = textops.quality_scores(docs).select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "quality_score",
+        )
+        curation.token_budget_select(scored, budget_tokens=10**15).count()
+
+    t("token_budget", token_budget)
 
     def lda_one_iter():
         tokens = parse.tokenize(docs)
