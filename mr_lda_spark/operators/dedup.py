@@ -49,6 +49,94 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    ngram: int | None = None,
+) -> DataFrame:
+    """Cross-dataset leakage matrix: for every ORDERED pair of sources,
+    how many distinct content units appear in BOTH, and what fraction
+    of the first source's distinct units that is — the audit a
+    training-data pipeline runs before declaring subsets independent
+    (train/eval leakage, mirrored crawls, vendor-overlap checks).
+
+    The unit is the whole text (exact-copy leakage) by default, or
+    ``ngram``-token shingles (GPT-3-decontamination-style fuzzy
+    overlap — the corpus-similarity matrix) when set.
+
+    Plan: (unit, source) distinct → per-unit sorted source set
+    (bounded by the number of sources, a few dozen however big the
+    corpus) → in-array ordered-pair explode (the lsh_candidate_pairs
+    move — no self-join, no second scan) → count per pair; per-source
+    distinct-unit totals are a source-count-sized relation joined
+    back broadcast.  Shuffles: the distinct, the per-unit group, the
+    pair count — all keyed on unit or (a, b), nothing corpus-wide ever
+    fans out.
+
+    Returns (source_a, source_b, n_shared, n_a, frac_of_a) for a ≠ b,
+    both directions (frac is asymmetric by design)."""
+    if ngram:
+        # shingles() keys by "doc_id"; aliasing source into that slot
+        # gives (source, shingle) with no extra join.
+        hs = (
+            shingles(
+                docs.select(
+                    F.col(source_col).alias("doc_id"), F.col(text_col)
+                ),
+                text_col,
+                ngram,
+            )
+            .select(
+                F.col("doc_id").alias("source"),
+                F.col("shingle").alias("text_hash"),
+            )
+            .distinct()
+        )
+    else:
+        hs = docs.select(
+            F.md5(F.col(text_col)).alias("text_hash"),
+            F.col(source_col).alias("source"),
+        ).distinct()
+    totals = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n_a"))
+    per_hash = hs.groupBy("text_hash").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    pairs = (
+        per_hash.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ss"),
+                        lambda x: F.transform(
+                            F.filter(F.col("ss"), lambda y: y != x),
+                            lambda y: F.struct(
+                                x.alias("a"), y.alias("b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnRenamed("source", "source_a")),
+            "source_a",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            F.round(F.col("n_shared") / F.col("n_a"), 6).alias("frac_of_a"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

@@ -1137,6 +1137,40 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
 
+def _register_source_overlap():
+    sh = _sql_shingles(
+        3, "(SELECT source AS doc_id, text FROM documents)"
+    )
+    sql = f"""
+    WITH hs AS (
+      SELECT DISTINCT doc_id AS source, shingle AS text_hash
+      FROM ({sh})
+    ),
+    totals AS (SELECT source, count(*) AS n_a FROM hs GROUP BY 1),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM hs a JOIN hs b
+        ON a.text_hash = b.text_hash AND a.source <> b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared, n_a,
+           round(n_shared / CAST(n_a AS DOUBLE), 6) AS frac_of_a
+    FROM pairs JOIN totals ON totals.source = pairs.source_a
+    """
+
+    @register("dedup_source_overlap", sql)
+    def dedup_source_overlap(spark, sf_dir):
+        """Cross-dataset leakage matrix: distinct 3-gram shingles
+        shared per ordered source pair + fraction of the first
+        source's shingle set — the train/eval-independence /
+        corpus-similarity audit.  Per-unit in-array pair explode, no
+        self-join; exact whole-text mode available via ngram=None."""
+        return dedup.source_overlap(
+            _t(spark, sf_dir, "documents"), ngram=3
+        )
+
+
 def _sql_shingles(n: int = 3, source: str = "documents") -> str:
     """DuckDB SQL for the n-token shingle explode over ``source`` —
     mirrors operators.textops.shingles (1-based positions)."""
@@ -1151,6 +1185,7 @@ def _sql_shingles(n: int = 3, source: str = "documents") -> str:
 
 
 _SQL_SHINGLES = _sql_shingles(3)
+_register_source_overlap()
 
 _SQL_QUALITY = """
   SELECT doc_id,
