@@ -137,6 +137,48 @@ def source_overlap(
     )
 
 
+def source_overlap_minhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Sketch path of ``source_overlap`` for MANY sources: the exact
+    matrix's per-unit pair explode costs Σ_unit S_unit² rows, which is
+    linear in the corpus only while the source count S stays small.
+    Here each source gets a K-seed MinHash signature over its shingle
+    set (one groupBy — S×K rows total regardless of corpus size) and
+    pairwise Jaccard is ESTIMATED as the fraction of agreeing seeds:
+    the S²K join is sketch-sized, never corpus-sized.
+
+    Returns (source_a, source_b, est_jaccard) for a < b.  The md5
+    hashing is engine-reproducible, so even the estimate is
+    SQL-oracle-checkable."""
+    sigs = minhash_signatures(
+        docs.select(F.col(source_col).alias("doc_id"), F.col(text_col)),
+        text_col,
+        num_hashes,
+        shingle_n,
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("source_a"), "seed", F.col("minhash").alias("ha")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("source_b"), "seed", F.col("minhash").alias("hb")
+    )
+    return (
+        a.join(b, "seed")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.avg((F.col("ha") == F.col("hb")).cast("double")), 6
+            ).alias("est_jaccard")
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",

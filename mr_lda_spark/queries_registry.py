@@ -1170,6 +1170,36 @@ def _register_source_overlap():
             _t(spark, sf_dir, "documents"), ngram=3
         )
 
+    sketch_sql = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, shingle FROM ({sh})
+    ),
+    sigs AS (
+      SELECT doc_id AS source, CAST(seed AS INT) AS seed,
+             min(('0x' || substr(md5(seed || ':' || shingle), 1, 15)
+                 )::BIGINT) AS minhash
+      FROM sh, unnest(range(0, 16)) AS s(seed)
+      GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round(avg(CASE WHEN a.minhash = b.minhash
+                          THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+    FROM sigs a JOIN sigs b
+      ON a.seed = b.seed AND a.source < b.source
+    GROUP BY 1, 2
+    """
+
+    @register("dedup_source_overlap_minhash", sketch_sql)
+    def dedup_source_overlap_minhash(spark, sf_dir):
+        """Sketch path of the leakage matrix for MANY sources:
+        per-source K-seed MinHash signature (S×K rows however big the
+        corpus), pairwise Jaccard estimated as the agreeing-seed
+        fraction — and, because the hashing is md5-deterministic, even
+        the ESTIMATE is fully oracle-checked."""
+        return dedup.source_overlap_minhash(
+            _t(spark, sf_dir, "documents"), num_hashes=16
+        )
+
 
 def _sql_shingles(n: int = 3, source: str = "documents") -> str:
     """DuckDB SQL for the n-token shingle explode over ``source`` —

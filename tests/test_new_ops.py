@@ -159,3 +159,65 @@ def test_bigram_lm_semantics(spark):
     assert got[1]["avg_logprob"] == got[2]["avg_logprob"] == got[3]["avg_logprob"]
     assert got[1]["perplexity"] < got[4]["perplexity"]
     assert got[1]["n_bigrams"] == 5
+
+
+def test_source_overlap_exact_and_shingle(spark):
+    """Leakage matrix semantics pinned: exact mode counts whole-text
+    copies across sources; shingle mode counts shared 3-grams; frac is
+    asymmetric (denominator = first source's distinct units)."""
+    from mr_lda_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "A"),
+            (1, "alpha beta gamma delta", "B"),   # exact copy in B
+            (2, "epsilon zeta eta theta", "A"),
+            (3, "unique content here words", "B"),
+            (4, "more unique content again words", "B"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    exact = {
+        (r["source_a"], r["source_b"]): r
+        for r in dedup.source_overlap(docs).collect()
+    }
+    assert exact[("A", "B")]["n_shared"] == 1
+    assert exact[("A", "B")]["n_a"] == 2      # A has 2 distinct texts
+    assert exact[("A", "B")]["frac_of_a"] == 0.5
+    assert exact[("B", "A")]["n_a"] == 3
+    sh = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in dedup.source_overlap(docs, ngram=3).collect()
+    }
+    assert sh[("A", "B")] == 2  # the copy's two 3-grams
+
+
+def test_source_overlap_minhash_tracks_true_jaccard(spark):
+    """Sketch estimate: identical sources estimate 1.0, disjoint
+    sources 0.0, half-overlapping sources in between — and the
+    estimate is deterministic (md5 seeds)."""
+    from mr_lda_spark.operators import dedup
+
+    shared = [f"common text number {i} with several words" for i in range(20)]
+    only_a = [f"alpha only doc {i} distinct words here" for i in range(20)]
+    only_c = [f"charlie{i} crimson{i} cobalt{i} copper{i} coral{i}" for i in range(20)]
+    rows = []
+    for i, t in enumerate(shared):
+        rows += [(100 + i, t, "A"), (200 + i, t, "B")]   # A ≡ B
+    for i, t in enumerate(only_a):
+        rows.append((300 + i, t, "A"))
+    for i, t in enumerate(only_c):
+        rows.append((400 + i, t, "C"))                   # C disjoint
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    est = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in dedup.source_overlap_minhash(docs, num_hashes=32).collect()
+    }
+    assert est[("A", "C")] == 0.0 and est[("B", "C")] == 0.0
+    # B ⊂ A with |B|/|A| ≈ 1/2 → true Jaccard ≈ 0.5; 32 seeds → loose band
+    assert 0.2 <= est[("A", "B")] <= 0.8
+    again = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in dedup.source_overlap_minhash(docs, num_hashes=32).collect()
+    }
+    assert est == again
