@@ -73,6 +73,8 @@ EXTRA = [
     "text_repetition_scores",
     "curation_token_budget",
     "multimodal_wav_resample_stats",
+    "dedup_source_overlap",
+    "dedup_source_overlap_minhash",
 ]
 
 
