@@ -393,6 +393,40 @@ def token_budget_select(
     )
 
 
+def token_budget_per_group(
+    scored: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token budgets: within every ``group_col`` value keep
+    the best-scoring docs until THAT group's budget fills — the usual
+    mixture-design shape (each domain gets its token allocation, then
+    the groups are unioned/interleaved).  Unlike the global
+    ``token_budget_select`` this needs no histogram trick: the running
+    sum is a window partitioned by the group, so groups fill in
+    parallel and no task sees more than one group (cap a mega-domain
+    with ``domain_cap`` first if a single group outgrows a task).
+
+    Returns the selected rows plus ``cum_tokens`` (the within-group
+    running total)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn(
+            "cum_tokens", F.sum(tokens_col).over(w).cast("long")
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
 def interleave_domains(
     docs: DataFrame,
     domain_col: str = "source",

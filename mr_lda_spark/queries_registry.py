@@ -2426,6 +2426,58 @@ def curation_token_budget(spark, sf_dir):
     return curation.token_budget_select(scored, budget_tokens=15000)
 
 
+@register(
+    "curation_token_budget_per_source",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS n_tok,
+             length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '),
+                 x -> x IN ('the','a','of','and','to','in','is','it')))
+               AS stop_hits,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_chars
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source, CAST(n_tok AS INT) AS n_tokens,
+             round(CASE WHEN n_tok < 5 THEN 0.0 ELSE
+               0.5 * least(n_tok / 100.0, 1.0)
+               + 0.3 * least(stop_hits / CAST(n_tok AS DOUBLE) * 5, 1.0)
+               + 0.2 * (1 - least(digit_chars / CAST(n_chars AS DOUBLE) * 10,
+                                  1.0))
+             END, 6) AS quality_score
+      FROM base
+    ),
+    c AS (
+      SELECT *,
+             sum(n_tokens) OVER (PARTITION BY source
+                                 ORDER BY quality_score DESC, doc_id)
+               AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, source, n_tokens, quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 800
+    """,
+)
+def curation_token_budget_per_source(spark, sf_dir):
+    """Per-domain token budgets (mixture design): within each source,
+    best-quality docs until an 800-token allocation fills.  Plain
+    per-group window — groups fill in parallel, no histogram needed."""
+    from mr_lda_spark.operators import curation
+
+    scored = textops.quality_scores(
+        _t(spark, sf_dir, "documents"), keep_cols=("source",)
+    ).select(
+        "doc_id", "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "quality_score",
+    )
+    return curation.token_budget_per_group(scored, budget_tokens=800)
+
+
 _SQL_RP = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     m AS (
