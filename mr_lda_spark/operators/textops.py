@@ -112,6 +112,43 @@ def quality_scores(
     )
 
 
+def novelty_scores(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    n-gram shingles that appear in no other document — high for
+    original content, near zero for template/boilerplate/near-copy
+    pages.  The diversity twin of ``repetition_scores`` (which looks
+    WITHIN the doc; this looks across the corpus).
+
+    Plan: one distinct (doc, shingle) relation feeds both the corpus
+    df aggregation and the per-doc counts; the df relation joins back
+    on shingle (vocabulary-sized — NEVER broadcast, the
+    ``bigram_lm_scores`` rule) and a final doc-keyed aggregation
+    computes the unique fraction.  Corpus-linear, no state.
+    """
+    sh = shingles(docs, text_col, n).distinct()
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum((F.col("sdf") == 1).cast("int"))
+            .cast("int")
+            .alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(F.col("n_unique") / F.col("n_shingles"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
 def blocklist_filter(
     docs: DataFrame, blocked: list[str], text_col: str = "text"
 ) -> DataFrame:

@@ -2310,6 +2310,29 @@ def text_blocklist_filter(spark, sf_dir):
 
 
 @register(
+    "text_novelty_scores",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    df AS (SELECT shingle, count(*) AS sdf FROM sh GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_shingles,
+           CAST(sum(CASE WHEN sdf = 1 THEN 1 ELSE 0 END) AS INT)
+             AS n_unique,
+           round(sum(CASE WHEN sdf = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS novelty
+    FROM sh JOIN df USING (shingle)
+    GROUP BY 1
+    """,
+)
+def text_novelty_scores(spark, sf_dir):
+    """Cross-corpus n-gram novelty: fraction of each doc's distinct
+    3-gram shingles unique to it — the diversity twin of the
+    within-doc repetition signals.  Shuffle join on shingle (df never
+    broadcast), one doc-keyed agg."""
+    return textops.novelty_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_repetition_scores",
     f"""
     WITH toks AS (SELECT * FROM ({_SQL_TOKENS}) WHERE term <> ''),
