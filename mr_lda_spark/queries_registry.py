@@ -2332,9 +2332,7 @@ def text_novelty_scores(spark, sf_dir):
     return textops.novelty_scores(_t(spark, sf_dir, "documents"))
 
 
-@register(
-    "text_repetition_scores",
-    f"""
+_SQL_REPETITION = f"""
     WITH toks AS (SELECT * FROM ({_SQL_TOKENS}) WHERE term <> ''),
     ts AS (
       SELECT doc_id, count(*) AS n_tokens,
@@ -2368,13 +2366,51 @@ def text_novelty_scores(spark, sf_dir):
     SELECT *, (top_bigram_frac > 0.18 OR dup_trigram_frac > 0.30)
              AS repetitive
     FROM j
-    """,
-)
+    """
+
+
+@register("text_repetition_scores", _SQL_REPETITION)
 def text_repetition_scores(spark, sf_dir):
     """Gopher-style repetition filters (dup-token fraction, top-2-gram
     fraction, duplicated-3-gram fraction + threshold flag) — three
     doc-keyed aggregations joined back, corpus-linear."""
     return textops.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("documents_stream_repetition", _SQL_REPETITION)
+def documents_stream_repetition(spark, sf_dir):
+    """Batch/stream unification for a PER-DOC AGGREGATION: the same
+    repetition_scores operator (groupBys over each doc's exploded
+    tokens/shingles) runs unchanged inside a replay-safe foreachBatch
+    sink — valid because every group derives from a single source row,
+    so it is batch-invariant (unlike corpus-level state, which uses
+    the stateful sinks).  Oracle is literally text_repetition_scores'.
+    Extends the unification story beyond stateless projections
+    (documents_stream_quality)."""
+    import tempfile
+    import uuid
+
+    from mr_lda_spark.streaming import dedup_stream as ds
+    from mr_lda_spark.streaming import exactly_once as eo
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    sink = eo.IdempotentBatchSink(
+        f"{base}/stream_rep_{run}/out", transform=textops.repetition_scores
+    )
+    eo.run_exactly_once(
+        ds.read_documents_stream(spark, sf_dir),
+        sink,
+        f"{base}/stream_rep_{run}/ckpt",
+    )
+    return sink.read_committed(spark).select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "repetitive",
+    )
 
 
 @register(

@@ -48,10 +48,18 @@ class IdempotentBatchSink:
         rather than loses.
     """
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, transform=None):
         self.out_dir = out_dir
         self.commit_dir = os.path.join(out_dir, "_commits")
         os.makedirs(self.commit_dir, exist_ok=True)
+        # Optional per-batch DataFrame→DataFrame transform applied
+        # before the write.  Safe for any BATCH-INVARIANT computation:
+        # stateless projections, and aggregations whose groups derive
+        # from single input rows (e.g. per-DOCUMENT token/shingle
+        # stats — a document is one source row, so its whole group is
+        # always inside one micro-batch).  Cross-row state (corpus df,
+        # cross-doc dedup) needs the stateful sinks instead.
+        self.transform = transform
         # Replays observed and skipped; exposed for tests/monitoring.
         self.replays_skipped = 0
 
@@ -67,6 +75,8 @@ class IdempotentBatchSink:
             # is already down; acking again must be a no-op.
             self.replays_skipped += 1
             return
+        if self.transform is not None:
+            batch_df = self.transform(batch_df)
         (
             batch_df.write.mode("overwrite")
             .parquet(os.path.join(self.out_dir, f"batch_id={int(batch_id)}"))
