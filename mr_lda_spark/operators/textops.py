@@ -156,10 +156,17 @@ def blocklist_filter(
     page filter): flag documents containing ANY blocked token and count
     the hits.  Pure codegen projection — token filter against a literal
     list, no shuffle, no UDF, no state — so it composes into any scan
-    at zero extra passes."""
-    hits = F.size(
-        F.filter(_tokens(F.col(text_col)), lambda t: t.isin(*blocked))
-    )
+    at zero extra passes.
+
+    An empty blocklist short-circuits to zero hits — ``Column.isin``
+    with no arguments raises, and "nothing blocked" is a valid
+    configuration, not an error."""
+    if blocked:
+        hits = F.size(
+            F.filter(_tokens(F.col(text_col)), lambda t: t.isin(*blocked))
+        )
+    else:
+        hits = F.lit(0)
     return docs.select(
         "doc_id",
         hits.cast("int").alias("n_blocked_hits"),

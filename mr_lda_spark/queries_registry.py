@@ -2472,7 +2472,8 @@ def curation_quality_filter(spark, sf_dir):
 )
 def curation_token_budget(spark, sf_dir):
     """Token-budget data selection: highest-quality docs first until a
-    60k-token budget fills.  The oracle's global ordered cumsum is
+    15k-token budget fills (matching the oracle's 15000 cutoff).  The
+    oracle's global ordered cumsum is
     reproduced exactly WITHOUT a global sort (score-histogram offsets +
     per-bucket windows); cum_tokens in the output makes the hash check
     verify the ordering, not just the membership."""

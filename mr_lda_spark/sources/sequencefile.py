@@ -54,6 +54,7 @@ import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 SEQ_MAGIC = b"SEQ"
@@ -255,36 +256,38 @@ def write_records(
 ) -> None:
     """Write one SequenceFile: ``records`` is an iterable of raw
     ``(key_bytes, value_bytes)``.  ``compression`` ∈ {None, 'record',
-    'block'} with DefaultCodec (zlib)."""
+    'block'} with DefaultCodec (zlib).
+
+    Writes directly to ``fh`` as records arrive — executor memory is
+    O(one record) (O(one block) for block compression), never
+    O(partition bytes), so partitions can be any size."""
     import hashlib
 
     # Deterministic per-(key,value)-class sync marker: output files are
     # byte-reproducible across runs (Hadoop uses a random UID here; any
     # 16 bytes are valid as long as the header and escapes agree).
     sync = hashlib.md5(f"{key_class}|{value_class}".encode()).digest()
-    out = io.BytesIO()
-    out.write(SEQ_MAGIC + bytes([SEQ_VERSION]))
-    _write_text(out, key_class)
-    _write_text(out, value_class)
-    out.write(bytes([1 if compression else 0, 1 if compression == "block" else 0]))
+    fh.write(SEQ_MAGIC + bytes([SEQ_VERSION]))
+    _write_text(fh, key_class)
+    _write_text(fh, value_class)
+    fh.write(bytes([1 if compression else 0, 1 if compression == "block" else 0]))
     if compression:
-        _write_text(out, "org.apache.hadoop.io.compress.DefaultCodec")
-    out.write(struct.pack(">i", 0))  # no metadata
-    out.write(sync)
+        _write_text(fh, "org.apache.hadoop.io.compress.DefaultCodec")
+    fh.write(struct.pack(">i", 0))  # no metadata
+    fh.write(sync)
 
     if compression == "block":
-        _write_block_body(out, records, sync)
+        _write_block_body(fh, records, sync)
     else:
         for i, (k, v) in enumerate(records):
             if i and i % sync_interval == 0:
-                out.write(struct.pack(">i", _SYNC_ESCAPE))
-                out.write(sync)
+                fh.write(struct.pack(">i", _SYNC_ESCAPE))
+                fh.write(sync)
             if compression == "record":
                 v = zlib.compress(v)
-            out.write(struct.pack(">ii", len(k) + len(v), len(k)))
-            out.write(k)
-            out.write(v)
-    fh.write(out.getvalue())
+            fh.write(struct.pack(">ii", len(k) + len(v), len(k)))
+            fh.write(k)
+            fh.write(v)
 
 
 def _write_block_body(out, records, sync, block_records: int = 1000) -> None:
@@ -451,12 +454,14 @@ def _binary_files(spark: SparkSession, path: str) -> DataFrame:
 
     # The decode closures reference this module executor-side.
     ensure_package_shipped(spark)
-    return (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "part-*")
-        .load(path)
-        .select("path", "content")
-    )
+    reader = spark.read.format("binaryFile")
+    if os.path.isdir(path):
+        # Directory layout: part-* files only (skip _SUCCESS etc.).
+        # Single-file artifacts (the reference's alpha-<iter> and
+        # informed-prior files) load as-is — a part-* glob would
+        # silently exclude them.
+        reader = reader.option("pathGlobFilter", "part-*")
+    return reader.load(path).select("path", "content")
 
 
 def read_corpus(spark: SparkSession, path: str) -> DataFrame:
@@ -555,14 +560,22 @@ def read_title_index(spark: SparkSession, path: str) -> DataFrame:
 
 def read_alpha(spark: SparkSession, path: str) -> DataFrame:
     """`SequenceFile<IntWritable topic, DoubleWritable>` alpha-<iter>
-    files (VariationalInference.java:521-558) → (topic, alpha)."""
+    files (VariationalInference.java:521-558) → (topic, alpha).
+
+    File topic keys are 1-based — exportAlpha writes ``i + 1`` and
+    importAlpha rejects key 0 with a Preconditions check
+    (VariationalInference.java ~530) — so they are shifted to the
+    engine's 0-based convention here, the same shift as
+    ``read_beta``/``read_eta``."""
     df = _read_int_value(
         spark,
         path,
         lambda v: struct.unpack(">d", v)[0],
         INT_DOUBLE_SCHEMA,
     )
-    return df.withColumnRenamed("id", "topic").withColumnRenamed("value", "alpha")
+    return df.select(
+        (F.col("id") - 1).alias("topic"), F.col("value").alias("alpha")
+    )
 
 
 def decode_int_array(val: bytes) -> list[int]:
@@ -802,18 +815,29 @@ def write_alpha(
     alpha: DataFrame, path: str, compression: str | None = None
 ) -> int:
     """Export a (topic, alpha) relation to the reference's alpha-file
-    layout (`SequenceFile<IntWritable, DoubleWritable>`,
-    VariationalInference.java:521-558) — the artifact our own
+    layout: ONE SequenceFile (not a part directory) with **1-based**
+    topic keys — exportAlpha writes ``i + 1`` and importAlpha rejects
+    key 0 (VariationalInference.java:521-558) — exactly what our own
     ``read_alpha`` resume path and the reference's trainer both
-    ingest.  K rows: written as a single part via coalesce."""
-    return _write_int_keyed(
-        alpha.select("topic", "alpha").coalesce(1),
-        path,
-        "topic",
-        lambda r: struct.pack(">d", float(r["alpha"])),
-        "org.apache.hadoop.io.DoubleWritable",
-        compression,
-    )
+    ingest.  The engine-side relation stays 0-based; the shift happens
+    only on the wire, mirroring ``write_eta``/``read_eta``.  α is
+    K-sized, so the collect is bounded.  Returns the number of topics
+    written."""
+    recs = [
+        (struct.pack(">i", int(r["topic"]) + 1), struct.pack(">d", float(r["alpha"])))
+        for r in sorted(
+            alpha.select("topic", "alpha").collect(), key=lambda r: int(r["topic"])
+        )
+    ]
+    with open(path, "wb") as fh:
+        write_records(
+            fh,
+            recs,
+            "org.apache.hadoop.io.IntWritable",
+            "org.apache.hadoop.io.DoubleWritable",
+            compression=compression,
+        )
+    return len(recs)
 
 
 def write_corpus(

@@ -7,6 +7,7 @@ asked for — a synthetic Mr.LDA corpus decoding to the same rows
 
 import io
 import json
+import os
 import struct
 
 import numpy as np
@@ -139,6 +140,8 @@ def test_term_dict_title_alpha_readers(spark, tmp_path):
 
     adir = tmp_path / "alpha"
     adir.mkdir()
+    # Reference alpha files carry 1-based topic keys (exportAlpha
+    # writes i+1); read_alpha shifts to the engine's 0-based topics.
     alphas = [(1, 0.25), (2, 0.5)]
     with open(adir / "part-00000", "wb") as fh:
         sf.write_records(
@@ -150,7 +153,7 @@ def test_term_dict_title_alpha_readers(spark, tmp_path):
     got = {
         r["topic"]: r["alpha"] for r in sf.read_alpha(spark, str(adir)).collect()
     }
-    assert got == pytest.approx(dict(alphas))
+    assert got == pytest.approx({k - 1: v for k, v in alphas})
 
 
 def test_sequencefile_corpus_trains(spark, tmp_path):
@@ -511,7 +514,16 @@ def test_write_term_dict_title_alpha_roundtrip(spark, tmp_path):
         [(0, 0.25), (1, 0.125), (2, 0.0625)], "topic int, alpha double"
     )
     a = str(tmp_path / "alpha")
-    assert sf.write_alpha(alpha, a) == 1  # K rows -> one part
+    assert sf.write_alpha(alpha, a) == 3  # K topics written
+    assert os.path.isfile(a)  # single file, like the reference's alpha-<iter>
+    # On-wire keys are 1-based (importAlpha rejects key 0); the
+    # round-trip through read_alpha restores 0-based topics bit-exact.
+    with open(a, "rb") as fh:
+        raw_keys = [
+            struct.unpack(">i", k)[0]
+            for k, _ in sf._iter_blob_records(a, fh.read())
+        ]
+    assert raw_keys == [1, 2, 3]
     back = sorted(map(tuple, sf.read_alpha(spark, a).collect()))
     assert back == [(0, 0.25), (1, 0.125), (2, 0.0625)]  # bit-exact
 

@@ -120,3 +120,16 @@ def test_repetition_scores_pinned_semantics(spark):
     assert r2["dup_token_frac"] == pytest.approx(0.5, abs=1e-6)
     assert r2["dup_trigram_frac"] == 0.0
     assert not r2["repetitive"]
+
+
+def test_blocklist_filter_empty_list_is_all_clear(spark):
+    """blocked=[] is a valid configuration (nothing blocked), not an
+    error: every doc passes with zero hits (ADVICE r5)."""
+    docs = spark.createDataFrame(
+        [(0, "clean text here"), (1, "more clean text")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(tuple, textops.blocklist_filter(docs, []).collect())
+    )
+    assert rows == [(0, 0, False), (1, 0, False)]
