@@ -4344,17 +4344,13 @@ def lda_informed_topics(spark, sf_dir):
     return display.top_terms_per_topic(beta, dictionary, k=5)
 
 
-@register("polylda_topics")
-def polylda_topics(spark, sf_dir):
-    """Polylingual LDA: per-language betas, shared gamma.  Documents
-    sharing (doc_id % 150) form one multilingual doc; languages 'en'
-    and 'es'.  Returns top-3 terms per (lang, topic).  Rows-only."""
-    from mr_lda_spark.plans import polylda as poly_plan
-
-    langs = ["en", "es"]
+def _poly_setup(spark, sf_dir, langs=("en", "es")):
+    """Shared polylingual fixture: documents sharing (doc_id % 150)
+    form one multilingual doc; returns (tall, dicts, num_terms) where
+    tall is the encoded (doc_id, lang, term_id, term_count) corpus."""
     docs = (
         _t(spark, sf_dir, "documents")
-        .filter(F.col("lang").isin(langs))
+        .filter(F.col("lang").isin(list(langs)))
         .withColumn("poly_doc_id", F.col("doc_id") % 150)
     )
     tokens = parse.tokenize(docs, doc_id_col="poly_doc_id").join(
@@ -4375,18 +4371,19 @@ def polylda_topics(spark, sf_dir):
             F.col("term_count").cast("int").alias("term_count"),
         )
     )
-    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(langs))
     num_terms = [dicts.filter(F.col("lang") == i).count() for i in range(len(langs))]
-    _, state = poly_plan.train_poly(
-        spark, corpus, num_terms, num_topics=LDA_K,
-        max_iterations=LDA_ITERS, max_gamma_iter=10, seed=LDA_SEED,
-    )
+    return tall, dicts, num_terms
+
+
+def _poly_top_terms(spark, state, dicts, k_top=3):
+    """Top-k_top terms per (lang, topic) from driver-side per-language
+    E[log beta] matrices — shared display tail for both poly modes."""
+    import numpy as np
+
     rows = []
     for lang_i, eb in enumerate(state.elog_betas):
-        import numpy as np
-
         for k in range(LDA_K):
-            top = np.argsort(-eb[1:, k])[:3] + 1
+            top = np.argsort(-eb[1:, k])[:k_top] + 1
             for rank, tid in enumerate(top, 1):
                 rows.append((lang_i, k, rank, int(tid), float(eb[tid, k])))
     out = spark.createDataFrame(
@@ -4395,6 +4392,38 @@ def polylda_topics(spark, sf_dir):
     return out.join(
         F.broadcast(dicts.select("lang", "term_id", "term")), ["lang", "term_id"]
     ).select("lang", "topic", "rank", "term_id", "term", F.round("log_beta", 6).alias("log_beta"))
+
+
+@register("polylda_topics")
+def polylda_topics(spark, sf_dir):
+    """Polylingual LDA: per-language betas, shared gamma.  Documents
+    sharing (doc_id % 150) form one multilingual doc; languages 'en'
+    and 'es'.  Returns top-3 terms per (lang, topic).  Rows-only."""
+    from mr_lda_spark.plans import polylda as poly_plan
+
+    tall, dicts, num_terms = _poly_setup(spark, sf_dir)
+    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(num_terms))
+    _, state = poly_plan.train_poly(
+        spark, corpus, num_terms, num_topics=LDA_K,
+        max_iterations=LDA_ITERS, max_gamma_iter=10, seed=LDA_SEED,
+    )
+    return _poly_top_terms(spark, state, dicts)
+
+
+@register("polylda_join_mode_topics")
+def polylda_join_mode_topics(spark, sf_dir):
+    """Shuffle-join polylingual E-step (distributed per-language beta
+    keyed (lang << 32) | term_id — the scale path when sum_l V_l x K
+    exceeds broadcast): same output shape as polylda_topics.
+    Rows-only."""
+    from mr_lda_spark.plans import polylda_join
+
+    tall, dicts, num_terms = _poly_setup(spark, sf_dir)
+    _, state = polylda_join.train_poly_join(
+        spark, tall, num_terms, num_topics=LDA_K,
+        max_iterations=2, max_gamma_iter=10, seed=LDA_SEED,
+    )
+    return _poly_top_terms(spark, state, dicts)
 
 
 # --------------------------------------------------------------------------
