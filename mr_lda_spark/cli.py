@@ -285,29 +285,28 @@ def cmd_infer(args) -> None:
     """Held-out inference (the reference's -test mode,
     VariationalInferenceOptions.java:166-178): load a trained model
     (beta parquet + alpha json), run a single gamma-only E-step pass
-    over a corpus, write gamma + per-doc log-likelihood."""
+    over a corpus, write gamma + per-doc log-likelihood.
+
+    β goes through the JOIN path (plans.lda_join.infer_join): the
+    stored tall β folds to (term_id, beta[K]) rows and joins the
+    corpus — it never materializes on the driver, so a V×K past
+    executor memory scores the same way a broadcastable one does
+    (below the threshold AQE broadcasts the join on its own)."""
     import numpy as np
     from pyspark.sql import functions as F
 
-    from mr_lda_spark.operators import parse as parse_ops
-    from mr_lda_spark.plans import lda
-    from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA
+    from mr_lda_spark.plans import lda_join
     from mr_lda_spark.sources.corpus import write_table
 
     spark = _spark("mrlda-infer")
     with open(args.alpha) as fh:
         alpha = np.asarray(json.load(fh)["alpha"])
-    K = len(alpha)
-    beta_rows = spark.read.parquet(args.beta).collect()
-    num_terms = max(r["term_id"] for r in beta_rows)
-    elog = np.full((num_terms + 1, K), DEFAULT_LOG_ETA)
-    for r in beta_rows:
-        elog[r["term_id"], r["topic"]] = r["log_beta"]
-    state = lda.LdaState(alpha=alpha, elog_beta=elog)
-
+    beta_df = lda_join.beta_relation(spark.read.parquet(args.beta))
     corpus_tall = spark.read.parquet(os.path.join(args.input, "document"))
-    corpus_doc = parse_ops.corpus_to_doc_form(corpus_tall)
-    out = lda.infer(spark, corpus_doc, state, max_gamma_iter=args.gamma_iteration)
+    out = lda_join.infer_join(
+        spark, corpus_tall.select("doc_id", "term_id", "term_count"),
+        beta_df, alpha, max_gamma_iter=args.gamma_iteration,
+    )
     write_table(out, args.output)
     total = out.agg(
         F.sum("doc_ll").alias("ll"), F.count(F.lit(1)).alias("docs")

@@ -79,10 +79,15 @@ def _segment_lse(flat_terms: np.ndarray, flat_vecs: np.ndarray):
 
 
 def _join_estep_kernel(
-    alpha: np.ndarray, max_gamma_iter: int, phi_flush: int = 1 << 18
+    alpha: np.ndarray,
+    max_gamma_iter: int,
+    phi_flush: int = 1 << 18,
+    learning: bool = True,
 ):
     """E-step over doc rows that carry their own β slices
-    (terms, counts, betas aligned arrays).
+    (terms, counts, betas aligned arrays).  ``learning=False`` is the
+    reference's -test mode (VariationalInferenceOptions.java:166-178):
+    γ-only sweeps, no φ statistics, no α rows — only doc rows flow.
 
     φ sufficient statistics are combined PARTITION-LOCALLY (the same
     in-mapper-combine move as the broadcast path, plans/lda.py:103):
@@ -179,6 +184,8 @@ def _join_estep_kernel(
                     "ll": doc_ll,
                 }
             )
+            if not learning:
+                continue
             yield pd.DataFrame(
                 {
                     "kind": "alpha",
@@ -348,3 +355,62 @@ def train_beta_join(
         mat[r["term_id"]] = np.asarray(r["beta"])
     state.elog_beta = mat
     return gamma_df, state
+
+
+def beta_relation(beta_tall: DataFrame) -> DataFrame:
+    """Fold the tall BETA table (term_id, topic, log_beta — the
+    engine's stored model layout) into the join path's row form
+    (term_id, beta ARRAY<DOUBLE>[K]).  One shuffle on term_id, K rows
+    per key — the relational inverse of ``lda.beta_dataframe``; never
+    touches the driver."""
+    return (
+        beta_tall.groupBy("term_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("topic", "log_beta"))
+            ).alias("p")
+        )
+        .select("term_id", F.col("p.log_beta").alias("beta"))
+    )
+
+
+def infer_join(
+    spark: SparkSession,
+    corpus_tall: DataFrame,
+    beta_df: DataFrame,
+    alpha: np.ndarray,
+    max_gamma_iter: int = 50,
+) -> DataFrame:
+    """Held-out/test inference with DISTRIBUTED β (the reference's
+    -test γ-only pass, VariationalInferenceOptions.java:166-178, with
+    the broadcast requirement removed): ``corpus_tall`` (doc_id,
+    term_id, term_count) joins ``beta_df`` (term_id, beta ARRAY[K]) on
+    term_id, docs regroup carrying their terms' β slices, and the
+    γ-only kernel scores each doc.  Returns (doc_id, gamma, doc_ll).
+
+    β stays a DataFrame end-to-end — below the broadcast threshold AQE
+    turns the join into a broadcast join on its own; above it, the
+    shuffle join is the plan that survives.  Terms absent from β score
+    at the η floor (left join + coalesce), matching broadcast-mode
+    ``lda.infer``'s DEFAULT_LOG_ETA-filled matrix exactly."""
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    alpha = np.asarray(alpha, dtype=np.float64)
+    K = len(alpha)
+    floor = F.array_repeat(F.lit(float(DEFAULT_LOG_ETA)), K)
+    joined = corpus_tall.join(beta_df, "term_id", "left").withColumn(
+        "beta", F.coalesce(F.col("beta"), floor)
+    )
+    docs = joined.groupBy("doc_id").agg(
+        F.collect_list("term_id").alias("term_ids"),
+        F.collect_list("term_count").alias("term_counts"),
+        F.collect_list("beta").alias("betas"),
+    )
+    kernel = _join_estep_kernel(alpha, max_gamma_iter, learning=False)
+    out = docs.mapInPandas(kernel, schema=_JOIN_ESTEP_SCHEMA)
+    return out.filter(F.col("kind") == "doc").select(
+        F.col("id").alias("doc_id"),
+        F.col("vec").alias("gamma"),
+        F.col("ll").alias("doc_ll"),
+    )

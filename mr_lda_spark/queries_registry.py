@@ -4203,6 +4203,56 @@ def lda_heldout_perplexity(spark, sf_dir):
     )
 
 
+@register("lda_heldout_perplexity_join")
+def lda_heldout_perplexity_join(spark, sf_dir):
+    """lda_heldout_perplexity through the β JOIN path
+    (plans.lda_join.infer_join) with auto-broadcast DISABLED — the
+    past-the-broadcast-cliff held-out plan (VERDICT r5 item #2).  Same
+    audit row as the broadcast query; the pytest parity test pins
+    per-doc γ/ll equality, this row pins the aggregate end-to-end.
+    Rows-only."""
+    from mr_lda_spark.plans import lda as lda_plan
+    from mr_lda_spark.plans import lda_join
+
+    _, corpus_doc = _lda_setup(spark, sf_dir)
+    state = _lda_trained(spark, sf_dir)
+    tall = corpus_doc.select(
+        "doc_id", F.explode(F.arrays_zip("term_ids", "term_counts")).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z.term_ids").alias("term_id"),
+        F.col("z.term_counts").alias("term_count"),
+    )
+    beta_df = lda_join.beta_relation(lda_plan.beta_dataframe(spark, state))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        scored = lda_join.infer_join(
+            spark, tall, beta_df, state.alpha, max_gamma_iter=15
+        )
+        tokens = corpus_doc.select(
+            "doc_id",
+            F.aggregate(
+                "term_counts", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("n_tokens"),
+        )
+        return (
+            scored.join(tokens, "doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.round(F.sum("doc_ll"), 4).alias("total_ll"),
+                F.round(
+                    F.exp(-F.sum("doc_ll") / F.sum("n_tokens")), 4
+                ).alias("perplexity"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+
+
 @register("curation_perplexity_filter")
 def curation_perplexity_filter(spark, sf_dir):
     """Model-based quality filtering (perplexity filtering, the

@@ -198,6 +198,78 @@ def probe(spark, docs) -> dict[str, float]:
                 spark.conf.set(key, prev)
 
     t("lda_join_one_iteration_k8", lda_join_one_iter)
+
+    def _poly_prep():
+        # Scalable polylingual corpus: doc pairs (floor(doc_id / 2))
+        # form one multilingual doc — poly-doc count grows linearly
+        # with the tier, unlike the registry's fixed %150 grouping.
+        langs = ["en", "es"]
+        d = docs.filter(F.col("lang").isin(langs)).withColumn(
+            "poly_doc_id", F.floor(F.col("doc_id") / 2)
+        )
+        tokens = parse.tokenize(d, doc_id_col="poly_doc_id").join(
+            d.select(F.col("poly_doc_id").alias("doc_id"), "lang").distinct(),
+            "doc_id",
+        )
+        lang_expr = F.lit(None).cast("int")
+        for i, lang in enumerate(langs):
+            lang_expr = F.when(F.col("lang") == lang, F.lit(i)).otherwise(
+                lang_expr
+            )
+        tokens = tokens.withColumn("lang", lang_expr)
+        dicts = parse.build_dictionary_per_lang(tokens)
+        tall = (
+            tokens.groupBy("doc_id", "lang", "term")
+            .agg(F.count(F.lit(1)).alias("term_count"))
+            .join(
+                F.broadcast(dicts.select("lang", "term", "term_id")),
+                ["lang", "term"],
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "term_id",
+                F.col("term_count").cast("int").alias("term_count"),
+            )
+        )
+        num_terms = [
+            dicts.filter(F.col("lang") == i).count() for i in range(len(langs))
+        ]
+        return tall, num_terms
+
+    def polylda_one_iter():
+        from mr_lda_spark.plans import polylda
+
+        tall, num_terms = _poly_prep()
+        corpus = polylda.poly_corpus_from_tall(tall, n_languages=2)
+        polylda.train_poly(
+            spark, corpus, num_terms, num_topics=4,
+            max_iterations=1, max_gamma_iter=25, converge=0.0, seed=1,
+        )
+
+    t("polylda_one_iteration_k4", polylda_one_iter)
+
+    def polylda_join_one_iter():
+        # Distributed per-language β (VERDICT r5 next #1): force the β
+        # join to stay a SHUFFLE join, same protocol as the mono tier.
+        from mr_lda_spark.plans import polylda_join
+
+        tall, num_terms = _poly_prep()
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "-1")
+        try:
+            polylda_join.train_poly_join(
+                spark, tall, num_terms, num_topics=4,
+                max_iterations=1, max_gamma_iter=25, converge=0.0, seed=1,
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    t("polylda_join_one_iteration_k4", polylda_join_one_iter)
     return times
 
 
@@ -262,6 +334,14 @@ def main() -> None:
     if "lda_join_one_iteration_k8" in tn and tn.get("lda_one_iteration_k8"):
         out["lda_join_vs_broadcast_Nx"] = round(
             tn["lda_join_one_iteration_k8"] / tn["lda_one_iteration_k8"], 2
+        )
+    if "polylda_join_one_iteration_k4" in tn and tn.get(
+        "polylda_one_iteration_k4"
+    ):
+        out["polylda_join_vs_broadcast_Nx"] = round(
+            tn["polylda_join_one_iteration_k4"]
+            / tn["polylda_one_iteration_k4"],
+            2,
         )
     print(json.dumps(out))
 

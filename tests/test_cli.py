@@ -74,6 +74,16 @@ def test_cli_full_workflow(tmp_path):
     )
     assert len([l for l in out.splitlines() if "\t" in l]) >= 2
 
+    # Held-out inference through the β-join path (no driver β collect).
+    out = _run(
+        ["infer", "--input", "./out", "--beta", "./model/beta-2",
+         "--alpha", "./model/alpha-2.json", "--output", "./heldout",
+         "--gamma-iteration", "5"],
+        tmp_path,
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["documents"] == 100 and res["total_log_likelihood"] < 0
+
 
 def test_cli_curate(tmp_path):
     """`curate` runs the full pipeline off a documents parquet and

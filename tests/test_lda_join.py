@@ -53,3 +53,36 @@ def test_join_mode_elbo_monotone(spark, encoded):
     h = state.history
     for a, b in zip(h, h[1:]):
         assert b >= a - abs(a) * 1e-6, h
+
+
+def test_infer_join_matches_broadcast_infer(spark, encoded):
+    """Held-out γ-only pass through the β join (VERDICT r5 item #2):
+    per-doc γ and log-likelihood must match broadcast-mode lda.infer,
+    including with auto-broadcast disabled (the past-the-cliff plan)."""
+    tall, num_terms = encoded
+    corpus_doc = parse.corpus_to_doc_form(tall)
+    _, state = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=2, max_gamma_iter=8, seed=21, converge=0.0,
+    )
+    bc = {
+        r["doc_id"]: (r["gamma"], r["doc_ll"])
+        for r in lda.infer(spark, corpus_doc, state, max_gamma_iter=12).collect()
+    }
+    beta_df = lda_join.beta_relation(lda.beta_dataframe(spark, state))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        jn = {
+            r["doc_id"]: (r["gamma"], r["doc_ll"])
+            for r in lda_join.infer_join(
+                spark, tall, beta_df, state.alpha, max_gamma_iter=12
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    assert set(jn) == set(bc)
+    for doc_id, (g, ll) in jn.items():
+        np.testing.assert_allclose(np.array(g), np.array(bc[doc_id][0]), rtol=1e-7)
+        np.testing.assert_allclose(ll, bc[doc_id][1], rtol=1e-7)
