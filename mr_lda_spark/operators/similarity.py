@@ -146,9 +146,13 @@ def embedding_near_dupes(
     dim: int = 64,
     seed: int = 42,
     max_bucket_size: int | None = 100_000,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a, b, cos_sim) with
-    a < b and cosine ≥ threshold.
+    a < b and cosine ≥ threshold.  ``planes`` (shape
+    (n_bands·n_planes, dim)) overrides the seeded matrix — the frozen
+    md5-derived variant passes it so a SQL oracle can regenerate the
+    identical banding.
 
     The DEFAULT is the scale path: OR-amplified hyperplane LSH.  Each
     vector lands in one bucket per band (``n_bands`` independent bands
@@ -170,8 +174,9 @@ def embedding_near_dupes(
     is actually wanted, and budget the larger buckets it implies.
     """
     if n_planes > 0:
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((n_bands * n_planes, dim))
+        if planes is None:
+            rng = np.random.default_rng(seed)
+            planes = rng.standard_normal((n_bands * n_planes, dim))
         # Bucketing runs as ONE Arrow-batched matmul per batch (a
         # vectorized Pandas UDF): k×L projections as built-in
         # higher-order aggregates would be k×L×dim interpreted lambda
@@ -953,6 +958,38 @@ def lsh_frozen_topk(
         id_col=id_col,
         vec_col=vec_col,
         planes=frozen_hyperplanes(n_planes, in_dim, salt),
+    )
+
+
+def embedding_near_dupes_frozen(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_bands: int = 6,
+    dim: int = 64,
+    salt: str = "dupfp",
+    max_bucket_size: int | None = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``embedding_near_dupes`` over FROZEN md5-derived hyperplanes —
+    the oracle-checkable companion to the seeded LSH variant (VERDICT
+    r5 item #3, the ``lsh_frozen_topk`` move): plane (p, d) =
+    ``_md5_unit(salt, p, d)``, band = p // n_planes, bit =
+    p % n_planes, so a SQL oracle regenerates the banding, the
+    bucket-restricted candidate pairs, and the exact-cosine verify
+    identically.  Recall of the seeded variant stays pinned by
+    pytest."""
+    return embedding_near_dupes(
+        embeddings,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
+        n_bands=n_bands,
+        dim=dim,
+        max_bucket_size=max_bucket_size,
+        planes=frozen_hyperplanes(n_bands * n_planes, dim, salt),
     )
 
 

@@ -959,6 +959,24 @@ def events_approx_distinct_users(spark, sf_dir):
 
 
 @register(
+    "events_distinct_users_exact",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS exact_users
+    FROM events GROUP BY 1
+    """,
+)
+def events_distinct_users_exact(spark, sf_dir):
+    """Exact companion to events_approx_distinct_users (VERDICT r5
+    item #4): plain count_distinct, fully oracle-checkable.  The HLL
+    estimate's documented 2% rsd bound against this exact count is
+    pinned by pytest (test_new_ops)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+
+
+@register(
     "events_sessionize",
     """
     WITH ordered AS (
@@ -3522,6 +3540,63 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
 
 
 @register(
+    "dedup_embedding_cosine_lsh_frozen",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pl AS (
+      SELECT p.p // 4 AS band, p.p % 4 AS bit, d.d,
+             round(CAST(('0x' || substr(md5(
+                     'dupfp:' || p.p || ':' || d.d), 1, 8)
+                   )::BIGINT AS DOUBLE) / 4294967296.0 * 2 - 1, 6) AS w
+      FROM (SELECT unnest(range(0, 24)) AS p) p,
+           (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    xv AS (
+      SELECT vec_id, i - 1 AS d, v[i] AS val
+      FROM e, unnest(range(1, 65)) AS u(i)
+    ),
+    proj AS (
+      SELECT xv.vec_id, pl.band, pl.bit, sum(xv.val * pl.w) AS dot
+      FROM xv JOIN pl ON xv.d = pl.d
+      GROUP BY 1, 2, 3
+    ),
+    bk AS (
+      SELECT vec_id, band,
+             sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+               AS bucket
+      FROM proj GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM bk x JOIN bk y
+        ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT a, b, round(cos, 4) AS cos_sim FROM (
+      SELECT cand.a, cand.b,
+             list_dot_product(xa.v, xb.v)
+               / (sqrt(list_dot_product(xa.v, xa.v))
+                  * sqrt(list_dot_product(xb.v, xb.v))) AS cos
+      FROM cand
+      JOIN e xa ON xa.vec_id = cand.a
+      JOIN e xb ON xb.vec_id = cand.b
+    ) WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine_lsh_frozen(spark, sf_dir):
+    """Banded-LSH near-dup pairs over FROZEN md5-derived hyperplanes
+    (plane (p,d) = md5('dupfp:p:d'), band = p//4, bit = p%4): DuckDB
+    regenerates the banding, re-derives every vector's per-band
+    sign-pattern bucket, and must agree on the bucket-restricted
+    candidate pairs AND the exact-cosine verify — hash-greening the
+    whole banded-LSH dedup machinery (bucketing matmul, per-band
+    equi-join, cross-band pair dedup, threshold verify).  The seeded
+    variant stays rows-only with its recall floor pinned by pytest."""
+    return similarity.embedding_near_dupes_frozen(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
     "dedup_semdedup_pairs",
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
@@ -4292,6 +4367,57 @@ def curation_perplexity_filter(spark, sf_dir):
         per_tok.join(F.broadcast(thr))
         .filter(F.col("ll_per_token") >= F.col("thr"))
         .select("doc_id", "n_tokens", "ll_per_token")
+    )
+
+
+@register(
+    "curation_perplexity_filter_lm",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, tl[CAST(i AS INT)] AS w1, tl[CAST(i AS INT) + 1] AS w2
+      FROM toks, unnest(range(1, len(tl))) AS r(i)
+      WHERE len(tl) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+    vv AS (
+      SELECT count(DISTINCT term) AS v
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS term
+        FROM documents
+      )
+    ),
+    scored AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(ln((c12 + 0.1) / (c1 + 0.1 * v))), 6) AS avg_logprob,
+             round(exp(-avg(ln((c12 + 0.1) / (c1 + 0.1 * v)))), 6)
+               AS perplexity
+      FROM pairs JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+      GROUP BY doc_id
+    ),
+    thr AS (SELECT quantile_cont(avg_logprob, 0.25) AS thr FROM scored)
+    SELECT doc_id, n_bigrams, avg_logprob, perplexity
+    FROM scored CROSS JOIN thr
+    WHERE avg_logprob >= thr
+    """,
+)
+def curation_perplexity_filter_lm(spark, sf_dir):
+    """Perplexity filtering with the FROZEN bigram LM as the scorer
+    (VERDICT r5 item #5, the quality_model_serve trick): the bigram
+    counts are already oracle-green (text_bigram_lm_scores), so the
+    whole CCNet-style gate — score, 25th-percentile threshold, filter
+    — is one deterministic relational plan DuckDB replays exactly.
+    The LDA-scored sibling stays rows-only (stochastic scorer); this
+    row hash-greens the filter machinery itself."""
+    from mr_lda_spark.operators import curation
+
+    return curation.lm_perplexity_filter(
+        _t(spark, sf_dir, "documents"), quantile=0.25
     )
 
 

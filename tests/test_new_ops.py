@@ -221,3 +221,22 @@ def test_source_overlap_minhash_tracks_true_jaccard(spark):
         for r in dedup.source_overlap_minhash(docs, num_hashes=32).collect()
     }
     assert est == again
+
+
+def test_hll_within_documented_bound(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) must land within its documented
+    error bound of the exact per-group count (VERDICT r5 item #4).
+    HLL++ rsd is a standard deviation, not a hard cap — assert 5 sigma,
+    which a correct sketch essentially never exceeds."""
+    from mr_lda_spark.session import read_table
+
+    e = read_table(spark, sf_dir, "events")
+    rows = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx"),
+        F.count_distinct("user_id").alias("exact"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(5, 5 * 0.02 * r["exact"]), (
+            r["event_type"], r["approx"], r["exact"],
+        )
