@@ -4,9 +4,10 @@ with typed metadata, processed by Arrow-batched pandas kernels.
 Two decode tiers:
 
 - **Real stdlib codecs** for WAV (RIFF PCM via ``wave`` + ``struct``),
-  PNG (8-bit grayscale, filter-0 — full chunk/CRC/zlib container via
-  ``struct`` + ``zlib``) and Y4M video (YUV4MPEG2 ``Cmono`` — header
-  tags + FRAME-delimited luma planes).  The encode/decode pairs
+  PNG (8-bit grayscale AND RGB truecolor, all five RFC 2083 scanline
+  filters — full chunk/CRC/zlib container via ``struct`` + ``zlib``)
+  and Y4M video (YUV4MPEG2 ``Cmono`` — header tags + FRAME-delimited
+  luma planes).  The encode/decode pairs
   produce and parse *actual* on-disk formats any player/viewer
   accepts; ``wav_waveform_stats`` / ``png_image_stats`` /
   ``y4m_video_stats`` / ``y4m_frame_means`` compute real features
@@ -138,15 +139,32 @@ def encode_png_gray8(pixels: np.ndarray) -> bytes:
     )
 
 
-def decode_png_gray8(payload: bytes) -> np.ndarray:
-    """Real PNG decode for the subset stdlib can express: 8-bit
-    grayscale, no interlace, filter type 0 per scanline.  Walks the
-    chunk stream, inflates the concatenated IDATs, strips the
-    per-scanline filter byte.  Anything fancier (other color types,
-    Paeth/Sub filters, interlacing) raises NotImplementedError."""
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/up-left
+    to the linear estimate a + b − c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3}  # grayscale, truecolor (RGB)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decode, pure struct/zlib: 8-bit grayscale (color 0)
+    and RGB truecolor (color 2), non-interlaced, ALL five scanline
+    filters (None/Sub/Up/Average/Paeth — RFC 2083 §6).  Walks the
+    chunk stream, inflates the concatenated IDATs, unfilters each
+    scanline against the reconstructed prior row.  Returns (H, W)
+    uint8 for grayscale, (H, W, 3) for RGB.  Palette/alpha/16-bit/
+    interlaced variants raise NotImplementedError."""
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
-    off, width, height, idat = 8, None, None, b""
+    off, width, height, channels, idat = 8, None, None, None, b""
     while off < len(payload):
         (length,) = struct.unpack_from(">I", payload, off)
         tag = payload[off + 4 : off + 8]
@@ -156,9 +174,10 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
             width, height, depth, color, _, _, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, color, interlace) != (8, 0, 0):
+            channels = _PNG_COLOR_CHANNELS.get(color)
+            if depth != 8 or channels is None or interlace != 0:
                 raise NotImplementedError(
-                    "stdlib decoder handles 8-bit grayscale "
+                    "stdlib decoder handles 8-bit gray/RGB "
                     f"non-interlaced only, got depth={depth} "
                     f"color={color} interlace={interlace}"
                 )
@@ -167,16 +186,105 @@ def decode_png_gray8(payload: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
     raw = zlib.decompress(idat)
-    stride = width + 1
+    bpp = channels
+    stride = width * bpp + 1
+    if len(raw) != height * stride:
+        raise ValueError(
+            f"PNG pixel stream is {len(raw)} bytes, expected "
+            f"{height * stride}"
+        )
+    prior = bytearray(width * bpp)
     rows = []
     for r in range(height):
         line = raw[r * stride : (r + 1) * stride]
-        if line[0] != 0:
-            raise NotImplementedError(
-                f"scanline filter {line[0]} not supported (filter 0 only)"
-            )
-        rows.append(np.frombuffer(line[1:], dtype=np.uint8))
-    return np.vstack(rows)
+        f = line[0]
+        cur = bytearray(line[1:])
+        if f == 1:  # Sub
+            for i in range(bpp, len(cur)):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(len(cur)):
+                cur[i] = (cur[i] + prior[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(len(cur)):
+                a = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((a + prior[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(len(cur)):
+                a = cur[i - bpp] if i >= bpp else 0
+                c = prior[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(a, prior[i], c)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        rows.append(np.frombuffer(bytes(cur), dtype=np.uint8))
+        prior = cur
+    out = np.vstack(rows)
+    return out if bpp == 1 else out.reshape(height, width, 3)
+
+
+def decode_png_gray8(payload: bytes) -> np.ndarray:
+    """``decode_png`` restricted to 8-bit grayscale — the historical
+    entry point the gray-image paths use.  RGB input raises
+    NotImplementedError (callers expecting a 2-D plane must opt into
+    ``decode_png`` explicitly)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad signature)")
+    # Peek IHDR (always the first chunk) for the color type.
+    color = payload[8 + 8 + 9]
+    if color != 0:
+        raise NotImplementedError(
+            f"decode_png_gray8 handles grayscale only, got color={color}"
+            " (use decode_png)"
+        )
+    return decode_png(payload)
+
+
+def _filter_scanline(
+    f: int, cur: np.ndarray, prior: np.ndarray, bpp: int
+) -> bytes:
+    """Apply PNG filter ``f`` to a reconstructed scanline (the encode
+    direction: filt[i] = raw[i] − predictor, mod 256)."""
+    n = len(cur)
+    out = bytearray(n)
+    for i in range(n):
+        a = int(cur[i - bpp]) if i >= bpp else 0
+        b = int(prior[i])
+        c = int(prior[i - bpp]) if i >= bpp else 0
+        pred = (
+            0 if f == 0
+            else a if f == 1
+            else b if f == 2
+            else (a + b) >> 1 if f == 3
+            else _paeth(a, b, c)
+        )
+        out[i] = (int(cur[i]) - pred) & 0xFF
+    return bytes(out)
+
+
+def encode_png_rgb8(pixels: np.ndarray, row_filters=None) -> bytes:
+    """A real RGB PNG (any viewer opens it): 8-bit truecolor, one
+    IDAT.  ``pixels`` is (H, W, 3) uint8.  ``row_filters`` assigns a
+    PNG filter type (0–4) per scanline — default cycles r % 5, so
+    every file exercises None/Sub/Up/Average/Paeth filtering and a
+    decoder must implement all five to get the pixels back."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, ch = pixels.shape
+    if ch != 3:
+        raise ValueError("encode_png_rgb8 expects (H, W, 3)")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    flat = pixels.reshape(h, w * 3)
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    parts = []
+    for r in range(h):
+        f = int(row_filters[r]) if row_filters is not None else r % 5
+        parts.append(bytes([f]) + _filter_scanline(f, flat[r], prior, 3))
+        prior = flat[r]
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def encode_y4m_mono(
@@ -779,3 +887,77 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
         F.lit(16000).alias("sample_rate").cast("int"),
         (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
     )
+
+
+PNG_RGB_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def rgb_media_from_documents(docs: DataFrame, side: int = 8) -> DataFrame:
+    """RGB media table with REAL truecolor PNG payloads derived from
+    the documents table: every doc becomes a valid (side × side) RGB
+    PNG whose interleaved R,G,B bytes are the leading text bytes
+    (zero-padded).  Scanline filters cycle r % 5, so EVERY file
+    carries None/Sub/Up/Average/Paeth-filtered rows (row 4 is Paeth) —
+    decoding these payloads requires the full RFC 2083 filter set,
+    which is exactly what the oracle check proves works."""
+    n = side * side * 3
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                buf = np.zeros(n, dtype=np.uint8)
+                arr = np.frombuffer(data[:n], dtype=np.uint8)
+                buf[: arr.size] = arr
+                rows["media_id"].append(mid)
+                rows["kind"].append("image")
+                rows["payload"].append(
+                    encode_png_rgb8(buf.reshape(side, side, 3))
+                )
+                rows["width"].append(side)
+                rows["height"].append(side)
+                rows["sample_rate"].append(None)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, schema=MEDIA_SCHEMA
+    )
+
+
+def png_rgb_image_stats(media: DataFrame) -> DataFrame:
+    """REAL RGB image features from real bytes: full PNG container
+    walk plus the complete five-filter unfilter pass, then per-channel
+    means of the decoded truecolor image."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in PNG_RGB_STATS_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png(bytes(p))
+                if px.ndim != 3:
+                    px = np.repeat(px[:, :, None], 3, axis=2)
+                npx = px.shape[0] * px.shape[1]
+                rows["media_id"].append(mid)
+                rows["height"].append(px.shape[0])
+                rows["width"].append(px.shape[1])
+                for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+                    rows[name].append(
+                        _round6(float(px[:, :, ch].sum()) / npx)
+                    )
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, schema=PNG_RGB_STATS_SCHEMA)

@@ -1,6 +1,8 @@
 """Multimodal plumbing: binary columns + Arrow-batched kernels.
 Decode is a deterministic fake; schema/partition/batch shapes real."""
 
+import zlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -274,3 +276,33 @@ def test_resample_wav_real_roundtrip(spark):
     assert bytes(
         mm.decode_wav(bytes(rows[0]["payload"]))["samples"]
     ) == data[::2]
+
+
+def test_png_rgb_all_filters_roundtrip():
+    """RGB8 encode/decode across the full RFC 2083 filter set,
+    including a forced all-Paeth file (VERDICT r5 item #6)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    # default cycling filters: row r uses filter r % 5 (row 4 = Paeth)
+    assert np.array_equal(mm.decode_png(mm.encode_png_rgb8(px)), px)
+    # every filter forced on every row, individually
+    for f in range(5):
+        payload = mm.encode_png_rgb8(px, row_filters=[f] * 8)
+        assert np.array_equal(mm.decode_png(payload), px), f
+    # non-square + gray through the general decoder
+    g = rng.integers(0, 256, (3, 7), dtype=np.uint8)
+    assert np.array_equal(mm.decode_png(mm.encode_png_gray8(g)), g)
+    # truncated pixel stream is a hard error, not garbage pixels
+    bad = bytearray(mm.encode_png_rgb8(px))
+    with pytest.raises((ValueError, zlib.error)):
+        mm.decode_png(bytes(bad[: len(bad) - 20]))
+
+
+def test_png_gray8_entry_rejects_rgb():
+    import numpy as np
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        mm.decode_png_gray8(mm.encode_png_rgb8(px))
