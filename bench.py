@@ -75,6 +75,13 @@ EXTRA = [
     "multimodal_wav_resample_stats",
     "dedup_source_overlap",
     "dedup_source_overlap_minhash",
+    # r6 additions (recorded, not in the round-over-round total):
+    "dedup_embedding_cosine_lsh_frozen",
+    "curation_perplexity_filter_lm",
+    "multimodal_png_rgb_stats",
+    "lda_heldout_perplexity_join",
+    "polylda_join_mode_topics",
+    "events_distinct_users_exact",
 ]
 
 
