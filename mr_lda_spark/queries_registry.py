@@ -1915,6 +1915,87 @@ def text_token_counts(spark, sf_dir):
     return textops.token_counts(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS word
+      FROM documents
+    ),
+    wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+    syms AS (
+      SELECT cnt, list_append(string_split(word, ''), '</w>') AS s FROM wc
+    ),
+    pr AS (
+      SELECT s[CAST(i AS INT)] AS left_sym,
+             s[CAST(i AS INT) + 1] AS right_sym, cnt
+      FROM syms, unnest(range(1, len(s))) AS u(i)
+    )
+    SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pr GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym ASC, right_sym ASC
+    LIMIT 20
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """BPE training's inner aggregation, oracle-checked: adjacent
+    symbol-pair counts over the initial character vocabulary (chars +
+    '</w>', Sennrich et al. 2016), top 20 under the trainer's own
+    deterministic ordering.  Row 1 IS the first merge the trainer
+    learns — this hash-greens the machinery the iterative loop reuses
+    every round."""
+    from mr_lda_spark.operators import bpe
+
+    syms = bpe._initial_symbols(
+        bpe.word_counts(_t(spark, sf_dir, "documents"))
+    )
+    return (
+        bpe.pair_counts(syms)
+        .select(
+            F.col("left").alias("left_sym"),
+            F.col("right").alias("right_sym"),
+            "pair_count",
+        )
+        .orderBy(
+            F.col("pair_count").desc(),
+            F.col("left_sym").asc(),
+            F.col("right_sym").asc(),
+        )
+        .limit(20)
+    )
+
+
+@register("text_bpe_merges")
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): 20
+    merges learned from the documents corpus, deterministic tie-breaks
+    (count DESC, left ASC, right ASC).  Iterative argmax → rows-only;
+    the first iteration is oracle-checked by text_bpe_pair_counts and
+    the loop is pinned by a pytest golden against an independent
+    pure-Python trainer."""
+    from mr_lda_spark.operators import bpe
+
+    return bpe.train_bpe(
+        _t(spark, sf_dir, "documents"), num_merges=20, min_pair_count=2
+    )
+
+
+@register("text_bpe_tokenize")
+def text_bpe_tokenize(spark, sf_dir):
+    """Greedy BPE encoding with the corpus-trained merge table:
+    per-doc word and subword-token counts (the tokens array stays out
+    of the result — scalar rows compare cleanly).  Deterministic given
+    the deterministic trainer; rows-only."""
+    from mr_lda_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=20, min_pair_count=2)
+    return bpe.encode_bpe(docs, merges).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+
+
 _SQL_TEXT_QUALITY = """
     WITH base AS (
       SELECT doc_id,

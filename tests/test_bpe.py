@@ -1,0 +1,133 @@
+"""BPE trainer/encoder vs an independent pure-Python reference
+implementation (straight from the Sennrich et al. 2016 pseudocode —
+dict-of-tuples, no Spark), plus encoder invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import bpe
+
+
+def _ref_train(texts, num_merges, min_pair_count=2):
+    """Reference BPE: word counts → iterative best-pair merge."""
+    vocab = {}
+    for t in texts:
+        for w in t.split():
+            key = tuple(w) + (bpe.EOW,)
+            vocab[key] = vocab.get(key, 0) + 1
+    merges = []
+    for rank in range(num_merges):
+        pairs = {}
+        for syms, cnt in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < min_pair_count:
+            break
+        merges.append((rank, a, b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return merges
+
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cats sat on the mats",
+    "a hat and a bat and a cat",
+    "hats bats cats mats",
+    "the the the and and a",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    )
+
+
+def test_train_bpe_matches_reference(spark, docs):
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.train_bpe(docs, num_merges=12).orderBy("rank").collect()
+    ]
+    assert got == _ref_train(TEXTS, 12)
+    assert len(got) >= 5  # the fixture supports at least this many merges
+
+
+def test_train_bpe_min_count_stops(spark, docs):
+    # A huge floor stops training immediately.
+    assert bpe.train_bpe(docs, num_merges=5, min_pair_count=10**9).count() == 0
+
+
+def test_encode_bpe_reconstructs_words(spark, docs):
+    """Concatenating a doc's BPE tokens and splitting on the
+    end-of-word marker must reproduce the original words — encoding
+    never loses or reorders characters, whatever the merges did."""
+    merges = bpe.train_bpe(docs, num_merges=12)
+    rows = bpe.encode_bpe(docs, merges).collect()
+    originals = dict(enumerate(TEXTS))
+    for r in rows:
+        joined = "".join(r["bpe_tokens"])
+        words = [w for w in joined.split(bpe.EOW) if w]
+        assert words == originals[r["doc_id"]].split()
+        assert r["n_words"] == len(words)
+        assert r["n_bpe_tokens"] == len(r["bpe_tokens"])
+        # merges only ever shrink the token stream vs raw chars+EOW
+        raw_len = sum(len(w) + 1 for w in words)
+        assert r["n_bpe_tokens"] <= raw_len
+
+
+def test_encoder_agrees_with_trainer_vocab(spark, docs):
+    """Encoding the training corpus with the learned merges yields
+    exactly the trainer's final symbol multiset (the classic BPE
+    consistency property: greedy re-encode in merge order reproduces
+    the merged training vocabulary)."""
+    merges = bpe.train_bpe(docs, num_merges=12)
+    enc = bpe.encode_bpe(docs, merges)
+    got = (
+        enc.select(F.explode("bpe_tokens").alias("tok"))
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    got = {r["tok"]: r["count"] for r in got}
+
+    # independent reference final vocabulary
+    vocab = {}
+    for t in TEXTS:
+        for w in t.split():
+            key = tuple(w) + (bpe.EOW,)
+            vocab[key] = vocab.get(key, 0) + 1
+    for _, a, b, _ in _ref_train(TEXTS, 12):
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    want = {}
+    for syms, c in vocab.items():
+        for s in syms:
+            want[s] = want.get(s, 0) + c
+    assert got == want
