@@ -580,3 +580,90 @@ def lm_perplexity_filter(
         .filter(F.col("avg_logprob") >= F.col("thr"))
         .select("doc_id", "n_bigrams", "avg_logprob", "perplexity")
     )
+
+
+def _grams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace unigrams + adjacent bigrams per doc, exploded to one
+    (doc_id, g) row per n-gram instance — the hashed feature stream of
+    DSIR.  Pure codegen (split/slice/zip_with), no UDF."""
+    t = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n = F.size(t)
+    bi = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(F.concat(t, bi)).alias("g"))
+
+
+def _md5_bucket(g, n_buckets: int):
+    """md5-derived feature bucket: int(md5(g)[:8 hex]) % n_buckets —
+    the cross-engine hash idiom (``shuffle_shards``, frozen ANN state),
+    so a SQL oracle re-derives identical buckets."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by how target-like its hashed n-gram distribution is,
+
+        w(doc) = mean over the doc's n-gram instances of
+                 log p_target(bucket(g)) − log p_raw(bucket(g)),
+
+    with unigram+bigram features hashed into ``n_buckets`` md5 buckets
+    and add-1 smoothing on both bucket distributions.  High-weight
+    docs are the ones importance resampling keeps.
+
+    Plan shape: TWO corpus passes total (one n-gram explode per
+    relation), two bucket-sized aggregations, the per-bucket log-ratio
+    table (≤ n_buckets rows) broadcast into the per-doc mean — no
+    model state, no iteration, every step a SQL oracle replays.  At
+    100 TB the only corpus-keyed shuffle is the final per-doc mean."""
+    grams = _grams(docs, text_col).withColumn(
+        "bucket", _md5_bucket(F.col("g"), n_buckets)
+    ).drop("g")
+    tgrams = _grams(target, text_col).withColumn(
+        "bucket", _md5_bucket(F.col("g"), n_buckets)
+    ).drop("g")
+    rc = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tc = tgrams.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    nr = rc.agg(F.sum("cr").alias("nr"))
+    nt = tc.agg(F.sum("ct").alias("nt"))
+    dist = (
+        rc.join(tc, "bucket", "full")
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("nt") + n_buckets)
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
+                    / (F.col("nr") + n_buckets)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.avg("log_ratio"), 6).alias("log_weight"),
+        )
+    )

@@ -4448,6 +4448,62 @@ def lda_heldout_perplexity_join(spark, sf_dir):
         spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
 
 
+@register(
+    "curation_dsir_weights",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tl
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, lang, unnest(tl) AS g FROM toks),
+    bi AS (
+      SELECT doc_id, lang,
+             tl[CAST(i AS INT)] || ' ' || tl[CAST(i AS INT) + 1] AS g
+      FROM toks, unnest(range(1, len(tl))) AS u(i)
+      WHERE len(tl) >= 2
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS INT)
+               AS bucket
+      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+    ),
+    rc AS (SELECT bucket, count(*) AS cr FROM grams GROUP BY 1),
+    tc AS (
+      SELECT bucket, count(*) AS ct FROM grams WHERE lang = 'en'
+      GROUP BY 1
+    ),
+    nr AS (SELECT sum(cr) AS nr FROM rc),
+    nt AS (SELECT sum(ct) AS nt FROM tc),
+    dist AS (
+      SELECT rc.bucket,
+             ln((coalesce(ct, 0) + 1.0) / (nt + 1024))
+               - ln((cr + 1.0) / (nr + 1024)) AS log_ratio
+      FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
+      CROSS JOIN nr CROSS JOIN nt
+    )
+    SELECT doc_id, count(*) AS n_grams,
+           round(avg(log_ratio), 6) AS log_weight
+    FROM grams JOIN dist USING (bucket)
+    GROUP BY 1
+    """,
+)
+def curation_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    bucket distributions, target = the English slice of the corpus,
+    add-1 smoothing, per-doc mean log-ratio.  Deterministic md5
+    bucketing makes the whole selection signal — feature hash, both
+    distributions, the smoothing, the per-doc mean — one relational
+    plan DuckDB replays exactly."""
+    from mr_lda_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024
+    )
+
+
 @register("curation_perplexity_filter")
 def curation_perplexity_filter(spark, sf_dir):
     """Model-based quality filtering (perplexity filtering, the

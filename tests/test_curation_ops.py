@@ -233,3 +233,29 @@ def test_token_budget_select_equals_global_cumsum(spark):
     # degenerate budgets
     assert curation.token_budget_select(scored, 0).count() == 0
     assert curation.token_budget_select(scored, 10**9).count() == 300
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR semantics: docs sharing the target's n-gram distribution
+    score higher than off-target docs, and the weights are
+    deterministic across runs."""
+    target_texts = [f"the quick brown fox jumps over dog {i}" for i in range(10)]
+    on_target = [f"the quick brown fox runs past dog {i}" for i in range(10, 20)]
+    off_target = [f"zzz qqq xxx vvv kkk jjj www {i}" for i in range(20, 30)]
+    docs = spark.createDataFrame(
+        list(enumerate(target_texts + on_target + off_target)),
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") < 10)
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in curation.dsir_weights(docs, target, n_buckets=256).collect()
+    }
+    on = sum(w[i] for i in range(10, 20)) / 10
+    off = sum(w[i] for i in range(20, 30)) / 10
+    assert on > off + 0.5, (on, off)
+    again = {
+        r["doc_id"]: r["log_weight"]
+        for r in curation.dsir_weights(docs, target, n_buckets=256).collect()
+    }
+    assert w == again
