@@ -1174,3 +1174,75 @@ def ivfpq_fullprobe_topk(
         books=books,
         normalize=False,
     )
+
+
+def _centroid_update(assign: DataFrame, prev: DataFrame) -> DataFrame:
+    """One Lloyd update, relational: per-(cluster, dim) mean of the
+    assigned unit vectors (tall posexplode agg), rounded to 6 dp for
+    cross-engine determinism, reassembled into centroid rows.  A
+    cluster that lost every member keeps its previous centroid (left
+    join + coalesce), matching the SQL oracle's same rule."""
+    new = (
+        assign.select("cluster", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("p"))
+        .select("cluster", F.col("p.c").alias("new_cv"))
+    )
+    return prev.join(new, "cluster", "left").select(
+        "cluster", F.coalesce("new_cv", "cv").alias("cv")
+    )
+
+
+def kmeans_frozen(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means with FROZEN deterministic state — the
+    clustering member of the frozen-oracle family (PQ/LSH): initial
+    centroids are the k lowest-id vectors, every update averages
+    6-dp-rounded unit vectors and rounds again, ties in the argmax
+    assignment break by cluster id — so a SQL oracle replays
+    assignment → update → reassignment EXACTLY.  Returns the
+    assignment relation (vec_id, cluster, sim) after ``iterations``
+    update rounds + a final assignment pass.
+
+    The training-quality variant stays ``kmeans_centroids`` (seeded
+    hash-sampled Lloyd, rows-only); this one hash-greens the
+    machinery: broadcast-centroid argmax join, tall per-dim mean,
+    empty-cluster carry.  Scale: the corpus only ever joins a k-row
+    broadcast; each update shuffles (k × dim) partial sums."""
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _unit_rounded(F.col(vec_col)).alias("v"),
+    )
+    cent = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    )
+
+    def assign(centroids):
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("sim").desc(), F.col("cluster").asc()
+        )
+        return (
+            emb.crossJoin(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "cluster",
+                "v",
+                _dot(F.col("v"), F.col("cv")).alias("sim"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    for _ in range(iterations):
+        cent = _centroid_update(assign(cent), cent).localCheckpoint()
+    return assign(cent).select(
+        "vec_id", "cluster", F.round("sim", 4).alias("sim")
+    )

@@ -1791,6 +1791,66 @@ _SQL_PQ_FROZEN_TOPK = f"""
     """
 
 
+@register(
+    "similarity_kmeans_frozen",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> round(
+               x / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6)) AS nv
+      FROM e
+    ),
+    c0 AS (
+      SELECT CAST(vec_id AS INT) AS cluster, nv AS cv FROM n
+      WHERE vec_id < 8
+    ),
+    a0 AS (
+      SELECT vec_id, cluster, nv FROM (
+        SELECT n.vec_id, c0.cluster, n.nv,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.nv, c0.cv) DESC,
+                          c0.cluster ASC) AS rk
+        FROM n CROSS JOIN c0
+      ) WHERE rk = 1
+    ),
+    upd_tall AS (
+      SELECT cluster, CAST(i - 1 AS INT) AS pos, round(avg(nv[i]), 6) AS cval
+      FROM a0, unnest(range(1, len(nv) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    upd AS (
+      SELECT cluster, list(cval ORDER BY pos) AS new_cv
+      FROM upd_tall GROUP BY 1
+    ),
+    c1 AS (
+      SELECT c0.cluster, coalesce(upd.new_cv, c0.cv) AS cv
+      FROM c0 LEFT JOIN upd ON c0.cluster = upd.cluster
+    )
+    SELECT vec_id, cluster, round(sim, 4) AS sim FROM (
+      SELECT n.vec_id, c1.cluster,
+             list_dot_product(n.nv, c1.cv) AS sim,
+             row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.nv, c1.cv) DESC,
+                        c1.cluster ASC) AS rk
+      FROM n CROSS JOIN c1
+    ) WHERE rk = 1
+    """,
+)
+def similarity_kmeans_frozen(spark, sf_dir):
+    """Lloyd's k-means with FROZEN deterministic state — the
+    clustering member of the frozen-oracle family: k=8 centroids seeded
+    from the lowest-id unit vectors, one relational update round
+    (6-dp-rounded per-dim means, empty clusters carry), then the final
+    assignment — DuckDB replays assignment → update → reassignment
+    exactly, hash-greening the Lloyd machinery (broadcast-centroid
+    argmax join, tall per-dim mean, carry rule).  The training-quality
+    sampled-Lloyd quantizer (kmeans_centroids) stays rows-only."""
+    return similarity.kmeans_frozen(
+        _t(spark, sf_dir, "embeddings"), k=8, iterations=1
+    )
+
+
 @register("similarity_pq_fullprobe_topk", _SQL_PQ_FROZEN_TOPK)
 def similarity_pq_fullprobe_topk(spark, sf_dir):
     """Full ADC scan over FROZEN md5-derived codebooks: with no trained

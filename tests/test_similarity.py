@@ -393,3 +393,22 @@ def test_ivfpq_partial_probe_recall(spark, emb, exact_topk):
 
     for n_probe in (2, 4, 8):
         assert recall(n_probe) >= 0.25
+
+
+def test_kmeans_frozen_invariants(spark, emb):
+    """Frozen Lloyd: every vector assigned exactly once, clusters come
+    from the seed range, more iterations never raise total distortion
+    (1 - sim), and repeat runs are identical."""
+    from mr_lda_spark.operators import similarity as sim
+
+    a1 = sim.kmeans_frozen(emb, k=8, iterations=1)
+    rows = a1.collect()
+    n = emb.count()
+    assert len(rows) == n
+    assert {r["cluster"] for r in rows} <= set(range(8))
+    sim1 = sum(r["sim"] for r in rows)
+    a2 = sim.kmeans_frozen(emb, k=8, iterations=2)
+    sim2 = sum(r["sim"] for r in a2.collect())
+    assert sim2 >= sim1 - 1e-6  # Lloyd never worsens the objective
+    again = sorted(map(tuple, sim.kmeans_frozen(emb, k=8, iterations=1).collect()))
+    assert again == sorted(map(tuple, rows))
