@@ -1246,3 +1246,48 @@ def kmeans_frozen(
     return assign(cent).select(
         "vec_id", "cluster", F.round("sim", 4).alias("sim")
     )
+
+
+def semdedup_kmeans_pairs(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 1,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+) -> DataFrame:
+    """SemDeDup over the engine's OWN clustering — the self-contained
+    form of Abbas et al. 2023 (cluster with k-means, then dedup within
+    clusters), composing ``kmeans_frozen`` with the within-cluster
+    pair search.  ``semdedup_pairs`` partitions by a label column;
+    this one needs no labels, and with the frozen Lloyd state the
+    whole pipeline — clustering included — stays oracle-checkable.
+
+    Pair cosines use the RAW vectors (the dedup criterion), while
+    assignment used unit-rounded ones (the clustering criterion) —
+    same split as semdedup_pairs.  Plan: corpus × k-row broadcast for
+    assignment, then a cluster-keyed equi-join — sum-of-squares over
+    cluster sizes, never all-pairs; a mega-cluster is handled by
+    raising k (SemDeDup's own prescription)."""
+    assigned = kmeans_frozen(
+        embeddings, k=k, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    ).select("vec_id", "cluster")
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    av = assigned.join(vecs, "vec_id").persist()
+    av.count()  # eager: both join sides below would race a lazy cache
+    a = av.select("cluster", F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = av.select("cluster", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    out = (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", _pair_cos(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(
+            "cluster", "a", "b", F.round("cos", round_to).alias("cos_sim")
+        )
+    )
+    return out

@@ -1791,9 +1791,10 @@ _SQL_PQ_FROZEN_TOPK = f"""
     """
 
 
-@register(
-    "similarity_kmeans_frozen",
-    """
+# Shared frozen-Lloyd CTE chain (k=8, one update round): normalize →
+# seed centroids from the lowest-id unit vectors → assign → per-dim
+# mean update (empty clusters carry) → final assignment `af`.
+_SQL_KMEANS_FROZEN_CTES = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (
       SELECT vec_id,
@@ -1826,15 +1827,25 @@ _SQL_PQ_FROZEN_TOPK = f"""
     c1 AS (
       SELECT c0.cluster, coalesce(upd.new_cv, c0.cv) AS cv
       FROM c0 LEFT JOIN upd ON c0.cluster = upd.cluster
+    ),
+    af AS (
+      SELECT vec_id, cluster, sim FROM (
+        SELECT n.vec_id, c1.cluster,
+               list_dot_product(n.nv, c1.cv) AS sim,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.nv, c1.cv) DESC,
+                          c1.cluster ASC) AS rk
+        FROM n CROSS JOIN c1
+      ) WHERE rk = 1
     )
-    SELECT vec_id, cluster, round(sim, 4) AS sim FROM (
-      SELECT n.vec_id, c1.cluster,
-             list_dot_product(n.nv, c1.cv) AS sim,
-             row_number() OVER (PARTITION BY n.vec_id
-               ORDER BY list_dot_product(n.nv, c1.cv) DESC,
-                        c1.cluster ASC) AS rk
-      FROM n CROSS JOIN c1
-    ) WHERE rk = 1
+"""
+
+
+@register(
+    "similarity_kmeans_frozen",
+    _SQL_KMEANS_FROZEN_CTES
+    + """
+    SELECT vec_id, cluster, round(sim, 4) AS sim FROM af
     """,
 )
 def similarity_kmeans_frozen(spark, sf_dir):
@@ -1848,6 +1859,35 @@ def similarity_kmeans_frozen(spark, sf_dir):
     sampled-Lloyd quantizer (kmeans_centroids) stays rows-only."""
     return similarity.kmeans_frozen(
         _t(spark, sf_dir, "embeddings"), k=8, iterations=1
+    )
+
+
+@register(
+    "dedup_semdedup_kmeans",
+    _SQL_KMEANS_FROZEN_CTES
+    + """
+    SELECT cluster, a, b, round(cos, 4) AS cos_sim FROM (
+      SELECT x.cluster, x.vec_id AS a, y.vec_id AS b,
+             list_dot_product(ex.v, ey.v)
+               / (sqrt(list_dot_product(ex.v, ex.v))
+                  * sqrt(list_dot_product(ey.v, ey.v))) AS cos
+      FROM af x JOIN af y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      JOIN e ex ON ex.vec_id = x.vec_id
+      JOIN e ey ON ey.vec_id = y.vec_id
+    ) WHERE cos >= 0.35
+    """,
+)
+def dedup_semdedup_kmeans(spark, sf_dir):
+    """SemDeDup over the engine's OWN frozen k-means clusters — the
+    self-contained Abbas et al. 2023 pipeline (cluster, then dedup
+    within clusters) with NO label column: clustering AND dedup are one
+    oracle-checkable plan.  DuckDB replays the Lloyd round, the final
+    assignment, the within-cluster pair join, and the raw-vector cosine
+    verify.  The label-partitioned variant (dedup_semdedup_pairs)
+    remains for pre-labeled corpora."""
+    return similarity.semdedup_kmeans_pairs(
+        _t(spark, sf_dir, "embeddings"), k=8, iterations=1, threshold=0.35
     )
 
 
