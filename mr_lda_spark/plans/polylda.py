@@ -415,3 +415,31 @@ def train_poly(
         else static_corpus.withColumn("gamma", F.lit(None).cast("array<double>"))
     )
     return final, state
+
+
+def infer_poly(
+    spark: SparkSession,
+    poly_corpus_doc: DataFrame,
+    state: PolyLdaState,
+    max_gamma_iter: int = 50,
+) -> DataFrame:
+    """Polylingual test/held-out mode (the reference polylda's own
+    ``-test`` flag, polylda/VariationalInference.java:90 — γ-only
+    pass, learning=false): score documents under trained per-language
+    β and α.  Returns (doc_id, gamma, doc_ll)."""
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    eb_bc = spark.sparkContext.broadcast(state.elog_betas)
+    kernel = _poly_estep_kernel(
+        state.alpha, eb_bc, max_gamma_iter, learning=False
+    )
+    inp = poly_corpus_doc
+    if "gamma" not in inp.columns:
+        inp = inp.withColumn("gamma", F.lit(None).cast("array<double>"))
+    out = inp.select(
+        "doc_id", "lang_term_ids", "lang_term_counts", "gamma"
+    ).mapInPandas(kernel, schema=_POLY_ESTEP_SCHEMA)
+    return out.filter(F.col("kind") == "doc").select(
+        "doc_id", F.col("vec").alias("gamma"), F.col("ll").alias("doc_ll")
+    )

@@ -251,3 +251,49 @@ def train_poly_join(
             mats[key >> _LANG_SHIFT][key & _TERM_MASK] = np.asarray(r["beta"])
         state.elog_betas = mats
     return gamma_df, state
+
+
+def poly_beta_relation(spark: SparkSession, state) -> DataFrame:
+    """Per-language E[log β] matrices (a broadcast-trained
+    ``PolyLdaState``) → the join path's packed row form
+    (key = (lang << 32) | term_id, beta ARRAY<DOUBLE>[K]) — what
+    ``infer_poly_join`` consumes.  Model-sized build (the inverse of
+    ``train_poly_join``'s final collect).  Plain-float rows so the
+    build works with or without Arrow (the driver's vanilla session
+    runs without it)."""
+    rows = []
+    for lang, eb in enumerate(state.elog_betas):
+        V1, _K = eb.shape
+        rows.extend(
+            ((lang << _LANG_SHIFT) | v, [float(x) for x in eb[v]])
+            for v in range(1, V1)
+        )
+    return spark.createDataFrame(rows, schema="key long, beta array<double>")
+
+
+def infer_poly_join(
+    spark: SparkSession,
+    poly_tall: DataFrame,
+    beta_df: DataFrame,
+    alpha,
+    max_gamma_iter: int = 50,
+) -> DataFrame:
+    """Held-out polylingual inference with DISTRIBUTED per-language β
+    (the -test γ-only pass past the broadcast cliff): pack the corpus
+    keys, then the mono join-mode scorer runs unchanged — language
+    only ever mattered for β lookup, and each packed row carries its
+    own slice.  Returns (doc_id, gamma, doc_ll)."""
+    from mr_lda_spark.plans.lda_join import infer_join
+
+    packed = poly_tall.select(
+        "doc_id",
+        pack_key(F.col("lang"), F.col("term_id")).alias("term_id"),
+        "term_count",
+    )
+    return infer_join(
+        spark,
+        packed,
+        beta_df.withColumnRenamed("key", "term_id"),
+        alpha,
+        max_gamma_iter=max_gamma_iter,
+    )

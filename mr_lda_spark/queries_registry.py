@@ -4862,6 +4862,80 @@ def polylda_topics(spark, sf_dir):
     return _poly_top_terms(spark, state, dicts)
 
 
+def _poly_trained(spark, sf_dir):
+    """One broadcast polylda train shared by every query consuming the
+    (LDA_K, LDA_ITERS, LDA_SEED) polylingual model — same cache move
+    as _lda_trained.  Returns (tall, dicts, num_terms, state)."""
+    from mr_lda_spark.plans import polylda as poly_plan
+
+    key = ("poly-state", _lda_key(spark, sf_dir))
+    if key in _LDA_CACHE:
+        return _LDA_CACHE[key]
+    tall, dicts, num_terms = _poly_setup(spark, sf_dir)
+    tall = tall.persist()
+    tall.count()
+    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(num_terms))
+    _, state = poly_plan.train_poly(
+        spark, corpus, num_terms, num_topics=LDA_K,
+        max_iterations=LDA_ITERS, max_gamma_iter=10, seed=LDA_SEED,
+    )
+    _LDA_CACHE[key] = (tall, dicts, num_terms, state)
+    return tall, dicts, num_terms, state
+
+
+def _poly_heldout_row(scored, tall):
+    """(doc_id, gamma, doc_ll) + tall corpus → the 1-row held-out
+    audit (docs, tokens, total ll, per-token perplexity)."""
+    tokens = tall.groupBy("doc_id").agg(
+        F.sum("term_count").cast("long").alias("n_tokens")
+    )
+    return scored.join(tokens, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("doc_ll"), 4).alias("total_ll"),
+        F.round(F.exp(-F.sum("doc_ll") / F.sum("n_tokens")), 4).alias(
+            "perplexity"
+        ),
+    )
+
+
+@register("polylda_heldout_perplexity")
+def polylda_heldout_perplexity(spark, sf_dir):
+    """Polylingual held-out evaluation (the reference polylda's own
+    -test mode, polylda/VariationalInference.java:90): γ-only pass
+    under the trained per-language β, one audit row (docs, tokens,
+    total variational ll, per-token perplexity).  Rows-only
+    (stochastic-EM scorer)."""
+    from mr_lda_spark.plans import polylda as poly_plan
+
+    tall, _, num_terms, state = _poly_trained(spark, sf_dir)
+    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(num_terms))
+    scored = poly_plan.infer_poly(spark, corpus, state, max_gamma_iter=15)
+    return _poly_heldout_row(scored, tall)
+
+
+@register("polylda_heldout_perplexity_join")
+def polylda_heldout_perplexity_join(spark, sf_dir):
+    """polylda_heldout_perplexity through the packed-key β JOIN path
+    with auto-broadcast DISABLED — the past-the-cliff polylingual
+    held-out plan; must equal the broadcast audit row (pytest pins
+    per-doc parity).  Rows-only."""
+    from mr_lda_spark.plans import polylda_join
+
+    tall, _, num_terms, state = _poly_trained(spark, sf_dir)
+    beta_df = polylda_join.poly_beta_relation(spark, state)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        scored = polylda_join.infer_poly_join(
+            spark, tall, beta_df, state.alpha, max_gamma_iter=15
+        )
+        return _poly_heldout_row(scored, tall).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+
+
 @register("polylda_join_mode_topics")
 def polylda_join_mode_topics(spark, sf_dir):
     """Shuffle-join polylingual E-step (distributed per-language beta

@@ -109,3 +109,40 @@ def test_poly_join_elbo_monotone(spark, poly_tall):
     h = state.history
     for a, b in zip(h, h[1:]):
         assert b >= a - abs(a) * 1e-6, h
+
+
+def test_poly_infer_join_matches_broadcast_infer(spark, poly_tall):
+    """Held-out polylingual scoring: per-doc γ and ll through the
+    packed-key β join (auto-broadcast disabled) must match broadcast
+    infer_poly under the same trained state."""
+    tall, num_terms = poly_tall
+    corpus = polylda.poly_corpus_from_tall(tall, n_languages=len(LANGS))
+    _, state = polylda.train_poly(
+        spark, corpus, num_terms, K,
+        max_iterations=2, max_gamma_iter=8, seed=9, converge=0.0,
+    )
+    bc = {
+        r["doc_id"]: (r["gamma"], r["doc_ll"])
+        for r in polylda.infer_poly(
+            spark, corpus, state, max_gamma_iter=10
+        ).collect()
+    }
+    beta_df = polylda_join.poly_beta_relation(spark, state)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        jn = {
+            r["doc_id"]: (r["gamma"], r["doc_ll"])
+            for r in polylda_join.infer_poly_join(
+                spark, tall, beta_df, state.alpha, max_gamma_iter=10
+            ).collect()
+        }
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+    assert set(jn) == set(bc)
+    for doc_id, (g, ll) in jn.items():
+        np.testing.assert_allclose(
+            np.array(g), np.array(bc[doc_id][0]), rtol=1e-7
+        )
+        np.testing.assert_allclose(ll, bc[doc_id][1], rtol=1e-7)
