@@ -202,7 +202,13 @@ def cmd_train_poly(args) -> None:
     """polylda.ParseCorpus + polylda.VariationalInference equivalent:
     raw polylingual corpus (docId \\t text_lang0 \\t text_lang1 ...,
     literal 'null' = missing language) → per-language dictionaries →
-    shared-gamma training."""
+    shared-gamma training.  ``--test <modeldir>`` mirrors the
+    reference's own mode switch (polylda/VariationalInference.java:90):
+    encode the corpus with the MODEL's dictionaries and run the γ-only
+    held-out pass through the packed-key β join (no driver β
+    materialization) instead of training."""
+    import glob as globlib
+
     import numpy as np
     from pyspark.sql import functions as F
 
@@ -221,6 +227,64 @@ def cmd_train_poly(args) -> None:
             "term"
         ),
     )
+    if getattr(args, "test", None):
+        from mr_lda_spark.plans import polylda_join
+
+        model = args.test
+        dicts = spark.read.parquet(os.path.join(model, "term"))
+        tall = (
+            tokens.groupBy("doc_id", "lang", "term")
+            .agg(F.count(F.lit(1)).alias("term_count"))
+            .join(
+                F.broadcast(dicts.select("lang", "term", "term_id")),
+                ["lang", "term"],
+            )
+            .select(
+                "doc_id", "lang", "term_id",
+                F.col("term_count").cast("int").alias("term_count"),
+            )
+        )
+        with open(sorted(globlib.glob(os.path.join(model, "alpha-*.json")))[-1]) as fh:
+            alpha = np.asarray(json.load(fh)["alpha"])
+        beta_parts = []
+        for lang in range(args.language):
+            paths = sorted(globlib.glob(os.path.join(model, f"beta-lang{lang}-*")))
+            beta_tall = spark.read.parquet(paths[-1])
+            beta_parts.append(
+                beta_tall.groupBy("term_id")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("topic", "log_beta"))
+                    ).alias("p")
+                )
+                .select(
+                    polylda_join.pack_key(
+                        F.lit(lang), F.col("term_id")
+                    ).alias("key"),
+                    F.col("p.log_beta").alias("beta"),
+                )
+            )
+        beta_df = beta_parts[0]
+        for p in beta_parts[1:]:
+            beta_df = beta_df.unionByName(p)
+        out = polylda_join.infer_poly_join(
+            spark, tall, beta_df, alpha,
+            max_gamma_iter=args.gamma_iteration,
+        )
+        write_table(out, args.output)
+        total = out.agg(
+            F.sum("doc_ll").alias("ll"), F.count(F.lit(1)).alias("docs")
+        ).collect()[0]
+        print(
+            json.dumps(
+                {
+                    "documents": total["docs"],
+                    "total_log_likelihood": total["ll"],
+                    "output": args.output,
+                }
+            )
+        )
+        return
     dicts = parse.build_dictionary_per_lang(tokens)
     tall = (
         tokens.groupBy("doc_id", "lang", "term")
@@ -663,6 +727,13 @@ def build_parser() -> argparse.ArgumentParser:
     ptp.add_argument("--iteration", type=int, default=10)
     ptp.add_argument("--gamma-iteration", type=int, default=20)
     ptp.add_argument("--seed", type=int, default=42)
+    ptp.add_argument(
+        "--test",
+        default=None,
+        metavar="MODELDIR",
+        help="held-out mode (the reference's -test): score the corpus "
+        "under a trained model dir instead of training",
+    )
     ptp.set_defaults(fn=cmd_train_poly)
 
     pi = sub.add_parser("informed-prior", help="InformedPrior equivalent")

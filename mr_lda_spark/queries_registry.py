@@ -4851,14 +4851,7 @@ def polylda_topics(spark, sf_dir):
     """Polylingual LDA: per-language betas, shared gamma.  Documents
     sharing (doc_id % 150) form one multilingual doc; languages 'en'
     and 'es'.  Returns top-3 terms per (lang, topic).  Rows-only."""
-    from mr_lda_spark.plans import polylda as poly_plan
-
-    tall, dicts, num_terms = _poly_setup(spark, sf_dir)
-    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(num_terms))
-    _, state = poly_plan.train_poly(
-        spark, corpus, num_terms, num_topics=LDA_K,
-        max_iterations=LDA_ITERS, max_gamma_iter=10, seed=LDA_SEED,
-    )
+    _, dicts, _, state = _poly_trained(spark, sf_dir)
     return _poly_top_terms(spark, state, dicts)
 
 

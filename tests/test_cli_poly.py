@@ -43,6 +43,21 @@ def test_cli_train_poly(tmp_path):
     for artifact in ["term", "title", "gamma-2", "beta-lang0-2", "beta-lang1-2"]:
         assert (tmp_path / "pmodel" / artifact).exists(), artifact
 
+    # Held-out mode (the reference's -test flag): score the same
+    # corpus under the just-trained model through the beta join.
+    out = subprocess.run(
+        [
+            sys.executable, "-m", "mr_lda_spark.cli", "train-poly",
+            "--input", "poly.txt", "--output", "./pheldout",
+            "--language", "2", "--topic", "2",
+            "--gamma-iteration", "5", "--test", "./pmodel",
+        ],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["documents"] == 30 and res["total_log_likelihood"] < 0
+
 
 def test_zero_vocab_language_does_not_crash():
     import numpy as np
