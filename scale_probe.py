@@ -142,6 +142,27 @@ def probe(spark, docs) -> dict[str, float]:
 
     t("token_budget", token_budget)
 
+    def dsir():
+        # Target = the English slice; two corpus passes + bucket-sized
+        # aggs + broadcast log-ratio table (operators/curation.py).
+        curation.dsir_weights(
+            docs, docs.filter(F.col("lang") == "en"), n_buckets=1024
+        ).count()
+
+    t("dsir_weights", dsir)
+
+    def bpe_pair_counts():
+        # BPE training's corpus-pass part: word counts + first-round
+        # pair counts.  Per-merge cost afterwards is vocab-sized, so
+        # this IS the scale-bound piece of the trainer.
+        from mr_lda_spark.operators import bpe
+
+        bpe.pair_counts(
+            bpe._initial_symbols(bpe.word_counts(docs))
+        ).count()
+
+    t("bpe_pair_counts", bpe_pair_counts)
+
     def lda_one_iter():
         tokens = parse.tokenize(docs)
         dictionary = parse.build_dictionary(
@@ -314,6 +335,16 @@ def main() -> None:
             t1[name] = dt
         else:
             tn["pq_encode"] = dt
+    # Frozen Lloyd: corpus × k-row broadcast assignment + one k×dim
+    # update shuffle — the clustering scale shape.
+    for name, e in (("kmeans_frozen", emb), ("kmeans_frozen_Nx", emb_big)):
+        t0 = time.perf_counter()
+        similarity.kmeans_frozen(e, k=8, iterations=1).count()
+        dt = round(time.perf_counter() - t0, 3)
+        if name == "kmeans_frozen":
+            t1[name] = dt
+        else:
+            tn["kmeans_frozen"] = dt
 
     ratios = {
         k: round(tn[k] / t1[k], 2) if t1[k] > 0 else None for k in t1
