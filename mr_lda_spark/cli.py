@@ -141,6 +141,7 @@ def cmd_train(args) -> None:
         os.path.join(args.input, "term")
     ).count()
 
+    eta = None
     log_eta = None
     if args.informed_prior:
         from mr_lda_spark.operators.informed_prior import eta_from_rows
@@ -156,19 +157,52 @@ def cmd_train(args) -> None:
             eta = spark.read.parquet(args.informed_prior)
         log_eta = eta_from_rows(eta, num_terms, args.topic)
 
-    final_corpus, state = lda.train(
-        spark,
-        corpus_doc,
-        num_terms=num_terms,
-        num_topics=args.topic,
-        max_iterations=args.iteration,
-        max_gamma_iter=args.gamma_iteration,
-        alpha_init=alpha_init,
-        symmetric_alpha=args.symmetric_alpha,
-        log_eta=log_eta,
-        seed=args.seed,
-        random_start_gamma=args.random_start,
-    )
+    if getattr(args, "beta_mode", "broadcast") == "join":
+        # Distributed-β EM (plans.lda_join) — the scale path when V×K
+        # exceeds executor memory.  β never touches the driver; the
+        # informed prior rides as a distributed η relation.
+        if args.random_start or args.model_index:
+            raise SystemExit(
+                "--beta-mode join supports seeded init only "
+                "(no --random-start / --model-index resume yet); "
+                "use broadcast mode for those"
+            )
+        from mr_lda_spark.plans import lda_join
+
+        tall = corpus_doc.select(
+            "doc_id",
+            F.explode(F.arrays_zip("term_ids", "term_counts")).alias("z"),
+        ).select(
+            "doc_id",
+            F.col("z.term_ids").alias("term_id"),
+            F.col("z.term_counts").alias("term_count"),
+        )
+        gamma_df, state = lda_join.train_beta_join(
+            spark,
+            tall,
+            num_terms=num_terms,
+            num_topics=args.topic,
+            max_iterations=args.iteration,
+            max_gamma_iter=args.gamma_iteration,
+            alpha_init=alpha_init,
+            seed=args.seed,
+            eta_seeds=eta,
+        )
+        final_corpus = gamma_df
+    else:
+        final_corpus, state = lda.train(
+            spark,
+            corpus_doc,
+            num_terms=num_terms,
+            num_topics=args.topic,
+            max_iterations=args.iteration,
+            max_gamma_iter=args.gamma_iteration,
+            alpha_init=alpha_init,
+            symmetric_alpha=args.symmetric_alpha,
+            log_eta=log_eta,
+            seed=args.seed,
+            random_start_gamma=args.random_start,
+        )
     out = args.output
     write_table(
         lda.beta_dataframe(spark, state), os.path.join(out, f"beta-{len(state.history)}")
@@ -701,6 +735,13 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--symmetric-alpha", action="store_true")
     pt.add_argument("--random-start", action="store_true")
     pt.add_argument("--informed-prior", default=None)
+    pt.add_argument(
+        "--beta-mode",
+        choices=["broadcast", "join"],
+        default="broadcast",
+        help="join = distributed-beta EM (plans.lda_join), the scale "
+        "path past broadcastable VxK; supports --informed-prior",
+    )
     pt.add_argument(
         "--model-index",
         default=None,

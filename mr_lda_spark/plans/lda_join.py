@@ -224,11 +224,22 @@ def train_beta_join(
     seed: int = 42,
     converge: float = 1e-6,
     shuffle_partitions: int | None = None,
+    eta_seeds: DataFrame | None = None,
 ) -> tuple[DataFrame, LdaState]:
     """EM loop with distributed β.  ``corpus_tall`` is the encoded
     corpus (doc_id, term_id, term_count).  Returns (gamma DataFrame,
     state with driver-collected β — collected ONLY for API parity; the
-    loop itself never pulls β)."""
+    loop itself never pulls β).
+
+    ``eta_seeds`` is the informed-prior seed relation (topic, term_id)
+    — ``informed_prior.parse_informed_prior``'s output.  With it, the
+    M-step smooths seed entries at log 1000 and everything else at
+    log 0.001 (InformedPrior.java:43-44) over a DENSE distributed
+    V×K η relation: unlike the uninformed case, non-corpus terms'
+    η mass (0.001 each) is NOT negligible in the per-topic
+    normalizer, so the λ relation must cover every term — which is
+    exactly what the broadcast M-step's dense matrix does, kept as a
+    DataFrame here."""
     from mr_lda_spark.functions.logmath import logsumexp_agg
     from mr_lda_spark.session import ensure_package_shipped
 
@@ -258,6 +269,40 @@ def train_beta_join(
     ).localCheckpoint()
     gamma_df = None
 
+    eta_rel = None
+    if eta_seeds is not None:
+        from mr_lda_spark.operators.informed_prior import (
+            LOG_ETA_OTHER,
+            LOG_ETA_SEED,
+        )
+
+        # Dense distributed η: every (term, topic) gets its log-prior
+        # (seed overlay on the log 0.001 floor).  V×K rows, built with
+        # spark.range — never on the driver.
+        eta_rel = (
+            spark.range(1, num_terms + 1)
+            .select(F.col("id").cast("int").alias("term_id"))
+            .crossJoin(
+                spark.range(K).select(F.col("id").cast("int").alias("topic"))
+            )
+            .join(
+                F.broadcast(
+                    eta_seeds.select("topic", "term_id").distinct()
+                    .withColumn("_seed", F.lit(True))
+                ),
+                ["topic", "term_id"],
+                "left",
+            )
+            .select(
+                "term_id",
+                "topic",
+                F.when(F.col("_seed"), F.lit(float(LOG_ETA_SEED)))
+                .otherwise(F.lit(float(LOG_ETA_OTHER)))
+                .alias("log_eta"),
+            )
+            .localCheckpoint()
+        )
+
     digamma_udf = F.pandas_udf(
         lambda s: pd.Series(digamma(s.to_numpy())), "double"
     )
@@ -281,19 +326,47 @@ def train_beta_join(
             F.posexplode("vec").alias("topic", "log_phi"),
         )
         lam = logsumexp_agg(phi, ["term_id", "topic"], "log_phi", "lse")
-        lam = lam.select(
-            "term_id",
-            "topic",
-            # η smoothing (uninformed): λ = logaddexp(log η, Σφ)
-            F.greatest(F.col("lse"), F.lit(DEFAULT_LOG_ETA)).alias("hi"),
-            F.least(F.col("lse"), F.lit(DEFAULT_LOG_ETA)).alias("lo"),
-        ).select(
-            "term_id",
-            "topic",
-            (F.col("hi") + F.log1p(F.exp(F.col("lo") - F.col("hi")))).alias(
-                "log_lambda"
-            ),
-        )
+        if eta_rel is None:
+            # η smoothing (uninformed): λ = logaddexp(log η, Σφ).  At
+            # η = 1e-12 the unobserved-term mass is negligible in the
+            # normalizer, so the sparse (observed-terms-only) relation
+            # suffices.
+            lam = lam.select(
+                "term_id",
+                "topic",
+                F.greatest(F.col("lse"), F.lit(DEFAULT_LOG_ETA)).alias("hi"),
+                F.least(F.col("lse"), F.lit(DEFAULT_LOG_ETA)).alias("lo"),
+            ).select(
+                "term_id",
+                "topic",
+                (
+                    F.col("hi") + F.log1p(F.exp(F.col("lo") - F.col("hi")))
+                ).alias("log_lambda"),
+            )
+        else:
+            # Informed prior: dense η relation keeps every term in the
+            # normalizer (unobserved terms carry exp(log 0.001) each).
+            lam = (
+                eta_rel.join(lam, ["term_id", "topic"], "left")
+                .select(
+                    "term_id",
+                    "topic",
+                    F.greatest(
+                        F.coalesce("lse", F.lit(float("-inf"))), "log_eta"
+                    ).alias("hi"),
+                    F.least(
+                        F.coalesce("lse", F.lit(float("-inf"))), "log_eta"
+                    ).alias("lo"),
+                )
+                .select(
+                    "term_id",
+                    "topic",
+                    (
+                        F.col("hi")
+                        + F.log1p(F.exp(F.col("lo") - F.col("hi")))
+                    ).alias("log_lambda"),
+                )
+            )
         norms = logsumexp_agg(lam, ["topic"], "log_lambda", "log_norm")
         beta_next = (
             lam.join(F.broadcast(norms), "topic")

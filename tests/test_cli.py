@@ -134,3 +134,28 @@ def test_cli_dedup_exact_and_containment(tmp_path):
             f"SELECT count(*) FROM '{out_dir}/*.parquet'"
         ).fetchone()[0]
         assert n_disk == audit["surviving_docs"]
+
+
+def test_cli_train_join_mode(tmp_path):
+    """cli train --beta-mode join: distributed-beta EM end-to-end with
+    an informed prior, writing the same artifact set as broadcast."""
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 80"
+    ).fetchall()
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("".join(f"doc{d}\t{t}\n" for d, t in rows))
+    (tmp_path / "prior.txt").write_text("spark query\njoin merge\n")
+    _run(["parse", "--input", "corpus.txt", "--output", "./out",
+          "--format", "raw"], tmp_path)
+    _run(["informed-prior", "--input", "prior.txt", "--output", "./eta",
+          "--index", "./out/term"], tmp_path)
+    out = _run(
+        ["train", "--input", "./out", "--output", "./jmodel", "--topic", "2",
+         "--iteration", "2", "--gamma-iteration", "5",
+         "--beta-mode", "join", "--informed-prior", "./eta"],
+        tmp_path,
+    )
+    res = json.loads(out.strip().splitlines()[-1])
+    assert res["iterations"] == 2
+    for artifact in ["beta-2", "gamma-2", "alpha-2.json"]:
+        assert (tmp_path / "jmodel" / artifact).exists(), artifact

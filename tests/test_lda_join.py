@@ -86,3 +86,37 @@ def test_infer_join_matches_broadcast_infer(spark, encoded):
     for doc_id, (g, ll) in jn.items():
         np.testing.assert_allclose(np.array(g), np.array(bc[doc_id][0]), rtol=1e-7)
         np.testing.assert_allclose(ll, bc[doc_id][1], rtol=1e-7)
+
+
+def test_join_mode_informed_prior_matches_broadcast(spark, encoded):
+    """Join-mode M-step with an informed prior: the dense distributed
+    η relation must reproduce broadcast mode's dense η matrix exactly
+    (non-seed terms carry 0.001 mass in the normalizer — a sparse λ
+    relation would get every β row wrong)."""
+    from mr_lda_spark.operators.informed_prior import eta_from_rows
+
+    tall, num_terms = encoded
+    corpus_doc = parse.corpus_to_doc_form(tall)
+    # seeds: two topics pinned on a few low term ids
+    seeds = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5)], "topic int, term_id int"
+    )
+    log_eta = eta_from_rows(seeds, num_terms, K)
+
+    _, s_bc = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=2, max_gamma_iter=8, seed=7, converge=0.0,
+        log_eta=log_eta,
+    )
+    _, s_join = lda_join.train_beta_join(
+        spark, tall, num_terms, K,
+        max_iterations=2, max_gamma_iter=8, seed=7, converge=0.0,
+        shuffle_partitions=8, eta_seeds=seeds,
+    )
+    np.testing.assert_allclose(
+        np.array(s_join.history), np.array(s_bc.history), rtol=1e-8
+    )
+    np.testing.assert_allclose(s_join.alpha, s_bc.alpha, rtol=1e-6)
+    np.testing.assert_allclose(
+        s_join.elog_beta[1:], s_bc.elog_beta[1:], rtol=1e-6, atol=1e-8
+    )
