@@ -83,6 +83,7 @@ def _join_estep_kernel(
     max_gamma_iter: int,
     phi_flush: int = 1 << 18,
     learning: bool = True,
+    gamma_tol: float = 0.0,
 ):
     """E-step over doc rows that carry their own β slices
     (terms, counts, betas aligned arrays).  ``learning=False`` is the
@@ -162,9 +163,16 @@ def _join_estep_kernel(
                 # γ = α + Σ_w c_w φ_w in linear space (φ is a normalized
                 # probability; same rewrite as plans/lda.py — saves the
                 # per-sweep (B, n_max+1, K) concatenate + logsumexp).
+                prev_gamma = gamma
                 gamma = alpha[None, :] + np.einsum(
                     "bn,bnk->bk", counts_pad, phi
                 )
+                if gamma_tol > 0.0 and np.max(
+                    np.abs(gamma - prev_gamma) / prev_gamma
+                ) < gamma_tol:
+                    # Convergence-gated sweeps, same batch-max rule as
+                    # the broadcast kernel (plans/lda.py).
+                    break
             ll_phi = (counts_pad[:, :, None] * phi * (elb - lpn)).sum(
                 axis=(1, 2)
             )
@@ -225,6 +233,7 @@ def train_beta_join(
     converge: float = 1e-6,
     shuffle_partitions: int | None = None,
     eta_seeds: DataFrame | None = None,
+    gamma_tol: float = 0.0,
 ) -> tuple[DataFrame, LdaState]:
     """EM loop with distributed β.  ``corpus_tall`` is the encoded
     corpus (doc_id, term_id, term_count).  Returns (gamma DataFrame,
@@ -317,7 +326,9 @@ def train_beta_join(
         )
         if gamma_df is not None:
             docs = docs.join(gamma_df, "doc_id", "left")
-        kernel = _join_estep_kernel(state.alpha, max_gamma_iter)
+        kernel = _join_estep_kernel(
+            state.alpha, max_gamma_iter, gamma_tol=gamma_tol
+        )
         out = docs.mapInPandas(kernel, schema=_JOIN_ESTEP_SCHEMA).persist()
 
         # --- M-step: fully relational β' ---
@@ -453,6 +464,7 @@ def infer_join(
     beta_df: DataFrame,
     alpha: np.ndarray,
     max_gamma_iter: int = 50,
+    gamma_tol: float = 0.0,
 ) -> DataFrame:
     """Held-out/test inference with DISTRIBUTED β (the reference's
     -test γ-only pass, VariationalInferenceOptions.java:166-178, with
@@ -480,7 +492,9 @@ def infer_join(
         F.collect_list("term_count").alias("term_counts"),
         F.collect_list("beta").alias("betas"),
     )
-    kernel = _join_estep_kernel(alpha, max_gamma_iter, learning=False)
+    kernel = _join_estep_kernel(
+        alpha, max_gamma_iter, learning=False, gamma_tol=gamma_tol
+    )
     out = docs.mapInPandas(kernel, schema=_JOIN_ESTEP_SCHEMA)
     return out.filter(F.col("kind") == "doc").select(
         F.col("id").alias("doc_id"),

@@ -100,6 +100,7 @@ def _poly_estep_kernel(
     elog_betas,
     max_gamma_iter: int,
     learning: bool,
+    gamma_tol: float = 0.0,
 ):
     """``elog_betas`` is the per-language list of (V_l+1, K) matrices or
     a ``sparkContext.broadcast`` of that list (one torrent copy per
@@ -202,7 +203,13 @@ def _poly_estep_kernel(
                     )
                     new_gamma[idx] += (c_pad[:, :, None] * phi).sum(axis=1)
                     lpns[lang] = lpn + log_c[:, :, None]
-                gamma = new_gamma
+                prev_gamma, gamma = gamma, new_gamma
+                if gamma_tol > 0.0 and np.max(
+                    np.abs(gamma - prev_gamma) / prev_gamma
+                ) < gamma_tol:
+                    # Convergence-gated sweeps, the broadcast mono
+                    # kernel's batch-max rule (plans/lda.py).
+                    break
 
             sum_gamma = gamma.sum(axis=1)
             ll_gamma = gammaln(gamma).sum(axis=1) - gammaln(sum_gamma)
@@ -273,6 +280,7 @@ def train_poly(
     alpha_init=None,
     seed: int = 42,
     converge: float = 1e-6,
+    gamma_tol: float = 0.0,
 ) -> tuple[DataFrame, PolyLdaState]:
     """EM loop for polylingual LDA; mirrors plans.lda.train but with a
     (lang, term, topic)-keyed M-step (the TripleOfInts shuffle key of
@@ -329,7 +337,8 @@ def train_poly(
         iter_t0 = _time.perf_counter()
         eb_bc = spark.sparkContext.broadcast(state.elog_betas)
         kernel = _poly_estep_kernel(
-            state.alpha, eb_bc, max_gamma_iter, learning=True
+            state.alpha, eb_bc, max_gamma_iter, learning=True,
+            gamma_tol=gamma_tol,
         )
         if gamma_df is None:
             inp = static_corpus.withColumn(
@@ -422,6 +431,7 @@ def infer_poly(
     poly_corpus_doc: DataFrame,
     state: PolyLdaState,
     max_gamma_iter: int = 50,
+    gamma_tol: float = 0.0,
 ) -> DataFrame:
     """Polylingual test/held-out mode (the reference polylda's own
     ``-test`` flag, polylda/VariationalInference.java:90 — γ-only
@@ -432,7 +442,8 @@ def infer_poly(
     ensure_package_shipped(spark)
     eb_bc = spark.sparkContext.broadcast(state.elog_betas)
     kernel = _poly_estep_kernel(
-        state.alpha, eb_bc, max_gamma_iter, learning=False
+        state.alpha, eb_bc, max_gamma_iter, learning=False,
+        gamma_tol=gamma_tol,
     )
     inp = poly_corpus_doc
     if "gamma" not in inp.columns:

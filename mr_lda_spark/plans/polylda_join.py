@@ -90,6 +90,7 @@ def train_poly_join(
     converge: float = 1e-6,
     shuffle_partitions: int | None = None,
     collect_beta: bool = True,
+    gamma_tol: float = 0.0,
 ) -> tuple[DataFrame, PolyLdaState]:
     """EM loop with distributed per-language β.  ``poly_tall`` is the
     encoded polylingual corpus (doc_id, lang, term_id, term_count).
@@ -160,7 +161,9 @@ def train_poly_join(
         )
         if gamma_df is not None:
             docs = docs.join(gamma_df, "doc_id", "left")
-        kernel = _join_estep_kernel(state.alpha, max_gamma_iter)
+        kernel = _join_estep_kernel(
+            state.alpha, max_gamma_iter, gamma_tol=gamma_tol
+        )
         out = docs.mapInPandas(kernel, schema=_JOIN_ESTEP_SCHEMA).persist()
 
         # --- M-step: fully relational per-language β' ---
@@ -277,6 +280,7 @@ def infer_poly_join(
     beta_df: DataFrame,
     alpha,
     max_gamma_iter: int = 50,
+    gamma_tol: float = 0.0,
 ) -> DataFrame:
     """Held-out polylingual inference with DISTRIBUTED per-language β
     (the -test γ-only pass past the broadcast cliff): pack the corpus
@@ -296,4 +300,5 @@ def infer_poly_join(
         beta_df.withColumnRenamed("key", "term_id"),
         alpha,
         max_gamma_iter=max_gamma_iter,
+        gamma_tol=gamma_tol,
     )

@@ -120,3 +120,27 @@ def test_join_mode_informed_prior_matches_broadcast(spark, encoded):
     np.testing.assert_allclose(
         s_join.elog_beta[1:], s_bc.elog_beta[1:], rtol=1e-6, atol=1e-8
     )
+
+
+def test_join_mode_gamma_tol_converges(spark, encoded):
+    """Convergence-gated sweeps in the join kernel: gamma_tol > 0 still
+    yields a monotone ELBO and a result near the exact-sweep run (the
+    gate only skips sweeps that were no longer moving gamma)."""
+    tall, num_terms = encoded
+    _, exact = lda_join.train_beta_join(
+        spark, tall, num_terms, K,
+        max_iterations=2, max_gamma_iter=20, seed=3, converge=0.0,
+        shuffle_partitions=8,
+    )
+    _, gated = lda_join.train_beta_join(
+        spark, tall, num_terms, K,
+        max_iterations=2, max_gamma_iter=20, seed=3, converge=0.0,
+        shuffle_partitions=8, gamma_tol=1e-4,
+    )
+    h = gated.history
+    for a, b in zip(h, h[1:]):
+        assert b >= a - abs(a) * 1e-6, h
+    np.testing.assert_allclose(
+        np.array(gated.history), np.array(exact.history), rtol=1e-3
+    )
+    np.testing.assert_allclose(gated.alpha, exact.alpha, rtol=1e-2)
