@@ -131,3 +131,27 @@ def test_encoder_agrees_with_trainer_vocab(spark, docs):
         for s in syms:
             want[s] = want.get(s, 0) + c
     assert got == want
+
+
+from hypothesis import given, settings, strategies as st
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=5)
+_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=6), st.integers(1, 6))
+def test_train_bpe_property_matches_reference(spark, texts, n_merges):
+    """Property: on arbitrary small corpora the Spark trainer's merge
+    sequence equals the independent pure-Python reference — same
+    argmax, same tie-breaks, same stop rule."""
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe.train_bpe(docs, num_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _ref_train(texts, n_merges)
