@@ -161,11 +161,10 @@ def cmd_train(args) -> None:
         # Distributed-β EM (plans.lda_join) — the scale path when V×K
         # exceeds executor memory.  β never touches the driver; the
         # informed prior rides as a distributed η relation.
-        if args.random_start or args.model_index:
+        if args.random_start:
             raise SystemExit(
                 "--beta-mode join supports seeded init only "
-                "(no --random-start / --model-index resume yet); "
-                "use broadcast mode for those"
+                "(no --random-start); use broadcast mode for that"
             )
         from mr_lda_spark.plans import lda_join
 
@@ -177,6 +176,11 @@ def cmd_train(args) -> None:
             F.col("z.term_ids").alias("term_id"),
             F.col("z.term_counts").alias("term_count"),
         )
+        gamma_init = (
+            corpus_doc.select("doc_id", "gamma")
+            if "gamma" in corpus_doc.columns
+            else None  # --model-index resume carries the snapshot
+        )
         gamma_df, state = lda_join.train_beta_join(
             spark,
             tall,
@@ -187,6 +191,7 @@ def cmd_train(args) -> None:
             alpha_init=alpha_init,
             seed=args.seed,
             eta_seeds=eta,
+            gamma_init=gamma_init,
         )
         final_corpus = gamma_df
     else:

@@ -234,11 +234,17 @@ def train_beta_join(
     shuffle_partitions: int | None = None,
     eta_seeds: DataFrame | None = None,
     gamma_tol: float = 0.0,
+    gamma_init: DataFrame | None = None,
 ) -> tuple[DataFrame, LdaState]:
     """EM loop with distributed β.  ``corpus_tall`` is the encoded
     corpus (doc_id, term_id, term_count).  Returns (gamma DataFrame,
     state with driver-collected β — collected ONLY for API parity; the
     loop itself never pulls β).
+
+    ``gamma_init`` is a (doc_id, gamma) snapshot for warm resume (the
+    reference's -modelindex): iteration 1's E-step starts from the
+    carried γ exactly as broadcast mode does with a gamma column on
+    the corpus.
 
     ``eta_seeds`` is the informed-prior seed relation (topic, term_id)
     — ``informed_prior.parse_informed_prior``'s output.  With it, the
@@ -276,7 +282,11 @@ def train_beta_join(
     beta_df = beta_init_dataframe(spark, num_terms, K, seed).repartition(
         shuffle_partitions or spark.sparkContext.defaultParallelism, "term_id"
     ).localCheckpoint()
-    gamma_df = None
+    gamma_df = (
+        None
+        if gamma_init is None
+        else gamma_init.select("doc_id", "gamma").localCheckpoint()
+    )
 
     eta_rel = None
     if eta_seeds is not None:

@@ -144,3 +144,33 @@ def test_join_mode_gamma_tol_converges(spark, encoded):
         np.array(gated.history), np.array(exact.history), rtol=1e-3
     )
     np.testing.assert_allclose(gated.alpha, exact.alpha, rtol=1e-2)
+
+
+def test_join_mode_resume_matches_broadcast_resume(spark, encoded):
+    """Warm resume (the reference's -modelindex): a γ snapshot carried
+    into join mode must reproduce broadcast mode's resumed run."""
+    tall, num_terms = encoded
+    corpus_doc = parse.corpus_to_doc_form(tall)
+    # Phase 1: train 1 iteration in broadcast mode; snapshot γ.
+    final1, s1 = lda.train(
+        spark, corpus_doc, num_terms, K,
+        max_iterations=1, max_gamma_iter=8, seed=11, converge=0.0,
+    )
+    snap = final1.select("doc_id", "gamma").localCheckpoint()
+    # Phase 2a: resume broadcast (gamma column on the corpus).
+    _, s_bc = lda.train(
+        spark, corpus_doc.drop("gamma").join(snap, "doc_id", "left"),
+        num_terms, K,
+        max_iterations=2, max_gamma_iter=8, seed=11, converge=0.0,
+        alpha_init=s1.alpha,
+    )
+    # Phase 2b: resume join mode (gamma_init snapshot).
+    _, s_join = lda_join.train_beta_join(
+        spark, tall, num_terms, K,
+        max_iterations=2, max_gamma_iter=8, seed=11, converge=0.0,
+        shuffle_partitions=8, alpha_init=s1.alpha, gamma_init=snap,
+    )
+    np.testing.assert_allclose(
+        np.array(s_join.history), np.array(s_bc.history), rtol=1e-8
+    )
+    np.testing.assert_allclose(s_join.alpha, s_bc.alpha, rtol=1e-6)
