@@ -631,7 +631,21 @@ def dsir_weights(
     table (≤ n_buckets rows) broadcast into the per-doc mean — no
     model state, no iteration, every step a SQL oracle replays.  At
     100 TB the only corpus-keyed shuffle is the final per-doc mean."""
-    grams = _grams(docs, text_col).withColumn(
+    dist = dsir_log_ratio_table(docs, target, n_buckets, text_col)
+    return dsir_score(docs, dist, n_buckets, text_col)
+
+
+def dsir_log_ratio_table(
+    raw: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR's "model": the per-bucket log p_target − log p_raw table
+    (≤ n_buckets rows) with add-1 smoothing.  Computed offline ONCE,
+    then any relation — batch or a stream's micro-batches — scores
+    against it via ``dsir_score``."""
+    grams = _grams(raw, text_col).withColumn(
         "bucket", _md5_bucket(F.col("g"), n_buckets)
     ).drop("g")
     tgrams = _grams(target, text_col).withColumn(
@@ -641,7 +655,7 @@ def dsir_weights(
     tc = tgrams.groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     nr = rc.agg(F.sum("cr").alias("nr"))
     nt = tc.agg(F.sum("ct").alias("nt"))
-    dist = (
+    return (
         rc.join(tc, "bucket", "full")
         .crossJoin(F.broadcast(nr))
         .crossJoin(F.broadcast(nt))
@@ -659,6 +673,21 @@ def dsir_weights(
             ).alias("log_ratio"),
         )
     )
+
+
+def dsir_score(
+    docs: DataFrame,
+    dist: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Score docs against a frozen DSIR log-ratio table: n-gram
+    explode → broadcast bucket join → per-doc mean.  Per-doc and
+    state-free given the frozen table, so it is batch-invariant — the
+    streaming gate runs THIS inside foreachBatch unchanged."""
+    grams = _grams(docs, text_col).withColumn(
+        "bucket", _md5_bucket(F.col("g"), n_buckets)
+    ).drop("g")
     return (
         grams.join(F.broadcast(dist), "bucket")
         .groupBy("doc_id")

@@ -4548,9 +4548,7 @@ def lda_heldout_perplexity_join(spark, sf_dir):
         spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
 
 
-@register(
-    "curation_dsir_weights",
-    """
+_SQL_DSIR = """
     WITH toks AS (
       SELECT doc_id, lang,
              list_filter(string_split(text, ' '), x -> x <> '') AS tl
@@ -4587,8 +4585,10 @@ def lda_heldout_perplexity_join(spark, sf_dir):
            round(avg(log_ratio), 6) AS log_weight
     FROM grams JOIN dist USING (bucket)
     GROUP BY 1
-    """,
-)
+    """
+
+
+@register("curation_dsir_weights", _SQL_DSIR)
 def curation_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
     bucket distributions, target = the English slice of the corpus,
@@ -4602,6 +4602,45 @@ def curation_dsir_weights(spark, sf_dir):
     return curation.dsir_weights(
         docs, docs.filter(F.col("lang") == "en"), n_buckets=1024
     )
+
+
+@register("documents_stream_dsir", _SQL_DSIR)
+def documents_stream_dsir(spark, sf_dir):
+    """Streaming DSIR gate — the realistic serving shape of importance
+    resampling: the bucket log-ratio table is trained OFFLINE on the
+    static corpus (frozen model state), then every micro-batch scores
+    against the broadcast table inside a replay-safe foreachBatch
+    sink.  Per-doc and state-free given the frozen table ⇒
+    batch-invariant, so streaming all docs equals the batch query and
+    the oracle is literally curation_dsir_weights'."""
+    import tempfile
+    import uuid
+
+    from mr_lda_spark.operators import curation
+    from mr_lda_spark.streaming import dedup_stream as ds
+    from mr_lda_spark.streaming import exactly_once as eo
+
+    docs = _t(spark, sf_dir, "documents")
+    dist = curation.dsir_log_ratio_table(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=1024
+    ).persist()
+    dist.count()  # freeze the model before the stream starts
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    sink = eo.IdempotentBatchSink(
+        f"{base}/stream_dsir_{run}/out",
+        transform=lambda df: curation.dsir_score(df, dist, n_buckets=1024),
+    )
+    eo.run_exactly_once(
+        ds.read_documents_stream(spark, sf_dir),
+        sink,
+        f"{base}/stream_dsir_{run}/ckpt",
+    )
+    out = sink.read_committed(spark).select(
+        "doc_id", "n_grams", "log_weight"
+    )
+    dist.unpersist()
+    return out
 
 
 @register("curation_perplexity_filter")
