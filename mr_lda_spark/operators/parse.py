@@ -234,6 +234,7 @@ def build_dictionary(
     min_df_frac: float = 0.0,
     max_df_frac: float = 1.0,
     scalable: bool | str = "auto",
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Term dictionary: df-range filter then ids 1..V by (df desc,
     tf desc, term asc).
@@ -242,6 +243,12 @@ def build_dictionary(
     (ParseCorpus.java:465-466); we add ``term asc`` as the final key so
     ids are fully deterministic (SURVEY.md §5 implication 4).  Index 0
     stays reserved (README.md:61): ids are 1-based.
+
+    ``max_vocab`` caps the vocabulary at the top-N ranked terms — the
+    standard vocabulary cap every LM pipeline applies (the reference
+    has only the df-range predicate).  Because the dense ids ARE the
+    ranking, the cap is a pure ``term_id <= N`` filter — zero extra
+    passes, and the surviving ids stay dense 1..N.
 
     ``scalable='auto'`` counts the filtered stats (V rows — cheap) and
     picks the single-partition window below SMALL_DICT_ROWS, else the
@@ -252,6 +259,8 @@ def build_dictionary(
     if scalable == "auto":
         scalable = filtered.count() >= SMALL_DICT_ROWS
     dictionary = assign_dense_ids(filtered, order, "term_id", scalable=scalable)
+    if max_vocab is not None:
+        dictionary = dictionary.filter(F.col("term_id") <= max_vocab)
     return dictionary.select("term_id", "term", "df", "tf")
 
 

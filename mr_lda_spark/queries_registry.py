@@ -135,6 +135,35 @@ def parse_term_dict(spark, sf_dir):
     return dictionary
 
 
+@register(
+    "parse_term_dict_capped",
+    f"""
+    WITH stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, term ASC)
+               AS INT) AS term_id,
+             term, df, tf
+      FROM stats
+      WHERE df >= 0.02 * (SELECT count(*) FROM documents)
+    )
+    SELECT * FROM ranked WHERE term_id <= 25
+    """,
+)
+def parse_term_dict_capped(spark, sf_dir):
+    """Vocabulary cap (max_vocab): top-25 ranked terms — the standard
+    LM-pipeline vocab ceiling the reference lacks (it has only the
+    df-range predicate).  Dense ids ARE the ranking, so the cap is a
+    pure term_id filter: zero extra passes, ids stay dense 1..N."""
+    docs, n_docs, _, tokens_stop, _ = _parse_shared(spark, sf_dir)
+    return parse.build_dictionary(
+        parse.term_stats(tokens_stop), n_docs,
+        min_df_frac=MIN_DF_FRAC, max_vocab=25,
+    )
+
+
 _SQL_ENCODED_CORPUS = f"""
     WITH stats AS (
       SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf

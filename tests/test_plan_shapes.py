@@ -266,6 +266,10 @@ def test_registry_sweep_no_cartesian_no_pickled_udf(spark):
         "lda_", "polylda", "stream", "merge_upsert", "curation_report",
         "interop_", "quality_distilled", "multimodal",
         "similarity_ivf", "similarity_pq", "similarity_lsh",
+        # action-running (iterative trainer / eager-persisted
+        # clustering): planned only after driver-side loops run.
+        "text_bpe_merges", "text_bpe_tokenize", "semdedup_kmeans",
+        "kmeans_frozen",
     )
     allow_cartesian = {"dedup_embedding_cosine"}
     swept = 0
