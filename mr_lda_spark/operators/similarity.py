@@ -1201,6 +1201,7 @@ def kmeans_frozen(
     iterations: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    return_centroids: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means with FROZEN deterministic state — the
     clustering member of the frozen-oracle family (PQ/LSH): initial
@@ -1243,6 +1244,13 @@ def kmeans_frozen(
 
     for _ in range(iterations):
         cent = _centroid_update(assign(cent), cent).localCheckpoint()
+    if return_centroids:
+        return (
+            assign(cent).select(
+                "vec_id", "cluster", F.round("sim", 4).alias("sim")
+            ),
+            cent,
+        )
     return assign(cent).select(
         "vec_id", "cluster", F.round("sim", 4).alias("sim")
     )
@@ -1291,3 +1299,74 @@ def semdedup_kmeans_pairs(
         )
     )
     return out
+
+
+def ivfflat_frozen_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat at PARTIAL probe over frozen k-means state — the first
+    oracle-checkable partial-probe ANN in the ladder: the coarse
+    quantizer is ``kmeans_frozen`` (deterministic seeds, rounds,
+    tie-breaks), so a SQL oracle re-derives the cluster assignment,
+    each query's top-``nprobe`` probed cells, the cell-restricted
+    candidate set AND the exact-cosine re-rank.  Unlike the full-probe
+    PQ/LSH companions, this one exercises the probe *pruning* itself
+    (recall < 1 by construction vs cosine_topk, yet exactly
+    reproducible).  Trained/seeded IVF variants stay rows-only.
+
+    Plan: corpus × k-row broadcast (assignment), queries × k-row
+    broadcast (probe), then a (cluster)-keyed equi-join — candidate
+    fan-out is the probed cells' sizes, never the corpus square."""
+    assigned, cent = kmeans_frozen(
+        embeddings, k=n_clusters, iterations=iterations,
+        id_col=id_col, vec_col=vec_col, return_centroids=True,
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    corpus = assigned.select("vec_id", "cluster").join(vecs, "vec_id")
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit_rounded(F.col(vec_col)).alias("qn"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("cluster").asc()
+    )
+    probe = (
+        qn.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "cluster",
+            _dot(F.col("qn"), F.col("cv")).alias("psim"),
+        )
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    scored = (
+        probe.join(corpus, "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pair_cos(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )

@@ -1892,6 +1892,58 @@ def similarity_kmeans_frozen(spark, sf_dir):
 
 
 @register(
+    "similarity_ivfflat_frozen_topk",
+    _SQL_KMEANS_FROZEN_CTES
+    + f"""
+    , probe AS (
+      SELECT query_id, cluster FROM (
+        SELECT n.vec_id AS query_id, c1.cluster,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.nv, c1.cv) DESC,
+                          c1.cluster ASC) AS prk
+        FROM n CROSS JOIN c1
+        WHERE n.vec_id < {SIM_QUERIES}
+      ) WHERE prk <= 2
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN af a ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(en.v, en.v))) AS cos
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e en ON en.vec_id = c.neighbor_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           round(cos, 4) AS cos_sim
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {SIM_K}
+    """,
+)
+def similarity_ivfflat_frozen_topk(spark, sf_dir):
+    """IVF-Flat at PARTIAL probe (nprobe=2 of 8 frozen-Lloyd cells) —
+    the first oracle-checkable partial-probe ANN: DuckDB re-derives
+    the quantizer, each query's probed cells, the cell-restricted
+    candidates, and the exact-cosine re-rank.  This greens the probe
+    PRUNING itself (recall < 1 vs cosine_topk by construction, yet
+    exactly reproducible); trained/seeded IVF stays rows-only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.ivfflat_frozen_topk(
+        emb, queries, k=SIM_K, n_clusters=8, nprobe=2
+    )
+
+
+@register(
     "dedup_semdedup_kmeans",
     _SQL_KMEANS_FROZEN_CTES
     + """

@@ -412,3 +412,20 @@ def test_kmeans_frozen_invariants(spark, emb):
     assert sim2 >= sim1 - 1e-6  # Lloyd never worsens the objective
     again = sorted(map(tuple, sim.kmeans_frozen(emb, k=8, iterations=1).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_ivfflat_frozen_partial_probe_recall(spark, emb, exact_topk):
+    """Frozen IVF-Flat at nprobe=2/8: deterministic, and recall vs the
+    exact top-k stays above the floor the probe geometry implies."""
+    from mr_lda_spark.operators import similarity as sim
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sim.ivfflat_frozen_topk(emb, queries, k=3, n_clusters=8, nprobe=2)
+    rows = got.collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    exact = {
+        (q, n) for (q, rk), n in exact_topk.items() if q < 5 and rk <= 3
+    }
+    assert len(approx & exact) / len(exact) >= 0.4
+    again = sim.ivfflat_frozen_topk(emb, queries, k=3, n_clusters=8, nprobe=2)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
