@@ -1178,14 +1178,29 @@ def ivfpq_fullprobe_topk(
 
 def _centroid_update(assign: DataFrame, prev: DataFrame) -> DataFrame:
     """One Lloyd update, relational: per-(cluster, dim) mean of the
-    assigned unit vectors (tall posexplode agg), rounded to 6 dp for
-    cross-engine determinism, reassembled into centroid rows.  A
-    cluster that lost every member keeps its previous centroid (left
-    join + coalesce), matching the SQL oracle's same rule."""
+    assigned unit vectors (tall posexplode agg), reassembled into
+    centroid rows.  A cluster that lost every member keeps its previous
+    centroid (left join + coalesce), matching the SQL oracle's rule.
+
+    The mean is computed as an EXACT integer sum: the inputs are
+    6-dp-rounded components, so ×1e6 makes them exact longs and the
+    sum is order-independent — a plain double ``avg`` sums in
+    partition order and its last bits vary run-to-run, which 6-dp
+    output rounding does NOT always absorb (a boundary value flips and
+    the oracle mismatches).  sum_long / (1e6·n) then rounds
+    identically in any engine."""
     new = (
         assign.select("cluster", F.posexplode("v").alias("pos", "x"))
         .groupBy("cluster", "pos")
-        .agg(F.round(F.avg("x"), 6).alias("c"))
+        .agg(
+            F.sum(F.round(F.col("x") * 1e6).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cluster",
+            "pos",
+            F.round(F.col("s") / (F.col("n") * 1e6), 6).alias("c"),
+        )
         .groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("p"))
         .select("cluster", F.col("p.c").alias("new_cv"))

@@ -1845,7 +1845,12 @@ _SQL_KMEANS_FROZEN_CTES = """
       ) WHERE rk = 1
     ),
     upd_tall AS (
-      SELECT cluster, CAST(i - 1 AS INT) AS pos, round(avg(nv[i]), 6) AS cval
+      -- exact integer-sum mean (inputs are 6-dp multiples): the plain
+      -- double avg() sums in engine-dependent order and its low bits
+      -- can flip the 6-dp rounding at a boundary
+      SELECT cluster, CAST(i - 1 AS INT) AS pos,
+             round(sum(CAST(round(nv[i] * 1000000) AS BIGINT))
+                   / (1000000.0 * count(*)), 6) AS cval
       FROM a0, unnest(range(1, len(nv) + 1)) AS u(i)
       GROUP BY 1, 2
     ),
