@@ -670,8 +670,15 @@ def dsir_log_ratio_table(
                     (F.coalesce(F.col("cr"), F.lit(0)) + 1.0)
                     / (F.col("nr") + n_buckets)
                 )
-            ).alias("log_ratio"),
+            ).alias("lr"),
         )
+        # The model's precision contract: 8-dp log-ratios, so scoring
+        # can accumulate them as EXACT integers (×1e8 → longs) and the
+        # per-doc mean is order-independent — a plain double avg sums
+        # in partition order and its low bits can flip the 6-dp output
+        # rounding at a boundary (the latent class the frozen-kmeans
+        # fix closed).
+        .select("bucket", F.round("lr", 8).alias("log_ratio"))
     )
 
 
@@ -692,7 +699,16 @@ def dsir_score(
         grams.join(F.broadcast(dist), "bucket")
         .groupBy("doc_id")
         .agg(
+            F.sum(
+                F.round(F.col("log_ratio") * 1e8).cast("long")
+            ).alias("s"),
             F.count(F.lit(1)).alias("n_grams"),
-            F.round(F.avg("log_ratio"), 6).alias("log_weight"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("s") / (F.col("n_grams") * 1e8), 6).alias(
+                "log_weight"
+            ),
         )
     )

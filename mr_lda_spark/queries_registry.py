@@ -4661,14 +4661,17 @@ _SQL_DSIR = """
     nr AS (SELECT sum(cr) AS nr FROM rc),
     nt AS (SELECT sum(ct) AS nt FROM tc),
     dist AS (
+      -- 8-dp model precision: scoring accumulates exact x1e8 integers
+      -- so the per-doc mean is summation-order-independent
       SELECT rc.bucket,
-             ln((coalesce(ct, 0) + 1.0) / (nt + 1024))
-               - ln((cr + 1.0) / (nr + 1024)) AS log_ratio
+             round(ln((coalesce(ct, 0) + 1.0) / (nt + 1024))
+                   - ln((cr + 1.0) / (nr + 1024)), 8) AS log_ratio
       FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
       CROSS JOIN nr CROSS JOIN nt
     )
     SELECT doc_id, count(*) AS n_grams,
-           round(avg(log_ratio), 6) AS log_weight
+           round(sum(CAST(round(log_ratio * 100000000) AS BIGINT))
+                 / (100000000.0 * count(*)), 6) AS log_weight
     FROM grams JOIN dist USING (bucket)
     GROUP BY 1
     """
