@@ -712,3 +712,69 @@ def dsir_score(
             ),
         )
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    tau: float = 0.5,
+    target_docs: int = 300,
+    source_col: str = "source",
+    salt: str = "tsamp",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/multi-source
+    rebalancing rule of mBERT/XLM-R-style pipelines): source share
+    q_s ∝ n_s^τ, expected draw M·q_s docs from source s, per-doc keep
+    rate r_s = min(1, M·q_s / n_s).  τ < 1 flattens the mixture
+    (upweights small sources), τ = 1 keeps natural proportions.
+
+    The draw is DETERMINISTIC: doc kept iff
+    ``int(md5(salt:doc_id)[:8 hex]) / 2^32 < r_s`` — reproducible
+    across runs/engines/partitionings and exactly replayable by a SQL
+    oracle, unlike ``rand()``-based sampling.  ``upsample`` is the
+    epoch-weighting complement (integer repeats + fractional keep);
+    this is the budgeted downsampling mixer.
+
+    Plan: one source-count aggregation (S rows) broadcast into a pure
+    projection filter — the corpus scans once and never shuffles."""
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    q = counts.crossJoin(
+        F.broadcast(
+            counts.agg(
+                F.sum(F.pow(F.col("n_s"), F.lit(tau))).alias("z")
+            )
+        )
+    ).select(
+        source_col,
+        "n_s",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_docs))
+                * F.pow(F.col("n_s"), F.lit(tau))
+                / F.col("z")
+                / F.col("n_s"),
+            ),
+            8,
+        ).alias("keep_rate"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(salt), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    return (
+        docs.join(F.broadcast(q), source_col)
+        .filter(h < F.col("keep_rate"))
+        .select("doc_id", source_col, "n_s", "keep_rate")
+    )

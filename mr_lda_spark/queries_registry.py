@@ -4693,6 +4693,35 @@ def curation_dsir_weights(spark, sf_dir):
     )
 
 
+@register(
+    "curation_temperature_sample",
+    """
+    WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+    z AS (SELECT sum(pow(n_s, 0.5)) AS z FROM c),
+    q AS (
+      SELECT source, n_s,
+             round(least(1.0, 300.0 * pow(n_s, 0.5) / z / n_s), 8)
+               AS keep_rate
+      FROM c CROSS JOIN z
+    )
+    SELECT d.doc_id, d.source, q.n_s, q.keep_rate
+    FROM documents d JOIN q ON d.source = q.source
+    WHERE CAST(('0x' || substr(md5('tsamp:' || d.doc_id), 1, 8))::BIGINT
+           AS DOUBLE) / 4294967296.0 < q.keep_rate
+    """,
+)
+def curation_temperature_sample(spark, sf_dir):
+    """Temperature mixture sampling (τ=0.5, budget 300 docs): source
+    share ∝ n_s^τ, per-doc keep rate min(1, M·q_s/n_s), deterministic
+    md5 draw — the multilingual rebalancing rule as one broadcast-S
+    projection filter DuckDB replays exactly."""
+    from mr_lda_spark.operators import curation
+
+    return curation.temperature_sample(
+        _t(spark, sf_dir, "documents"), tau=0.5, target_docs=300
+    )
+
+
 @register("documents_stream_dsir", _SQL_DSIR)
 def documents_stream_dsir(spark, sf_dir):
     """Streaming DSIR gate — the realistic serving shape of importance

@@ -259,3 +259,26 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         for r in curation.dsir_weights(docs, target, n_buckets=256).collect()
     }
     assert w == again
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """τ < 1 upweights small sources: the small source's keep rate must
+    exceed the big one's, totals respect the budget in expectation, and
+    the deterministic draw repeats exactly."""
+    rows = [(i, f"doc {i}", "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = curation.temperature_sample(docs, tau=0.5, target_docs=200)
+    got = out.collect()
+    rates = {r["source"]: r["keep_rate"] for r in got}
+    assert rates["small"] > rates["big"]
+    n = len(got)
+    assert 120 <= n <= 280  # budget 200 ± sampling noise
+    again = sorted(map(tuple, curation.temperature_sample(
+        docs, tau=0.5, target_docs=200).collect()))
+    assert again == sorted(map(tuple, got))
+    # tau=1 keeps natural proportions: keep rates equal across sources
+    nat = {
+        r["source"]: r["keep_rate"]
+        for r in curation.temperature_sample(docs, tau=1.0, target_docs=200).collect()
+    }
+    assert abs(nat["small"] - nat["big"]) < 1e-9
