@@ -4694,6 +4694,95 @@ def curation_dsir_weights(spark, sf_dir):
 
 
 @register(
+    "curation_modern_pipeline",
+    f"""
+    WITH rep AS (
+      SELECT doc_id, repetitive FROM ({_SQL_REPETITION})
+    ),
+    ltoks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+      FROM documents
+    ),
+    pairs AS (
+      SELECT doc_id, tl[CAST(i AS INT)] AS w1, tl[CAST(i AS INT) + 1] AS w2
+      FROM ltoks, unnest(range(1, len(tl))) AS r(i)
+      WHERE len(tl) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+    vv AS (
+      SELECT count(DISTINCT term) AS v
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+          AS term
+        FROM documents
+      )
+    ),
+    lm AS (
+      SELECT doc_id,
+             round(avg(ln((c12 + 0.1) / (c1 + 0.1 * v))), 6) AS avg_logprob,
+             round(exp(-avg(ln((c12 + 0.1) / (c1 + 0.1 * v)))), 6)
+               AS perplexity
+      FROM pairs JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+      GROUP BY doc_id
+    ),
+    thr AS (SELECT quantile_cont(avg_logprob, 0.25) AS thr FROM lm),
+    surv AS (
+      SELECT d.doc_id, d.source, d.lang, lm.perplexity
+      FROM documents d
+      JOIN rep USING (doc_id)
+      JOIN lm USING (doc_id)
+      CROSS JOIN thr
+      WHERE d.lang IN ('en', 'es')
+        AND NOT rep.repetitive
+        AND lm.avg_logprob >= thr.thr
+    ),
+    sc AS (SELECT source, count(*) AS n_s FROM surv GROUP BY 1),
+    z AS (SELECT sum(pow(n_s, 0.5)) AS z FROM sc),
+    q AS (
+      SELECT source, n_s,
+             round(least(1.0, 150.0 * pow(n_s, 0.5) / z / n_s), 8)
+               AS keep_rate
+      FROM sc CROSS JOIN z
+    )
+    SELECT s.doc_id, s.source, s.lang, s.perplexity, q.keep_rate
+    FROM surv s JOIN q ON s.source = q.source
+    WHERE CAST(('0x' || substr(md5('tsamp:' || s.doc_id), 1, 8))::BIGINT
+           AS DOUBLE) / 4294967296.0 < q.keep_rate
+    """,
+)
+def curation_modern_pipeline(spark, sf_dir):
+    """A MODERN pretraining-curation pipeline end-to-end — language
+    filter → Gopher repetition gate → bigram-LM perplexity gate (25th
+    percentile, corpus-trained frozen scorer) → temperature mixture
+    sampling (τ=0.5, budget 150 over the survivors' sources) — with
+    every stage deterministic, so the WHOLE composition is one
+    relational plan DuckDB replays exactly.  The classic curate()
+    composition (lang→quality→dedup) stays; this is the
+    2023-era-recipe sibling, fully oracle-checked."""
+    from mr_lda_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    rep = textops.repetition_scores(docs).select("doc_id", "repetitive")
+    lm = curation.lm_perplexity_filter(docs, quantile=0.25).select(
+        "doc_id", "perplexity"
+    )
+    surv = (
+        docs.filter(F.col("lang").isin("en", "es"))
+        .join(rep, "doc_id")
+        .filter(~F.col("repetitive"))
+        .join(lm, "doc_id")
+        .select("doc_id", "source", "lang", "perplexity")
+    )
+    kept = curation.temperature_sample(surv, tau=0.5, target_docs=150)
+    return kept.select("doc_id", "source").join(
+        surv.select("doc_id", "lang", "perplexity"), "doc_id"
+    ).join(
+        kept.select("doc_id", "keep_rate"), "doc_id"
+    ).select("doc_id", "source", "lang", "perplexity", "keep_rate")
+
+
+@register(
     "curation_temperature_sample",
     """
     WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
