@@ -82,6 +82,13 @@ EXTRA = [
     "lda_heldout_perplexity_join",
     "polylda_join_mode_topics",
     "events_distinct_users_exact",
+    "curation_dsir_weights",
+    "similarity_kmeans_frozen",
+    "dedup_semdedup_kmeans",
+    "similarity_ivfflat_frozen_topk",
+    "text_bpe_pair_counts",
+    "curation_temperature_sample",
+    "curation_modern_pipeline",
 ]
 
 
