@@ -853,3 +853,75 @@ def quality_model_score(
             "quality_prob"
         ),
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """SURGICAL eval-set decontamination (the Llama-style refinement of
+    ``decontaminate``): instead of dropping a whole doc that shares an
+    n-gram with the eval set, remove only the contaminated token spans
+    and keep the rest.  Every token covered by ANY matching n-gram
+    window goes; overlapping windows merge via position dedup.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text) for every input
+    doc — clean_text is the surviving tokens in order ('' if fully
+    contaminated).
+
+    Plan: the eval n-gram set broadcasts (the corpus side never
+    shuffles for the match); contaminated start positions expand to
+    covered positions with a sequence explode; the rebuild is one
+    corpus-keyed groupBy with an in-group position sort — same shape
+    as ``remove_boilerplate_spans``."""
+    toks_col = _tokens(F.col(text_col))
+    base = docs.select("doc_id", toks_col.alias("toks"))
+    with_sh = base.filter(F.size("toks") >= n)
+    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("toks", i + j) for j in range(n)]
+    )
+    doc_ng = with_sh.select(
+        "doc_id", F.posexplode(F.transform(idx, mk)).alias("p0", "shingle")
+    ).select("doc_id", (F.col("p0") + 1).alias("start"), "shingle")
+    ev = shingles(eval_docs, text_col, n).select("shingle").distinct()
+    bad_pos = (
+        doc_ng.join(F.broadcast(ev), "shingle")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    ptoks = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    rebuilt = (
+        ptoks.join(bad_pos, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "n_kept",
+            F.concat_ws(" ", F.col("p.tok")).alias("clean_text"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

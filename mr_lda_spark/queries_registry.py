@@ -2424,6 +2424,64 @@ def text_decontamination(spark, sf_dir):
 
 
 @register(
+    "text_decontaminate_spans",
+    f"""
+    WITH lt AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0
+    ),
+    ev AS (
+      SELECT DISTINCT shingle
+      FROM ({_sql_shingles(DECONTAM_NGRAM,
+                           f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} = 0)")})
+    ),
+    ng AS (
+      SELECT doc_id, i AS start,
+             t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] || ' ' ||
+             t[CAST(i AS INT) + 2] || ' ' || t[CAST(i AS INT) + 3] || ' ' ||
+             t[CAST(i AS INT) + 4] AS shingle
+      FROM lt, unnest(range(1, len(t) - {DECONTAM_NGRAM - 2})) AS u(i)
+      WHERE len(t) >= {DECONTAM_NGRAM}
+    ),
+    bad AS (
+      SELECT DISTINCT ng.doc_id, CAST(ng.start + v.j AS INT) AS pos
+      FROM ng JOIN ev USING (shingle),
+           unnest(range(0, {DECONTAM_NGRAM})) AS v(j)
+    ),
+    ptoks AS (
+      SELECT doc_id, CAST(u.i AS INT) AS pos, t[CAST(u.i AS INT)] AS tok
+      FROM lt, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.pos, p.tok FROM ptoks p
+      LEFT JOIN bad ON bad.doc_id = p.doc_id AND bad.pos = p.pos
+      WHERE bad.pos IS NULL
+    ),
+    reb AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY 1
+    )
+    SELECT lt.doc_id, CAST(len(t) AS INT) AS n_tokens,
+           CAST(len(t) - coalesce(n_kept, 0) AS INT) AS n_removed,
+           coalesce(clean_text, '') AS clean_text
+    FROM lt LEFT JOIN reb ON reb.doc_id = lt.doc_id
+    """,
+)
+def text_decontaminate_spans(spark, sf_dir):
+    """SURGICAL decontamination (the Llama-style refinement of
+    text_decontamination): remove only the token spans covered by an
+    eval-set 5-gram, keep the rest — overlapping windows merge via
+    position dedup, and the rebuilt clean_text hash-matches DuckDB
+    replaying window match → span expand → position anti-join →
+    ordered reassembly."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+    return textops.decontaminate_spans(tr, ev, n=DECONTAM_NGRAM)
+
+
+@register(
     "text_tfidf_top_terms",
     """
     WITH toks AS (

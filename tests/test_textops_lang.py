@@ -133,3 +133,40 @@ def test_blocklist_filter_empty_list_is_all_clear(spark):
         map(tuple, textops.blocklist_filter(docs, []).collect())
     )
     assert rows == [(0, 0, False), (1, 0, False)]
+
+
+def test_decontaminate_spans_semantics(spark):
+    """Surgical span removal: only the covered windows go, overlapping
+    windows merge, clean docs pass through untouched, fully
+    contaminated docs come back empty."""
+    ev = spark.createDataFrame(
+        [(100, "one two three four five"), (101, "zz zz zz zz zz")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # exact 5-gram in the middle -> 5 tokens cut
+            (0, "aa bb one two three four five cc dd"),
+            # overlapping windows: "zz"*6 matches the zz-5-gram at two
+            # overlapping starts -> all 6 zz tokens cut
+            (1, "xx zz zz zz zz zz zz yy"),
+            # untouched
+            (2, "totally clean text here"),
+            # fully contaminated
+            (3, "one two three four five"),
+            # shorter than n -> untouched
+            (4, "one two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.decontaminate_spans(docs, ev, n=5).collect()
+    }
+    assert rows[0]["clean_text"] == "aa bb cc dd"
+    assert rows[0]["n_removed"] == 5 and rows[0]["n_tokens"] == 9
+    assert rows[1]["clean_text"] == "xx yy"
+    assert rows[2]["clean_text"] == "totally clean text here"
+    assert rows[2]["n_removed"] == 0
+    assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 5
+    assert rows[4]["clean_text"] == "one two" and rows[4]["n_removed"] == 0
