@@ -472,6 +472,58 @@ def cmd_curate(args) -> None:
     )
 
 
+def cmd_decontaminate(args) -> None:
+    """Standalone eval-set decontamination over a documents parquet:
+    flag (default) or surgically cut (``--mode spans``) every training
+    span sharing an n-gram with the eval corpus, write the cleaned
+    table, print a JSON audit."""
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import textops
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-decontaminate")
+    docs = spark.read.parquet(args.input)
+    ev = spark.read.parquet(args.eval)
+    n_in = docs.count()
+    if args.mode == "flag":
+        flagged = textops.decontaminate(docs, ev, n=args.ngram)
+        survivors = docs.join(
+            flagged.filter(~F.col("contaminated")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        write_table(survivors, args.output)
+        n_out = spark.read.parquet(args.output).count()
+        audit = {
+            "mode": "flag",
+            "input_docs": n_in,
+            "removed_docs": n_in - n_out,
+            "surviving_docs": n_out,
+        }
+    else:  # spans
+        cleaned = textops.decontaminate_spans(docs, ev, n=args.ngram)
+        out = docs.drop("text").join(
+            cleaned.select(
+                "doc_id", "n_removed", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
+        write_table(out, args.output)
+        stats = cleaned.agg(
+            F.sum("n_removed").alias("cut"),
+            F.sum((F.col("n_removed") > 0).cast("int")).alias("touched"),
+        ).collect()[0]
+        audit = {
+            "mode": "spans",
+            "input_docs": n_in,
+            "docs_touched": int(stats["touched"] or 0),
+            "tokens_removed": int(stats["cut"] or 0),
+        }
+    audit["output"] = args.output
+    print(json.dumps(audit))
+
+
 def cmd_dedup(args) -> None:
     """Standalone dedup over a documents parquet: pick a method, write
     the surviving corpus (+ optional pair report), print a JSON audit.
@@ -881,6 +933,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--pairs-output", default=None, help="also write the dup-pair report"
     )
     pdu.set_defaults(fn=cmd_dedup)
+
+    pdc = sub.add_parser(
+        "decontaminate",
+        help="eval-set decontamination: drop flagged docs or cut only "
+        "the contaminated spans (beyond the reference)",
+    )
+    pdc.add_argument("--input", required=True, help="documents parquet")
+    pdc.add_argument("--eval", required=True, help="eval corpus parquet")
+    pdc.add_argument("--output", required=True)
+    pdc.add_argument("--mode", choices=["flag", "spans"], default="flag")
+    pdc.add_argument("--ngram", type=int, default=5)
+    pdc.set_defaults(fn=cmd_decontaminate)
 
     return p
 

@@ -159,3 +159,43 @@ def test_cli_train_join_mode(tmp_path):
     assert res["iterations"] == 2
     for artifact in ["beta-2", "gamma-2", "alpha-2.json"]:
         assert (tmp_path / "jmodel" / artifact).exists(), artifact
+
+
+def test_cli_decontaminate_both_modes(tmp_path):
+    """`decontaminate` drops flagged docs (flag mode) or cuts only the
+    contaminated spans (spans mode), with consistent audits."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    # eval corpus: every 43rd doc (the registry's decontam split)
+    ev_dir = str(tmp_path / "eval.parquet")
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE doc_id % 43 = 0) TO '{ev_dir}' "
+        "(FORMAT PARQUET, PER_THREAD_OUTPUT FALSE)"
+    )
+    tr_dir = str(tmp_path / "train.parquet")
+    con.execute(
+        f"COPY (SELECT * FROM '{src}' WHERE doc_id % 43 <> 0) TO '{tr_dir}' "
+        "(FORMAT PARQUET, PER_THREAD_OUTPUT FALSE)"
+    )
+    n_in = con.execute(f"SELECT count(*) FROM '{tr_dir}'").fetchone()[0]
+
+    out = _run(
+        ["decontaminate", "--input", tr_dir, "--eval", ev_dir,
+         "--output", str(tmp_path / "flagged"), "--mode", "flag"],
+        cwd=str(tmp_path),
+    )
+    audit = json.loads(out.strip().splitlines()[-1])
+    assert audit["input_docs"] == n_in
+    assert audit["surviving_docs"] == n_in - audit["removed_docs"]
+
+    out = _run(
+        ["decontaminate", "--input", tr_dir, "--eval", ev_dir,
+         "--output", str(tmp_path / "cut"), "--mode", "spans"],
+        cwd=str(tmp_path),
+    )
+    audit = json.loads(out.strip().splitlines()[-1])
+    assert audit["input_docs"] == n_in and audit["tokens_removed"] >= 0
+    n_disk = con.execute(
+        f"SELECT count(*) FROM '{tmp_path}/cut/*.parquet'"
+    ).fetchone()[0]
+    assert n_disk == n_in  # spans mode keeps every doc
