@@ -2423,9 +2423,7 @@ def text_decontamination(spark, sf_dir):
     )
 
 
-@register(
-    "text_decontaminate_spans",
-    f"""
+_SQL_DECONTAM_SPANS = f"""
     WITH lt AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0
@@ -2466,8 +2464,10 @@ def text_decontamination(spark, sf_dir):
            CAST(len(t) - coalesce(n_kept, 0) AS INT) AS n_removed,
            coalesce(clean_text, '') AS clean_text
     FROM lt LEFT JOIN reb ON reb.doc_id = lt.doc_id
-    """,
-)
+    """
+
+
+@register("text_decontaminate_spans", _SQL_DECONTAM_SPANS)
 def text_decontaminate_spans(spark, sf_dir):
     """SURGICAL decontamination (the Llama-style refinement of
     text_decontamination): remove only the token spans covered by an
@@ -2479,6 +2479,46 @@ def text_decontaminate_spans(spark, sf_dir):
     ev = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
     tr = docs.filter(F.col("doc_id") % DECONTAM_MOD != 0)
     return textops.decontaminate_spans(tr, ev, n=DECONTAM_NGRAM)
+
+
+@register("documents_stream_decontaminate", _SQL_DECONTAM_SPANS)
+def documents_stream_decontaminate(spark, sf_dir):
+    """Streaming surgical decontamination — the serving shape of the
+    eval-set gate: the eval corpus (frozen reference data) is static
+    and broadcast, every micro-batch of arriving training docs gets
+    its contaminated spans cut inside a replay-safe foreachBatch sink.
+    Per-doc and state-free given the static eval set ⇒ batch-invariant,
+    so the oracle is literally text_decontaminate_spans'.  Completes
+    the streaming gate family (quality, repetition, DSIR, decontam)."""
+    import tempfile
+    import uuid
+
+    from mr_lda_spark.streaming import dedup_stream as ds
+    from mr_lda_spark.streaming import exactly_once as eo
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0).persist()
+    ev.count()  # freeze the reference set before the stream starts
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    sink = eo.IdempotentBatchSink(
+        f"{base}/stream_decon_{run}/out",
+        transform=lambda df: textops.decontaminate_spans(
+            df.filter(F.col("doc_id") % DECONTAM_MOD != 0),
+            ev,
+            n=DECONTAM_NGRAM,
+        ),
+    )
+    eo.run_exactly_once(
+        ds.read_documents_stream(spark, sf_dir),
+        sink,
+        f"{base}/stream_decon_{run}/ckpt",
+    )
+    out = sink.read_committed(spark).select(
+        "doc_id", "n_tokens", "n_removed", "clean_text"
+    )
+    ev.unpersist()
+    return out
 
 
 @register(
