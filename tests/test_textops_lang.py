@@ -170,3 +170,52 @@ def test_decontaminate_spans_semantics(spark):
     assert rows[2]["n_removed"] == 0
     assert rows[3]["clean_text"] == "" and rows[3]["n_removed"] == 5
     assert rows[4]["clean_text"] == "one two" and rows[4]["n_removed"] == 0
+
+
+from hypothesis import given, settings, strategies as st
+
+_w = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+_doc = st.lists(_w, min_size=0, max_size=14).map(" ".join)
+
+
+def _ref_decontaminate_spans(train_texts, eval_texts, n):
+    """Independent pure-Python span decontamination."""
+    ev = set()
+    for t in eval_texts:
+        toks = t.split()
+        for i in range(len(toks) - n + 1):
+            ev.add(tuple(toks[i : i + n]))
+    out = {}
+    for doc_id, t in enumerate(train_texts):
+        toks = t.split()
+        bad = set()
+        for i in range(len(toks) - n + 1):
+            if tuple(toks[i : i + n]) in ev:
+                bad.update(range(i, i + n))
+        kept = [tok for i, tok in enumerate(toks) if i not in bad]
+        out[doc_id] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(_doc, min_size=1, max_size=6),
+    st.lists(_doc, min_size=1, max_size=3),
+    st.integers(2, 4),
+)
+def test_decontaminate_spans_property(spark, train_texts, eval_texts, n):
+    """Property: on arbitrary small corpora the Spark span cutter
+    equals the independent pure-Python reference — same windows, same
+    overlap merging, same reassembly."""
+    docs = spark.createDataFrame(
+        list(enumerate(train_texts)), "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(eval_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in textops.decontaminate_spans(docs, ev, n=n).collect()
+    }
+    assert got == _ref_decontaminate_spans(train_texts, eval_texts, n)
