@@ -597,10 +597,16 @@ def bigram_lm_scores(
     perplexity); docs with <2 tokens are dropped (no bigram support).
     """
     sp = F.split(F.col("shingle"), " ")
-    pairs = shingles(docs, text_col, 2).select(
-        "doc_id",
-        sp.getItem(0).alias("w1"),
-        sp.getItem(1).alias("w2"),
+    # pairs feeds THREE consumers (c12, c1, the scoring join) — persist
+    # so the split/explode lineage runs once, not three times.
+    pairs = (
+        shingles(docs, text_col, 2)
+        .select(
+            "doc_id",
+            sp.getItem(0).alias("w1"),
+            sp.getItem(1).alias("w2"),
+        )
+        .persist()
     )
     c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
