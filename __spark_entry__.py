@@ -36,9 +36,16 @@ def _coverage_order(names):
       0. never sampled in any prior round;
       1. latest driver row was an error (a fix only clears with a new
          green row);
-      2. latest driver row was ``no_oracle`` but the query NOW has an
+      2. the query's source fingerprint CHANGED since the round of its
+         last driver row — its green evidence describes code that no
+         longer exists (VERDICT r6 "What's missing" #1).  Fingerprints
+         (function source + transitively-referenced mr_lda_spark
+         module files, see ``tools/fingerprints.py``) are snapshotted
+         per round in ``FINGERPRINTS.json``; a query whose last row is
+         from round R is compared against the round-R snapshot;
+      3. latest driver row was ``no_oracle`` but the query NOW has an
          oracle (the oracle landed after the last sample);
-      3. everything else, least-recently-sampled first.
+      4. everything else, least-recently-sampled first.
 
     Without the recency tiebreak, once every query has been seen the
     sort degenerates to registration order and the driver re-checks
@@ -67,6 +74,27 @@ def _coverage_order(names):
 
     oracles = set(queries_registry.ORACLES)
 
+    # change-awareness: current fingerprints vs the per-round
+    # snapshots.  Never let fingerprinting break the driver contract.
+    fp_now: dict[str, str] = {}
+    snaps: dict[str, dict[str, str]] = {}
+    try:
+        from tools.fingerprints import compute_fingerprints
+
+        fp_now = compute_fingerprints(_REPO)
+        with open(os.path.join(_REPO, "FINGERPRINTS.json")) as fh:
+            snaps = json.load(fh)
+    except Exception:
+        pass
+
+    def _changed(n: str) -> bool:
+        """True iff n's code differs from what its last row sampled."""
+        if not fp_now or not snaps:
+            return False
+        snap = snaps.get(str(last_round[n]), {})
+        # missing snapshot entry = can't prove unchanged -> re-check
+        return snap.get(n) != fp_now.get(n)
+
     def key(n):
         if n not in last_round:
             return (0, 0, 0)
@@ -74,9 +102,11 @@ def _coverage_order(names):
         err = row.get("err")
         if err not in (None, "no_oracle"):
             return (1, last_round[n], 0)
-        if err == "no_oracle" and n in oracles:
+        if _changed(n):
             return (2, last_round[n], 0)
-        return (3, last_round[n], 0)
+        if err == "no_oracle" and n in oracles:
+            return (3, last_round[n], 0)
+        return (4, last_round[n], 0)
 
     return sorted(names, key=key)
 
