@@ -192,6 +192,7 @@ def cmd_train(args) -> None:
             seed=args.seed,
             eta_seeds=eta,
             gamma_init=gamma_init,
+            symmetric_alpha=args.symmetric_alpha,
         )
         final_corpus = gamma_df
     else:
@@ -283,11 +284,25 @@ def cmd_train_poly(args) -> None:
                 F.col("term_count").cast("int").alias("term_count"),
             )
         )
-        with open(sorted(globlib.glob(os.path.join(model, "alpha-*.json")))[-1]) as fh:
+        # newest snapshot = largest ITERATION suffix, parsed as an int
+        # (lexicographic sort puts alpha-9 after alpha-10 — ADVICE r6)
+        def _iter_no(p: str) -> int:
+            import re as _re
+
+            m = _re.search(r"-(\d+)(?:\.json)?$", p)
+            return int(m.group(1)) if m else -1
+
+        alpha_paths = sorted(
+            globlib.glob(os.path.join(model, "alpha-*.json")), key=_iter_no
+        )
+        with open(alpha_paths[-1]) as fh:
             alpha = np.asarray(json.load(fh)["alpha"])
         beta_parts = []
         for lang in range(args.language):
-            paths = sorted(globlib.glob(os.path.join(model, f"beta-lang{lang}-*")))
+            paths = sorted(
+                globlib.glob(os.path.join(model, f"beta-lang{lang}-*")),
+                key=_iter_no,
+            )
             beta_tall = spark.read.parquet(paths[-1])
             beta_parts.append(
                 beta_tall.groupBy("term_id")

@@ -804,6 +804,23 @@ def y4m_frame_means(media: DataFrame) -> DataFrame:
     ).mapInPandas(kernel, schema=FRAME_STATS_SCHEMA)
 
 
+def _text_sample_bytes(text: str) -> bytes:
+    """One payload byte per CHARACTER: the Unicode code point mod 256.
+    The SQL oracles recompute features with ``ord(substr(text, i, 1))
+    % 256`` — character-indexed code points — so deriving payload
+    bytes from UTF-8 (where a non-ASCII char yields 2-4 bytes) would
+    desynchronize sample counts and values on any non-ASCII corpus
+    (ADVICE r6).  utf-32-le gives the code-point array vectorized; the
+    uint8 cast is the mod-256."""
+    if not text:
+        return b""
+    return (
+        np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        .astype(np.uint8)
+        .tobytes()
+    )
+
+
 def real_media_from_documents(
     docs: DataFrame,
     image_side: int = 16,
@@ -828,7 +845,7 @@ def real_media_from_documents(
         for pdf in batches:
             rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
-                data = text.encode("utf-8")
+                data = _text_sample_bytes(text)
                 kind = ("image", "audio", "video")[int(mid) % 3]
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
@@ -915,7 +932,7 @@ def rgb_media_from_documents(docs: DataFrame, side: int = 8) -> DataFrame:
         for pdf in batches:
             rows = {k.name: [] for k in MEDIA_SCHEMA.fields}
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
-                data = text.encode("utf-8")
+                data = _text_sample_bytes(text)
                 buf = np.zeros(n, dtype=np.uint8)
                 arr = np.frombuffer(data[:n], dtype=np.uint8)
                 buf[: arr.size] = arr

@@ -1236,8 +1236,17 @@ def kmeans_frozen(
         F.col(id_col).alias("vec_id"),
         _unit_rounded(F.col(vec_col)).alias("v"),
     )
-    cent = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").cast("int").alias("cluster"), F.col("v").alias("cv")
+    # seed = the k lowest-id vectors, renumbered 0..k-1 (NOT
+    # filter(vec_id < k), which silently under-seeds on sparse or
+    # non-zero-based ids — ADVICE r6).  orderBy+limit compiles to a
+    # distributed TakeOrderedAndProject; the renumber window runs on
+    # the k-row result only.
+    seed = emb.orderBy("vec_id").limit(k)
+    cent = seed.select(
+        (F.row_number().over(Window.orderBy("vec_id")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.col("v").alias("cv"),
     )
 
     def assign(centroids):

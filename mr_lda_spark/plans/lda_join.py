@@ -235,6 +235,7 @@ def train_beta_join(
     eta_seeds: DataFrame | None = None,
     gamma_tol: float = 0.0,
     gamma_init: DataFrame | None = None,
+    symmetric_alpha: bool = False,
 ) -> tuple[DataFrame, LdaState]:
     """EM loop with distributed β.  ``corpus_tall`` is the encoded
     corpus (doc_id, term_id, term_count).  Returns (gamma DataFrame,
@@ -431,7 +432,18 @@ def train_beta_join(
         out.unpersist()
         beta_df = beta_next
 
-        state.alpha = update_alpha_vector(num_docs, state.alpha, alpha_ss)
+        if symmetric_alpha:
+            # scalar update on the summed statistic (same rule as the
+            # broadcast path, plans/lda.py:533 — ADVICE r6: the CLI
+            # flag was silently ignored in join mode)
+            from mr_lda_spark.functions.alpha import update_alpha_scalar
+
+            a = update_alpha_scalar(
+                K, num_docs, float(state.alpha[0]), float(alpha_ss.sum())
+            )
+            state.alpha = np.full(K, a)
+        else:
+            state.alpha = update_alpha_vector(num_docs, state.alpha, alpha_ss)
         state.elbo = float(elbo)
         state.history.append(float(elbo))
         if state.total_tokens > 0:

@@ -1832,8 +1832,11 @@ _SQL_KMEANS_FROZEN_CTES = """
       FROM e
     ),
     c0 AS (
-      SELECT CAST(vec_id AS INT) AS cluster, nv AS cv FROM n
-      WHERE vec_id < 8
+      -- the 8 lowest-id unit vectors, renumbered 0..7 (matches the
+      -- Spark side's orderBy(vec_id).limit(k) + renumber seeding)
+      SELECT CAST(rk - 1 AS INT) AS cluster, nv AS cv FROM (
+        SELECT nv, row_number() OVER (ORDER BY vec_id) AS rk FROM n
+      ) WHERE rk <= 8
     ),
     a0 AS (
       SELECT vec_id, cluster, nv FROM (
@@ -3491,7 +3494,7 @@ def multimodal_audio_features(spark, sf_dir):
            CAST((length(text) * 1000) // 8000 AS INT) AS duration_ms,
            CASE WHEN length(text) = 0 THEN 0.0 ELSE
              round(CAST(list_sum(list_transform(string_split(text, ''),
-                                                c -> ord(c))) AS DOUBLE)
+                                                c -> ord(c) % 256)) AS DOUBLE)
                    / length(text), 6)
            END AS mean_amp
     FROM documents WHERE doc_id % 3 = 1
@@ -3519,7 +3522,7 @@ def multimodal_wav_stats(spark, sf_dir):
            CAST(16 AS INT) AS width,
            CAST(16 AS INT) AS height,
            round(CAST(coalesce(list_sum(list_transform(
-                   string_split(left(text, 256), ''), c -> ord(c))), 0)
+                   string_split(left(text, 256), ''), c -> ord(c) % 256)), 0)
                  AS DOUBLE) / 256.0, 6) AS mean_pixel
     FROM documents WHERE doc_id % 3 = 0
     """,
@@ -3544,11 +3547,11 @@ def multimodal_png_stats(spark, sf_dir):
     WITH px AS (
       SELECT doc_id,
              CASE WHEN 3 * u.p < length(text)
-                  THEN ord(substr(text, 3 * u.p + 1, 1)) ELSE 0 END AS r,
+                  THEN ord(substr(text, 3 * u.p + 1, 1)) % 256 ELSE 0 END AS r,
              CASE WHEN 3 * u.p + 1 < length(text)
-                  THEN ord(substr(text, 3 * u.p + 2, 1)) ELSE 0 END AS g,
+                  THEN ord(substr(text, 3 * u.p + 2, 1)) % 256 ELSE 0 END AS g,
              CASE WHEN 3 * u.p + 2 < length(text)
-                  THEN ord(substr(text, 3 * u.p + 3, 1)) ELSE 0 END AS b
+                  THEN ord(substr(text, 3 * u.p + 3, 1)) % 256 ELSE 0 END AS b
       FROM documents, unnest(range(0, 64)) AS u(p)
     )
     SELECT doc_id AS media_id,
@@ -3586,7 +3589,7 @@ def multimodal_png_rgb_stats(spark, sf_dir):
     px AS (
       SELECT doc_id,
              CASE WHEN (2 * r * 16 + 2 * c) < length(text)
-                  THEN ord(substr(text, 2 * r * 16 + 2 * c + 1, 1))
+                  THEN ord(substr(text, 2 * r * 16 + 2 * c + 1, 1)) % 256
                   ELSE 0 END AS p
       FROM gc
     )
@@ -3623,7 +3626,7 @@ def multimodal_png_resize_stats(spark, sf_dir):
       FROM v
     ),
     s AS (
-      SELECT doc_id, CAST(sum(ord(substr(text, 2 * i + 1, 1))) AS DOUBLE)
+      SELECT doc_id, CAST(sum(ord(substr(text, 2 * i + 1, 1)) % 256) AS DOUBLE)
                AS total
       FROM n, unnest(range(0, n_out)) AS u(i)
       GROUP BY 1
@@ -3667,7 +3670,7 @@ def multimodal_wav_resample_stats(spark, sf_dir):
            CAST(n_frames AS INT) AS n_frames,
            CAST(n_frames * 40 AS INT) AS duration_ms,
            round(CAST(coalesce(list_sum(list_transform(
-                   string_split(text, ''), c -> ord(c))), 0) AS DOUBLE)
+                   string_split(text, ''), c -> ord(c) % 256)), 0) AS DOUBLE)
                  / (n_frames * 64.0), 6) AS mean_luma
     FROM v
     """,
@@ -3706,7 +3709,7 @@ def multimodal_y4m_stats(spark, sf_dir):
            CAST(i AS INT) AS frame_index,
            round(CAST(coalesce(list_sum(list_transform(
                    string_split(substring(text, i * 64 + 1, 64), ''),
-                   c -> ord(c))), 0) AS DOUBLE) / 64.0, 6) AS mean_luma
+                   c -> ord(c) % 256)), 0) AS DOUBLE) / 64.0, 6) AS mean_luma
     FROM f
     """,
 )

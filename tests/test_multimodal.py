@@ -306,3 +306,16 @@ def test_png_gray8_entry_rejects_rgb():
     px = np.zeros((4, 4, 3), dtype=np.uint8)
     with pytest.raises(NotImplementedError):
         mm.decode_png_gray8(mm.encode_png_rgb8(px))
+
+
+def test_media_payload_uses_code_points_not_utf8(spark):
+    """ADVICE r6: payload samples are CHARACTER-indexed code points mod
+    256 — the oracle's ord(substr(..)) % 256 — so a non-ASCII char
+    contributes ONE sample, not its multi-byte UTF-8 expansion."""
+    text = "café世"  # é = U+00E9 (2 UTF-8 bytes), 世 = U+4E16 (3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    media = mm.real_media_from_documents(docs)  # doc 1 -> audio/WAV
+    wav = mm.wav_waveform_stats(media).collect()[0]
+    cps = [ord(c) % 256 for c in text]
+    assert wav["n_frames"] == len(text)  # 5 chars, not 8 utf-8 bytes
+    assert wav["mean_amp"] == pytest.approx(sum(cps) / len(cps), abs=1e-6)

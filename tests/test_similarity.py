@@ -429,3 +429,23 @@ def test_ivfflat_frozen_partial_probe_recall(spark, emb, exact_topk):
     assert len(approx & exact) / len(exact) >= 0.4
     again = sim.ivfflat_frozen_topk(emb, queries, k=3, n_clusters=8, nprobe=2)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
+def test_kmeans_frozen_sparse_ids_seeds_k_clusters(spark):
+    """ADVICE r6: seeding must take the k LOWEST-ID vectors (renumbered
+    0..k-1), not filter(vec_id < k) — with sparse, non-zero-based ids
+    the old filter silently yielded zero centroids."""
+    import numpy as np
+
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in zip(
+            range(1000, 1016),
+            np.random.RandomState(7).randn(16, 8),
+        )
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.kmeans_frozen(emb, k=4, iterations=1).collect()
+    assert len(out) == 16  # every vector assigned (old code: 0 rows)
+    assert {r["cluster"] for r in out} <= {0, 1, 2, 3}
+    assert len({r["cluster"] for r in out}) >= 2
