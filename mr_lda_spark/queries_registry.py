@@ -2157,16 +2157,18 @@ def text_bpe_pair_counts(spark, sf_dir):
 
 @register("text_bpe_merges")
 def text_bpe_merges(spark, sf_dir):
-    """Distributed BPE tokenizer training (Sennrich et al. 2016): 20
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): 10
     merges learned from the documents corpus, deterministic tie-breaks
     (count DESC, left ASC, right ASC).  Iterative argmax → rows-only;
     the first iteration is oracle-checked by text_bpe_pair_counts and
-    the loop is pinned by a pytest golden against an independent
-    pure-Python trainer."""
+    the loop is pinned by pytest goldens (pure-Python reference on
+    random corpora + a 20-merge sf0.001 golden, test_bpe.py).  10
+    merges keeps the driver smoke merge-count-bound but light
+    (VERDICT r6 item #5)."""
     from mr_lda_spark.operators import bpe
 
     return bpe.train_bpe(
-        _t(spark, sf_dir, "documents"), num_merges=20, min_pair_count=2
+        _t(spark, sf_dir, "documents"), num_merges=10, min_pair_count=2
     )
 
 
@@ -2179,7 +2181,7 @@ def text_bpe_tokenize(spark, sf_dir):
     from mr_lda_spark.operators import bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = bpe.train_bpe(docs, num_merges=20, min_pair_count=2)
+    merges = bpe.train_bpe(docs, num_merges=10, min_pair_count=2)
     return bpe.encode_bpe(docs, merges).select(
         "doc_id", "n_words", "n_bpe_tokens"
     )
