@@ -28,10 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return queries_registry.flagship(spark, "/root/testdata/sf0.001")
 
 
-def _coverage_order(names):
-    """Order query names so the driver's fixed-size per-round sample
-    reaches the rows that most need (re-)checking.  Priority buckets,
-    most-urgent first:
+def _priority_key(last_round, last_row, oracles, fp_now, snaps):
+    """Build the bucket sort key for :func:`_coverage_order`.
+
+    Pure function of its inputs (no repo/file access) so tests can
+    drive it with synthetic CORRECTNESS/FINGERPRINTS fixtures instead
+    of pinning the repo's mutable round state (ADVICE r7 #2).
+
+    Priority buckets, most-urgent first:
 
       0. never sampled in any prior round;
       1. latest driver row was an error (a fix only clears with a new
@@ -39,9 +43,10 @@ def _coverage_order(names):
       2. the query's source fingerprint CHANGED since the round of its
          last driver row — its green evidence describes code that no
          longer exists (VERDICT r6 "What's missing" #1).  Fingerprints
-         (function source + transitively-referenced mr_lda_spark
-         module files, see ``tools/fingerprints.py``) are snapshotted
-         per round in ``FINGERPRINTS.json``; a query whose last row is
+         are FUNCTION-level since r8 (registry fn source + the source
+         of every package function/class its code transitively
+         reaches, see ``tools/fingerprints.py``), snapshotted per
+         round in ``FINGERPRINTS.json``; a query whose last row is
          from round R is compared against the round-R snapshot;
       3. latest driver row was ``no_oracle`` but the query NOW has an
          oracle (the oracle landed after the last sample);
@@ -51,41 +56,6 @@ def _coverage_order(names):
     sort degenerates to registration order and the driver re-checks
     the same head of the registry forever while the tail starves
     (VERDICT r4 "What's wrong" #1)."""
-    import glob
-    import json
-    import re
-
-    # last_round[name] = newest round number whose CORRECTNESS file has
-    # a row for `name`; last_row[name] = that row.
-    last_round: dict[str, int] = {}
-    last_row: dict[str, dict] = {}
-    for path in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
-        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
-        rnd = int(m.group(1)) if m else 0
-        try:
-            with open(path) as fh:
-                rows = json.load(fh)
-        except Exception:
-            continue
-        for name, row in rows.items():
-            if rnd >= last_round.get(name, -1):
-                last_round[name] = rnd
-                last_row[name] = row if isinstance(row, dict) else {}
-
-    oracles = set(queries_registry.ORACLES)
-
-    # change-awareness: current fingerprints vs the per-round
-    # snapshots.  Never let fingerprinting break the driver contract.
-    fp_now: dict[str, str] = {}
-    snaps: dict[str, dict[str, str]] = {}
-    try:
-        from tools.fingerprints import compute_fingerprints
-
-        fp_now = compute_fingerprints(_REPO)
-        with open(os.path.join(_REPO, "FINGERPRINTS.json")) as fh:
-            snaps = json.load(fh)
-    except Exception:
-        pass
 
     def _changed(n: str) -> bool:
         """True iff n's code differs from what its last row sampled."""
@@ -108,7 +78,55 @@ def _coverage_order(names):
             return (3, last_round[n], 0)
         return (4, last_round[n], 0)
 
-    return sorted(names, key=key)
+    return key
+
+
+def _coverage_order(names, repo=None):
+    """Order query names so the driver's fixed-size per-round sample
+    reaches the rows that most need (re-)checking — see
+    :func:`_priority_key` for the bucket semantics.  This wrapper
+    gathers the live repo state (CORRECTNESS rows, fingerprint
+    snapshots, current fingerprints) and sorts."""
+    import glob
+    import json
+    import re
+
+    repo = repo or _REPO
+    # last_round[name] = newest round number whose CORRECTNESS file has
+    # a row for `name`; last_row[name] = that row.
+    last_round: dict[str, int] = {}
+    last_row: dict[str, dict] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except Exception:
+            continue
+        for name, row in rows.items():
+            if rnd >= last_round.get(name, -1):
+                last_round[name] = rnd
+                last_row[name] = row if isinstance(row, dict) else {}
+
+    oracles = set(queries_registry.ORACLES)
+
+    # change-awareness: current fingerprints vs the per-round
+    # snapshots.  Never let fingerprinting break the driver contract.
+    fp_now: dict[str, str] = {}
+    snaps: dict[str, dict[str, str]] = {}
+    try:
+        from tools.fingerprints import compute_fingerprints
+
+        fp_now = compute_fingerprints(repo)
+        with open(os.path.join(repo, "FINGERPRINTS.json")) as fh:
+            snaps = json.load(fh)
+    except Exception:
+        pass
+
+    return sorted(
+        names, key=_priority_key(last_round, last_row, oracles,
+                                 fp_now, snaps))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,8 +1,18 @@
-"""Change-aware oracle re-sampling (VERDICT r6 item #2): the
-fingerprint tool and the `_coverage_order` bucket that consumes it."""
+"""Change-aware oracle re-sampling: the function-level fingerprint tool
+and the `_coverage_order` bucket that consumes it.
+
+Granularity and ordering are tested against SYNTHETIC fixtures (a
+throwaway package built in tmp_path, hand-built CORRECTNESS/
+FINGERPRINTS dicts) rather than the repo's mutable round state, so the
+tests don't rot when a future round re-samples a query (ADVICE r7 #2).
+"""
+import importlib
 import json
+import linecache
 import os
+import shutil
 import sys
+import textwrap
 
 import pytest
 
@@ -10,7 +20,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-from tools.fingerprints import compute_fingerprints  # noqa: E402
+from tools.fingerprints import (  # noqa: E402
+    compute_fingerprints,
+    fingerprint_queries,
+)
+
+# ---------------------------------------------------------------- live
 
 
 @pytest.fixture(scope="module")
@@ -29,26 +44,6 @@ def test_fingerprints_deterministic(fps):
     assert compute_fingerprints(REPO) == fps
 
 
-def test_fingerprint_reaches_operator_modules(fps):
-    """A query's fingerprint must incorporate the operator module it
-    calls — not just its registry wrapper — otherwise operator edits
-    would never trigger a re-check.  Verify by construction: the
-    curation-module file hash participates in curation_quality_filter's
-    fingerprint (flip a bit of the module bytes via the snapshot diff
-    instead of mutating the file: the r6 snapshot, taken before the r7
-    curation.py edit, differs from today's fingerprint)."""
-    snaps = json.load(open(os.path.join(REPO, "FINGERPRINTS.json")))
-    r6 = snaps["6"]
-    # curation.py was edited in r7 (perplexity-filter persist); any
-    # query reaching it must have a new fingerprint vs the r6 snapshot.
-    assert fps["curation_perplexity_filter_lm"] != r6[
-        "curation_perplexity_filter_lm"
-    ]
-    # a query not touching the edited modules keeps its fingerprint
-    # (events_cube: pure registry SQL over events table).
-    assert fps.get("events_cube") == r6.get("events_cube")
-
-
 def test_snapshots_exist_for_all_sampled_rounds():
     """Every CORRECTNESS_r*.json round must have a FINGERPRINTS.json
     snapshot, else _coverage_order can't prove unchanged-ness."""
@@ -61,15 +56,204 @@ def test_snapshots_exist_for_all_sampled_rounds():
         assert str(int(rnd)) in snaps, f"missing snapshot for round {rnd}"
 
 
-def test_coverage_order_prioritizes_changed_queries():
-    """Changed-since-last-green queries must sort before unchanged
-    stale ones (bucket 2 vs 4)."""
+# ---------------------------------------------------- synthetic package
+
+_OPSA_V1 = '''\
+def helper_a():
+    return 1
+
+
+def heavy(x):
+    return helper_a() + x
+
+
+def light(x):
+    return x * 2
+'''
+
+_OPSA_V2 = _OPSA_V1.replace("return 1", "return 2")  # edit helper_a ONLY
+
+_OPSB = '''\
+def other(x):
+    return x - 1
+'''
+
+_REGISTRY = '''\
+from fpsynth import opsa
+from fpsynth.opsb import other
+
+
+def q_heavy(spark, sf):
+    return opsa.heavy(1)
+
+
+def q_light(spark, sf):
+    return opsa.light(1)
+
+
+def q_other(spark, sf):
+    return other(1)
+
+
+def q_late_import(spark, sf):
+    from fpsynth import opsa as late
+
+    return late.heavy(2)
+
+
+def q_dunder(spark, sf):
+    import os
+
+    return os.path.basename(__file__)
+
+
+QUERIES = {
+    "q_heavy": q_heavy,
+    "q_light": q_light,
+    "q_other": q_other,
+    "q_late_import": q_late_import,
+    "q_dunder": q_dunder,
+}
+'''
+
+
+def _build_pkg(root, opsa_src):
+    pkg = os.path.join(root, "fpsynth")
+    os.makedirs(pkg, exist_ok=True)
+    for fname, src in [
+        ("__init__.py", ""),
+        ("opsa.py", opsa_src),
+        ("opsb.py", _OPSB),
+        ("registry.py", _REGISTRY),
+    ]:
+        with open(os.path.join(pkg, fname), "w") as fh:
+            fh.write(textwrap.dedent(src))
+
+
+def _fresh_fps(root):
+    """(Re)import fpsynth from `root` and fingerprint its registry."""
+    for mod in [m for m in sys.modules if m.split(".")[0] == "fpsynth"]:
+        del sys.modules[mod]
+    linecache.clearcache()
+    sys.path.insert(0, str(root))
+    try:
+        reg = importlib.import_module("fpsynth.registry")
+        return fingerprint_queries(reg.QUERIES, "fpsynth")
+    finally:
+        sys.path.remove(str(root))
+
+
+def test_function_level_granularity(tmp_path):
+    """Editing ONE operator function re-flags only the queries whose
+    code reaches it — not everything importing the module.  This is
+    the r8 fix for the r7 bucket saturation (95 flagged / 50 budget):
+    a typical one-function diff flags a handful of queries, not the
+    whole registry (VERDICT r7 'Next round' #2 done-bar)."""
+    v1 = tmp_path / "v1"
+    v2 = tmp_path / "v2"
+    _build_pkg(str(v1), _OPSA_V1)
+    _build_pkg(str(v2), _OPSA_V2)
+    fp1 = _fresh_fps(v1)
+    fp2 = _fresh_fps(v2)
+    assert set(fp1) == set(fp2) == {
+        "q_heavy", "q_light", "q_other", "q_late_import", "q_dunder"}
+    # helper_a changed; heavy() calls it -> q_heavy and q_late_import
+    # (which reaches heavy via an in-function import) must re-flag...
+    assert fp1["q_heavy"] != fp2["q_heavy"]
+    assert fp1["q_late_import"] != fp2["q_late_import"]
+    # ...while queries in the SAME module that never reach helper_a
+    # keep their fingerprints (the whole point of function-level).
+    assert fp1["q_light"] == fp2["q_light"]
+    assert fp1["q_other"] == fp2["q_other"]
+    assert fp1["q_dunder"] == fp2["q_dunder"]
+
+
+def test_fingerprints_path_independent(tmp_path):
+    """The same source tree at two different absolute paths must
+    fingerprint identically — __file__ and friends are skipped — else
+    driver runs and git-archive backfills disagree and every query
+    reads as changed."""
+    a = tmp_path / "checkout_a"
+    b = tmp_path / "deeply" / "nested" / "checkout_b"
+    _build_pkg(str(a), _OPSA_V1)
+    os.makedirs(str(b))
+    _build_pkg(str(b), _OPSA_V1)
+    assert _fresh_fps(a) == _fresh_fps(b)
+
+
+def test_stable_fallback_for_sourceless_callables():
+    """A registered callable without retrievable source (e.g. a
+    functools.partial) must fingerprint stably across processes —
+    never repr() with a memory address (ADVICE r7 #4)."""
+    import functools
+
+    from mr_lda_spark.operators import textops
+
+    part = functools.partial(textops.quality_scores, min_len=3)
+    fp1 = fingerprint_queries({"p": part}, "mr_lda_spark")
+    part2 = functools.partial(textops.quality_scores, min_len=3)
+    fp2 = fingerprint_queries({"p": part2}, "mr_lda_spark")
+    assert fp1 == fp2
+
+
+# ------------------------------------------------- coverage ordering
+
+
+def test_coverage_order_buckets_synthetic():
+    """Bucket semantics on hand-built state: never-sampled < errored <
+    changed-fingerprint < newly-oracled < stale (LRU first)."""
     import __spark_entry__ as entry
 
-    order = entry._coverage_order(
-        list(__import__("mr_lda_spark.queries_registry", fromlist=["x"])
-             .QUERIES)
+    last_round = {
+        "errored": 6, "changed": 6, "newly_oracled": 5,
+        "stale_old": 3, "stale_new": 7,
+    }
+    last_row = {
+        "errored": {"err": "boom"},
+        "changed": {"err": None},
+        "newly_oracled": {"err": "no_oracle"},
+        "stale_old": {"err": None},
+        "stale_new": {"err": None},
+    }
+    oracles = {"errored", "changed", "newly_oracled", "stale_old",
+               "stale_new", "never"}
+    fp_now = {n: "fp-now" for n in last_round}
+    snaps = {
+        "3": {"stale_old": "fp-now"},
+        "5": {"newly_oracled": "fp-now"},
+        "6": {"errored": "fp-now", "changed": "fp-OLD"},
+        "7": {"stale_new": "fp-now"},
+    }
+    key = entry._priority_key(last_round, last_row, oracles, fp_now,
+                              snaps)
+    names = ["stale_new", "stale_old", "newly_oracled", "changed",
+             "errored", "never"]
+    assert sorted(names, key=key) == [
+        "never", "errored", "changed", "newly_oracled", "stale_old",
+        "stale_new"]
+
+
+def test_coverage_order_missing_snapshot_means_changed():
+    """A query whose last-row round has no snapshot entry can't be
+    proven unchanged -> bucket 2, ahead of provably-unchanged rows."""
+    import __spark_entry__ as entry
+
+    key = entry._priority_key(
+        last_round={"unproven": 4, "proven": 4},
+        last_row={"unproven": {"err": None}, "proven": {"err": None}},
+        oracles=set(),
+        fp_now={"unproven": "x", "proven": "y"},
+        snaps={"4": {"proven": "y"}},
     )
-    pos = {n: i for i, n in enumerate(order)}
-    # changed this round (curation.py edit) vs untouched-and-sampled-r6
-    assert pos["curation_perplexity_filter_lm"] < pos["events_cube"]
+    assert sorted(["proven", "unproven"], key=key) == [
+        "unproven", "proven"]
+
+
+def test_coverage_order_live_smoke():
+    """The live wrapper still returns a permutation of the registry."""
+    import __spark_entry__ as entry
+    from mr_lda_spark import queries_registry
+
+    names = list(queries_registry.QUERIES)
+    order = entry._coverage_order(names)
+    assert sorted(order) == sorted(names)
