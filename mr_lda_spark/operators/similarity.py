@@ -1239,14 +1239,23 @@ def kmeans_frozen(
     # seed = the k lowest-id vectors, renumbered 0..k-1 (NOT
     # filter(vec_id < k), which silently under-seeds on sparse or
     # non-zero-based ids — ADVICE r6).  orderBy+limit compiles to a
-    # distributed TakeOrderedAndProject; the renumber window runs on
-    # the k-row result only.
-    seed = emb.orderBy("vec_id").limit(k)
+    # distributed TakeOrderedAndProject; take the top-k on the RAW
+    # rows so the unit-round kernel runs on k vectors, not the whole
+    # corpus (the r7 seed ran it corpus-wide before the limit — a
+    # measured 1.5x regression, PERF_NOTES_r08).  The renumber window
+    # runs on the k-row result only.
+    seed = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("raw")
+        )
+        .orderBy("vec_id")
+        .limit(k)
+    )
     cent = seed.select(
         (F.row_number().over(Window.orderBy("vec_id")) - 1)
         .cast("int")
         .alias("cluster"),
-        F.col("v").alias("cv"),
+        _unit_rounded(F.col("raw")).alias("cv"),
     )
 
     def assign(centroids):
