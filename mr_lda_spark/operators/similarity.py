@@ -1361,6 +1361,59 @@ def ivfflat_frozen_topk(
         embeddings, k=n_clusters, iterations=iterations,
         id_col=id_col, vec_col=vec_col, return_centroids=True,
     )
+    return _frozen_partial_probe(
+        assigned, cent, embeddings, queries, k, nprobe, id_col, vec_col
+    )
+
+
+def ivf_kmeans_frozen_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    train_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF over a TRAINED frozen quantizer at PARTIAL probe — the
+    frozen companion of ``similarity_ivf_kmeans_topk`` (VERDICT r7
+    "Next round" #4): the coarse quantizer is ``kmeans_frozen`` run
+    for ``train_iterations`` Lloyd rounds (data-adapted centroids,
+    deterministic seeds/rounds/tie-breaks), composed with the
+    ``ivfflat_frozen_topk`` probe pattern.  The sampled-Lloyd variant
+    (``kmeans_centroids`` + numpy probe kernel) stays rows-only with
+    its full-probe exact-equivalence companion; THIS row is the one
+    that oracle-checks the probe *pruning* under a trained quantizer —
+    a SQL oracle replays every Lloyd round, the probe cell choice, the
+    cell-restricted candidates, and the exact-cosine re-rank.
+
+    Plan shape is ``ivfflat_frozen_topk``'s: per training round one
+    corpus × k-row broadcast argmax and one (k × dim) partial-sum
+    shuffle; probe and candidate join never touch the corpus square."""
+    assigned, cent = kmeans_frozen(
+        embeddings, k=n_clusters, iterations=train_iterations,
+        id_col=id_col, vec_col=vec_col, return_centroids=True,
+    )
+    return _frozen_partial_probe(
+        assigned, cent, embeddings, queries, k, nprobe, id_col, vec_col
+    )
+
+
+def _frozen_partial_probe(
+    assigned: DataFrame,
+    cent: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared partial-probe + exact re-rank over a frozen clustering:
+    route each query to its ``nprobe`` nearest cells (unit-rounded dot
+    vs the k-row broadcast centroids, ties to the lower cluster), join
+    candidates on the cell key, re-rank by raw-vector cosine."""
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
     )

@@ -1951,6 +1951,132 @@ def similarity_ivfflat_frozen_topk(spark, sf_dir):
     )
 
 
+def _sql_kmeans_frozen_ctes_n(k: int, iterations: int) -> str:
+    """WITH-chain replaying ``kmeans_frozen(k, iterations)``: seed from
+    the k lowest-id unit vectors, then per Lloyd round an assignment
+    (dot-product argmax, ties to the lower cluster) and an exact
+    integer-sum 6-dp mean update with empty-cluster carry; ``af`` is
+    the final assignment against ``c{iterations}``.  The one-round k=8
+    instance is kept verbatim as ``_SQL_KMEANS_FROZEN_CTES`` above;
+    this generator serves the multi-round trained-quantizer oracles."""
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> round(
+               x / greatest(sqrt(list_dot_product(v, v)), 1e-12), 6)) AS nv
+      FROM e
+    ),
+    c0 AS (
+      SELECT CAST(rk - 1 AS INT) AS cluster, nv AS cv FROM (
+        SELECT nv, row_number() OVER (ORDER BY vec_id) AS rk FROM n
+      ) WHERE rk <= {k}
+    )"""
+    for r in range(iterations):
+        sql += f""",
+    a{r} AS (
+      SELECT vec_id, cluster, nv FROM (
+        SELECT n.vec_id, c{r}.cluster, n.nv,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.nv, c{r}.cv) DESC,
+                          c{r}.cluster ASC) AS rk
+        FROM n CROSS JOIN c{r}
+      ) WHERE rk = 1
+    ),
+    upd_tall{r} AS (
+      SELECT cluster, CAST(i - 1 AS INT) AS pos,
+             round(sum(CAST(round(nv[i] * 1000000) AS BIGINT))
+                   / (1000000.0 * count(*)), 6) AS cval
+      FROM a{r}, unnest(range(1, len(nv) + 1)) AS u(i)
+      GROUP BY 1, 2
+    ),
+    upd{r} AS (
+      SELECT cluster, list(cval ORDER BY pos) AS new_cv
+      FROM upd_tall{r} GROUP BY 1
+    ),
+    c{r + 1} AS (
+      SELECT c{r}.cluster, coalesce(upd{r}.new_cv, c{r}.cv) AS cv
+      FROM c{r} LEFT JOIN upd{r} ON c{r}.cluster = upd{r}.cluster
+    )"""
+    sql += f""",
+    af AS (
+      SELECT vec_id, cluster, sim FROM (
+        SELECT n.vec_id, c{iterations}.cluster,
+               list_dot_product(n.nv, c{iterations}.cv) AS sim,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.nv, c{iterations}.cv) DESC,
+                          c{iterations}.cluster ASC) AS rk
+        FROM n CROSS JOIN c{iterations}
+      ) WHERE rk = 1
+    )"""
+    return sql
+
+
+_IVF_KMEANS_FROZEN_CELLS = 16
+_IVF_KMEANS_FROZEN_ROUNDS = 2
+
+
+@register(
+    "similarity_ivf_kmeans_frozen_topk",
+    _sql_kmeans_frozen_ctes_n(
+        _IVF_KMEANS_FROZEN_CELLS, _IVF_KMEANS_FROZEN_ROUNDS
+    )
+    + f"""
+    , probe AS (
+      SELECT query_id, cluster FROM (
+        SELECT n.vec_id AS query_id, c{_IVF_KMEANS_FROZEN_ROUNDS}.cluster,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(
+                            n.nv, c{_IVF_KMEANS_FROZEN_ROUNDS}.cv) DESC,
+                          c{_IVF_KMEANS_FROZEN_ROUNDS}.cluster ASC) AS prk
+        FROM n CROSS JOIN c{_IVF_KMEANS_FROZEN_ROUNDS}
+        WHERE n.vec_id < {SIM_QUERIES}
+      ) WHERE prk <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probe p JOIN af a ON a.cluster = p.cluster
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_dot_product(eq.v, en.v)
+               / (sqrt(list_dot_product(eq.v, eq.v))
+                  * sqrt(list_dot_product(en.v, en.v))) AS cos
+      FROM cand c
+      JOIN e eq ON eq.vec_id = c.query_id
+      JOIN e en ON en.vec_id = c.neighbor_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           round(cos, 4) AS cos_sim
+    FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {SIM_K}
+    """,
+)
+def similarity_ivf_kmeans_frozen_topk(spark, sf_dir):
+    """IVF with a TRAINED frozen quantizer at PARTIAL probe (nprobe=4
+    of 16 cells, 2 Lloyd rounds) — the frozen companion of
+    similarity_ivf_kmeans_topk (VERDICT r7 "Next round" #4): DuckDB
+    replays the multi-round training (seed, per-round argmax
+    assignment, exact integer-sum mean, empty-cluster carry), each
+    query's probed cells, the cell-restricted candidates, and the
+    exact-cosine re-rank — so the probe PRUNING under a data-adapted
+    quantizer is hash-checked, not just the full-probe degenerate
+    case.  The sampled-Lloyd + numpy-kernel variant stays rows-only
+    with recall pinned by pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.ivf_kmeans_frozen_topk(
+        emb, queries, k=SIM_K,
+        n_clusters=_IVF_KMEANS_FROZEN_CELLS, nprobe=4,
+        train_iterations=_IVF_KMEANS_FROZEN_ROUNDS,
+    )
+
+
 @register(
     "dedup_semdedup_kmeans",
     _SQL_KMEANS_FROZEN_CTES

@@ -431,6 +431,36 @@ def test_ivfflat_frozen_partial_probe_recall(spark, emb, exact_topk):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
 
 
+def test_ivf_kmeans_frozen_partial_probe(spark, emb, exact_topk):
+    """Trained frozen quantizer (2 Lloyd rounds, 16 cells) at nprobe=4:
+    deterministic, recall above the probe-geometry floor, and probing
+    every cell degenerates to the exact top-k (the full-probe
+    equivalence that anchors the partial-probe semantics)."""
+    from mr_lda_spark.operators import similarity as sim
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sim.ivf_kmeans_frozen_topk(
+        emb, queries, k=3, n_clusters=16, nprobe=4, train_iterations=2
+    )
+    rows = got.collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    exact = {
+        (q, n) for (q, rk), n in exact_topk.items() if q < 5 and rk <= 3
+    }
+    assert len(approx & exact) / len(exact) >= 0.4
+    again = sim.ivf_kmeans_frozen_topk(
+        emb, queries, k=3, n_clusters=16, nprobe=4, train_iterations=2
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    full = sim.ivf_kmeans_frozen_topk(
+        emb, queries, k=3, n_clusters=16, nprobe=16, train_iterations=2
+    )
+    assert {
+        (r["query_id"], r["rank"], r["neighbor_id"])
+        for r in full.collect()
+    } == {(q, rk, n) for (q, rk), n in exact_topk.items() if q < 5 and rk <= 3}
+
+
 def test_kmeans_frozen_sparse_ids_seeds_k_clusters(spark):
     """ADVICE r6: seeding must take the k LOWEST-ID vectors (renumbered
     0..k-1), not filter(vec_id < k) — with sparse, non-zero-based ids
