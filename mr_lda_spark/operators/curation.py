@@ -575,6 +575,11 @@ def lm_perplexity_filter(
     # filter stream; without it the entire bigram-LM scoring lineage
     # (itself a 3-consumer explode upstream) evaluates twice — the
     # VERDICT r6 "weak" plan (13.3 s recorded vs ~1.5 s for the scorer).
+    # Deliberately NOT unpersisted (ADVICE r7): the returned DataFrame
+    # is lazy, so the cache must outlive this function; the entry is
+    # doc-count-sized and LRU-evicted under storage pressure.  Callers
+    # holding a session open across many queries can
+    # spark.catalog.clearCache() between them.
     scored = textops.bigram_lm_scores(
         docs, text_col=text_col, alpha=alpha
     ).persist()

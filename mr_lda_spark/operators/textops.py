@@ -599,6 +599,11 @@ def bigram_lm_scores(
     sp = F.split(F.col("shingle"), " ")
     # pairs feeds THREE consumers (c12, c1, the scoring join) — persist
     # so the split/explode lineage runs once, not three times.
+    # Deliberately NOT unpersisted (ADVICE r7): the returned DataFrame
+    # is lazy and reads the cache on evaluation; the entry is
+    # bigram-instance-sized and LRU-evicted under storage pressure
+    # (long-lived sessions can spark.catalog.clearCache() between
+    # queries).
     pairs = (
         shingles(docs, text_col, 2)
         .select(

@@ -3643,6 +3643,62 @@ def multimodal_wav_stats(spark, sf_dir):
     return mm.wav_waveform_stats(media)
 
 
+# Multi-byte contract corpus (VERDICT r7 next #7): the testdata corpus
+# is ASCII, so the r7 code-point payload fix (`_text_sample_bytes`
+# deriving samples from Unicode CODE POINTS, not UTF-8 bytes —
+# multimodal.py:935) was pinned only by a unit test.  These rows ride
+# along as a UNION on both the Spark and the oracle side so the
+# driver's hash check itself exercises 2-byte (é), 3-byte (世/こ),
+# 4-byte (emoji, %256 wraps), and symbol (ℝ/∞) code points.  ids are
+# ≡ 1 (mod 3): audio kind, surviving the wav filter.
+_UNICODE_DOCS = [
+    (10000000, "café crème — naïve façade über straße"),
+    (10000003, "世界 你好 こんにちは 세계 мир"),
+    (10000006, "emoji 😀🚀 plus ℝ∞ and composed é"),
+]
+_UNICODE_DOCS_SQL = "VALUES " + ", ".join(
+    f"({i}, '{t}')" for i, t in _UNICODE_DOCS
+)
+
+
+@register(
+    "multimodal_wav_stats_unicode",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT * FROM ({_UNICODE_DOCS_SQL}) AS v(doc_id, text)
+    )
+    SELECT doc_id AS media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(length(text) AS INT) AS n_frames,
+           CAST((length(text) * 1000) // 8000 AS INT) AS duration_ms,
+           CASE WHEN length(text) = 0 THEN 0.0 ELSE
+             round(CAST(list_sum(list_transform(string_split(text, ''),
+                                                c -> ord(c) % 256)) AS DOUBLE)
+                   / length(text), 6)
+           END AS mean_amp
+    FROM d WHERE doc_id % 3 = 1
+    """,
+)
+def multimodal_wav_stats_unicode(spark, sf_dir):
+    """multimodal_wav_stats over a corpus CONTAINING multi-byte
+    characters (union-injected, identical rows in the oracle): the
+    encode→WAV→decode→stats round trip must hash-match DuckDB's
+    code-point recomputation even when code points exceed one UTF-8
+    byte — driver-greening the r7 `_text_sample_bytes` contract that
+    only a unit test pinned before."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        _UNICODE_DOCS, "doc_id long, text string"
+    )
+    media = mm.real_media_from_documents(docs.unionByName(extra))
+    return mm.wav_waveform_stats(media)
+
+
 @register(
     "multimodal_png_stats",
     """

@@ -123,6 +123,12 @@ def probe(spark, docs) -> dict[str, float]:
         "adaptive_quality",
         lambda: curation.adaptive_quality_filter(docs).count(),
     )
+    # r7-changed pipeline (persist fix): the full CCNet-style filter —
+    # LM scoring + 1-row threshold + filter — timed end-to-end.
+    t(
+        "lm_perplexity_filter",
+        lambda: curation.lm_perplexity_filter(docs).count(),
+    )
     # r5 corpus-linear ops: Gopher repetition signals (three doc-keyed
     # aggs) and token-budget selection (histogram offsets + per-bucket
     # windows; budget set selection-complete so the measured cost is
@@ -291,6 +297,85 @@ def probe(spark, docs) -> dict[str, float]:
                 spark.conf.set(key, prev)
 
     t("polylda_join_one_iteration_k4", polylda_join_one_iter)
+
+    # r8 held-out tiers (VERDICT r7 next #5): the -test γ-only pass in
+    # BOTH execution regimes, paired in this same process against the
+    # training iterations above.  Prep (parse + one training
+    # iteration) runs outside the timed window; the timed op is the
+    # inference pass end-to-end, including the β-relation build for
+    # the join path.  Done-bar: each held-out tier ≤ its one-training-
+    # iteration sibling at the same tier.
+    from mr_lda_spark.plans import lda_join, polylda, polylda_join
+
+    tokens = parse.tokenize(docs)
+    dictionary = parse.build_dictionary(
+        parse.term_stats(tokens), docs.count()
+    )
+    tall = parse.encode_corpus(tokens, dictionary).persist()
+    corpus_doc = parse.corpus_to_doc_form(tall).persist()
+    corpus_doc.count()
+    _, state = lda.train(
+        spark, corpus_doc, num_terms=dictionary.count(), num_topics=8,
+        max_iterations=1, max_gamma_iter=25, converge=0.0, seed=1,
+    )
+    t(
+        "lda_infer_heldout_k8",
+        lambda: lda.infer(spark, corpus_doc, state, max_gamma_iter=25)
+        .agg(F.sum("doc_ll"))
+        .collect(),
+    )
+
+    def infer_join_forced():
+        beta_df = lda_join.beta_relation(lda.beta_dataframe(spark, state))
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "-1")
+        try:
+            lda_join.infer_join(
+                spark, tall, beta_df, state.alpha, max_gamma_iter=25
+            ).agg(F.sum("doc_ll")).collect()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    t("lda_infer_heldout_join_k8", infer_join_forced)
+    tall.unpersist()
+    corpus_doc.unpersist()
+
+    tall_p, num_terms_p = _poly_prep()
+    tall_p = tall_p.persist()
+    tall_p.count()
+    corpus_p = polylda.poly_corpus_from_tall(tall_p, n_languages=2)
+    _, pstate = polylda.train_poly(
+        spark, corpus_p, num_terms_p, num_topics=4,
+        max_iterations=1, max_gamma_iter=25, converge=0.0, seed=1,
+    )
+    t(
+        "polylda_infer_heldout_k4",
+        lambda: polylda.infer_poly(spark, corpus_p, pstate, max_gamma_iter=25)
+        .agg(F.sum("doc_ll"))
+        .collect(),
+    )
+
+    def poly_infer_join_forced():
+        beta_df = polylda_join.poly_beta_relation(spark, pstate)
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "-1")
+        try:
+            polylda_join.infer_poly_join(
+                spark, tall_p, beta_df, pstate.alpha, max_gamma_iter=25
+            ).agg(F.sum("doc_ll")).collect()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    t("polylda_infer_heldout_join_k4", poly_infer_join_forced)
+    tall_p.unpersist()
     return times
 
 
@@ -345,6 +430,23 @@ def main() -> None:
             t1[name] = dt
         else:
             tn["kmeans_frozen"] = dt
+    # r8 op: trained frozen quantizer at partial probe — per training
+    # round one corpus × k-row broadcast argmax + one (k × dim)
+    # partial-sum shuffle; the probe/candidate join is query-sized.
+    queries = emb.filter(F.col("vec_id") < 5)
+    for name, e in (
+        ("ivf_kmeans_frozen_topk", emb),
+        ("ivf_kmeans_frozen_topk_Nx", emb_big),
+    ):
+        t0 = time.perf_counter()
+        similarity.ivf_kmeans_frozen_topk(
+            e, queries, k=3, n_clusters=16, nprobe=4, train_iterations=2
+        ).count()
+        dt = round(time.perf_counter() - t0, 3)
+        if name == "ivf_kmeans_frozen_topk":
+            t1[name] = dt
+        else:
+            tn["ivf_kmeans_frozen_topk"] = dt
 
     ratios = {
         k: round(tn[k] / t1[k], 2) if t1[k] > 0 else None for k in t1
@@ -374,6 +476,21 @@ def main() -> None:
             / tn["polylda_one_iteration_k4"],
             2,
         )
+    # Held-out done-bar (VERDICT r7 next #5): a γ-only inference pass
+    # should cost no more than one training iteration at the same tier
+    # (it is a training iteration minus the M-step and the γ carry).
+    for key_out, ho, tr in (
+        ("lda_heldout_vs_train_iter_Nx",
+         "lda_infer_heldout_k8", "lda_one_iteration_k8"),
+        ("lda_heldout_join_vs_train_iter_Nx",
+         "lda_infer_heldout_join_k8", "lda_join_one_iteration_k8"),
+        ("polylda_heldout_vs_train_iter_Nx",
+         "polylda_infer_heldout_k4", "polylda_one_iteration_k4"),
+        ("polylda_heldout_join_vs_train_iter_Nx",
+         "polylda_infer_heldout_join_k4", "polylda_join_one_iteration_k4"),
+    ):
+        if tn.get(ho) and tn.get(tr):
+            out[key_out] = round(tn[ho] / tn[tr], 2)
     print(json.dumps(out))
 
 
