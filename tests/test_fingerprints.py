@@ -249,6 +249,28 @@ def test_coverage_order_missing_snapshot_means_changed():
         "unproven", "proven"]
 
 
+def test_snapshot_next_round_writes_at_sample_time(tmp_path, monkeypatch):
+    """queries()-time snapshotting (the r8 fix for the r7 sequencing
+    gap): the snapshot lands under max(existing CORRECTNESS round)+1,
+    merges into existing snapshots, and is idempotent — so the driver's
+    own sample call always leaves a matching snapshot behind."""
+    import __spark_entry__ as entry
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text("{}")
+    (tmp_path / "CORRECTNESS_r07.json").write_text("{}")
+    (tmp_path / "FINGERPRINTS.json").write_text(
+        json.dumps({"7": {"q": "old"}}))
+    monkeypatch.setattr(
+        "tools.fingerprints.compute_fingerprints",
+        lambda repo: {"q": "fp-new"})
+    entry._snapshot_next_round(repo=str(tmp_path))
+    snaps = json.loads((tmp_path / "FINGERPRINTS.json").read_text())
+    assert snaps == {"7": {"q": "old"}, "8": {"q": "fp-new"}}
+    entry._snapshot_next_round(repo=str(tmp_path))  # idempotent
+    assert json.loads(
+        (tmp_path / "FINGERPRINTS.json").read_text()) == snaps
+
+
 def test_coverage_order_live_smoke():
     """The live wrapper still returns a permutation of the registry."""
     import __spark_entry__ as entry
