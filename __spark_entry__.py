@@ -47,10 +47,19 @@ def _priority_key(last_round, last_row, oracles, fp_now, snaps):
          of every package function/class its code transitively
          reaches, see ``tools/fingerprints.py``), snapshotted per
          round in ``FINGERPRINTS.json``; a query whose last row is
-         from round R is compared against the round-R snapshot;
+         from round R is compared against the round-R snapshot.
+         ORACLE-BACKED queries only (r8): the changed bucket exists to
+         refresh HASH evidence that described dead code; a no-oracle
+         row can only ever re-produce a rows-only smoke result, so a
+         changed no-oracle query queues by recency like everyone else
+         instead of displacing a hash-checkable stale row from the
+         fixed sample budget;
       3. latest driver row was ``no_oracle`` but the query NOW has an
          oracle (the oracle landed after the last sample);
-      4. everything else, least-recently-sampled first.
+      4. everything else, least-recently-sampled first; at equal
+         staleness, oracle-backed before no-oracle (hash evidence is
+         worth more than a rows-only row at the same age, and the
+         tiebreak stays recency-first so no-oracle rows never starve).
 
     Without the recency tiebreak, once every query has been seen the
     sort degenerates to registration order and the driver re-checks
@@ -72,11 +81,11 @@ def _priority_key(last_round, last_row, oracles, fp_now, snaps):
         err = row.get("err")
         if err not in (None, "no_oracle"):
             return (1, last_round[n], 0)
-        if _changed(n):
+        if _changed(n) and n in oracles:
             return (2, last_round[n], 0)
         if err == "no_oracle" and n in oracles:
             return (3, last_round[n], 0)
-        return (4, last_round[n], 0)
+        return (4, last_round[n], 0 if n in oracles else 1)
 
     return key
 

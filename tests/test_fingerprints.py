@@ -201,35 +201,47 @@ def test_stable_fallback_for_sourceless_callables():
 
 def test_coverage_order_buckets_synthetic():
     """Bucket semantics on hand-built state: never-sampled < errored <
-    changed-fingerprint < newly-oracled < stale (LRU first)."""
+    changed-fingerprint (oracle-backed only) < newly-oracled < stale
+    (LRU first, oracled before no-oracle at equal age).  A CHANGED
+    no-oracle query queues by recency — it can only re-produce a
+    rows-only smoke row, so it must not displace hash-checkable stale
+    rows from the fixed sample budget (r8)."""
     import __spark_entry__ as entry
 
     last_round = {
-        "errored": 6, "changed": 6, "newly_oracled": 5,
-        "stale_old": 3, "stale_new": 7,
+        "errored": 6, "changed": 6, "changed_no_oracle": 6,
+        "newly_oracled": 5, "stale_old": 3,
+        "stale_old_no_oracle": 3, "stale_new": 7,
     }
     last_row = {
         "errored": {"err": "boom"},
         "changed": {"err": None},
+        "changed_no_oracle": {"err": "no_oracle"},
         "newly_oracled": {"err": "no_oracle"},
         "stale_old": {"err": None},
+        "stale_old_no_oracle": {"err": "no_oracle"},
         "stale_new": {"err": None},
     }
     oracles = {"errored", "changed", "newly_oracled", "stale_old",
                "stale_new", "never"}
     fp_now = {n: "fp-now" for n in last_round}
     snaps = {
-        "3": {"stale_old": "fp-now"},
+        "3": {"stale_old": "fp-now", "stale_old_no_oracle": "fp-now"},
         "5": {"newly_oracled": "fp-now"},
-        "6": {"errored": "fp-now", "changed": "fp-OLD"},
+        "6": {"errored": "fp-now", "changed": "fp-OLD",
+              "changed_no_oracle": "fp-OLD"},
         "7": {"stale_new": "fp-now"},
     }
     key = entry._priority_key(last_round, last_row, oracles, fp_now,
                               snaps)
     names = ["stale_new", "stale_old", "newly_oracled", "changed",
-             "errored", "never"]
+             "errored", "never", "changed_no_oracle",
+             "stale_old_no_oracle"]
     assert sorted(names, key=key) == [
-        "never", "errored", "changed", "newly_oracled", "stale_old",
+        "never", "errored", "changed", "newly_oracled",
+        "stale_old",            # r3 oracled beats r3 no-oracle…
+        "stale_old_no_oracle",  # …which still beats anything newer
+        "changed_no_oracle",    # changed-but-no-oracle: plain recency
         "stale_new"]
 
 
@@ -241,7 +253,7 @@ def test_coverage_order_missing_snapshot_means_changed():
     key = entry._priority_key(
         last_round={"unproven": 4, "proven": 4},
         last_row={"unproven": {"err": None}, "proven": {"err": None}},
-        oracles=set(),
+        oracles={"unproven", "proven"},
         fp_now={"unproven": "x", "proven": "y"},
         snaps={"4": {"proven": "y"}},
     )
