@@ -1176,6 +1176,162 @@ def ivfpq_fullprobe_topk(
     )
 
 
+def ivfpq_frozen_partial_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    in_dim: int = 64,
+    salt: str = "pqfp",
+    kmeans_iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ at PARTIAL probe with FULLY frozen state — the last rung
+    of the ANN ladder whose probe *pruning* wasn't oracle-checked: the
+    coarse quantizer is ``kmeans_frozen`` (deterministic Lloyd over the
+    raw vectors' unit-rounded form), the fine quantizer is the
+    md5-derived ``frozen_pq_books``, and scoring is the same ADC
+    Σ element_at the trained IVF-PQ uses — so a SQL oracle replays the
+    clustering, each query's probed cells, the per-subspace encode
+    argmin, the LUT build, AND the compressed-domain ranking of the
+    cell-restricted candidates.  Recall < 1 vs the PQ full scan by
+    construction, yet exactly reproducible; the trained variant
+    (``similarity_ivfpq_topk``) stays rows-only with its full-probe
+    equivalence companion.
+
+    Plan shape: kmeans assignment is corpus × k-row broadcast; the
+    index is (vec_id, cluster, m-byte codes); probes go through the
+    Spark-native k-row-broadcast dot ranking (not the numpy kernel, so
+    the cell choice is bit-reproducible in SQL); candidates come from
+    a (cluster)-keyed equi-join — never the corpus square.
+
+    Encode distances and LUT entries are EXACT INT64 sums (inputs are
+    6-dp multiples, so ×1e6 makes every product an exact integer —
+    the kmeans exact-integer-mean rule applied to ADC): float sums
+    accumulate in engine-dependent order and flipped a 4-dp-tied
+    neighbor pair between Spark and DuckDB during bring-up; the
+    integer ranking is bit-reproducible in any engine."""
+    books = frozen_pq_books(n_subspaces, n_codes, in_dim // n_subspaces, salt)
+    m, n_codes_b, _ = books.shape
+
+    assigned, cent = kmeans_frozen(
+        embeddings, k=n_clusters, iterations=kmeans_iterations,
+        id_col=id_col, vec_col=vec_col, return_centroids=True,
+    )
+    enc = _pq_encode_int_udf(books)
+    emb_n = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _unit_rounded(F.col(vec_col)).alias("nv"),
+    )
+    index = emb_n.select(
+        "vec_id", enc(F.col("nv")).alias("codes")
+    ).join(assigned.select("vec_id", "cluster"), "vec_id")
+
+    lut_udf = _pq_lut_int_udf(books)
+    qn = queries.select(
+        F.col(id_col).alias("query_id"),
+        _unit_rounded(F.col(vec_col)).alias("qn"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("cluster").asc()
+    )
+    probe = (
+        qn.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id", "qn", "cluster",
+            _dot(F.col("qn"), F.col("cv")).alias("psim"),
+        )
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= nprobe)
+        .select("query_id", lut_udf(F.col("qn")).alias("lut"), "cluster")
+    )
+    score = sum(
+        F.element_at(
+            "lut",
+            (F.lit(j * n_codes_b) + F.element_at("codes", j + 1) + 1).cast(
+                "int"
+            ),
+        )
+        for j in range(m)
+    )
+    cands = (
+        index.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            score.alias("approx_int"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_int").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round(F.col("approx_int") / F.lit(1e12), 4).alias(
+                "approx_cos"
+            ),
+        )
+    )
+
+
+def _pq_int_books(books: np.ndarray) -> np.ndarray:
+    """(m, n_codes, dsub) int64 codebooks: entries are 6-dp multiples,
+    so ×1e6 + rint is exact."""
+    return np.rint(books * 1e6).astype(np.int64)
+
+
+def _pq_encode_int_udf(books: np.ndarray):
+    """Integer-exact PQ encoder: per subspace, argmin over codes of
+    ``Σ bi² − 2·Σ vi·bi`` with vi/bi the ×1e6 integer forms of the
+    6-dp inputs — the same ranking any SQL engine derives from exact
+    BIGINT sums, so code assignment can't drift on float near-ties
+    (ties break to the lower code via stable argmin, matching
+    ``ORDER BY score ASC, c ASC``)."""
+    from pyspark.sql import types as T
+
+    bi = _pq_int_books(books)
+    m, _, dsub = bi.shape
+    sq = (bi * bi).sum(axis=2)  # (m, n_codes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def f(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Vi = np.rint(M * 1e6).astype(np.int64).reshape(len(M), m, dsub)
+        ip = np.einsum("bmd,mcd->bmc", Vi, bi)
+        dist = sq[None, :, :] - 2 * ip
+        codes = np.argmin(dist, axis=2)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    return f
+
+
+def _pq_lut_int_udf(books: np.ndarray):
+    """Integer-exact ADC lookup table: entry (s, c) = ``Σ_d vi·bi`` as
+    int64, flattened s-major — summing these per candidate reproduces
+    the exact rational inner product ×1e12 in any engine."""
+    from pyspark.sql import types as T
+
+    bi = _pq_int_books(books)
+    m, _, dsub = bi.shape
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def f(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Vi = np.rint(M * 1e6).astype(np.int64).reshape(len(M), m, dsub)
+        lut = np.einsum("bmd,mcd->bmc", Vi, bi)  # (B, m, n_codes)
+        return pd.Series(list(lut.reshape(len(M), -1)))
+
+    return f
+
+
 def _centroid_update(assign: DataFrame, prev: DataFrame) -> DataFrame:
     """One Lloyd update, relational: per-(cluster, dim) mean of the
     assigned unit vectors (tall posexplode agg), reassembled into

