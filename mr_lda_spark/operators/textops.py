@@ -856,10 +856,21 @@ def quality_model_score(
         )
     )
     raw = F.col("sum_milli") / (F.col("n_tokens") * 1000.0)
+    # raw_score's 6-dp rounding is INTEGER-exact: round-half-away of
+    # (sum_milli·1000 / n_tokens) in micro-units via BIGINT arithmetic
+    # in both engines.  The float round() hit an exact decimal .5
+    # boundary at sf0.1 (4140/64000 = 0.0646875), where Spark's
+    # repr-based HALF_UP and an engine rounding the binary double
+    # (…74999…) disagree by 1e-6 — the r6 oracle-determinism class.
+    raw_micro = F.expr(
+        "CASE WHEN sum_milli >= 0"
+        " THEN (2000 * sum_milli + n_tokens) div (2 * n_tokens)"
+        " ELSE -((-2000 * sum_milli + n_tokens) div (2 * n_tokens)) END"
+    )
     return scored.select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.round(raw, 6).alias("raw_score"),
+        (raw_micro / F.lit(1000000.0)).alias("raw_score"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias(
             "quality_prob"
         ),

@@ -6363,7 +6363,13 @@ def text_remove_boilerplate(spark, sf_dir):
       GROUP BY b.doc_id
     )
     SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
-           round(sum_milli / (n_tokens * 1000.0), 6) AS raw_score,
+           -- integer-exact 6-dp rounding (round-half-away in
+           -- micro-units): float round() diverges between engines on
+           -- exact decimal .5 boundaries like 4140/64000
+           (CASE WHEN sum_milli >= 0
+                 THEN (2000 * sum_milli + n_tokens) // (2 * n_tokens)
+                 ELSE -((-2000 * sum_milli + n_tokens) // (2 * n_tokens))
+            END) / 1000000.0 AS raw_score,
            round(1.0 / (1.0 + exp(-(sum_milli / (n_tokens * 1000.0)))), 6)
              AS quality_prob
     FROM scored
