@@ -1227,9 +1227,7 @@ def ivfpq_frozen_partial_topk(
         F.col(id_col).alias("vec_id"),
         _unit_rounded(F.col(vec_col)).alias("nv"),
     )
-    index = emb_n.select(
-        "vec_id", enc(F.col("nv")).alias("codes")
-    ).join(assigned.select("vec_id", "cluster"), "vec_id")
+    codes_rel = emb_n.select("vec_id", enc(F.col("nv")).alias("codes"))
 
     lut_udf = _pq_lut_int_udf(books)
     qn = queries.select(
@@ -1258,9 +1256,16 @@ def ivfpq_frozen_partial_topk(
         )
         for j in range(m)
     )
+    # Restrict to probed-cell candidates BEFORE attaching codes: the
+    # cluster filter is a map-side broadcast join against the corpus
+    # assignment, so only the (nprobe/k-sized) candidate set shuffles
+    # into the codes join — one corpus-wide shuffle instead of the two
+    # a codes ⋈ assigned index build would pay.
     cands = (
-        index.join(F.broadcast(probe), "cluster")
+        assigned.select("vec_id", "cluster")
+        .join(F.broadcast(probe), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .join(codes_rel, "vec_id")
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
