@@ -794,3 +794,88 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
             F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")
         ).otherwise(F.lit(0))
     return bit_sums.select("doc_id", fingerprint.alias("simhash"))
+
+
+def segment_dedup(
+    docs: DataFrame,
+    width: int = 8,
+    scope: str = "corpus",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment-level exact dedup WITH text reconstruction — the
+    paragraph-dedup step of a RefinedWeb/CCNet-style pipeline, adapted
+    to whitespace corpora (fixed ``width``-token segments stand in for
+    paragraphs; the reference corpus carries no paragraph breaks).
+
+    Each document is cut into consecutive non-overlapping segments; a
+    segment survives iff it is the FIRST occurrence of its content —
+    corpus-wide (``scope='corpus'``, cross-document boilerplate
+    removal) or within its own document (``scope='doc'``, intra-doc
+    repetition removal à la the Gopher/Rae-et-al. repeated-passage
+    rules).  Survivors are re-joined in segment order into
+    ``dedup_text``.
+
+    Scale plan (100 TB): one zero-shuffle posexplode; ONE groupBy on
+    the 128-bit md5 segment digest (uniform key, map-side partial agg
+    — the raw segment text never shuffles for the dedup decision, only
+    for the join-back); one equi-join of the segment relation against
+    the first-occurrence relation on the digest; one per-doc rebuild
+    groupBy whose state is bounded by the document length.  No global
+    window, no driver state.  Doc scope keeps everything doc-local:
+    the digest groupBy key is (doc_id, digest), so segments of one
+    document land in one partition and nothing cross-document moves.
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError("scope must be 'corpus' or 'doc'")
+    base = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("t"),
+    ).filter(F.size("t") > 0)
+    segs = base.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(width))
+        ).alias("seg_idx", "s"),
+        "t",
+    ).select(
+        "doc_id",
+        "seg_idx",
+        F.concat_ws(" ", F.slice("t", F.col("s"), F.lit(width))).alias("seg"),
+    )
+    segs = segs.withColumn("k", F.md5("seg"))
+    if scope == "corpus":
+        firsts = segs.groupBy("k").agg(
+            F.min(F.struct("doc_id", "seg_idx")).alias("first_pos")
+        )
+        kept = segs.join(firsts, "k").filter(
+            F.struct("doc_id", "seg_idx") == F.col("first_pos")
+        )
+    else:
+        firsts = segs.groupBy("doc_id", "k").agg(
+            F.min("seg_idx").alias("first_idx")
+        )
+        kept = segs.join(firsts, ["doc_id", "k"]).filter(
+            F.col("seg_idx") == F.col("first_idx")
+        )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda x: x["seg"],
+            ),
+        ).alias("dedup_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segments")
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_segments").cast("int").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        (F.col("n_segments") - F.coalesce("n_kept", F.lit(0)))
+        .cast("int")
+        .alias("n_dropped"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
