@@ -879,3 +879,88 @@ def segment_dedup(
         .alias("n_dropped"),
         F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
     )
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    n: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring deduplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    protocol, re-expressed relationally): any ``n``-token window whose
+    content occurs elsewhere in the corpus is removed from every
+    NON-canonical location — the first occurrence by (doc_id, start)
+    survives — and overlapping duplicated windows merge into maximal
+    removed spans via position union.  The paper builds a corpus
+    suffix array; the distributed equivalent is a sliding-window
+    digest join, which finds exactly the same duplicated windows for
+    a fixed ``n``.
+
+    Returns (doc_id, n_tokens, n_removed, clean_text) for every doc
+    with ≥1 token; clean_text is the surviving tokens in order.
+
+    Scale plan (100 TB): the window relation is (doc_id, start,
+    digest) — the window TEXT never shuffles, only its 128-bit md5.
+    One digest-keyed groupBy finds each window's canonical location
+    (map-side partial min); one digest equi-join marks non-canonical
+    windows; a bounded sequence explode (×n) expands them to covered
+    positions; the rebuild is the same doc-keyed groupBy as
+    decontaminate_spans / segment_dedup, state bounded by doc length.
+    No window function over the corpus, no driver state.
+    """
+    from mr_lda_spark.operators.textops import _tokens
+
+    base = docs.select(
+        "doc_id", _tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") > 0)
+    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    mk = lambda i: F.md5(  # noqa: E731
+        F.concat_ws(" ", F.slice("toks", i, F.lit(n)))
+    )
+    windows = base.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.posexplode(F.transform(idx, mk)).alias("p0", "k"),
+    ).select("doc_id", (F.col("p0") + 1).alias("start"), "k")
+    firsts = windows.groupBy("k").agg(
+        F.min(F.struct("doc_id", "start")).alias("first_pos")
+    )
+    nonfirst = windows.join(firsts, "k").filter(
+        F.struct("doc_id", "start") != F.col("first_pos")
+    )
+    bad_pos = nonfirst.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + (n - 1))
+        ).alias("pos"),
+    ).distinct()
+    ptoks = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    return (
+        ptoks.join(bad_pos, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("clean_text"),
+        )
+        .join(
+            base.select("doc_id", F.size("toks").alias("n_tokens")),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -6711,6 +6711,66 @@ def dedup_segments_intradoc(spark, sf_dir):
     )
 
 
+_N_SUBSTR = 10  # exact-substring window length (Lee et al. use 50; scaled to the short synthetic docs)
+
+
+@register(
+    "dedup_exact_substring",
+    f"""
+    WITH base AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    ng AS (
+      SELECT doc_id, CAST(s AS INT) AS start,
+             md5(array_to_string(t[s : s + {_N_SUBSTR - 1}], ' ')) AS k
+      FROM base, unnest(range(1, len(t) - {_N_SUBSTR - 2})) AS u(s)
+      WHERE len(t) >= {_N_SUBSTR}
+    ),
+    nonfirst AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start,
+               row_number() OVER (PARTITION BY k
+                                  ORDER BY doc_id, start) AS rn
+        FROM ng
+      ) WHERE rn > 1
+    ),
+    badpos AS (
+      SELECT DISTINCT doc_id, CAST(start + i AS INT) AS pos
+      FROM nonfirst, range(0, {_N_SUBSTR}) AS r(i)
+    ),
+    ptoks AS (
+      SELECT doc_id, CAST(s AS INT) AS pos, t[s] AS tok
+      FROM base, unnest(range(1, len(t) + 1)) AS u(s)
+      WHERE len(t) > 0
+    ),
+    reb AS (
+      SELECT p.doc_id, count(*) AS n_kept,
+             string_agg(p.tok, ' ' ORDER BY p.pos) AS clean_text
+      FROM ptoks p ANTI JOIN badpos b
+        ON p.doc_id = b.doc_id AND p.pos = b.pos
+      GROUP BY p.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(len(b.t) AS INT) AS n_tokens,
+           CAST(len(b.t) - coalesce(r.n_kept, 0) AS INT) AS n_removed,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    WHERE len(b.t) > 0
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022) over sliding 10-token
+    windows: every duplicated window is scrubbed from all but its
+    first-occurrence location, overlapping windows merging into
+    maximal removed spans.  The suffix-array step of the paper becomes
+    a sliding-digest join — only 16-byte digests shuffle, never window
+    text."""
+    return dedup.exact_substring_dedup(
+        _t(spark, sf_dir, "documents"), n=_N_SUBSTR
+    )
+
+
 _SQL_IVFFLAT_PROBE_CTES = f"""
     , probe AS (
       SELECT query_id, cluster FROM (

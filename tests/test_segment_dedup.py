@@ -99,3 +99,62 @@ def test_bad_scope_raises(spark):
     docs = _docs(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         dedup.segment_dedup(docs, width=4, scope="both")
+
+
+# ---- exact_substring_dedup (Lee et al. sliding-window protocol) ----
+
+
+def test_substring_short_docs_untouched(spark):
+    docs = _docs(spark, [(1, "a b c"), (2, "a b c")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(docs, n=4).collect()
+    }
+    # Docs shorter than n carry no window — even verbatim copies stay.
+    assert out[1]["clean_text"] == "a b c" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "a b c" and out[2]["n_removed"] == 0
+
+
+def test_substring_later_copy_scrubbed(spark):
+    docs = _docs(spark, [(1, "a b c d e"), (2, "a b c d z")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(docs, n=4).collect()
+    }
+    # doc 2's window "a b c d" (start 1) duplicates doc 1's first
+    # window; its 4 covered tokens go, the tail token survives.
+    assert out[1]["clean_text"] == "a b c d e"
+    assert out[2]["clean_text"] == "z" and out[2]["n_removed"] == 4
+
+
+def test_substring_overlapping_windows_merge(spark):
+    # "a b c d e f" appears in both docs: doc 2 holds THREE duplicated
+    # 4-windows (starts 1,2,3) whose position union is one maximal
+    # 6-token span — the overlap-merge semantics of the paper.
+    docs = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e f x y z w")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(docs, n=4).collect()
+    }
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "x y z w"
+    assert out[2]["n_removed"] == 6
+
+
+def test_substring_intra_doc_repeat(spark):
+    # The same window repeated WITHIN one doc: only the first start
+    # survives; the union covers the later occurrence.
+    docs = _docs(spark, [(1, "a b c d q q a b c d")])
+    out = dedup.exact_substring_dedup(docs, n=4).collect()[0]
+    assert out["clean_text"] == "a b c d q q"
+    assert out["n_removed"] == 4
+
+
+def test_substring_fully_scrubbed_doc(spark):
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c d")])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.exact_substring_dedup(docs, n=4).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d"
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 4
