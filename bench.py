@@ -89,7 +89,30 @@ EXTRA = [
     "text_bpe_pair_counts",
     "curation_temperature_sample",
     "curation_modern_pipeline",
+    # r8 additions (recorded, not in the round-over-round total):
+    "dedup_segments_corpus",
+    "dedup_segments_intradoc",
+    "dedup_exact_substring",
+    "similarity_ivfflat_recall",
 ]
+
+# Queries whose top shape is an outer join against a unique-keyed
+# rebuild: under `.count()` Catalyst ELIMINATES the join (and with it
+# the whole dedup/rebuild subtree — audited r8: joins 2-3 → 0 in the
+# optimized count plan), so counting would time a filtered scan, not
+# the operator.  These are forced with a noop-sink write instead,
+# which computes every output row.  Historical entries stay on
+# `.count()` — their r1–r7 numbers were all taken under the same
+# action, so the round-over-round comparison is protocol-consistent
+# (the same partial pruning affects text_language_id /
+# text_npmi_coherence / text_repetition_scores; documented in
+# PERF_NOTES_r08 §4 with isolated noop-forced medians on record).
+NOOP_FORCE = {
+    "dedup_segments_corpus",
+    "dedup_segments_intradoc",
+    "dedup_exact_substring",
+    "similarity_ivfflat_recall",
+}
 
 
 def main() -> None:
@@ -143,7 +166,11 @@ def main() -> None:
             if fn is None:
                 continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            df = fn(spark, sf_dir)
+            if name in NOOP_FORCE:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
             dt = round(time.perf_counter() - t0, 3)
             if _pass == 0:
                 pass1[name] = dt

@@ -83,6 +83,30 @@ def probe(spark, docs) -> dict[str, float]:
         "quality_model_score",
         lambda: textops.quality_model_score(docs).count(),
     )
+    # r8 ops: first-occurrence segment dedup (corpus scope shuffles
+    # segment digests — under cloning every clone's segments go
+    # non-first, shrinking the OUTPUT while the digest shuffle stays
+    # linear, same caveat as boilerplate_spans; doc scope is fully
+    # clone-invariant) and Lee-et-al. exact-substring dedup (sliding
+    # digest windows — the ×n window explode is the dominant linear
+    # term).  Forced with a noop-sink WRITE, not count(): these end in
+    # an outer join against a unique-keyed rebuild, which Catalyst
+    # eliminates under count(1) — counting would time a filtered scan.
+    def _force(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    t(
+        "segments_corpus",
+        lambda: _force(dedup.segment_dedup(docs, width=8, scope="corpus")),
+    )
+    t(
+        "segments_intradoc",
+        lambda: _force(dedup.segment_dedup(docs, width=4, scope="doc")),
+    )
+    t(
+        "exact_substring",
+        lambda: _force(dedup.exact_substring_dedup(docs, n=10)),
+    )
     t(
         "shuffle_shards",
         lambda: curation.shuffle_shards(docs, n_shards=32).count(),
