@@ -94,6 +94,7 @@ EXTRA = [
     "dedup_segments_intradoc",
     "dedup_exact_substring",
     "similarity_ivfflat_recall",
+    "text_decontaminate_bloom",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -112,6 +113,9 @@ NOOP_FORCE = {
     "dedup_segments_intradoc",
     "dedup_exact_substring",
     "similarity_ivfflat_recall",
+    # ends in docs ⟕ unique-keyed overlap counts: count() eliminates
+    # the join and with it the whole bloom+verify subtree.
+    "text_decontaminate_bloom",
 }
 
 

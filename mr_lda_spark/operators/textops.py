@@ -523,6 +523,59 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    bits_per_key: int = 12,
+    n_hashes: int = 6,
+) -> DataFrame:
+    """``decontaminate`` with the eval n-gram set carried as a Bloom
+    bitset instead of broadcast strings — EXACTLY the same output (the
+    verify join removes Bloom false positives), built for eval suites
+    past the string-broadcast cliff: 10M n-grams is ~1 GB of broadcast
+    strings but a ~15 MB bitset at the default sizing.
+
+    Plan: eval shingles hash JVM-side into the bitset
+    (``operators/bloom.py`` — the driver collects the word list, never
+    the n-grams); the corpus side's exploded shingles pass an
+    Arrow-vectorized k-probe membership test, and only the surviving
+    candidates (true overlaps + ~0.5^n_hashes fp noise) enter the
+    exact verify join and per-doc count.  The verify join is left to
+    the optimizer ON PURPOSE (no broadcast hint): past the cliff it
+    must run as a shuffle join of two pre-shrunk sides — candidates ×
+    eval — which is exactly what a plain exploded-shingle join could
+    not do without shuffling the full corpus.
+    """
+    from .bloom import bloom_build, bloom_prefilter
+
+    doc_ng = shingles(docs, text_col, n).distinct()
+    ev_ng = (
+        shingles(eval_docs, text_col, n).select("shingle").distinct()
+    ).persist()
+    n_keys = ev_ng.count()  # eval-sized; also materializes the persist
+    words, m = bloom_build(
+        ev_ng, "shingle", n_keys, bits_per_key, n_hashes
+    )
+    candidates = bloom_prefilter(doc_ng, "shingle", words, m, n_hashes)
+    overlap = (
+        candidates.join(ev_ng, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    out = (
+        docs.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+    return out
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -2648,6 +2648,47 @@ def text_decontamination(spark, sf_dir):
     )
 
 
+@register(
+    "text_decontaminate_bloom",
+    f"""
+    WITH ev AS (
+      SELECT DISTINCT shingle
+      FROM ({_sql_shingles(DECONTAM_NGRAM,
+                           f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} = 0)")})
+    ),
+    tr AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM ({_sql_shingles(DECONTAM_NGRAM,
+                           f"(SELECT * FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0)")})
+    ),
+    ov AS (
+      SELECT doc_id, count(*) AS n FROM tr JOIN ev USING (shingle) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ov.n, 0) AS INT) AS n_overlap,
+           CAST(coalesce(ov.n, 0) > 0 AS INT) AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {DECONTAM_MOD} <> 0) d
+    LEFT JOIN ov ON ov.doc_id = d.doc_id
+    """,
+)
+def text_decontaminate_bloom(spark, sf_dir):
+    """``text_decontamination`` through the Bloom-gate scale path
+    (``operators/bloom.py``): the eval 5-gram set rides as a broadcast
+    BITSET (JVM xxhash64 positions, bit_or word aggregate, Arrow
+    k-probe membership test) and only Bloom-surviving candidate
+    shingles enter the exact verify join — same oracle, same output,
+    built for eval suites past the string-broadcast cliff.  The oracle
+    checking bit-exact equality with the plain-join SQL IS the
+    false-positive-removal proof."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECONTAM_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECONTAM_MOD != 0)
+    out = textops.decontaminate_bloom(tr, ev, n=DECONTAM_NGRAM)
+    return out.select(
+        "doc_id", "n_overlap", F.col("contaminated").cast("int").alias("contaminated")
+    )
+
+
 _SQL_DECONTAM_SPANS = f"""
     WITH lt AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
