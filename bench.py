@@ -95,6 +95,9 @@ EXTRA = [
     "dedup_exact_substring",
     "similarity_ivfflat_recall",
     "text_decontaminate_bloom",
+    # ends in an aggregate: count() computes the full pipeline — no
+    # noop forcing needed.
+    "text_heavy_hitters_cms",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

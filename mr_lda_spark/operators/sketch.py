@@ -1,0 +1,116 @@
+"""Count-min sketch — the bounded-state aggregation path for heavy
+hitters over key spaces too large to shuffle in full.
+
+Sibling of ``operators/bloom.py`` in the sketch-prefilter + exact-
+verify family (the reference, lintool/Mr.LDA, has neither; both belong
+to the LLM-data-pipeline suite).  An exact heavy-hitters query
+shuffles every distinct key; at 100 TB the n-gram key space dwarfs the
+answer.  The CMS route never shuffles keys at all:
+
+1. BUILD — every key occurrence maps to ``depth`` cells
+   (``pmod(xxhash64(key, d), width)``, JVM-side) and the corpus
+   reduces to the (depth × width) cell-count table — the shuffle after
+   partial aggregation is AT MOST depth×width rows PER PARTITION no
+   matter the corpus (the sketch property), and the collected table is
+   a few KB.
+2. PROBE — the table broadcasts back; each row's estimate
+   (min over its depth cells, the classic CMS bound: est ≥ true count,
+   overestimate ≈ collisions) is an Arrow-vectorized numpy gather.
+   The ≥-threshold filter runs MAP-SIDE, and because the estimate is a
+   function of the key alone, all occurrences of a key pass or fail
+   together — so the surviving rows are exactly every occurrence of
+   every candidate key.
+3. VERIFY — an exact groupBy over candidate occurrences only (true
+   hitters + collision noise), re-applying the threshold on the exact
+   counts.  Output is bit-identical to the full exact query; the only
+   cost that scales with the corpus is two linear passes.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cms_positions", "cms_table", "cms_build", "heavy_hitters_cms"]
+
+
+def cms_positions(key: Column, width: int, depth: int) -> Column:
+    """Per-row cell columns for each of the ``depth`` hash rows, as an
+    ``array<bigint>`` — shared by build and probe so the two sides use
+    the same hash family by construction."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width))
+            for d in range(depth)
+        ]
+    )
+
+
+def cms_table(
+    keys: DataFrame, key_col: str, width: int = 8192, depth: int = 5
+) -> DataFrame:
+    """The sketch as a relation: (d, col, cnt) cell counts — at most
+    depth × width rows total, reached through partial aggregation (the
+    map side emits at most that many rows per partition)."""
+    return (
+        keys.select(
+            F.posexplode(
+                cms_positions(F.col(key_col), width, depth)
+            ).alias("d", "col")
+        )
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_build(
+    keys: DataFrame, key_col: str, width: int = 8192, depth: int = 5
+) -> np.ndarray:
+    """Collect the cell table into a (depth, width) int64 array (a few
+    KB — the sketch, not the keys)."""
+    table = np.zeros((depth, width), dtype=np.int64)
+    for row in cms_table(keys, key_col, width, depth).collect():
+        table[int(row["d"]), int(row["col"])] = int(row["cnt"])
+    return table
+
+
+def heavy_hitters_cms(
+    keys: DataFrame,
+    key_col: str,
+    threshold: int,
+    width: int = 8192,
+    depth: int = 5,
+) -> DataFrame:
+    """Exact heavy hitters (count ≥ threshold) through the CMS
+    prefilter: identical output to the plain groupBy-HAVING query,
+    without ever shuffling the full key space.  ``keys`` is one row
+    per key OCCURRENCE (e.g. exploded tokens)."""
+    spark = keys.sparkSession
+    bc = spark.sparkContext.broadcast(
+        cms_build(keys, key_col, width, depth)
+    )
+
+    @F.pandas_udf("boolean")
+    def _maybe_heavy(positions: pd.Series) -> pd.Series:
+        table = bc.value
+        if len(positions) == 0:
+            return pd.Series([], dtype=bool)
+        mat = np.vstack(positions.to_numpy())  # (batch, depth)
+        d_idx = np.arange(mat.shape[1])[None, :]
+        est = table[d_idx, mat].min(axis=1)
+        return pd.Series(est >= threshold)
+
+    candidates = (
+        keys.withColumn(
+            "_cms_pos",
+            cms_positions(F.col(key_col), width, depth),
+        )
+        .filter(_maybe_heavy(F.col("_cms_pos")))
+        .drop("_cms_pos")
+    )
+    return (
+        candidates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= threshold)
+    )

@@ -22,6 +22,7 @@ from mr_lda_spark.operators import (
     multimodal,
     parse,
     similarity,
+    sketch,
     textops,
 )
 
@@ -2913,6 +2914,34 @@ def text_top_ngrams(spark, sf_dir):
     """Global heavy hitters: top-20 3-gram shingles by document
     frequency (deterministic tie-break)."""
     return textops.top_ngrams(_t(spark, sf_dir, "documents"), n=3, k=20)
+
+
+HEAVY_HITTER_MIN = 5
+
+
+@register(
+    "text_heavy_hitters_cms",
+    f"""
+    SELECT shingle, count(*) AS cnt
+    FROM ({_SQL_SHINGLES})
+    GROUP BY shingle HAVING count(*) >= {HEAVY_HITTER_MIN}
+    """,
+)
+def text_heavy_hitters_cms(spark, sf_dir):
+    """Threshold heavy hitters (every 3-gram occurring ≥ 5 times)
+    through the count-min-sketch route (``operators/sketch.py``): the
+    corpus reduces to a (depth × width) cell table, the broadcast
+    sketch's min-estimate filter runs map-side over occurrences, and
+    only candidate occurrences reach the exact groupBy — the full
+    shingle key space is never shuffled.  The oracle is the plain
+    exact HAVING query; hash equality IS the proof that the CMS
+    overestimate + exact verify loses and invents nothing."""
+    sh = textops.shingles(_t(spark, sf_dir, "documents"), "text", 3).select(
+        "shingle"
+    )
+    return sketch.heavy_hitters_cms(
+        sh, "shingle", threshold=HEAVY_HITTER_MIN, width=65536, depth=5
+    )
 
 
 @register(

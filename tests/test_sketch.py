@@ -1,0 +1,96 @@
+"""Count-min sketch heavy hitters (operators/sketch.py): exact parity
+with the plain groupBy-HAVING query, the overestimate invariant, the
+prefilter's pruning, and the Arrow-not-pickled plan shape."""
+
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import sketch, textops
+
+
+def _occurrences(documents):
+    return textops.shingles(documents, "text", 3).select("shingle")
+
+
+def test_cms_heavy_hitters_match_exact(spark, documents):
+    occ = _occurrences(documents)
+    exact = sorted(
+        map(
+            tuple,
+            occ.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .filter(F.col("cnt") >= 5)
+            .collect(),
+        )
+    )
+    via_cms = sorted(
+        map(
+            tuple,
+            sketch.heavy_hitters_cms(
+                occ, "shingle", threshold=5, width=65536, depth=5
+            ).collect(),
+        )
+    )
+    assert exact == via_cms
+    assert len(exact) > 0, "fixture must contain heavy hitters"
+
+
+def test_cms_estimate_is_upper_bound(spark, documents):
+    occ = _occurrences(documents)
+    table = sketch.cms_build(occ, "shingle", width=4096, depth=4)
+    bc = spark.sparkContext.broadcast(table)
+    truth = (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_pos", sketch.cms_positions(F.col("shingle"), 4096, 4))
+        .collect()
+    )
+    assert len(truth) > 1000
+    t = bc.value
+    for row in truth[:500]:
+        est = min(int(t[d, p]) for d, p in enumerate(row["_pos"]))
+        assert est >= row["cnt"], (row["shingle"], est, row["cnt"])
+
+
+def test_cms_prefilter_prunes(spark, documents):
+    """With a well-sized sketch the candidate KEY set stays near the
+    true hitter set, far below the full key space."""
+    occ = _occurrences(documents)
+    table = sketch.cms_build(occ, "shingle", width=65536, depth=5)
+    # Positions must come from Spark's xxhash64 — fetch them
+    # relationally, replay the min-estimate in-process.
+    rows = (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("_pos", sketch.cms_positions(F.col("shingle"), 65536, 5))
+        .collect()
+    )
+    n_keys = len(rows)
+    n_true = sum(1 for r in rows if r["cnt"] >= 5)
+    cand = sum(
+        1
+        for r in rows
+        if min(int(table[d, p]) for d, p in enumerate(r["_pos"])) >= 5
+    )
+    assert cand >= n_true
+    assert cand < n_keys / 10, (cand, n_keys)
+
+
+def test_cms_threshold_above_max_is_empty(spark, documents):
+    occ = _occurrences(documents)
+    out = sketch.heavy_hitters_cms(
+        occ, "shingle", threshold=10**9, width=1024, depth=3
+    )
+    assert out.count() == 0
+
+
+def test_cms_probe_is_arrow_not_pickled(spark, documents):
+    occ = _occurrences(documents)
+    plan = (
+        sketch.heavy_hitters_cms(occ, "shingle", threshold=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
