@@ -4992,6 +4992,107 @@ def events_user_value_deltas(spark, sf_dir):
 
 
 @register(
+    "events_rolling_24h_spend",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS INT) AS n_24h,
+           sum(cents) OVER w AS cents_24h
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_24h_spend(spark, sf_dir):
+    """Trailing-24h per-user purchase totals via a RANGE time frame
+    (`operators/timeseries.rolling_range_agg`): one shuffle on
+    user_id, streaming frame, integer-cents sums — the velocity /
+    rate-limit feature shape.  RANGE (not ROWS) so equal-timestamp
+    rows are peers and the result needs no tiebreak."""
+    from mr_lda_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    rolled = timeseries.rolling_range_agg(
+        p,
+        by="user_id",
+        ts_col="ts",
+        window_us=86_400_000_000,
+        aggs={
+            "n_24h": F.count(F.lit(1)),
+            "cents_24h": F.sum("cents"),
+        },
+    )
+    return rolled.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("n_24h").cast("int").alias("n_24h"),
+        "cents_24h",
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT event_type,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT s.event_type,
+           CAST(epoch_us(s.h) AS BIGINT) AS hour_us,
+           hy.cents IS NULL AS was_gap,
+           coalesce(hy.cents, 0) AS cents,
+           last_value(hy.cents IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_ff
+    FROM spine s LEFT JOIN hourly hy USING (event_type, h)
+    """,
+)
+def events_hourly_gapfill(spark, sf_dir):
+    """Hourly revenue per event type with gaps filled
+    (`operators/timeseries.gap_fill`): per-group spine exploded
+    executor-side (`sequence(min, max, interval 1 hour)` — never on
+    the driver), left join of the real buckets, forward-fill via
+    `last(ignorenulls)` — the continuous-aggregate / hypertable-rollup
+    shape."""
+    from mr_lda_spark.operators import timeseries
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    filled = timeseries.gap_fill(
+        hourly, ["event_type"], "h", ["cents"], step="1 hour"
+    )
+    return filled.select(
+        "event_type",
+        F.unix_micros("h").alias("hour_us"),
+        "was_gap",
+        F.coalesce("cents", F.lit(0)).alias("cents"),
+        "cents_ff",
+    )
+
+
+@register(
     "customer_acctbal_quartiles",
     """
     WITH t AS (

@@ -1,0 +1,89 @@
+"""Edge semantics of the timeseries operators: RANGE-frame boundary
+inclusivity, equal-timestamp peers, spine completeness, gap marking,
+and forward-fill carry."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import timeseries
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(minutes):
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+def test_rolling_range_boundaries_inclusive(spark):
+    # Window = 10 min: a row exactly 10 min back is IN (inclusive lower
+    # bound), 10 min + 1 us back is OUT.
+    rows = [
+        ("u", _ts(0), 1),
+        ("u", _ts(10), 10),   # sees minute-0 row (exactly window back)
+        ("u", _ts(20) + dt.timedelta(microseconds=1), 100),  # not min-10
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, v long")
+    out = timeseries.rolling_range_agg(
+        df, "user", "ts", 10 * 60 * 1_000_000, {"s": F.sum("v")}
+    )
+    got = {r["v"]: r["s"] for r in out.collect()}
+    assert got == {1: 1, 10: 11, 100: 100}
+
+
+def test_rolling_range_equal_ts_are_peers(spark):
+    # RANGE frame: rows with the same timestamp see each other in both
+    # orders — no tiebreak needed for determinism.
+    rows = [("u", _ts(0), 2), ("u", _ts(0), 3)]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, v long")
+    out = timeseries.rolling_range_agg(
+        df, "user", "ts", 60_000_000, {"s": F.sum("v")}
+    )
+    assert [r["s"] for r in out.collect()] == [5, 5]
+
+
+def test_rolling_partitions_do_not_leak(spark):
+    rows = [("a", _ts(0), 1), ("b", _ts(1), 7)]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, v long")
+    out = timeseries.rolling_range_agg(
+        df, "user", "ts", 3_600_000_000, {"s": F.sum("v")}
+    )
+    assert {(r["user"], r["s"]) for r in out.collect()} == {("a", 1), ("b", 7)}
+
+
+def test_gap_fill_marks_and_carries(spark):
+    # Hours 0, 3 present; 1-2 are gaps carrying hour-0's value.
+    rows = [("t", _ts(0), 5), ("t", _ts(180), 9)]
+    df = spark.createDataFrame(rows, "g string, h timestamp, cents long")
+    out = timeseries.gap_fill(df, ["g"], "h", ["cents"]).orderBy("h")
+    got = [(r["was_gap"], r["cents"], r["cents_ff"]) for r in out.collect()]
+    assert got == [
+        (False, 5, 5),
+        (True, None, 5),
+        (True, None, 5),
+        (False, 9, 9),
+    ]
+
+
+def test_gap_fill_spine_is_per_group(spark):
+    # Group spans differ; each group's spine covers only its own range.
+    rows = [
+        ("a", _ts(0), 1),
+        ("a", _ts(120), 2),
+        ("b", _ts(60), 3),
+    ]
+    df = spark.createDataFrame(rows, "g string, h timestamp, cents long")
+    out = timeseries.gap_fill(df, ["g"], "h", ["cents"])
+    counts = {
+        r["g"]: r["n"]
+        for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"a": 3, "b": 1}
+
+
+def test_time_spine_single_bucket_group(spark):
+    df = spark.createDataFrame(
+        [("x", _ts(0))], "g string, h timestamp"
+    )
+    spine = timeseries.time_spine(df, ["g"], "h")
+    assert spine.count() == 1
