@@ -38,8 +38,11 @@ def _priority_key(last_round, last_row, oracles, fp_now, snaps):
     Priority buckets, most-urgent first:
 
       0. never sampled in any prior round;
-      1. latest driver row was an error (a fix only clears with a new
-         green row);
+      1. latest driver row was NOT green — an error, or any of
+         rows/schema/hash mismatched even with ``err: null`` (a fix
+         only clears with a new green row; VERDICT r8 "What's wrong"
+         #2: hash-red rows with no err previously filed into bucket 4
+         and were never re-prioritized);
       2. the query's source fingerprint CHANGED since the round of its
          last driver row — its green evidence describes code that no
          longer exists (VERDICT r6 "What's missing" #1).  Fingerprints
@@ -79,7 +82,17 @@ def _priority_key(last_round, last_row, oracles, fp_now, snaps):
             return (0, 0, 0)
         row = last_row.get(n, {})
         err = row.get("err")
-        if err not in (None, "no_oracle"):
+        # Bucket 1 = ANY non-green latest row, not just errors: a
+        # rows/schema/hash mismatch with err=null is a wrong answer
+        # (or a wrong oracle) and must be re-sampled first even when
+        # no code changed — e.g. nondeterminism, or an oracle-typing
+        # defect fixed without touching the query fn (VERDICT r8
+        # "What's wrong" #2).
+        mismatched = any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+        if err not in (None, "no_oracle") or mismatched:
             return (1, last_round[n], 0)
         if _changed(n) and n in oracles:
             return (2, last_round[n], 0)

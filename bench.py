@@ -98,6 +98,9 @@ EXTRA = [
     # ends in an aggregate: count() computes the full pipeline — no
     # noop forcing needed.
     "text_heavy_hitters_cms",
+    # r9 additions (recorded, not in the round-over-round total):
+    "events_rolling_24h_spend",
+    "events_hourly_gapfill",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -119,6 +122,12 @@ NOOP_FORCE = {
     # ends in docs ⟕ unique-keyed overlap counts: count() eliminates
     # the join and with it the whole bloom+verify subtree.
     "text_decontaminate_bloom",
+    # r9, decided at birth (audited optimized count() plans): the
+    # rolling window is column-pruned to a filtered scan under
+    # count(); the gapfill keeps only the spine explode — the hourly
+    # agg, left join, and forward-fill window all vanish.
+    "events_rolling_24h_spend",
+    "events_hourly_gapfill",
 }
 
 

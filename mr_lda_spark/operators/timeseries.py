@@ -59,6 +59,145 @@ def rolling_range_agg(
     return out
 
 
+def rolling_range_sum_salted(
+    df: DataFrame,
+    by: str,
+    ts_col: str,
+    window_us: int,
+    sums: dict[str, str | None],
+) -> DataFrame:
+    """Hot-key-safe EXACT equivalent of :func:`rolling_range_agg` for
+    invertible aggregates (sum / count): same trailing
+    ``RANGE BETWEEN window_us PRECEDING AND CURRENT ROW`` semantics
+    (inclusive both ends, equal-timestamp rows are peers), but no
+    single partition ever holds a whole key.
+
+    ``sums`` maps output column → input column to sum, or ``None`` for
+    a ``count(*)`` (summed ones).
+
+    Why: a window ``partitionBy(key)`` puts EVERY row of a key in one
+    task — at 100 TB one hot user is one hot partition, and AQE cannot
+    split a window the way it splits a skewed join (VERDICT r8 "Next
+    round" #6).  This operator decomposes the trailing window by
+    time-bucketing with bucket width = ``window_us``, so a trailing
+    window spans at most two buckets, and every per-row frame becomes
+    bucket-local::
+
+        b       = floor(ts / W)                     -- row's bucket
+        ans(t)  = prefix_cur(t)                     -- bucket b, ts' <= t
+                + total(b-1)                        -- whole prev bucket
+                - prefix_strict_prev(t - W)         -- prev, ts' < t - W
+
+    (every bucket-b row with ts' <= t satisfies ts' > t - W because
+    t < (b+1)·W, and every bucket-(b-2) row satisfies ts' < t - W
+    because t >= b·W — so the three terms are exactly the frame).
+
+    All heavy steps partition by **(key, bucket)**: the two in-bucket
+    prefix windows, the bucket-total groupBy (map-side combine), and
+    the two value joins — a hot key active over M window-lengths
+    spreads across M partitions instead of one.  The strict prefix at
+    the window's left edge is computed by UNIONING one probe event per
+    distinct (key, t-W) into the previous bucket and running a
+    ``rangeBetween(unboundedPreceding, -1)`` frame (integer
+    microseconds, so ``-1`` is exactly "strictly earlier"); probes
+    contribute nothing to the running sums and tied rows share one
+    probe (RANGE peers have equal answers), so results come back on
+    the natural key (key, ts) with no row-id bookkeeping.
+
+    Limits: only sum/count (the prev-bucket term needs subtraction —
+    max/min don't invert); if a key's entire history fits inside ONE
+    window length there is only one bucket and no split to exploit
+    (but then the plain window's partition is window-sized, i.e. small
+    by assumption).  Needs non-null timestamps.
+    """
+    W = int(window_us)
+    ts_us = F.unix_micros(F.col(ts_col))
+    pairs = [
+        (out, F.lit(1) if col is None else F.col(col))
+        for out, col in sums.items()
+    ]
+
+    base = df.withColumn("__ts_us", ts_us).withColumn(
+        "__b", F.floor(F.col("__ts_us") / W)
+    )
+
+    # 1) in-bucket inclusive prefix (peers included: RANGE frame).
+    w_cur = (
+        Window.partitionBy(by, "__b")
+        .orderBy("__ts_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    cur = base
+    for out, val in pairs:
+        cur = cur.withColumn(f"__cur_{out}", F.sum(val).over(w_cur))
+
+    # 2) per-(key, bucket) totals — partial-aggregated before shuffle.
+    tot = base.groupBy(by, "__b").agg(
+        *[F.sum(val).alias(f"__tot_{out}") for out, val in pairs]
+    )
+
+    # 3) strict prefix at each row's left edge, inside the PREVIOUS
+    # bucket, via unioned zero-weight probe events.  floor((t-W)/W)
+    # is exactly b-1, so every probe lands in the right partition.
+    probes = base.select(
+        by, (F.col("__ts_us") - W).alias("__ts_us"),
+        (F.col("__b") - 1).alias("__b"),
+    ).distinct()
+    real = base.select(
+        by, "__ts_us", "__b",
+        *[val.alias(f"__v_{out}") for out, val in pairs],
+        F.lit(0).alias("__probe"),
+    )
+    # typed nulls so the union resolves without coercion surprises
+    vtypes = {f"__v_{out}": t for (out, _), t in zip(
+        pairs, [f.dataType for f in real.schema.fields[3:-1]])}
+    events = real.unionByName(
+        probes.select(
+            by, "__ts_us", "__b",
+            *[F.lit(None).cast(vtypes[f"__v_{out}"]).alias(f"__v_{out}")
+              for out, _ in pairs],
+            F.lit(1).alias("__probe"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(by, "__b")
+        .orderBy("__ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    for out, _ in pairs:
+        events = events.withColumn(
+            f"__pre_{out}", F.sum(f"__v_{out}").over(w_prev)
+        )
+    edge = events.filter(F.col("__probe") == 1).select(
+        by,
+        (F.col("__ts_us") + W).alias("__ts_us"),  # back to the row's t
+        *[F.coalesce(f"__pre_{out}", F.lit(0)).alias(f"__pre_{out}")
+          for out, _ in pairs],
+    )
+
+    # 4) stitch: (key, bucket-1) totals + (key, ts) edge prefixes.
+    prev_tot = tot.select(
+        F.col(by), (F.col("__b") + 1).alias("__b"),
+        *[F.col(f"__tot_{out}").alias(f"__ptot_{out}")
+          for out, _ in pairs],
+    )
+    out_df = (
+        cur.join(prev_tot, [by, "__b"], "left")
+        .join(edge, [by, "__ts_us"], "left")
+    )
+    for out, _ in pairs:
+        out_df = out_df.withColumn(
+            out,
+            F.col(f"__cur_{out}")
+            + F.coalesce(F.col(f"__ptot_{out}"), F.lit(0))
+            - F.coalesce(F.col(f"__pre_{out}"), F.lit(0)),
+        )
+    drop = ["__ts_us", "__b"] + [
+        f"__{p}_{out}" for out, _ in pairs for p in ("cur", "ptot", "pre")
+    ]
+    return out_df.drop(*drop)
+
+
 def time_spine(
     buckets: DataFrame,
     by: list[str],

@@ -245,6 +245,49 @@ def test_coverage_order_buckets_synthetic():
         "stale_new"]
 
 
+def test_coverage_order_nongreen_row_is_urgent():
+    """VERDICT r8 "What's wrong" #2: a latest row with ``err: null``
+    but any of rows/schema/hash mismatched is a wrong answer and must
+    land in bucket 1 (urgent) — even when the fingerprint is
+    UNCHANGED — not in bucket 4 behind every stale-green row."""
+    import __spark_entry__ as entry
+
+    last_round = {"hash_red": 8, "rows_red": 8, "schema_red": 8,
+                  "green": 3}
+    last_row = {
+        "hash_red": {"err": None, "rows_match": True,
+                     "schema_match": True, "hash_match": False},
+        "rows_red": {"err": None, "rows_match": False,
+                     "schema_match": True, "hash_match": False},
+        "schema_red": {"err": None, "rows_match": True,
+                       "schema_match": False, "hash_match": True},
+        "green": {"err": None, "rows_match": True,
+                  "schema_match": True, "hash_match": True},
+    }
+    oracles = set(last_round)
+    # every fingerprint provably unchanged -> nothing hides in bucket 2
+    fp_now = {n: "fp" for n in last_round}
+    snaps = {"8": {n: "fp" for n in last_round},
+             "3": {n: "fp" for n in last_round}}
+    key = entry._priority_key(last_round, last_row, oracles, fp_now,
+                              snaps)
+    order = sorted(["green", "hash_red", "rows_red", "schema_red"],
+                   key=key)
+    # the three non-green rows all outrank the (much staler) green row
+    assert order[-1] == "green"
+    assert {order[0], order[1], order[2]} == {
+        "hash_red", "rows_red", "schema_red"}
+    # and a legacy row without the match keys (old rounds) stays calm
+    legacy_key = entry._priority_key(
+        {"legacy": 2, "fresh_green": 8},
+        {"legacy": {"err": None},
+         "fresh_green": {"err": None, "rows_match": True,
+                         "schema_match": True, "hash_match": True}},
+        {"legacy", "fresh_green"}, fp_now={}, snaps={})
+    assert sorted(["fresh_green", "legacy"], key=legacy_key) == [
+        "legacy", "fresh_green"]
+
+
 def test_coverage_order_missing_snapshot_means_changed():
     """A query whose last-row round has no snapshot entry can't be
     proven unchanged -> bucket 2, ahead of provably-unchanged rows."""

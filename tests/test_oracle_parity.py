@@ -1,76 +1,81 @@
 """Rehearsal of the driver's t2 correctness gate: every registered
 query is run on Spark AND DuckDB at sf0.01 and compared
-order-insensitively on row count, column names, and exact values.
+order-insensitively on row count, column names, exact values, AND
+driver-visible column TYPES (the r9 addition — see tools/parity.py:
+the driver's hash is typed, so DuckDB HUGEINT-vs-Spark BIGINT drift
+must go red locally even when every value matches).
 """
 
-import math
-
-import duckdb
 import pytest
 
 from mr_lda_spark import TABLES, queries_registry
+from tools import parity
 
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def _duck_run(sql: str):
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
-        )
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    return cols, cur.fetchall()
-
-
-def _normalize(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                # Engines rounded already; kill -0.0 / repr noise only.
-                v = 0.0 if v == 0 else round(v, 10)
-            vals.append(v)
-        out.append(tuple(vals))
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return [cols[i] for i in order], out
+@pytest.fixture(scope="module")
+def duck():
+    return parity.duck_connect(SF_DIR, TABLES)
 
 
 @pytest.mark.parametrize("name", sorted(queries_registry.ORACLES))
-def test_query_matches_oracle(spark, name):
+def test_query_matches_oracle(spark, duck, name):
     fn = queries_registry.QUERIES[name]
     sdf = fn(spark, SF_DIR)
-    s_cols = sdf.columns
-    s_rows = [tuple(r) for r in sdf.collect()]
-    d_cols, d_rows = _duck_run(queries_registry.ORACLES[name])
-
-    ns_cols, ns_rows = _normalize(s_cols, s_rows)
-    nd_cols, nd_rows = _normalize(d_cols, d_rows)
-
-    assert ns_cols == nd_cols, f"{name}: column mismatch {ns_cols} vs {nd_cols}"
-    assert len(ns_rows) == len(nd_rows), (
-        f"{name}: row count {len(ns_rows)} vs {len(nd_rows)}"
-    )
-    mismatches = [
-        (a, b) for a, b in zip(ns_rows, nd_rows) if not _rows_eq(a, b)
-    ]
-    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+    res = parity.compare(sdf, duck, queries_registry.ORACLES[name])
+    assert res["ok"], f"{name}: {res['why']}"
 
 
-def _rows_eq(a, b):
-    if len(a) != len(b):
-        return False
-    for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, float):
-            if not math.isclose(x, y, rel_tol=0, abs_tol=1e-9):
-                return False
-        elif x != y:
-            return False
-    return True
+def test_typed_comparator_catches_hugeint_oracle(duck):
+    """Red-then-green proof for the r8 escape (VERDICT r8 "Next round"
+    #2b): an oracle whose sum is left uncast types as HUGEINT in
+    DuckDB — the driver's typed hash would diverge (float64 vs int64)
+    even though every VALUE matches.  The typed layer must flag the
+    uncast oracle (red) and pass the registry-convention CAST (green),
+    with no Spark session in the loop (the schema is the contract)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("cents", LongType()),
+    ])
+    bad = ("SELECT user_id, sum(CAST(round(value * 100) AS BIGINT))"
+           " AS cents FROM events GROUP BY 1")
+    good = ("SELECT user_id, CAST(sum(CAST(round(value * 100) AS"
+            " BIGINT)) AS BIGINT) AS cents FROM events GROUP BY 1")
+    red = parity.kind_mismatches(spark_schema, parity.duck_types(duck, bad))
+    assert red == [("cents", "int", "float")]
+    assert parity.kind_mismatches(
+        spark_schema, parity.duck_types(duck, good)) == []
+
+
+def test_typed_comparator_catches_bool_int_drift(duck):
+    """Python `True == 1`, so the value layer is blind to a boolean
+    column materializing as int on one side; the typed layer isn't."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    schema = StructType([StructField("flag", BooleanType())])
+    assert parity.kind_mismatches(
+        schema, parity.duck_types(duck, "SELECT 1 AS flag")
+    ) == [("flag", "bool", "int")]
+    assert parity.kind_mismatches(
+        schema, parity.duck_types(duck, "SELECT true AS flag")) == []
+
+
+def test_every_oracle_sql_is_hugeint_free(duck):
+    """Enforce the registry's integer-exact-oracle convention by
+    construction: no oracle may DESCRIBE to a HUGEINT column (DuckDB's
+    sum(int) widening) — the driver's pandas path turns it float64.
+    This turns the r8 convention into a test, independent of whether
+    the paired Spark query happens to agree."""
+    offenders = {}
+    for name, sql in queries_registry.ORACLES.items():
+        huge = [c for c, t in parity.duck_types(duck, sql).items()
+                if t.upper() in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            offenders[name] = huge
+    assert not offenders, f"uncast sum() oracles: {offenders}"
 
 
 def test_every_query_has_rows(spark):

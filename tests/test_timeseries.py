@@ -87,3 +87,69 @@ def test_time_spine_single_bucket_group(spark):
     )
     spine = timeseries.time_spine(df, ["g"], "h")
     assert spine.count() == 1
+
+def test_salted_rolling_matches_plain_on_adversarial_edges(spark):
+    """The salted decomposition must be bit-equal to the plain window
+    on every boundary it reasons about: ts exactly on a bucket edge,
+    left edge (t - W) hitting a real row exactly (inclusive), ties in
+    both the current and previous bucket, keys with a single bucket,
+    and keys with empty previous buckets."""
+    W = 10 * 60 * 1_000_000  # 10 min
+    rows = [
+        # key "u": rows straddling 3 buckets incl. exact edges
+        ("u", _ts(0), 1), ("u", _ts(0), 2),            # tie at bucket start
+        ("u", _ts(9), 4),
+        ("u", _ts(10), 8),                             # exactly next bucket edge
+        ("u", _ts(19), 16), ("u", _ts(19), 32),        # tie near edge
+        ("u", _ts(20), 64),                            # left edge hits _ts(10)
+        ("u", _ts(35), 128),                           # prev bucket empty-ish
+        # key "v": everything inside one bucket
+        ("v", _ts(2), 1000), ("v", _ts(3), 2000),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, v long")
+    plain = timeseries.rolling_range_agg(
+        df, "user", "ts", W,
+        {"s": F.sum("v"), "n": F.count(F.lit(1))},
+    )
+    salted = timeseries.rolling_range_sum_salted(
+        df, "user", "ts", W, {"s": "v", "n": None}
+    )
+    key = lambda r: (r["user"], r["ts"], r["v"])  # noqa: E731
+    p = {key(r): (r["s"], r["n"]) for r in plain.collect()}
+    s = {key(r): (r["s"], r["n"]) for r in salted.collect()}
+    assert p == s
+    # spot-check the math once by hand: _ts(20) sees [10, 20] inclusive
+    assert p[("u", _ts(20), 64)] == (8 + 16 + 32 + 64, 4)
+
+
+def test_salted_rolling_matches_plain_randomized(spark):
+    """Randomized cross-check on a hot key: 300 rows, many ties,
+    timestamps spanning ~8 buckets."""
+    import random
+
+    rng = random.Random(9)
+    W = 1_000_000 * 60  # 1 min buckets
+    rows = [
+        ("hot", _ts(0) + dt.timedelta(seconds=rng.randrange(0, 480)),
+         rng.randrange(1, 100))
+        for _ in range(300)
+    ] + [
+        ("cold", _ts(0) + dt.timedelta(seconds=rng.randrange(0, 480)),
+         rng.randrange(1, 100))
+        for _ in range(20)
+    ]
+    df = spark.createDataFrame(rows, "user string, ts timestamp, v long")
+    plain = timeseries.rolling_range_agg(
+        df, "user", "ts", W, {"s": F.sum("v")}
+    ).groupBy("user").agg(
+        F.sum(F.col("s") * F.col("v")).alias("chk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    salted = timeseries.rolling_range_sum_salted(
+        df, "user", "ts", W, {"s": "v"}
+    ).groupBy("user").agg(
+        F.sum(F.col("s") * F.col("v")).alias("chk"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect()))
