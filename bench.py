@@ -101,6 +101,10 @@ EXTRA = [
     # r9 additions (recorded, not in the round-over-round total):
     "events_rolling_24h_spend",
     "events_hourly_gapfill",
+    "events_rolling_24h_spend_salted",
+    "curation_hash_split",
+    "dedup_edit_distance_pairs",
+    "graph_pagerank_suppliers",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -128,6 +132,12 @@ NOOP_FORCE = {
     # agg, left join, and forward-fill window all vanish.
     "events_rolling_24h_spend",
     "events_hourly_gapfill",
+    # salted rolling: count() prunes both in-bucket Window passes (the
+    # actual work) while keeping the stitch joins — noop-force.  The
+    # other r9 rows keep count(): hash_split ends in an aggregate,
+    # edit-distance's final join carries the levenshtein filter, and
+    # pagerank's sort survives under the LIMIT (audited plans, r9).
+    "events_rolling_24h_spend_salted",
 }
 
 

@@ -161,6 +161,53 @@ def hash_sample(
     return docs.filter(bucket < int(fraction * 1_000_000))
 
 
+def hash_split(
+    docs: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets exactly
+    one ``split`` label, disjoint and exhaustive, from the same
+    md5-bucket rule as :func:`hash_sample` (bucket in [0, 10^6),
+    cumulative integer thresholds in ``splits`` insertion order; the
+    LAST split absorbs the rounding remainder so fractions that don't
+    sum to exactly 1.0 in floating point still cover every row).
+
+    Content-keyed, not random: re-running on any engine, partitioning,
+    or day yields the same assignment — the property that keeps a
+    held-out set held out across pipeline re-runs.  A 100-TB corpus
+    splits map-side with zero shuffle.
+    """
+    assert splits, "need at least one split"
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    names = list(splits)
+    case = None
+    acc = 0
+    for name in names[:-1]:
+        acc += int(splits[name] * 1_000_000)
+        case = (
+            F.when(bucket < acc, name)
+            if case is None
+            else case.when(bucket < acc, name)
+        )
+    expr = (
+        F.lit(names[-1]) if case is None else case.otherwise(names[-1])
+    )
+    return docs.withColumn("split", expr)
+
+
 def stratified_hash_sample(
     docs: DataFrame,
     strata_col: str,

@@ -392,6 +392,47 @@ def near_duplicates_minhash(
     )
 
 
+def edit_distance_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_distance: int = 64,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by bounded EDIT DISTANCE: MinHash-LSH
+    blocking (same banding as :func:`near_duplicates_minhash`) for
+    candidates, then an exact Levenshtein verify on the candidate
+    texts only — (a, b, dist) with ``dist <= max_distance``.
+
+    Scale shape: candidate generation is the audited banded equi-join
+    with the hot-bucket cap, so the quadratic step never happens; the
+    verify uses Spark's THRESHOLD Levenshtein (``levenshtein(l, r, k)``,
+    O(len·k) banded DP instead of O(len²), returns -1 past k) and
+    touches only candidate pairs, each joined to its two texts by id.
+    Character caveat for cross-engine checks: Spark edits CODE POINTS
+    while DuckDB's ``levenshtein`` edits UTF-8 BYTES — identical on
+    ASCII corpora (the oracle-checked regime), divergent on multibyte
+    text.
+    """
+    sigs = minhash_signatures(docs, text_col, num_hashes, shingle_n)
+    buckets = minhash_band_buckets(sigs, rows_per_band).persist()
+    buckets.count()
+    cands = lsh_candidate_pairs(buckets)
+    ta = docs.select(F.col("doc_id").alias("a"), F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("b"), F.col(text_col).alias("__tb"))
+    return (
+        cands.join(ta, "a")
+        .join(tb, "b")
+        .select(
+            "a",
+            "b",
+            F.levenshtein("__ta", "__tb", max_distance).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_distance))
+    )
+
+
 def simhash_near_dupes(
     docs: DataFrame,
     text_col: str = "text",

@@ -32,7 +32,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cms_positions", "cms_table", "cms_build", "heavy_hitters_cms"]
+__all__ = [
+    "cms_positions", "cms_table", "cms_build", "cms_candidates",
+    "heavy_hitters_cms",
+]
 
 
 def cms_positions(key: Column, width: int, depth: int) -> Column:
@@ -75,17 +78,19 @@ def cms_build(
     return table
 
 
-def heavy_hitters_cms(
+def cms_candidates(
     keys: DataFrame,
     key_col: str,
     threshold: int,
     width: int = 8192,
     depth: int = 5,
 ) -> DataFrame:
-    """Exact heavy hitters (count ≥ threshold) through the CMS
-    prefilter: identical output to the plain groupBy-HAVING query,
-    without ever shuffling the full key space.  ``keys`` is one row
-    per key OCCURRENCE (e.g. exploded tokens)."""
+    """The prefilter stage alone: every OCCURRENCE whose key's CMS
+    min-estimate clears ``threshold`` (true hitters + collision
+    noise; all occurrences of a key pass or fail together).  Exposed
+    separately so probes can measure the pass fraction — the
+    saturation diagnostic: once avg cell load ≳ threshold the
+    estimate clears the bar everywhere and the pass fraction → 1."""
     spark = keys.sparkSession
     bc = spark.sparkContext.broadcast(
         cms_build(keys, key_col, width, depth)
@@ -101,7 +106,7 @@ def heavy_hitters_cms(
         est = table[d_idx, mat].min(axis=1)
         return pd.Series(est >= threshold)
 
-    candidates = (
+    return (
         keys.withColumn(
             "_cms_pos",
             cms_positions(F.col(key_col), width, depth),
@@ -109,6 +114,20 @@ def heavy_hitters_cms(
         .filter(_maybe_heavy(F.col("_cms_pos")))
         .drop("_cms_pos")
     )
+
+
+def heavy_hitters_cms(
+    keys: DataFrame,
+    key_col: str,
+    threshold: int,
+    width: int = 8192,
+    depth: int = 5,
+) -> DataFrame:
+    """Exact heavy hitters (count ≥ threshold) through the CMS
+    prefilter: identical output to the plain groupBy-HAVING query,
+    without ever shuffling the full key space.  ``keys`` is one row
+    per key OCCURRENCE (e.g. exploded tokens)."""
+    candidates = cms_candidates(keys, key_col, threshold, width, depth)
     return (
         candidates.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))

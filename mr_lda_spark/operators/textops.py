@@ -502,13 +502,20 @@ def decontaminate(
     Plan: the eval n-gram set is tiny relative to the corpus, so it is
     deduplicated and BROADCAST into a map-side hash join against the
     training corpus's exploded shingles — the 100 TB side never
-    shuffles; the only exchange is the per-doc overlap count.  Returns
-    every training doc with its overlap count and a boolean flag.
+    shuffles; the only exchanges are over join SURVIVORS (the
+    distinct that de-duplicates repeated (doc, shingle) overlaps runs
+    AFTER the map-side join, so it shuffles matches, not the corpus —
+    r9 fix: the old distinct-before-join shape shuffled every corpus
+    shingle and silently broke this docstring's claim) and the
+    per-doc overlap count.  Returns every training doc with its
+    overlap count and a boolean flag.
     """
-    doc_ng = shingles(docs, text_col, n).distinct()
+    doc_ng = shingles(docs, text_col, n)
     ev_ng = shingles(eval_docs, text_col, n).select("shingle").distinct()
     overlap = (
         doc_ng.join(F.broadcast(ev_ng), "shingle")
+        .select("doc_id", "shingle")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
@@ -550,7 +557,13 @@ def decontaminate_bloom(
     """
     from .bloom import bloom_build, bloom_prefilter
 
-    doc_ng = shingles(docs, text_col, n).distinct()
+    # No distinct on the corpus side before the prefilter: the whole
+    # point is that the Bloom test prunes MAP-SIDE, so the only
+    # corpus-shingle shuffle is the survivors' dedup (r9 fix — the
+    # old distinct-before-prefilter shape shuffled every corpus
+    # shingle first, paying the exact cost this operator exists to
+    # avoid).
+    doc_ng = shingles(docs, text_col, n)
     ev_ng = (
         shingles(eval_docs, text_col, n).select("shingle").distinct()
     ).persist()
@@ -561,6 +574,8 @@ def decontaminate_bloom(
     candidates = bloom_prefilter(doc_ng, "shingle", words, m, n_hashes)
     overlap = (
         candidates.join(ev_ng, "shingle")
+        .select("doc_id", "shingle")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

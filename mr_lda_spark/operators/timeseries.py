@@ -47,6 +47,14 @@ def rolling_range_agg(
     over ``unix_micros(ts)``, so rows with equal timestamps are peers
     and see each other regardless of tie order — the result is
     deterministic without a tiebreak column.
+
+    Skew warning: one window partition per key, and Spark's SLIDING
+    frame re-aggregates the frame contents as the lower bound moves
+    (no inverse-function subtraction) — a hot key costs
+    O(rows × rows-per-window) in ONE task, which AQE cannot split.
+    For sum/count under a hot key use
+    :func:`rolling_range_sum_salted` (exact same results; measured in
+    SCALING_r09_rolling_skew).
     """
     w = (
         Window.partitionBy(by)

@@ -1653,6 +1653,55 @@ def dedup_minhash_near_dupes(spark, sf_dir):
 
 
 @register(
+    "dedup_edit_distance_pairs",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    sig AS (
+      SELECT doc_id, CAST(seed AS INT) AS seed,
+             min(('0x' || substr(md5(seed || ':' || shingle), 1, 15))::BIGINT)
+               AS minhash
+      FROM sh, unnest(range(0, 8)) AS s(seed)
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY minhash)
+               AS band_key
+      FROM sig GROUP BY 1, 2
+    ),
+    ok AS (
+      SELECT band, band_key FROM bands GROUP BY 1, 2
+      HAVING count(*) BETWEEN 2 AND 1000
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.band_key = y.band_key
+                  AND x.doc_id < y.doc_id
+      JOIN ok ON ok.band = x.band AND ok.band_key = x.band_key
+    )
+    SELECT c.a, c.b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS dist
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.a
+    JOIN documents db ON db.doc_id = c.b
+    WHERE levenshtein(da.text, db.text) <= 64
+    """,
+)
+def dedup_edit_distance_pairs(spark, sf_dir):
+    """Fuzzy dedup by bounded edit distance
+    (`operators/dedup.edit_distance_pairs`): MinHash-LSH blocking →
+    threshold-Levenshtein verify on candidates only (banded O(len·k)
+    DP, -1 past the cap — never the full quadratic DP, never all
+    pairs).  Distances are integers, so the oracle is hash-exact; the
+    corpus is ASCII, where Spark's code-point edits equal DuckDB's
+    byte edits."""
+    return dedup.edit_distance_pairs(
+        _t(spark, sf_dir, "documents"), max_distance=64
+    )
+
+
+@register(
     "documents_stream_near_dedup",
     f"""
     WITH RECURSIVE pr AS ({_SQL_MINHASH_PAIRS}),
@@ -3708,6 +3757,47 @@ def curation_stratified_sample(spark, sf_dir):
     return stratified_hash_sample(
         docs, "lang", {"en": 0.2, "es": 0.5}
     ).select("doc_id", "lang")
+
+
+@register(
+    "curation_hash_split",
+    """
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE
+               WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 1000000 < 900000
+                 THEN 'train'
+               WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 1000000 < 950000
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def curation_hash_split(spark, sf_dir):
+    """Deterministic, disjoint, exhaustive train/val/test assignment
+    (`operators/curation.hash_split`): md5-bucket thresholds keyed on
+    content id, so the held-out set survives re-runs on any engine or
+    partitioning.  Zero shuffle for the assignment itself (map-side
+    CASE); the per-(split, lang) audit agg is the only exchange."""
+    from mr_lda_spark.operators.curation import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -7093,6 +7183,79 @@ def similarity_ivfflat_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Graph: iterative join-chained algorithms (Pregel-shaped)
+# --------------------------------------------------------------------------
+
+_SQL_PAGERANK_ITER = """
+    s{k} AS (
+      SELECT e.dst AS node, CAST(sum(r.pr // d.deg) AS BIGINT) AS s
+      FROM edges e
+      JOIN r{j} r ON r.node = e.src
+      JOIN deg d ON d.src = e.src
+      GROUP BY 1
+    ),
+    r{k} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(s.s, 0)) // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN s{k} s ON s.node = n.node
+    )"""
+
+
+@register(
+    "graph_pagerank_suppliers",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst AS src, src AS dst FROM e0),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+    """
+    + ",\n    ".join(
+        _SQL_PAGERANK_ITER.format(k=k, j=k - 1) for k in (1, 2, 3)
+    )
+    + """
+    SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 100
+    """,
+)
+def graph_pagerank_suppliers(spark, sf_dir):
+    """Integer-exact PageRank (`operators/graph.pagerank`, 3
+    iterations, d = 0.85) over the symmetrized customer↔supplier
+    trade graph from lineitem⋈orders; top-100 by (rank desc, node) —
+    a total order, so LIMIT is deterministic in both engines.
+    Micro-unit BIGINT ranks + floor division make every iteration
+    bit-reproducible cross-engine — the oracle unrolls the same three
+    iterations as CTEs.  Each engine iteration is one
+    edges⋈ranks⋈degree join + a map-side-combined groupBy; lineage is
+    localCheckpoint-cut per round like connected components."""
+    from mr_lda_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e0 = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = graph.pagerank(edges, iterations=3)
+    return ranks.orderBy(F.desc("pr"), "node").limit(100)
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -282,3 +282,40 @@ def test_temperature_sample_flattens_mixture(spark):
         for r in curation.temperature_sample(docs, tau=1.0, target_docs=200).collect()
     }
     assert abs(nat["small"] - nat["big"]) < 1e-9
+
+
+def test_hash_split_is_disjoint_exhaustive_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    )
+    out = curation.hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    rows = out.collect()
+    # exhaustive: every row got exactly one label
+    assert len(rows) == 500
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # deterministic: md5-derived, so a Python replay agrees row by row
+    for r in rows:
+        h = hashlib.md5(f"split:{r['doc_id']}".encode()).hexdigest()
+        b = int(h[:15], 16) % 1_000_000
+        want = "train" if b < 800_000 else ("val" if b < 900_000 else "test")
+        assert r["split"] == want, r
+    # roughly proportional (hash uniformity, wide tolerance)
+    n_train = sum(r["split"] == "train" for r in rows)
+    assert 330 <= n_train <= 470
+
+
+def test_hash_split_single_split_takes_everything(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    got = curation.hash_split(docs, {"all": 1.0}).collect()
+    assert [r["split"] for r in got] == ["all", "all"]
+
+
+def test_hash_split_remainder_goes_to_last(spark):
+    # fractions deliberately not summing to 1: last split absorbs.
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    rows = curation.hash_split(docs, {"a": 0.001, "rest": 0.5}).collect()
+    assert len(rows) == 200
+    assert all(r["split"] in ("a", "rest") for r in rows)
+    assert sum(r["split"] == "rest" for r in rows) > 150

@@ -98,3 +98,33 @@ def test_containment_catches_embedded_doc(spark):
     assert r["containment"] == pytest.approx(1.0)
     assert r["jaccard"] < 0.2
     assert all(a == 1 and b == 2 for (a, b) in got)
+
+
+def test_edit_distance_pairs_finds_small_edits_only(spark):
+    base = " ".join(f"tok{i} mid{i} end{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base.replace("tok3", "tok3X")),        # 1 char insert
+        (3, base.replace("mid7 ", "")),            # small delete
+        (4, "completely different content " * 10), # no shared shingles
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["dist"]
+        for r in dedup.edit_distance_pairs(docs, max_distance=16).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == len("mid7 ")
+    assert all(4 not in pair for pair in got)
+    # bound respected: nothing above the cap, no -1 sentinels leak
+    assert all(0 <= d <= 16 for d in got.values())
+
+
+def test_edit_distance_pairs_cap_excludes_distant_texts(spark):
+    a = " ".join(f"w{i}" for i in range(40))
+    # same shingle PREFIX (blocks together via a shared band) but a
+    # long divergent tail: distance above the cap -> excluded.
+    rows = [(1, a + " same tail one"), (2, a + " " + "z " * 60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.edit_distance_pairs(docs, max_distance=8).collect()
+    assert got == []

@@ -1,0 +1,70 @@
+"""Integer-exact PageRank: hand-computable fixtures plus a pure-Python
+reference simulation, mirroring the operator's exact integer rules."""
+
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import graph
+
+
+def _simulate(edges, iterations=3, num=85, den=100, scale=1_000_000):
+    """Reference PageRank with the operator's exact integer
+    arithmetic: floor-div contributions, integer damping."""
+    nodes = {n for e in edges for n in e}
+    deg: dict = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {n: scale for n in nodes}
+    base = scale * (den - num) // den
+    for _ in range(iterations):
+        sums = {n: 0 for n in nodes}
+        for s, d in edges:
+            sums[d] += pr[s] // deg[s]
+        pr = {n: base + (num * sums[n]) // den for n in nodes}
+    return pr
+
+
+def test_pagerank_two_node_cycle_conserves_mass(spark):
+    # a <-> b: perfectly symmetric, every iteration returns exactly
+    # scale for both (150000 + 85% of 1e6 floor-div'd cleanly).
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["pr"] for r in graph.pagerank(edges, 3).collect()}
+    assert got == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_pagerank_star_matches_reference_sim(spark):
+    # hub h connected to 3 leaves, symmetrized: the hub accumulates.
+    e = [("h", x) for x in "abc"] + [(x, "h") for x in "abc"]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in graph.pagerank(edges, 3).collect()}
+    assert got == _simulate(e, 3)
+    assert got["h"] > got["a"] == got["b"] == got["c"]
+
+
+def test_pagerank_dangling_node_keeps_teleport_only(spark):
+    # a -> b, b emits nothing: b's outbound mass is dropped (documented
+    # semantics, mirrored by the SQL oracle), a keeps only teleport
+    # after iteration 2 (nothing points at a).
+    e = [("a", "b")]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in graph.pagerank(edges, 2).collect()}
+    assert got == _simulate(e, 2)
+    assert got["a"] == 150_000
+
+
+def test_pagerank_matches_sim_on_random_digraph(spark):
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(12)]
+    e = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(40)
+        }
+    )
+    e = [(s, d) for s, d in e if s != d]
+    edges = spark.createDataFrame(e, "src string, dst string")
+    got = {r["node"]: r["pr"] for r in graph.pagerank(edges, 4).collect()}
+    assert got == _simulate(e, 4)

@@ -29,7 +29,9 @@ if _REPO not in sys.path:
 
 
 def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    args = [a for a in sys.argv[1:] if a != "--keyspace-only"]
+    keyspace_only = "--keyspace-only" in sys.argv[1:]
+    factor = int(args[0]) if args else 100
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     from pyspark.sql import functions as F
@@ -57,7 +59,10 @@ def main() -> None:
         "sf_dir": sf_dir,
     }
 
-    for tier, docs, thresh in (("sec_1x", base, 5), ("sec_Nx", big, 5 * factor)):
+    tiers = (("sec_1x", base, 5), ("sec_Nx", big, 5 * factor))
+    if keyspace_only:
+        tiers = ()
+    for tier, docs, thresh in tiers:
         ev = docs.filter(F.col("doc_id") % 43 == 0)
         tr = docs.filter(F.col("doc_id") % 43 != 0)
         t0 = time.perf_counter()
@@ -87,18 +92,106 @@ def main() -> None:
         for k in out["sec_1x"]
         if out["sec_1x"][k] > 0
     }
-    out["paired_sketch_vs_plain_Nx"] = {
-        "decontaminate": round(
-            out["sec_Nx"]["decontaminate_bloom"]
-            / out["sec_Nx"]["decontaminate_plain"],
-            2,
+    if out["sec_Nx"]:
+        out["paired_sketch_vs_plain_Nx"] = {
+            "decontaminate": round(
+                out["sec_Nx"]["decontaminate_bloom"]
+                / out["sec_Nx"]["decontaminate_plain"],
+                2,
+            ),
+            "heavy_hitters": round(
+                out["sec_Nx"]["heavy_hitters_cms"]
+                / out["sec_Nx"]["heavy_hitters_exact"],
+                2,
+            ),
+        }
+
+    # ---- key-space tier ------------------------------------------------
+    # synth_union clones the same TEXT, so the tiers above multiply
+    # counts but hold the distinct-key space constant (~tens of k) —
+    # the regime where the exact groupBy stays trivially cheap and the
+    # CMS's extra pass can only lose.  The CMS exists for the opposite
+    # regime: distinct keys scaling with the corpus.  This tier rebuilds
+    # the Nx corpus as hot clones ∪ token-rewritten clones (every token
+    # suffixed with its clone index, so EVERY shingle of the cold half
+    # is unique per clone): counts still ×factor on the hot half,
+    # distinct keys ×~factor/2 overall.  Runs the exact HAVING against
+    # the CMS at the r8 default width (65,536 — expected SATURATED: avg
+    # cell load exceeds the threshold, the prefilter passes everything)
+    # and at a width sized to the key space (load factor << threshold).
+    uniq = big.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"(\S+)",
+            F.concat(F.lit(r"$1_"), (F.col("doc_id") / 10_000_000)
+                     .cast("long").cast("string")),
         ),
-        "heavy_hitters": round(
-            out["sec_Nx"]["heavy_hitters_cms"]
-            / out["sec_Nx"]["heavy_hitters_exact"],
-            2,
-        ),
+    )
+    mixed = big.unionByName(uniq).persist()
+    mixed.count()
+    occ = textops.shingles(mixed, "text", 3).select("shingle")
+    stats = occ.agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.approx_count_distinct("shingle").alias("keys"),
+    ).collect()[0]
+    ks: dict = {
+        "occurrences": int(stats["occ"]),
+        "approx_distinct_keys": int(stats["keys"]),
+        "threshold": 5 * factor,
+        "sec": {},
     }
+    t0 = time.perf_counter()
+    (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5 * factor)
+        .count()
+    )
+    ks["sec"]["exact"] = round(time.perf_counter() - t0, 3)
+    for width in (65_536, 1 << 20):
+        ks[f"avg_cell_load_w{width}"] = round(ks["occurrences"] / width, 1)
+        t0 = time.perf_counter()
+        sketch.heavy_hitters_cms(
+            occ, "shingle", threshold=5 * factor, width=width, depth=5
+        ).count()
+        ks["sec"][f"cms_w{width}"] = round(time.perf_counter() - t0, 3)
+        # untimed: how many occurrences the prefilter lets through —
+        # the saturation law made visible (load >= threshold -> the
+        # min-estimate clears the bar everywhere and nothing prunes)
+        passed = sketch.cms_candidates(
+            occ, "shingle", threshold=5 * factor, width=width, depth=5
+        ).count()
+        ks[f"prefilter_pass_frac_w{width}"] = round(
+            passed / ks["occurrences"], 4
+        )
+    ks["paired_cms_vs_exact"] = {
+        k: round(v / ks["sec"]["exact"], 2)
+        for k, v in ks["sec"].items() if k != "exact"
+    }
+    out["keyspace_Nx"] = ks
+
+    # decontamination on the key-space-scaled corpus: unlike the clone
+    # tiers (where the DISTINCT eval n-grams are constant and the
+    # plain broadcast never grows), here the eval split of `mixed`
+    # carries ~factor/2 × more distinct n-grams — the broadcast-cliff
+    # regime the bloom gate exists for (r8).  Paired in this process.
+    ev = mixed.filter(F.col("doc_id") % 43 == 0)
+    tr = mixed.filter(F.col("doc_id") % 43 != 0)
+    dk: dict = {"sec": {}}
+    dk["distinct_eval_grams"] = int(
+        textops.shingles(ev, "text", 5)
+        .agg(F.approx_count_distinct("shingle")).collect()[0][0]
+    )
+    t0 = time.perf_counter()
+    noop(textops.decontaminate(tr, ev, n=5))
+    dk["sec"]["plain"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    noop(textops.decontaminate_bloom(tr, ev, n=5))
+    dk["sec"]["bloom"] = round(time.perf_counter() - t0, 3)
+    dk["paired_bloom_vs_plain"] = round(
+        dk["sec"]["bloom"] / dk["sec"]["plain"], 2
+    )
+    out["keyspace_decontaminate_Nx"] = dk
     print(json.dumps(out))
 
 
