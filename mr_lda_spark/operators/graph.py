@@ -49,17 +49,26 @@ def pagerank(
     (the registered query does).
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Loop-invariant: the (src, dst, deg) relation and the node set
+    # are reused by every iteration (and the final left join) — hoist
+    # the degree join out of the loop and persist both, or each
+    # iteration re-executes the caller's whole edge lineage (measured
+    # at registration: 11.0 s → 4-ish s for the 3-iteration
+    # customer↔supplier query, see PERF_NOTES_r09).
+    ed = edges.join(deg, "src").select("src", "dst", "deg").persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
+    ed.count()
+    nodes.count()
     base = scale * (damping_den - damping_num) // damping_den
     ranks = nodes.withColumn("pr", F.lit(scale).cast("long"))
     for _ in range(int(iterations)):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            ed.join(ranks, ed["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
                 F.expr("pr div deg").alias("c"),
