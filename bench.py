@@ -105,6 +105,9 @@ EXTRA = [
     "curation_hash_split",
     "dedup_edit_distance_pairs",
     "graph_pagerank_suppliers",
+    # eager (histogram rounds run at construction, like the BPE
+    # rows); count() forces only the final survivor ranking.
+    "lineitem_exact_price_quantiles",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -7258,6 +7258,37 @@ def graph_pagerank_suppliers(spark, sf_dir):
     return ranks.orderBy(F.desc("pr"), "node").limit(100)
 
 
+@register(
+    "lineitem_exact_price_quantiles",
+    """
+    SELECT CAST(0.25 AS DOUBLE) AS p,
+           quantile_disc(l_extendedprice, 0.25) AS value FROM lineitem
+    UNION ALL SELECT CAST(0.5 AS DOUBLE),
+           quantile_disc(l_extendedprice, 0.5) FROM lineitem
+    UNION ALL SELECT CAST(0.75 AS DOUBLE),
+           quantile_disc(l_extendedprice, 0.75) FROM lineitem
+    UNION ALL SELECT CAST(0.95 AS DOUBLE),
+           quantile_disc(l_extendedprice, 0.95) FROM lineitem
+    UNION ALL SELECT CAST(0.99 AS DOUBLE),
+           quantile_disc(l_extendedprice, 0.99) FROM lineitem
+    """,
+)
+def lineitem_exact_price_quantiles(spark, sf_dir):
+    """EXACT quantiles of l_extendedprice without a global sort
+    (`operators/quantile.exact_quantiles`): iterative histogram
+    refinement — each round is one map-side-combined aggregation
+    (≤ quantiles × 1024 partial rows shuffle), driver state is
+    scalars, survivors rank in one bounded window.  Element selection
+    follows DuckDB's quantile_disc rank rule (k = ceil(p·n)), so the
+    returned values are bit-identical to the oracle's."""
+    from mr_lda_spark.operators.quantile import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.95, 0.99]
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
