@@ -7259,6 +7259,43 @@ def graph_pagerank_suppliers(spark, sf_dir):
 
 
 @register(
+    "events_stream_rolling_spend",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts_us,
+           CAST(count(*) OVER w AS INT) AS n_24h,
+           CAST(sum(cents) OVER w AS BIGINT) AS cents_24h
+    FROM p
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_stream_rolling_spend(spark, sf_dir):
+    """STREAMING twin of `events_rolling_24h_spend`: per-event
+    trailing-24h (count, cents) via `applyInPandasWithState`
+    (`streaming/stateful.rolling_spend_stream`) — per-user event
+    history carried as array state, every trigger answered with two
+    vectorized searchsorteds, drained with availableNow.  Same oracle
+    as the batch window: the stateful operator must reproduce the
+    RANGE frame bit-for-bit."""
+    import uuid
+
+    from mr_lda_spark.streaming import events as se
+    from mr_lda_spark.streaming.stateful import rolling_spend_stream
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_stream_to_batch(
+        rolling_spend_stream(stream),
+        f"roll_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+@register(
     "lineitem_exact_price_quantiles",
     """
     SELECT CAST(0.25 AS DOUBLE) AS p,

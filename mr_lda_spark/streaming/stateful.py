@@ -22,6 +22,7 @@ from typing import Any, Iterable, Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = (
@@ -66,5 +67,94 @@ def user_spend_tracker_stream(
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ROLLING_OUT_SCHEMA = (
+    "event_id long, user_id long, ts_us long, n_24h int, cents_24h long"
+)
+ROLLING_STATE_SCHEMA = "ts array<long>, cents array<long>"
+
+
+def _rolling(window_us: int, evict_before_us: int | None):
+    import numpy as np
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ots, ocents = state.get if state.exists else ([], [])
+        ots = np.asarray(ots, dtype=np.int64)
+        ocents = np.asarray(ocents, dtype=np.int64)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("ts_us", kind="mergesort")
+            nts = pdf["ts_us"].to_numpy(np.int64)
+            ncents = pdf["cents"].to_numpy(np.int64)
+            merged_ts = np.concatenate([ots, nts])
+            merged_cents = np.concatenate([ocents, ncents])
+            order = np.argsort(merged_ts, kind="mergesort")
+            merged_ts = merged_ts[order]
+            merged_cents = merged_cents[order]
+            csum = np.concatenate(
+                [[0], np.cumsum(merged_cents, dtype=np.int64)]
+            )
+            # RANGE frame [t - W, t], both ends inclusive, ties peers:
+            # vectorized rank arithmetic over the merged history.
+            hi = np.searchsorted(merged_ts, nts, side="right")
+            lo = np.searchsorted(merged_ts, nts - window_us, side="left")
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(np.int64),
+                    "user_id": np.full(len(pdf), key[0], dtype=np.int64),
+                    "ts_us": nts,
+                    "n_24h": (hi - lo).astype(np.int32),
+                    "cents_24h": csum[hi] - csum[lo],
+                }
+            )
+            ots, ocents = merged_ts, merged_cents
+        if evict_before_us is not None and len(ots):
+            keep = ots >= (ots.max() - evict_before_us)
+            ots, ocents = ots[keep], ocents[keep]
+        state.update((ots.tolist(), ocents.tolist()))
+
+    return fn
+
+
+def rolling_spend_stream(
+    events: DataFrame,
+    window_us: int = 86_400_000_000,
+    evict_before_us: int | None = None,
+) -> DataFrame:
+    """Streaming twin of the batch trailing-24h RANGE window
+    (`operators/timeseries.rolling_range_agg` /
+    `events_rolling_24h_spend`): every purchase event emits its
+    per-user (count, cents) over [ts − window, ts] — the online
+    velocity / rate-limit feature.
+
+    State per user is the (ts, cents) event history as arrays; each
+    trigger merges the new Arrow batch, answers all new rows with two
+    vectorized ``searchsorted``s against the merged history (no
+    per-row Python), and stores the merge back.  Exact against the
+    batch window whenever each key's rows arrive in event-time order
+    across triggers (single-trigger availableNow drains trivially
+    qualify); by default state is unbounded for bit-exactness — set
+    ``evict_before_us`` (a watermark-style horizon, e.g. the window
+    itself) to bound state in production, accepting the standard
+    late-data truncation."""
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return p.groupBy("user_id").applyInPandasWithState(
+        _rolling(window_us, evict_before_us),
+        outputStructType=ROLLING_OUT_SCHEMA,
+        stateStructType=ROLLING_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
