@@ -61,10 +61,13 @@ def rolling_range_agg(
         .orderBy(F.unix_micros(F.col(ts_col)))
         .rangeBetween(-window_us, 0)
     )
-    out = df
-    for name, agg in aggs.items():
-        out = out.withColumn(name, agg.over(w))
-    return out
+    # ONE select for every aggregate: sequential withColumns interleave
+    # Projects between the Window nodes, which blocks Catalyst's
+    # CollapseWindow and pays one Sort+Window pass PER aggregate
+    # (caught in the r9 PLANS.md audit — two aggs planned two sorts).
+    return df.select(
+        "*", *[agg.over(w).alias(name) for name, agg in aggs.items()]
+    )
 
 
 def rolling_range_sum_salted(
@@ -135,9 +138,11 @@ def rolling_range_sum_salted(
         .orderBy("__ts_us")
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    cur = base
-    for out, val in pairs:
-        cur = cur.withColumn(f"__cur_{out}", F.sum(val).over(w_cur))
+    cur = base.select(
+        "*",
+        *[F.sum(val).over(w_cur).alias(f"__cur_{out}")
+          for out, val in pairs],
+    )  # one Window node for all aggs (CollapseWindow-friendly)
 
     # 2) per-(key, bucket) totals — partial-aggregated before shuffle.
     tot = base.groupBy(by, "__b").agg(
@@ -172,10 +177,11 @@ def rolling_range_sum_salted(
         .orderBy("__ts_us")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    for out, _ in pairs:
-        events = events.withColumn(
-            f"__pre_{out}", F.sum(f"__v_{out}").over(w_prev)
-        )
+    events = events.select(
+        "*",
+        *[F.sum(f"__v_{out}").over(w_prev).alias(f"__pre_{out}")
+          for out, _ in pairs],
+    )
     edge = events.filter(F.col("__probe") == 1).select(
         by,
         (F.col("__ts_us") + W).alias("__ts_us"),  # back to the row's t
