@@ -108,6 +108,7 @@ EXTRA = [
     # eager (histogram rounds run at construction, like the BPE
     # rows); count() forces only the final survivor ranking.
     "lineitem_exact_price_quantiles",
+    "lineitem_price_quantiles_by_flag",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

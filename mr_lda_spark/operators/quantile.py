@@ -8,8 +8,8 @@ reducer; ``approxQuantile`` is fast but inexact.  This operator is
 both exact and scale-shaped: each round is ONE map-side-combined
 aggregation over the column (no shuffle of values — only
 states × buckets partial rows), the driver holds scalar state per
-quantile, and the range shrinks ~buckets× per round, so a 100 TB
-column needs ~3-4 passes before the survivor set fits a single
+(group, quantile), and the range shrinks ~buckets× per round, so a
+100 TB column needs ~3-4 passes before the survivor set fits a single
 window partition for the final exact rank.
 
 Exactness against float fuzz: a row's bucket membership across rounds
@@ -25,6 +25,13 @@ Rank convention: the k-th smallest with ``k = max(1, ceil(p * n))``
 in IEEE double — empirically DuckDB's ``quantile_disc`` rule (probed
 across n = 4, 5, 6, 10 at six quantiles each), which makes the
 operator oracle-checkable bit-for-bit.
+
+Grouped mode (``by=[...]``): one selection state per (group, p),
+all groups refined simultaneously in the SAME per-round pass — the
+driver holds |groups|×|ps| scalar triples and the round expression
+carries that many when-branches, so it suits low-cardinality
+dimension groupings (the GROUP BY quantile shape), not million-key
+groups (those want the t-digest/approx family instead).
 """
 
 from __future__ import annotations
@@ -47,17 +54,20 @@ def _bucket_expr(col, lo: float, width: float, n_buckets: int):
 
 
 class _State:
-    __slots__ = ("p", "k", "chain", "lo", "hi", "remaining", "value")
+    __slots__ = ("grp", "p", "k", "chain", "lo", "hi", "remaining",
+                 "value")
 
-    def __init__(self, p, k, lo, hi, remaining):
-        self.p, self.k = p, k
-        self.chain: list = []  # [(lo, width, j), ...] membership levels
+    def __init__(self, grp, p, k, lo, hi, remaining):
+        self.grp, self.p, self.k = grp, p, k
+        self.chain: list = []  # [(lo, width, j, n_buckets), ...]
         self.lo, self.hi = lo, hi
         self.remaining = remaining
         self.value = None  # set -> done
 
     def pred(self, col):
         out = F.lit(True)
+        for g, v in self.grp:
+            out = out & (F.col(g) == F.lit(v))
         for lo, width, j, nb in self.chain:
             out = out & (_bucket_expr(col, lo, width, nb) == F.lit(j))
         return out
@@ -67,41 +77,55 @@ def exact_quantiles(
     df: DataFrame,
     col: str,
     ps: list[float],
+    by: list[str] | None = None,
     n_buckets: int = 1024,
     threshold: int = 8192,
     max_rounds: int = 40,
 ) -> DataFrame:
-    """(p, value) rows: for each ``p`` in ``ps``, the exact
-    ``ceil(p*n)``-th smallest non-null value of ``df[col]``.
+    """(*by, p, value) rows: for each group and each ``p`` in ``ps``,
+    the exact ``ceil(p*n)``-th smallest non-null value of ``df[col]``
+    within the group (one global group when ``by`` is None/empty).
 
-    Driver state is scalars only (one (lo, hi, k) triple per
-    quantile); every Spark round aggregates at most
-    ``len(ps) × n_buckets`` partial rows.  The final exact step ranks
-    the ≤ ``threshold`` survivors of each quantile in one
-    per-state window (bounded partitions by construction).
+    Driver state is scalars only (one (lo, hi, k) triple per state);
+    every Spark round aggregates at most ``states × n_buckets``
+    partial rows.  The final exact step ranks the ≤ ``threshold``
+    survivors of each state in one per-state window (bounded
+    partitions by construction).
     """
+    by = list(by or [])
     spark = df.sparkSession
     base = df.filter(F.col(col).isNotNull()).select(
-        F.col(col).cast("double").alias(col)  # one value type end-to-end
+        *by, F.col(col).cast("double").alias(col)  # one value type
     )
     c = F.col(col)
-    head = base.agg(
-        F.count(col).alias("n"),
-        F.min(col).alias("mn"),
-        F.max(col).alias("mx"),
-    ).collect()[0]
-    n = int(head["n"])
-    out_schema = "p double, value double"
-    if n == 0:
-        return spark.createDataFrame([], out_schema)
+    head = (
+        base.groupBy(*by) if by else base.groupBy()
+    ).agg(
+        F.count(col).alias("__n"),
+        F.min(col).alias("__mn"),
+        F.max(col).alias("__mx"),
+    ).collect()
 
-    states = []
-    for p in ps:
-        k = max(1, math.ceil(p * n))  # DuckDB quantile_disc's rule
-        s = _State(float(p), k, float(head["mn"]), float(head["mx"]), n)
-        if s.lo == s.hi:
-            s.value = s.lo
-        states.append(s)
+    grp_fields = base.select(*by).schema.fields if by else []
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in grp_fields]
+        + ["p double", "value double"]
+    )
+    states: list[_State] = []
+    for row in head:
+        n = int(row["__n"])
+        if n == 0:
+            continue
+        grp = tuple((g, row[g]) for g in by)
+        for p in ps:
+            k = max(1, math.ceil(p * n))  # DuckDB quantile_disc's rule
+            s = _State(grp, float(p), k, float(row["__mn"]),
+                       float(row["__mx"]), n)
+            if s.lo == s.hi:
+                s.value = s.lo
+            states.append(s)
+    if not states:
+        return spark.createDataFrame([], out_schema)
 
     for _ in range(max_rounds):
         active = [
@@ -157,7 +181,10 @@ def exact_quantiles(
             else:  # pragma: no cover - rank > survivors means a bug
                 raise AssertionError("rank fell off the histogram")
 
-    done = [(s.p, s.value) for s in states if s.value is not None]
+    done = [
+        tuple(v for _, v in s.grp) + (s.p, s.value)
+        for s in states if s.value is not None
+    ]
     open_states = [
         (i, s) for i, s in enumerate(states) if s.value is None
     ]
@@ -178,13 +205,21 @@ def exact_quantiles(
         w = Window.partitionBy("sid").orderBy("v")
         ranked = survivors.withColumn("r", F.row_number().over(w))
         ks = spark.createDataFrame(
-            [(i, s.k, s.p) for i, (_, s) in enumerate(open_states)],
-            "sid int, k int, p double",
+            [
+                (i,) + tuple(v for _, v in s.grp) + (s.k, s.p)
+                for i, (_, s) in enumerate(open_states)
+            ],
+            ", ".join(
+                ["sid int"]
+                + [f"`{f.name}` {f.dataType.simpleString()}"
+                   for f in grp_fields]
+                + ["k int", "p double"],
+            ),
         )
         finals = (
             ranked.join(F.broadcast(ks), "sid")
             .filter(F.col("r") == F.col("k"))
-            .select("p", F.col("v").alias("value"))
+            .select(*by, "p", F.col("v").alias("value"))
         )
         results = finals if results is None else results.unionByName(finals)
     return results

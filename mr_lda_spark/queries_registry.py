@@ -7326,6 +7326,33 @@ def lineitem_exact_price_quantiles(spark, sf_dir):
     )
 
 
+@register(
+    "lineitem_price_quantiles_by_flag",
+    """
+    SELECT l_returnflag, CAST(0.25 AS DOUBLE) AS p,
+           quantile_disc(l_extendedprice, 0.25) AS value
+    FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, CAST(0.5 AS DOUBLE),
+           quantile_disc(l_extendedprice, 0.5) FROM lineitem GROUP BY 1
+    UNION ALL
+    SELECT l_returnflag, CAST(0.9 AS DOUBLE),
+           quantile_disc(l_extendedprice, 0.9) FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_price_quantiles_by_flag(spark, sf_dir):
+    """GROUP BY exact quantiles (`operators/quantile.exact_quantiles`
+    grouped mode): all (returnflag, p) selections refine
+    simultaneously in the same per-round aggregation — driver state is
+    |groups|×|ps| scalar triples, never values."""
+    from mr_lda_spark.operators.quantile import exact_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_quantiles(
+        li, "l_extendedprice", [0.25, 0.5, 0.9], by=["l_returnflag"]
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

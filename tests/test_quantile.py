@@ -76,3 +76,29 @@ def test_nulls_ignored_and_empty_input(spark):
     assert got == {0.5: 2.0}
     empty = spark.createDataFrame([], "x double")
     assert exact_quantiles(empty, "x", [0.5]).collect() == []
+
+
+def test_grouped_matches_duckdb(spark):
+    rng = random.Random(3)
+    rows = [
+        (rng.choice(["a", "b", "c"]), rng.uniform(0, 1000))
+        for _ in range(4000)
+    ] + [("solo", 42.0)]  # single-row group
+    df = spark.createDataFrame(rows, "g string, x double")
+    ps = [0.25, 0.5, 0.9]
+    got = {
+        (r["g"], r["p"]): r["value"]
+        for r in exact_quantiles(
+            df, "x", ps, by=["g"], threshold=32, n_buckets=16
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {}
+    for p in ps:
+        for g, v in con.execute(
+            f"SELECT g, quantile_disc(x, {p!r}) FROM t GROUP BY g"
+        ).fetchall():
+            want[(g, p)] = v
+    assert got == want
