@@ -109,6 +109,9 @@ EXTRA = [
     # rows); count() forces only the final survivor ranking.
     "lineitem_exact_price_quantiles",
     "lineitem_price_quantiles_by_flag",
+    # join+distinct+refine survive under count() (filter needs them);
+    # only the trivial overlap projection is pruned.
+    "events_session_overlap_pairs",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

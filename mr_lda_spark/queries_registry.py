@@ -7353,6 +7353,67 @@ def lineitem_price_quantiles_by_flag(spark, sf_dir):
     )
 
 
+@register(
+    "events_session_overlap_pairs",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), flagged AS (
+      SELECT *,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch(ts) - epoch(prev_ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), sid AS (
+      SELECT *,
+             CAST(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM flagged
+    ), sess AS (
+      SELECT user_id, session_id,
+             CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+             CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+      FROM sid GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_id_a, a.session_id AS session_id_a,
+           b.user_id AS user_id_b, b.session_id AS session_id_b,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT)
+             AS overlap
+    FROM sess a JOIN sess b
+      ON (a.user_id, a.session_id) < (b.user_id, b.session_id)
+     AND b.s <= a.e AND a.s <= b.e
+    """,
+)
+def events_session_overlap_pairs(spark, sf_dir):
+    """Range-overlap join with NO equi-key — concurrent-session pairs
+    (`operators/intervals.interval_overlap_pairs`): sessions bin into
+    1-hour buckets, the bucket equi-join generates candidates (never a
+    CartesianProduct — plan-asserted), dedup + the exact inclusive
+    predicate refine.  The oracle brute-forces the same pairs with an
+    inequality self-join (DuckDB's IEJoin)."""
+    from mr_lda_spark.operators.intervals import interval_overlap_pairs
+    from mr_lda_spark.streaming.events import sessionize
+
+    sess = sessionize(_t(spark, sf_dir, "events"), gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        F.col("session_start_epoch").alias("s"),
+        F.col("session_end_epoch").alias("e"),
+    )
+    pairs = interval_overlap_pairs(
+        sess, ["user_id", "session_id"], "s", "e", bucket=3600
+    )
+    return pairs.select(
+        "user_id_a", "session_id_a", "user_id_b", "session_id_b",
+        "overlap",
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
