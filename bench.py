@@ -112,6 +112,8 @@ EXTRA = [
     # join+distinct+refine survive under count() (filter needs them);
     # only the trivial overlap projection is pruned.
     "events_session_overlap_pairs",
+    # ends in TakeOrderedAndProject: count() computes the top-k.
+    "curation_weighted_sample",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -208,6 +208,42 @@ def hash_split(
     return docs.withColumn("split", expr)
 
 
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    salt: str = "wps",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Ohlsson's
+    sequential Poisson / priority sampling): each row gets priority
+    ``u / w`` where ``u`` is its md5-uniform and ``w`` its weight; the
+    k SMALLEST priorities are the sample, so inclusion probability is
+    ≈ proportional to weight — the quality-weighted data-selection
+    primitive, reproducible across engines/runs/partitionings.
+
+    Deliberately avoids the exponential-keys variant (needs log/pow,
+    whose last-ulp differs between libm implementations — an ordering
+    flip at the k-boundary would break cross-engine reproducibility):
+    ``u / w`` is one IEEE division, bit-identical everywhere.  Plan:
+    map-side priorities + a top-k (TakeOrderedAndProject — never a
+    full sort).  Ties broken by key for a total order.
+    """
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    out = docs.withColumn(
+        "priority", u / F.col(weight_col).cast("double")
+    )
+    return out.orderBy("priority", key_col).limit(int(k))
+
+
 def stratified_hash_sample(
     docs: DataFrame,
     strata_col: str,

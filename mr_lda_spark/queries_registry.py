@@ -3760,6 +3760,32 @@ def curation_stratified_sample(spark, sf_dir):
 
 
 @register(
+    "curation_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars,
+           ('0x' || substr(md5('wps:' || CAST(doc_id AS VARCHAR)), 1, 15))
+             ::BIGINT::DOUBLE / CAST(n_chars AS DOUBLE) AS priority
+    FROM documents
+    ORDER BY priority, doc_id
+    LIMIT 200
+    """,
+)
+def curation_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (`operators/curation.weighted_priority_sample`, sequential
+    Poisson): k smallest md5-uniform/weight priorities — inclusion
+    ∝ n_chars, reproducible anywhere.  No log/pow (libm last-ulp
+    would flip the k-boundary cross-engine); u/w is one IEEE
+    division, bit-identical in both engines."""
+    from mr_lda_spark.operators.curation import weighted_priority_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_priority_sample(docs, 200, "n_chars").select(
+        "doc_id", "lang", "n_chars", "priority"
+    )
+
+
+@register(
     "curation_hash_split",
     """
     WITH assigned AS (

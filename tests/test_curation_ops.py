@@ -319,3 +319,29 @@ def test_hash_split_remainder_goes_to_last(spark):
     assert len(rows) == 200
     assert all(r["split"] in ("a", "rest") for r in rows)
     assert sum(r["split"] == "rest" for r in rows) > 150
+
+
+def test_weighted_priority_sample_prefers_heavy_rows(spark):
+    # weight 1000 vs 1: heavy rows should dominate the sample
+    rows = [(i, 1000 if i < 50 else 1) for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    got = curation.weighted_priority_sample(docs, 40, "w").collect()
+    heavy = sum(r["w"] == 1000 for r in got)
+    assert heavy >= 30  # ~proportional-to-weight inclusion
+    # deterministic: identical rerun, bit-identical priorities
+    again = curation.weighted_priority_sample(docs, 40, "w").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # priority replays from the md5 rule exactly
+    for r in got[:5]:
+        u = int(hashlib.md5(f"wps:{r['doc_id']}".encode())
+                .hexdigest()[:15], 16)
+        assert r["priority"] == float(u) / float(r["w"])
+
+
+def test_weighted_priority_sample_is_topk_plan(spark):
+    docs = spark.createDataFrame([(1, 2)], "doc_id long, w long")
+    plan = (
+        curation.weighted_priority_sample(docs, 5, "w")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # never a full global sort
