@@ -114,6 +114,7 @@ EXTRA = [
     "events_session_overlap_pairs",
     # ends in TakeOrderedAndProject: count() computes the top-k.
     "curation_weighted_sample",
+    "events_funnel_conversion",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -147,6 +148,11 @@ NOOP_FORCE = {
     # edit-distance's final join carries the levenshtein filter, and
     # pagerank's sort survives under the LIMIT (audited plans, r9).
     "events_rolling_24h_spend_salted",
+    # funnel: count() eliminates EVERY join (output rows = step-1
+    # users; the left joins are unique-keyed and the step-2/3 inner
+    # joins only feed them) — audited optimized plan: joins 3 -> 0,
+    # aggs 4 -> 2.  Noop-force so the funnel chain actually runs.
+    "events_funnel_conversion",
 }
 
 

@@ -1,0 +1,70 @@
+"""Ordered-funnel analysis — does each user's event stream contain the
+step sequence s1 → s2 → … → sk with strictly increasing timestamps?
+(The conversion-funnel workload of event-analytics engines.)
+
+Greedy earliest-match is exact for subsequence existence: if ANY
+occurrence chain exists, the chain built from the earliest occurrence
+of step 1, then the earliest step-2 occurrence after it, etc., also
+exists (exchange argument) — so the operator computes one conditional
+min-timestamp per step.
+
+Plan shape: one filtered aggregation + one user-keyed join per step —
+every shuffle is on the user key, no windows over whole users, no
+per-user event buffering; k steps = k joins over step-filtered (i.e.
+pushdown-pruned) slices.  At 100 TB each step's slice is a filtered
+scan and the join relations are user-sized, not event-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps"]
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user funnel progress over ``steps`` (event-type names, in
+    order): (user, t_1 … t_k, steps_completed, converted) where t_i is
+    the microsecond timestamp of the greedy i-th step match (null once
+    the funnel stalls).  Strictly increasing timestamps: a tie does
+    not advance the funnel (simultaneous events are unordered).
+    """
+    assert steps, "need at least one step"
+    ts_us = F.unix_micros(F.col(ts_col))
+    out = None
+    prev = None
+    for i, step in enumerate(steps, 1):
+        slice_i = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), ts_us.alias("__ts")
+        )
+        if prev is None:
+            agg = slice_i.groupBy("__u").agg(F.min("__ts").alias(f"t_{i}"))
+            out = agg
+        else:
+            agg = (
+                slice_i.join(prev, "__u")
+                .filter(F.col("__ts") > F.col(f"t_{i - 1}"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias(f"t_{i}"))
+            )
+            out = out.join(agg, "__u", "left")
+        prev = out.select("__u", f"t_{i}").filter(
+            F.col(f"t_{i}").isNotNull()
+        )
+    k = len(steps)
+    completed = sum(
+        (F.col(f"t_{i}").isNotNull()).cast("int") for i in range(1, k + 1)
+    )
+    return out.select(
+        F.col("__u").alias(user_col),
+        *[f"t_{i}" for i in range(1, k + 1)],
+        completed.cast("int").alias("steps_completed"),
+        (F.col(f"t_{k}").isNotNull()).alias("converted"),
+    )

@@ -7440,6 +7440,49 @@ def events_session_overlap_pairs(spark, sf_dir):
     )
 
 
+@register(
+    "events_funnel_conversion",
+    """
+    WITH s1 AS (
+      SELECT user_id AS u, min(CAST(epoch_us(ts) AS BIGINT)) AS t_1
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id AS u, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t_2
+      FROM events e JOIN s1 ON s1.u = e.user_id
+      WHERE e.event_type = 'click'
+        AND CAST(epoch_us(e.ts) AS BIGINT) > s1.t_1
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id AS u, min(CAST(epoch_us(e.ts) AS BIGINT)) AS t_3
+      FROM events e JOIN s2 ON s2.u = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(epoch_us(e.ts) AS BIGINT) > s2.t_2
+      GROUP BY 1
+    )
+    SELECT s1.u AS user_id, s1.t_1, s2.t_2, s3.t_3,
+           CAST(1 + (s2.t_2 IS NOT NULL)::INT
+                  + (s3.t_3 IS NOT NULL)::INT AS INT) AS steps_completed,
+           s3.t_3 IS NOT NULL AS converted
+    FROM s1
+    LEFT JOIN s2 ON s2.u = s1.u
+    LEFT JOIN s3 ON s3.u = s1.u
+    """,
+)
+def events_funnel_conversion(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase
+    (`operators/funnel.funnel_steps`): greedy earliest-match
+    conditional min-timestamps — exact for subsequence existence by
+    the exchange argument; one pushdown-pruned filtered agg + one
+    user-keyed join per step, never a per-user event buffer.  Users
+    with no step-1 event are absent (steps_completed ≥ 1 by
+    construction); ties do not advance the funnel (strict >)."""
+    from mr_lda_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
