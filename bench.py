@@ -115,6 +115,10 @@ EXTRA = [
     # ends in TakeOrderedAndProject: count() computes the top-k.
     "curation_weighted_sample",
     "events_funnel_conversion",
+    # inner joins of grouped (unique-keyed) aggregates: count() cannot
+    # eliminate an inner join, so the sketch + exact audit both run.
+    "text_hll_distinct_shingles",
+    "text_hll_merge",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

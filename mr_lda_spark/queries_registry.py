@@ -7483,6 +7483,161 @@ def events_funnel_conversion(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (operators/hll.py) — md5-determin-
+# istic registers, integer-exact estimator, oracle-recomputable in SQL.
+# --------------------------------------------------------------------------
+
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P                    # 256 registers
+_HLL_REM_BITS = 60 - _HLL_P             # 52
+_HLL_MASK = (1 << _HLL_REM_BITS) - 1    # low-52-bit mask
+_HLL_B = _HLL_REM_BITS + 1              # 53: the integer scaling power
+
+
+def _hll_num() -> float:
+    from mr_lda_spark.operators.hll import hll_alpha
+
+    return hll_alpha(_HLL_M) * _HLL_M * _HLL_M * float(1 << _HLL_B)
+
+
+def _sql_hll_regs(keys: str, group: str) -> str:
+    """DuckDB register relation over ``keys`` (a SELECT producing the
+    grouping column(s) and ``shingle``) — mirrors hll.hll_registers:
+    60-bit md5 hash, top-8-bit bucket, integer rho via bin()."""
+    g = f"{group}, " if group else ""
+    return f"""
+    SELECT {g}CAST(h >> {_HLL_REM_BITS} AS INT) AS bucket,
+           CAST(max(CASE WHEN (h & {_HLL_MASK}) = 0 THEN {_HLL_B}
+                ELSE {_HLL_B} - length(bin(h & {_HLL_MASK})) END) AS INT) AS r
+    FROM (
+      SELECT {g}('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM ({keys})
+    ) GROUP BY {"1, 2" if group else "1"}
+    """
+
+
+def _sql_hll_est(regs: str, group: str) -> str:
+    """DuckDB estimator over a register relation — mirrors
+    hll.hll_estimate: integer-exact s_scaled, one literal/int64 IEEE
+    division for hll_raw, the published linear-counting branch for
+    est_distinct (never taken at shipped SFs — see operators/hll.py)."""
+    g = f"{group}, " if group else ""
+    num = repr(_hll_num())
+    return f"""
+    WITH _sums AS (
+      SELECT {g}CAST(count(*) AS INT) AS used_buckets,
+             CAST(sum(CAST(1 AS BIGINT) << ({_HLL_B} - r))
+                  + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_B})
+                  AS BIGINT) AS s_scaled
+      FROM ({regs}) GROUP BY {"1" if group else "()"}
+    ), _raw AS (
+      SELECT *, CAST(round({num} / s_scaled) AS BIGINT) AS hll_raw
+      FROM _sums
+    )
+    SELECT {g}used_buckets, s_scaled, hll_raw,
+           CASE WHEN ({_HLL_M} - used_buckets) > 0
+                     AND hll_raw <= {int(2.5 * _HLL_M)}
+                THEN CAST(round({float(_HLL_M)!r}
+                     * ln({float(_HLL_M)!r} / ({_HLL_M} - used_buckets)))
+                     AS BIGINT)
+                ELSE hll_raw END AS est_distinct
+    FROM _raw
+    """
+
+
+_SQL_SHINGLES5_LANG = f"""
+  SELECT d.lang, s.shingle
+  FROM ({_sql_shingles(5)}) s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
+@register(
+    "text_hll_distinct_shingles",
+    f"""
+    WITH est AS ({_sql_hll_est(_sql_hll_regs(_SQL_SHINGLES5_LANG, "lang"),
+                               "lang")}),
+    exact AS (
+      SELECT lang, count(DISTINCT shingle) AS exact_distinct
+      FROM ({_SQL_SHINGLES5_LANG}) GROUP BY 1
+    )
+    SELECT est.lang, used_buckets, s_scaled, hll_raw, est_distinct,
+           exact_distinct
+    FROM est JOIN exact ON exact.lang = est.lang
+    """,
+)
+def text_hll_distinct_shingles(spark, sf_dir):
+    """Per-language distinct-5-gram-shingle cardinality by
+    HyperLogLog (`operators/hll.hll_distinct`): md5-deterministic
+    registers (≤ m rows per partition shuffle — keys never cross the
+    wire), integer-exact scaled harmonic sum, one IEEE division.  The
+    `exact_distinct` column is the audit baseline ONLY — it pays the
+    full distinct shuffle the sketch exists to avoid; production
+    callers run hll_distinct alone.  Standard error 1.04/√256 ≈ 6.5%.
+    """
+    from mr_lda_spark.operators import hll
+    from mr_lda_spark.operators.textops import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, n=5).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    est = hll.hll_distinct(sh, "shingle", ["lang"], p=_HLL_P)
+    exact = sh.groupBy("lang").agg(
+        F.count_distinct("shingle").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
+
+
+@register(
+    "text_hll_merge",
+    f"""
+    WITH merged_regs AS (
+      SELECT bucket, CAST(max(r) AS INT) AS r
+      FROM ({_sql_hll_regs(_SQL_SHINGLES5_LANG, "lang")}) GROUP BY 1
+    ),
+    merged AS ({_sql_hll_est("SELECT * FROM merged_regs", "")}),
+    direct AS ({_sql_hll_est(
+        _sql_hll_regs("SELECT shingle FROM (" + _SQL_SHINGLES5_LANG + ")",
+                      ""), "")}),
+    exact AS (
+      SELECT count(DISTINCT shingle) AS exact_distinct
+      FROM ({_SQL_SHINGLES5_LANG})
+    )
+    SELECT merged.used_buckets, merged.s_scaled,
+           merged.est_distinct AS merged_est,
+           direct.est_distinct AS direct_est,
+           exact.exact_distinct
+    FROM merged, direct, exact
+    """,
+)
+def text_hll_merge(spark, sf_dir):
+    """Sketch mergeability — the property that makes HLL a distributed
+    aggregate (`operators/hll.hll_merge`): per-language sketches
+    combined by register-wise max equal the direct global sketch
+    bit-for-bit (max is insensitive to grouping), so 1000 shard
+    sketches merge into the exact same estimate one pass would give.
+    The row carries both estimates; the driver hash proves
+    merged_est = direct_est."""
+    from mr_lda_spark.operators import hll
+    from mr_lda_spark.operators.textops import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, n=5).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    per_lang = hll.hll_registers(sh, "shingle", ["lang"], p=_HLL_P)
+    merged = hll.hll_merge(per_lang, ["lang"], p=_HLL_P).select(
+        "used_buckets", "s_scaled",
+        F.col("est_distinct").alias("merged_est"),
+    )
+    direct = hll.hll_distinct(sh, "shingle", [], p=_HLL_P).select(
+        F.col("est_distinct").alias("direct_est")
+    )
+    exact = sh.agg(F.count_distinct("shingle").alias("exact_distinct"))
+    return merged.crossJoin(direct).crossJoin(exact)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
