@@ -119,6 +119,9 @@ EXTRA = [
     # eliminate an inner join, so the sketch + exact audit both run.
     "text_hll_distinct_shingles",
     "text_hll_merge",
+    # ends in a groupBy aggregate over the triangle relation: count()
+    # computes orientation, wedges, and the closing join.
+    "graph_triangles_parts",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

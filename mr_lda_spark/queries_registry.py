@@ -7483,6 +7483,65 @@ def events_funnel_conversion(spark, sf_dir):
     )
 
 
+@register(
+    "graph_triangles_parts",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      WHERE a.l_quantity >= 30 AND b.l_quantity >= 30
+    ),
+    deg AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY 1
+    ),
+    o AS (
+      SELECT CASE WHEN da.d*4294967296+a < db.d*4294967296+b
+                  THEN a ELSE b END AS u,
+             CASE WHEN da.d*4294967296+a < db.d*4294967296+b
+                  THEN b ELSE a END AS v,
+             CASE WHEN da.d*4294967296+a < db.d*4294967296+b
+                  THEN db.d*4294967296+b ELSE da.d*4294967296+a END AS kv
+      FROM e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+    ),
+    w AS (
+      SELECT x.u AS u, x.v AS p, y.v AS q
+      FROM o x JOIN o y ON x.u = y.u AND x.kv < y.kv
+    ),
+    tri AS (
+      SELECT w.u, w.p, w.q
+      FROM w JOIN o ON o.u = w.p AND o.v = w.q
+    )
+    SELECT node, count(*) AS n_triangles FROM (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT p FROM tri
+      UNION ALL SELECT q FROM tri
+    ) GROUP BY 1
+    """,
+)
+def graph_triangles_parts(spark, sf_dir):
+    """Triangle participation per part over the high-quantity
+    co-purchase graph (`operators/graph.triangles`): degree-ordered
+    orientation (out-degree O(√E) — a hot product cannot generate a
+    quadratic wedge partition), wedge equi-join on the shared tail,
+    equi-join closure; each triangle forms exactly once and credits
+    its three corners.  Both joins shuffle on node keys only — never a
+    CartesianProduct (plan-asserted in tests/test_graph.py)."""
+    from mr_lda_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return graph.triangle_participation(edges)
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch (operators/hll.py) — md5-determin-
 # istic registers, integer-exact estimator, oracle-recomputable in SQL.

@@ -68,3 +68,43 @@ def test_pagerank_matches_sim_on_random_digraph(spark):
     edges = spark.createDataFrame(e, "src string, dst string")
     got = {r["node"]: r["pr"] for r in graph.pagerank(edges, 4).collect()}
     assert got == _simulate(e, 4)
+
+
+def _tri_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_triangles_k4(spark):
+    """K4: C(4,3) = 4 triangles, every node in exactly 3."""
+    e = [(a, b) for a in range(4) for b in range(4) if a < b]
+    tri = graph.triangles(_tri_edges(spark, e)).collect()
+    assert len(tri) == 4
+    # every triangle's corners are distinct and each forms once
+    assert len({tuple(sorted((r["u"], r["p"], r["q"]))) for r in tri}) == 4
+    part = {
+        r["node"]: r["n_triangles"]
+        for r in graph.triangle_participation(_tri_edges(spark, e)).collect()
+    }
+    assert part == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_path_has_none(spark):
+    e = [(0, 1), (1, 2), (2, 3)]
+    assert graph.triangles(_tri_edges(spark, e)).count() == 0
+
+
+def test_triangles_hub_plus_one(spark):
+    """Star K1,5 has no triangles; closing one rim pair makes one."""
+    star = [(0, i) for i in range(1, 6)]
+    assert graph.triangles(_tri_edges(spark, star)).count() == 0
+    closed = star + [(1, 2)]
+    tri = graph.triangles(_tri_edges(spark, closed)).collect()
+    assert len(tri) == 1
+    assert tuple(sorted((tri[0]["u"], tri[0]["p"], tri[0]["q"]))) == (0, 1, 2)
+
+
+def test_triangles_plan_has_no_cartesian(spark):
+    e = [(a, b) for a in range(6) for b in range(6) if a < b]
+    plan = graph.triangles(_tri_edges(spark, e))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
