@@ -122,6 +122,7 @@ EXTRA = [
     # ends in a groupBy aggregate over the triangle relation: count()
     # computes orientation, wedges, and the closing join.
     "graph_triangles_parts",
+    "customer_priority_scd2",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -136,6 +137,9 @@ EXTRA = [
 # text_npmi_coherence / text_repetition_scores; documented in
 # PERF_NOTES_r08 §4 with isolated noop-forced medians on record).
 NOOP_FORCE = {
+    # scd2 ends in a lead() window: count() prunes it (cardinality is
+    # fixed by the run groupBy) — noop-force so interval chaining runs.
+    "customer_priority_scd2",
     "dedup_segments_corpus",
     "dedup_segments_intradoc",
     "dedup_exact_substring",

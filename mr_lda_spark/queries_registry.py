@@ -7542,6 +7542,54 @@ def graph_triangles_parts(spark, sf_dir):
     return graph.triangle_participation(edges)
 
 
+@register(
+    "customer_priority_scd2",
+    """
+    WITH obs AS (
+      SELECT o_custkey AS custkey, o_orderpriority AS priority,
+             o_orderdate AS ts, o_orderkey AS ok
+      FROM orders
+    ), flagged AS (
+      SELECT *, CASE WHEN lag(priority) OVER w IS NULL
+                       OR lag(priority) OVER w <> priority
+                THEN 1 ELSE 0 END AS chg
+      FROM obs WINDOW w AS (PARTITION BY custkey ORDER BY ts, ok)
+    ), ver AS (
+      SELECT *, CAST(sum(chg) OVER (
+        PARTITION BY custkey ORDER BY ts, ok ROWS UNBOUNDED PRECEDING
+      ) AS INT) AS version
+      FROM flagged
+    ), grp AS (
+      SELECT custkey, version, min(priority) AS priority,
+             min(ts) AS valid_from, count(*) AS n_obs
+      FROM ver GROUP BY 1, 2
+    )
+    SELECT custkey, version, priority, valid_from,
+           lead(valid_from) OVER w2 AS valid_to, n_obs,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM grp WINDOW w2 AS (PARTITION BY custkey ORDER BY version)
+    """,
+)
+def customer_priority_scd2(spark, sf_dir):
+    """Type-2 slowly-changing dimension over each customer's order
+    priority (`operators/scd.scd2`): consecutive runs of identical
+    priority collapse into versioned [valid_from, valid_to) rows with
+    an is_current flag.  Ordering is (o_orderdate, o_orderkey) — a
+    total order, so run boundaries are deterministic.  Every window
+    and the run groupBy shuffle on the customer key only."""
+    from mr_lda_spark.operators.scd import scd2
+
+    obs = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ok"),
+    )
+    return scd2(
+        obs, "custkey", ["priority"], ["ts", "ok"], ts_col="ts"
+    )
+
+
 # --------------------------------------------------------------------------
 # HyperLogLog distinct-count sketch (operators/hll.py) — md5-determin-
 # istic registers, integer-exact estimator, oracle-recomputable in SQL.
