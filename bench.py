@@ -123,6 +123,7 @@ EXTRA = [
     # computes orientation, wedges, and the closing join.
     "graph_triangles_parts",
     "customer_priority_scd2",
+    "lineitem_zorder_extents",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -140,6 +141,9 @@ NOOP_FORCE = {
     # scd2 ends in a lead() window: count() prunes it (cardinality is
     # fixed by the run groupBy) — noop-force so interval chaining runs.
     "customer_priority_scd2",
+    # count() keeps the cell groupBy (cardinality) but prunes the
+    # min/max extent aggregates and the probe verdict — noop-force.
+    "lineitem_zorder_extents",
     "dedup_segments_corpus",
     "dedup_segments_intradoc",
     "dedup_exact_substring",

@@ -7542,6 +7542,58 @@ def graph_triangles_parts(spark, sf_dir):
     return graph.triangle_participation(edges)
 
 
+_MORTON10 = " + ".join(
+    f"((xq >> {i}) & 1) * {1 << (2 * i + 1)}"
+    f" + ((yq >> {i}) & 1) * {1 << (2 * i)}"
+    for i in range(10)
+)
+
+
+@register(
+    "lineitem_zorder_extents",
+    f"""
+    WITH mx AS (
+      SELECT max(l_partkey) AS xmax, max(l_suppkey) AS ymax FROM lineitem
+    ),
+    s AS (
+      SELECT l_partkey AS x, l_suppkey AS y,
+             (l_partkey * 1024) // (xmax + 1) AS xq,
+             (l_suppkey * 1024) // (ymax + 1) AS yq,
+             xmax, ymax
+      FROM lineitem, mx
+    ),
+    z AS (SELECT *, ({_MORTON10}) >> 10 AS cell FROM s),
+    per AS (
+      SELECT cell, count(*) AS n_rows, min(x) AS x_min, max(x) AS x_max,
+             min(y) AS y_min, max(y) AS y_max,
+             min(xmax) AS xmax, min(ymax) AS ymax
+      FROM z GROUP BY 1
+    )
+    SELECT cell, n_rows, x_min, x_max, y_min, y_max,
+           NOT (x_max < (xmax*25)//100 OR x_min > (xmax*30)//100
+             OR y_max < (ymax*40)//100 OR y_min > (ymax*60)//100)
+             AS hits_probe
+    FROM per
+    """,
+)
+def lineitem_zorder_extents(spark, sf_dir):
+    """Z-order (Morton) clustering of lineitem on
+    (l_partkey, l_suppkey) (`operators/layout.zorder_cell_extents`):
+    one row per occupied quadtree cell with the min/max extents a
+    parquet footer would carry and the min/max-pruning verdict for a
+    25-30% × 40-60% probe box.  Integer-exact throughout (floor-div
+    quantization, shift/mask interleave) — no global sort: the cell
+    id is a shift of the Morton key, so layout assignment is
+    embarrassingly parallel; the quantization bounds come from a
+    broadcast 1-row aggregate, not a driver collect."""
+    from mr_lda_spark.operators.layout import zorder_cell_extents
+
+    return zorder_cell_extents(
+        _t(spark, sf_dir, "lineitem"), "l_partkey", "l_suppkey",
+        qbits=10, levels=5,
+    )
+
+
 @register(
     "customer_priority_scd2",
     """
