@@ -124,6 +124,7 @@ EXTRA = [
     "graph_triangles_parts",
     "customer_priority_scd2",
     "lineitem_zorder_extents",
+    "events_attribution_touch",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -144,6 +145,9 @@ NOOP_FORCE = {
     # count() keeps the cell groupBy (cardinality) but prunes the
     # min/max extent aggregates and the probe verdict — noop-force.
     "lineitem_zorder_extents",
+    # cardinality is the purchase filter alone: count() prunes both
+    # ignore-nulls attribution windows — noop-force.
+    "events_attribution_touch",
     "dedup_segments_corpus",
     "dedup_segments_intradoc",
     "dedup_exact_substring",

@@ -20,7 +20,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps"]
+__all__ = ["funnel_steps", "touch_attribution"]
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str,
+    channel_types: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-/last-touch marketing attribution: one row per
+    conversion event with the first and the most recent STRICTLY
+    PRECEDING channel event's type (null ⇒ no prior touch, i.e.
+    "direct"), plus the conversion value in integer cents.
+
+    Single window pass over (user, time): ``first/last(..., ignore
+    nulls)`` over an unbounded-preceding-to-1-preceding frame — no
+    self-join, no per-user buffering; the only shuffle is the user
+    key.  Ordering is (ts, event_id): a total order, so simultaneous
+    events attribute deterministically.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.when(
+        F.col(type_col).isin(list(channel_types)), F.col(type_col)
+    )
+    touched = events.select(
+        F.col(id_col).alias("conversion_id"),
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("_t"),
+        F.first(channel, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(channel, ignorenulls=True).over(w).alias("last_touch"),
+        F.round(F.col(value_col) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return touched.filter(F.col("_t") == conversion_type).drop("_t")
 
 
 def funnel_steps(

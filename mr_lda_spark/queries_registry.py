@@ -7542,6 +7542,43 @@ def graph_triangles_parts(spark, sf_dir):
     return graph.triangle_participation(edges)
 
 
+@register(
+    "events_attribution_touch",
+    """
+    WITH t AS (
+      SELECT event_id, user_id, event_type, value,
+             first_value(CASE WHEN event_type IN ('view','click','signup')
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS first_touch,
+             last_value(CASE WHEN event_type IN ('view','click','signup')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS conversion_id, user_id, first_touch, last_touch,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM t WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_touch(spark, sf_dir):
+    """First-/last-touch revenue attribution
+    (`operators/funnel.touch_attribution`): per purchase, the first
+    and the most recent strictly-preceding channel event (view /
+    click / signup; null = direct) via one ignore-nulls window pass —
+    no self-join, no per-user buffering, one user-keyed shuffle.
+    Ordered by (ts, event_id), a total order; value in integer cents
+    per the registry convention."""
+    from mr_lda_spark.operators.funnel import touch_attribution
+
+    return touch_attribution(
+        _t(spark, sf_dir, "events"),
+        "purchase",
+        ["view", "click", "signup"],
+    )
+
+
 _MORTON10 = " + ".join(
     f"((xq >> {i}) & 1) * {1 << (2 * i + 1)}"
     f" + ((yq >> {i}) & 1) * {1 << (2 * i)}"

@@ -69,3 +69,66 @@ def test_funnel_repeated_step_type(spark):
         for r in funnel_steps(_ev(rows, spark), ["view", "view"]).collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_touch_attribution_first_and_last(spark):
+    from mr_lda_spark.operators.funnel import touch_attribution
+    import datetime
+
+    def ts(s):
+        return datetime.datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: view -> click -> purchase : first=view last=click
+        (1, 1, "view", ts(1), 0.0),
+        (2, 1, "click", ts(2), 0.0),
+        (3, 1, "purchase", ts(3), 5.0),
+        # user 2: purchase with no prior touch -> nulls
+        (4, 2, "purchase", ts(1), 2.5),
+        # user 2: then a view, then another purchase -> view/view
+        (5, 2, "view", ts(2), 0.0),
+        (6, 2, "purchase", ts(3), 1.0),
+        # error events never attribute
+        (7, 3, "error", ts(1), 0.0),
+        (8, 3, "purchase", ts(2), 9.99),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    got = {
+        r["conversion_id"]: (
+            r["first_touch"], r["last_touch"], r["cents"]
+        )
+        for r in touch_attribution(
+            events, "purchase", ["view", "click", "signup"]
+        ).collect()
+    }
+    assert got == {
+        3: ("view", "click", 500),
+        4: (None, None, 250),
+        6: ("view", "view", 100),
+        8: (None, None, 999),
+    }
+
+
+def test_touch_attribution_tie_broken_by_event_id(spark):
+    from mr_lda_spark.operators.funnel import touch_attribution
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "view", t0, 0.0),
+        (2, 1, "click", t0, 0.0),   # same ts: id orders it after view
+        (3, 1, "purchase", t0, 1.0),  # same ts: sees both touches
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    row = touch_attribution(
+        events, "purchase", ["view", "click", "signup"]
+    ).collect()[0]
+    assert (row["first_touch"], row["last_touch"]) == ("view", "click")
