@@ -125,6 +125,9 @@ EXTRA = [
     "customer_priority_scd2",
     "lineitem_zorder_extents",
     "events_attribution_touch",
+    # final filter carries the threshold levenshtein: count() runs
+    # the sort, candidate windows, and the verify joins.
+    "dedup_sorted_neighborhood",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

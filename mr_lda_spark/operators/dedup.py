@@ -1005,3 +1005,69 @@ def exact_substring_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+    block_chars: int = 8,
+    key_chars: int = 24,
+    max_distance: int = 64,
+) -> DataFrame:
+    """Blocked sorted-neighborhood near-dup pairs — the classic record
+    -linkage alternative to LSH blocking: normalize each text to a
+    sort key (lowercased, non-alphanumerics stripped, first
+    ``key_chars`` chars), sort WITHIN each ``block_chars``-prefix
+    block, and compare each record only to its ``window`` successors,
+    verified by threshold Levenshtein on the full text.
+
+    Scale shape: the sort is per-block (window partitioned by the
+    block prefix — never a global single-task sort); the window pass
+    sees only (doc_id, sort-key) — texts join back BY ID afterwards,
+    so the heavy column never rides the sort shuffle; candidate count
+    is ≤ window·n by construction (skew-immune: a hot block caps each
+    member at ``window`` pairs, unlike an equi-join block which goes
+    quadratic); the verify is Spark's banded O(len·k) threshold
+    Levenshtein on candidates only.  Pairs are canonicalized
+    (a = least id) and cannot repeat — each ordered (predecessor,
+    successor-at-gap-i) pair exists for exactly one i.
+    """
+    skey = F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", ""),
+        1,
+        key_chars,
+    )
+    keyed = docs.select(
+        "doc_id",
+        skey.alias("skey"),
+    ).withColumn("blk", F.substring("skey", 1, block_chars))
+    w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    leads = keyed.select(
+        "doc_id",
+        *[
+            F.lead("doc_id", i).over(w).alias(f"_n{i}")
+            for i in range(1, window + 1)
+        ],
+    )
+    pair_cols = [
+        leads.select(
+            F.col("doc_id").alias("ia"), F.col(f"_n{i}").alias("ib")
+        ).filter(F.col("ib").isNotNull())
+        for i in range(1, window + 1)
+    ]
+    cands = pair_cols[0]
+    for pc in pair_cols[1:]:
+        cands = cands.unionByName(pc)
+    ta = docs.select(F.col("doc_id").alias("ia"), F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("ib"), F.col(text_col).alias("__tb"))
+    return (
+        cands.join(ta, "ia")
+        .join(tb, "ib")
+        .select(
+            F.least("ia", "ib").alias("a"),
+            F.greatest("ia", "ib").alias("b"),
+            F.levenshtein("__ta", "__tb", max_distance).alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_distance))
+    )

@@ -7543,6 +7543,52 @@ def graph_triangles_parts(spark, sf_dir):
 
 
 @register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH k AS (
+      SELECT doc_id, text,
+             substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'),
+                    1, 24) AS skey
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, skey, substr(skey, 1, 8) AS blk,
+             row_number() OVER (
+               PARTITION BY substr(skey, 1, 8) ORDER BY skey, doc_id
+             ) AS rn
+      FROM k
+    ),
+    pr AS (
+      SELECT x.doc_id AS ia, y.doc_id AS ib
+      FROM r x JOIN r y ON x.blk = y.blk
+                       AND y.rn - x.rn BETWEEN 1 AND 3
+    )
+    SELECT least(ia, ib) AS a, greatest(ia, ib) AS b,
+           CAST(levenshtein(ka.text, kb.text) AS INT) AS dist
+    FROM pr JOIN k ka ON ka.doc_id = ia JOIN k kb ON kb.doc_id = ib
+    WHERE levenshtein(ka.text, kb.text) <= 64
+    """,
+)
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """Blocked sorted-neighborhood near-dup detection
+    (`operators/dedup.sorted_neighborhood_pairs`): normalize → sort
+    within prefix blocks → compare each record to its 3 successors →
+    threshold-Levenshtein verify.  Complements the MinHash/SimHash
+    blockers: candidates ≤ 3n by construction, so a hot block cannot
+    go quadratic; the sort shuffles (doc_id, 24-char key) only, texts
+    join back by id; the per-block window avoids any global
+    single-task sort.  ASCII corpus ⇒ Spark code-point edits equal
+    DuckDB byte edits (same caveat as dedup_edit_distance_pairs)."""
+    return dedup.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"),
+        window=3,
+        block_chars=8,
+        key_chars=24,
+        max_distance=64,
+    )
+
+
+@register(
     "events_attribution_touch",
     """
     WITH t AS (

@@ -128,3 +128,39 @@ def test_edit_distance_pairs_cap_excludes_distant_texts(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = dedup.edit_distance_pairs(docs, max_distance=8).collect()
     assert got == []
+
+
+def test_sorted_neighborhood_finds_prefix_sharing_near_dups(spark):
+    from mr_lda_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dot"),  # 1 edit
+            (3, "a completely different document body here"),
+            # shares the 8-char block prefix but far in edit distance
+            (4, "the quick red panda sleeps all day long in a tree"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["a"], r["b"]): r["dist"]
+        for r in dedup.sorted_neighborhood_pairs(
+            docs, window=3, max_distance=5
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1
+    assert all(k == (1, 2) for k in pairs)
+
+
+def test_sorted_neighborhood_candidates_capped_by_window(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators import dedup
+
+    # 20 identical texts: a hot block — candidates must be <= w*n,
+    # not C(n,2)
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"), F.lit("same text body").alias("text")
+    )
+    pairs = dedup.sorted_neighborhood_pairs(docs, window=3).collect()
+    assert len(pairs) == 3 * 20 - (1 + 2 + 3)  # tail rows lack successors
