@@ -128,6 +128,7 @@ EXTRA = [
     # final filter carries the threshold levenshtein: count() runs
     # the sort, candidate windows, and the verify joins.
     "dedup_sorted_neighborhood",
+    "events_hourly_anomalies",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -151,6 +152,9 @@ NOOP_FORCE = {
     # cardinality is the purchase filter alone: count() prunes both
     # ignore-nulls attribution windows — noop-force.
     "events_attribution_touch",
+    # cardinality is the spine join: count() prunes the trailing
+    # sums and the z-test — noop-force.
+    "events_hourly_anomalies",
     "dedup_segments_corpus",
     "dedup_segments_intradoc",
     "dedup_exact_substring",

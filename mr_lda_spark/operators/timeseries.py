@@ -212,6 +212,82 @@ def rolling_range_sum_salted(
     return out_df.drop(*drop)
 
 
+def rolling_count_anomalies(
+    buckets: DataFrame,
+    by: str,
+    bucket_col: str,
+    count_col: str,
+    step: int,
+    lookback: int = 24,
+    z: int = 3,
+    min_periods: int = 8,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags over a bucketed count
+    series — INTEGER-EXACT, so two engines agree on every bit (the
+    same design rule as the integer PageRank / ADC oracles): with
+    k = trailing bucket count, Sx = Σcnt, Sx2 = Σcnt², the test
+
+        |cnt - mean| > z·σ   ⇔   (k·cnt - Sx)² > z²·(k·Sx2 - Sx²)
+
+    multiplies through by k² so no mean, variance, sqrt, or division
+    is ever computed — only BIGINT products.  σ is the POPULATION
+    deviation of the trailing frame; the frame excludes the current
+    bucket (self-exclusion keeps a spike from masking itself); frames
+    shorter than ``min_periods`` never flag; a zero-variance frame
+    flags any deviation (rhs = 0 < lhs).
+
+    Missing buckets count as zero: the series is first densified onto
+    each group's integer spine (``sequence`` executor-side, like
+    :func:`time_spine`) — without this, a ROWS frame would silently
+    skip empty hours and the window would not be time-true.
+
+    Scale: one shuffle on the group key; the spine join is
+    co-partitioned; the window is a streaming ROWS frame.  Bucket
+    counts per group are corpus-size / step, so even a year of hourly
+    buckets is ~9k rows per group — group skew is structurally capped.
+    """
+    bounds = buckets.groupBy(by).agg(
+        F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
+    )
+    spine = bounds.select(
+        by,
+        F.explode(
+            F.sequence("__mn", "__mx", F.lit(int(step)))
+        ).alias(bucket_col),
+    )
+    filled = spine.join(buckets, [by, bucket_col], "left").select(
+        by,
+        bucket_col,
+        F.coalesce(F.col(count_col), F.lit(0))
+        .cast("long")
+        .alias("cnt"),
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(bucket_col)
+        .rowsBetween(-lookback, -1)
+    )
+    win = filled.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("__k"),
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("sx"),
+        F.coalesce(F.sum(F.col("cnt") * F.col("cnt")).over(w), F.lit(0))
+        .alias("sx2"),
+    )
+    k, cnt = F.col("__k"), F.col("cnt")
+    lhs = (k * cnt - F.col("sx")) * (k * cnt - F.col("sx"))
+    rhs = F.lit(z * z) * (k * F.col("sx2") - F.col("sx") * F.col("sx"))
+    return win.select(
+        by,
+        bucket_col,
+        "cnt",
+        k.cast("int").alias("lookback"),
+        "sx",
+        "sx2",
+        ((k >= min_periods) & (lhs > rhs)).alias("is_anomaly"),
+    )
+
+
 def time_spine(
     buckets: DataFrame,
     by: list[str],

@@ -7543,6 +7543,69 @@ def graph_triangles_parts(spark, sf_dir):
 
 
 @register(
+    "events_hourly_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+      FROM hourly GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS bucket
+      FROM bounds
+    ),
+    filled AS (
+      SELECT s.event_type, s.bucket,
+             CAST(coalesce(n, 0) AS BIGINT) AS cnt
+      FROM spine s LEFT JOIN hourly h
+        ON h.event_type = s.event_type AND h.bucket = s.bucket
+    ),
+    win AS (
+      SELECT *, count(*) OVER w AS k,
+             CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS sx,
+             CAST(coalesce(sum(cnt*cnt) OVER w, 0) AS BIGINT) AS sx2
+      FROM filled
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket, cnt, CAST(k AS INT) AS lookback, sx, sx2,
+           k >= 8 AND (k*cnt - sx)*(k*cnt - sx) > 9 * (k*sx2 - sx*sx)
+             AS is_anomaly
+    FROM win
+    """,
+)
+def events_hourly_anomalies(spark, sf_dir):
+    """Trailing-24h z-score anomaly flags on the hourly event-count
+    series (`operators/timeseries.rolling_count_anomalies`):
+    integer-exact — the |x−μ|>3σ test is multiplied through by k² so
+    both engines compare BIGINT products, never a float σ.  Missing
+    hours densify to zero on an executor-side integer spine first
+    (a ROWS frame over a gappy series would not be time-true); the
+    frame excludes the current hour so a spike cannot mask itself."""
+    from mr_lda_spark.operators.timeseries import rolling_count_anomalies
+
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+                "bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return rolling_count_anomalies(
+        hourly, "event_type", "bucket", "n",
+        step=3600, lookback=24, z=3, min_periods=8,
+    )
+
+
+@register(
     "dedup_sorted_neighborhood",
     """
     WITH k AS (

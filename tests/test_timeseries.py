@@ -153,3 +153,58 @@ def test_salted_rolling_matches_plain_randomized(spark):
     )
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, salted.collect()))
+
+
+def test_rolling_count_anomalies_integer_exact(spark):
+    """Hand-checkable series: constant 10s, one spike, one gap hour
+    (densified to zero, itself an anomaly vs a constant history)."""
+    from mr_lda_spark.operators.timeseries import rolling_count_anomalies
+
+    rows = [("a", i * 3600, 10) for i in range(12)]
+    rows += [("a", 12 * 3600, 100)]          # spike
+    rows += [("a", i * 3600, 10) for i in range(13, 39)]
+    # hour 39 missing entirely -> densified cnt=0
+    rows += [("a", 40 * 3600, 10)]
+    df = spark.createDataFrame(rows, "k string, bucket long, n long")
+    got = {
+        r["bucket"] // 3600: (r["cnt"], r["lookback"], r["is_anomaly"])
+        for r in rolling_count_anomalies(
+            df, "k", "bucket", "n", step=3600,
+            lookback=24, z=3, min_periods=8,
+        ).collect()
+    }
+    assert len(got) == 41                      # spine densified 0..40
+    assert got[39][0] == 0                     # gap filled with zero
+    # warm-up: frames shorter than min_periods never flag
+    for h in range(0, 8):
+        assert got[h][2] is False
+    # constant history, constant value: no flag
+    assert got[11] == (10, 11, False)
+    # the spike against a zero-variance constant history flags
+    assert got[12] == (100, 12, True)
+    # hour 16: the spike is IN the trailing frame -> sigma inflated
+    # (z-score masking, a documented property) -> 10 does not flag
+    assert got[16][2] is False
+    # hour 39: spike left the 24h frame (15..38 all constant), so the
+    # densified zero against a zero-variance history flags
+    assert got[39][2] is True
+    # and the recovery hour after the gap does not flag (one zero in
+    # the frame widens sigma; 10 is within 3 sigma)
+    assert got[40][0] == 10
+
+
+def test_rolling_count_anomalies_groups_independent(spark):
+    from mr_lda_spark.operators.timeseries import rolling_count_anomalies
+
+    rows = [("a", i * 60, 5) for i in range(10)]
+    rows += [("b", i * 60, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, bucket long, n long")
+    out = rolling_count_anomalies(
+        df, "k", "bucket", "n", step=60,
+        lookback=4, z=3, min_periods=2,
+    ).collect()
+    assert len(out) == 20
+    assert not any(r["is_anomaly"] for r in out)
+    # per-group sx at bucket 4 is 4 buckets x group's own constant
+    sx = {(r["k"], r["bucket"] // 60): r["sx"] for r in out}
+    assert sx[("a", 4)] == 20 and sx[("b", 4)] == 28
