@@ -129,6 +129,9 @@ EXTRA = [
     # the sort, candidate windows, and the verify joins.
     "dedup_sorted_neighborhood",
     "events_hourly_anomalies",
+    # inner join of two aggregates: count() computes the window pass
+    # and both groupBys.
+    "events_markov_transitions",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -20,7 +20,46 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "touch_attribution"]
+__all__ = ["funnel_steps", "touch_attribution", "markov_transitions"]
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: (src, dst, n, n_src, p_ppm) for every observed consecutive
+    event-type pair, with the empirical transition probability in
+    INTEGER parts-per-million (floor division — cross-engine exact,
+    like the PageRank micro-units).
+
+    One lead() window pass (user-keyed shuffle, total order by
+    (ts, id)) + one K²-sized groupBy — state-type cardinality is tiny
+    by definition, so the transition relation never grows with the
+    corpus."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return pairs.join(totals, "src").select(
+        "src",
+        "dst",
+        "n",
+        "n_src",
+        F.expr("(n * 1000000) div n_src").alias("p_ppm"),
+    )
 
 
 def touch_attribution(

@@ -7543,6 +7543,39 @@ def graph_triangles_parts(spark, sf_dir):
 
 
 @register(
+    "events_markov_transitions",
+    """
+    WITH nxt AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS dst
+      FROM events
+    ),
+    pairs AS (
+      SELECT src, dst, count(*) AS n FROM nxt
+      WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM pairs GROUP BY 1
+    )
+    SELECT p.src, p.dst, p.n, t.n_src,
+           (p.n * 1000000) // t.n_src AS p_ppm
+    FROM pairs p JOIN tot t ON t.src = p.src
+    """,
+)
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event streams
+    (`operators/funnel.markov_transitions`): consecutive event-type
+    pairs per user via one lead() window (total order (ts, event_id)),
+    K²-sized transition counts, and integer-ppm empirical
+    probabilities (floor division — cross-engine exact)."""
+    from mr_lda_spark.operators.funnel import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@register(
     "events_hourly_anomalies",
     """
     WITH hourly AS (

@@ -132,3 +132,52 @@ def test_touch_attribution_tie_broken_by_event_id(spark):
         events, "purchase", ["view", "click", "signup"]
     ).collect()[0]
     assert (row["first_touch"], row["last_touch"]) == ("view", "click")
+
+
+def test_markov_transitions_counts_and_ppm(spark):
+    from mr_lda_spark.operators.funnel import markov_transitions
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b
+        (1, 1, "a", ts(1), 0.0),
+        (2, 1, "b", ts(2), 0.0),
+        (3, 1, "a", ts(3), 0.0),
+        (4, 2, "a", ts(1), 0.0),
+        (5, 2, "b", ts(2), 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["n_src"], r["p_ppm"])
+        for r in markov_transitions(events).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2, 1000000),
+        ("b", "a"): (1, 1, 1000000),
+    }
+
+
+def test_markov_transitions_no_cross_user_pair(spark):
+    from mr_lda_spark.operators.funnel import markov_transitions
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "a", t0, 0.0),
+        (2, 2, "b", t0, 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    assert markov_transitions(events).count() == 0
