@@ -7976,6 +7976,39 @@ def text_hll_merge(spark, sf_dir):
     return merged.crossJoin(direct).crossJoin(exact)
 
 
+@register(
+    "documents_stream_hll_shingles",
+    _sql_hll_est(_sql_hll_regs(_SQL_SHINGLES5_LANG, "lang"), "lang"),
+)
+def documents_stream_hll_shingles(spark, sf_dir):
+    """Streaming HLL distinct-shingle estimate per language
+    (`streaming/hll_stream.py`): the BATCH register operator
+    (`operators/hll.hll_registers`) applied verbatim to the documents
+    STREAM — groupBy().max() is exactly the aggregate Structured
+    Streaming maintains incrementally, with state bounded at
+    langs × 256 register rows regardless of stream length (the reason
+    HLL belongs in a streaming gate where dropDuplicates state grows
+    forever).  Drained availableNow into the batch estimator; the
+    answer is bit-for-bit the batch sketch, so the oracle is the same
+    SQL as text_hll_distinct_shingles minus the exact-audit column."""
+    import uuid
+
+    from mr_lda_spark.operators import hll
+    from mr_lda_spark.streaming.dedup_stream import read_documents_stream
+    from mr_lda_spark.streaming.hll_stream import (
+        hll_estimate_stream,
+        shingle_lang_stream,
+    )
+
+    stream = shingle_lang_stream(
+        read_documents_stream(spark, sf_dir), n=5
+    )
+    regs = hll.hll_registers(stream, "shingle", ["lang"], p=_HLL_P)
+    return hll_estimate_stream(
+        spark, regs, ["lang"], f"hllregs_{uuid.uuid4().hex[:8]}", p=_HLL_P
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

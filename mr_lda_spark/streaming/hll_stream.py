@@ -1,0 +1,74 @@
+"""Streaming HyperLogLog — the sketch family composed with Structured
+Streaming.
+
+The point this module makes is architectural: ``operators/hll.py``'s
+register relation is a plain ``groupBy().max()``, which is EXACTLY the
+shape Structured Streaming can maintain incrementally — so the batch
+operator is reused VERBATIM on the stream (same hash, same registers,
+same estimate, bit-for-bit the batch answer; the oracle is the batch
+SQL).  Streaming state is bounded by construction: ``groups × m``
+register rows total, never a function of the stream length — the
+whole reason HLL exists is that bound, and it is what makes
+"distinct keys over an unbounded stream" a safe stateful query where
+``dropDuplicates`` state would grow forever.
+
+Two-step finalization (streaming registers → batch estimate) is the
+production pattern: one streaming aggregation maintains the registers
+(Spark allows a single agg per streaming query), the estimator is a
+trivial batch query over the m-row register table each time someone
+reads the dashboard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators.textops import _tokens
+
+__all__ = ["shingle_lang_stream", "hll_estimate_stream"]
+
+
+def shingle_lang_stream(docs_stream: DataFrame, n: int = 5) -> DataFrame:
+    """(lang, shingle) explode over a streaming documents source —
+    the same tokenize/shingle pipeline as ``textops.shingles`` (same
+    ``_tokens``, 1-based positions) with the group label kept inline
+    (a stream cannot join labels back later the way batch does)."""
+    toks = _tokens(F.col("text"))
+    with_toks = docs_stream.select("lang", toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+
+    def shingle(i):
+        return F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)])
+
+    return with_toks.select(
+        "lang",
+        F.explode(F.transform(idx, lambda i: shingle(i))).alias("shingle"),
+    )
+
+
+def hll_estimate_stream(
+    spark,
+    registers_stream: DataFrame,
+    group_cols: list[str],
+    query_name: str,
+    p: int = 8,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain a streaming register relation (availableNow, complete
+    mode — state is groups × m rows) into a memory sink and finalize
+    with the BATCH estimator.  Returns the per-group estimate
+    DataFrame."""
+    from mr_lda_spark.operators.hll import hll_estimate
+
+    q = (
+        registers_stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return hll_estimate(spark.table(query_name), group_cols, p)

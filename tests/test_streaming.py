@@ -118,3 +118,46 @@ def test_session_window_exact_gap_merges(spark):
         per_user.setdefault(r["user_id"], []).append(r["n"])
     assert per_user[1] == [2]
     assert sorted(per_user[2]) == [1, 1]
+
+
+def test_stream_hll_registers_equal_batch(spark, sf_dir):
+    """The streaming register relation must equal the batch one
+    bit-for-bit (same hash family, max is order-insensitive) — the
+    property that makes the sketch safe to maintain incrementally."""
+    import uuid
+
+    from mr_lda_spark.operators import hll
+    from mr_lda_spark.operators.textops import shingles
+    from mr_lda_spark.streaming.dedup_stream import read_documents_stream
+    from mr_lda_spark.streaming.hll_stream import shingle_lang_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_keys = shingles(docs, n=5).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    batch_regs = {
+        (r["lang"], r["bucket"]): r["r"]
+        for r in hll.hll_registers(
+            batch_keys, "shingle", ["lang"], p=8
+        ).collect()
+    }
+
+    stream = shingle_lang_stream(read_documents_stream(spark, sf_dir), n=5)
+    regs = hll.hll_registers(stream, "shingle", ["lang"], p=8)
+    name = f"t_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_regs = {
+        (r["lang"], r["bucket"]): r["r"]
+        for r in spark.table(name).collect()
+    }
+    assert stream_regs == batch_regs
+    # bounded state: at most langs x 256 rows
+    langs = {k[0] for k in stream_regs}
+    assert len(stream_regs) <= 256 * len(langs)
