@@ -136,6 +136,9 @@ EXTRA = [
     # memory sink, like the quantile histogram rounds); count() forces
     # only the batch estimator over the m-row register table.
     "documents_stream_hll_shingles",
+    # ends in the fused-rank window filter: count() computes both
+    # retrieval rankings and the fusion join.
+    "similarity_rrf_fusion",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

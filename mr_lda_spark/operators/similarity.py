@@ -1617,3 +1617,55 @@ def _frozen_partial_probe(
             F.round("cos", 4).alias("cos_sim"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    topk: int = 5,
+    k_const: int = 60,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query rankings — the standard
+    way to combine heterogeneous retrieval signals (exact vs ANN,
+    lexical vs dense) without calibrating their scores: each source
+    contributes ``scale // (k_const + rank)`` (INTEGER floor division,
+    so two engines agree on every fused score bit-for-bit — the same
+    integer-exact oracle trick as the PageRank micro-units), missing
+    sources contribute 0, and candidates re-rank by the summed score.
+
+    Each input needs (query_id, neighbor_id, rank).  Plan shape: the
+    rank relations are already query×k-sized (tiny — the heavy
+    retrieval happened upstream), so the fusion is a full-outer
+    equi-join chain plus one per-query rank window; nothing here
+    scales with the corpus."""
+    assert rankings, "need at least one ranking"
+    fused = None
+    for i, r in enumerate(rankings):
+        contrib = r.select(
+            "query_id",
+            "neighbor_id",
+            F.expr(f"{scale} div ({k_const} + rank)").alias(f"__s{i}"),
+        )
+        fused = (
+            contrib
+            if fused is None
+            else fused.join(contrib, ["query_id", "neighbor_id"], "full")
+        )
+    score = sum(
+        F.coalesce(F.col(f"__s{i}"), F.lit(0))
+        for i in range(len(rankings))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fused.withColumn("rrf_score", score.cast("long"))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "neighbor_id",
+            "rrf_score",
+        )
+    )

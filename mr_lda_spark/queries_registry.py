@@ -3341,6 +3341,98 @@ def similarity_rp_topk(spark, sf_dir):
     return similarity.cosine_topk(vecs, queries, k=SIM_K)
 
 
+_RRF_FUSE_K = 10  # per-source ranking depth fed into the fusion
+
+
+@register(
+    "similarity_rrf_fusion",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE vec_id < {SIM_QUERIES}),
+    exact_scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(q.qv, e.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(e.v, e.v))) AS cos
+      FROM q, e WHERE e.vec_id <> q.query_id
+    ),
+    exact_r AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC)
+                 AS rank
+        FROM exact_scored
+      ) WHERE rank <= {_RRF_FUSE_K}
+    ),
+    rp AS ({_SQL_RP}),
+    vecs AS (
+      SELECT vec_id, list(rp_value ORDER BY out_dim) AS rv
+      FROM rp GROUP BY vec_id
+    ),
+    rp_scored AS (
+      SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(qq.rv, c.rv)
+               / (sqrt(list_dot_product(qq.rv, qq.rv))
+                  * sqrt(list_dot_product(c.rv, c.rv))) AS cos
+      FROM vecs qq JOIN vecs c ON c.vec_id <> qq.vec_id
+      WHERE qq.vec_id < {SIM_QUERIES}
+    ),
+    rp_r AS (
+      SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC)
+                 AS rank
+        FROM rp_scored
+      ) WHERE rank <= {_RRF_FUSE_K}
+    ),
+    u AS (
+      SELECT query_id, neighbor_id,
+             CAST(coalesce(1000000000 // (60 + a.rank), 0)
+                  + coalesce(1000000000 // (60 + b.rank), 0)
+                  AS BIGINT) AS rrf_score
+      FROM exact_r a FULL JOIN rp_r b USING (query_id, neighbor_id)
+    )
+    SELECT query_id, CAST(fused_rank AS INT) AS fused_rank,
+           neighbor_id, rrf_score
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id ASC
+      ) AS fused_rank FROM u
+    ) WHERE fused_rank <= {SIM_K + 2}
+    """,
+)
+def similarity_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (`operators/similarity.rrf_fuse`) of two
+    retrieval signals over the same corpus — the exact 64-dim cosine
+    ranking and the compressed 16-dim JL-projection ranking (top-10
+    each) — scored with INTEGER floor-division RRF terms so the fused
+    scores are bit-identical cross-engine.  The fusion layer joins
+    query×k-sized rank relations only; nothing in it scales with the
+    corpus (the heavy retrieval is upstream and independently
+    oracle-checked)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    exact = similarity.cosine_topk(emb, queries, k=_RRF_FUSE_K)
+    rp = similarity.random_projection(emb, in_dim=64, out_dim=16)
+    vecs = rp.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("out_dim", "rp_value"))),
+            lambda s: s["rp_value"],
+        ).alias("embedding")
+    )
+    rp_rank = similarity.cosine_topk(
+        vecs, vecs.filter(F.col("vec_id") < SIM_QUERIES), k=_RRF_FUSE_K
+    )
+    return similarity.rrf_fuse(
+        [exact.select("query_id", "neighbor_id", "rank"),
+         rp_rank.select("query_id", "neighbor_id", "rank")],
+        topk=SIM_K + 2,
+    )
+
+
 @register(
     "curation_adaptive_quality",
     f"""

@@ -510,3 +510,38 @@ def test_kmeans_frozen_sparse_ids_seeds_k_clusters(spark):
     assert len(out) == 16  # every vector assigned (old code: 0 rows)
     assert {r["cluster"] for r in out} <= {0, 1, 2, 3}
     assert len({r["cluster"] for r in out}) >= 2
+
+
+def test_rrf_fuse_integer_scores_and_missing_sources(spark):
+    from mr_lda_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, neighbor_id long, rank int",
+    )
+    got = {
+        r["neighbor_id"]: (r["fused_rank"], r["rrf_score"])
+        for r in rrf_fuse([a, b], topk=4).collect()
+    }
+    s = lambda r: 1_000_000_000 // (60 + r)  # noqa: E731
+    # 11 appears in both sources -> top fused score
+    assert got[11] == (1, s(2) + s(1))
+    assert got[10] == (2, s(1))
+    assert got[13] == (3, s(2))
+    assert got[12] == (4, s(3))
+
+
+def test_rrf_fuse_tie_broken_by_neighbor_id(spark):
+    from mr_lda_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 10, 1)],  # impossible dup rank, same score
+        "query_id long, neighbor_id long, rank int",
+    )
+    rows = rrf_fuse([a], topk=2).collect()
+    assert [r["neighbor_id"] for r in sorted(
+        rows, key=lambda r: r["fused_rank"])] == [10, 20]

@@ -105,10 +105,13 @@ def main() -> None:
         F.concat_ws("#", "shingle", F.col("__i")).alias("shingle")
     ).persist()
     sh100.count()
+    # noop-forced: under count() the optimizer keeps the md5 bucket
+    # grouping but prunes max(rho) and every estimator column — the
+    # write computes the full sketch (audited optimized plans, r9).
     run(
         "hll_distinct", 100,
-        lambda: hll.hll_distinct(sh, "shingle", [], p=8).count(),
-        lambda: hll.hll_distinct(sh100, "shingle", [], p=8).count(),
+        lambda: _noop(hll.hll_distinct(sh, "shingle", [], p=8)),
+        lambda: _noop(hll.hll_distinct(sh100, "shingle", [], p=8)),
     )
     sh.unpersist(); sh100.unpersist()
 
