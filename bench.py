@@ -139,6 +139,9 @@ EXTRA = [
     # ends in the fused-rank window filter: count() computes both
     # retrieval rankings and the fusion join.
     "similarity_rrf_fusion",
+    # ends in a grouped aggregate over the join: count() runs the
+    # bitset build, the map-side prefilter, and the exact join.
+    "lineitem_bloom_join_revenue",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -34,7 +34,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_positions", "bloom_build", "bloom_prefilter"]
+__all__ = [
+    "bloom_positions", "bloom_build", "bloom_prefilter",
+    "bloom_pruned_join",
+]
 
 
 def bloom_positions(key: Column, m: int, n_hashes: int) -> Column:
@@ -125,3 +128,42 @@ def bloom_prefilter(
         .filter(_hit(F.col("_bloom_pos")))
         .drop("_bloom_pos")
     )
+
+
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    key_col: str,
+    bits_per_key: int = 12,
+    n_hashes: int = 6,
+) -> DataFrame:
+    """Equi-join with an explicit Bloom runtime filter: build the
+    bitset from the SMALL side's distinct keys, prefilter the BIG side
+    map-side before its shuffle, then run the exact join (which
+    removes the Bloom false positives) — output identical to
+    ``big.join(small, key_col)``, but the big side reaches the shuffle
+    pre-shrunk to matches + fp noise.
+
+    This is the join-pruning shape engines call a runtime filter /
+    sideways information passing: at 100 TB the win is that the
+    filtered-out rows never leave their input partitions — with a
+    selective dimension predicate the big side's shuffle drops by the
+    selectivity factor while the bitset costs ~1.5 bytes/key
+    broadcast.  (Spark's own AQE runtime filters cover common cases;
+    the explicit operator makes the technique available composed with
+    anything, and its bitset build is the audited bloom.py path:
+    JVM-side hashing, bit_or word aggregation, bitset-sized driver
+    state.)
+
+    The small side is counted once to size the filter (a driver
+    scalar, like the reference's α sidecar — the side is dimension-
+    sized by assumption).
+    """
+    keys = small.select(key_col).distinct().persist()
+    n_keys = keys.count()
+    words, m = bloom_build(
+        keys, key_col, n_keys, bits_per_key, n_hashes
+    )
+    keys.unpersist()
+    pruned = bloom_prefilter(big, key_col, words, m, n_hashes)
+    return pruned.join(small, key_col)

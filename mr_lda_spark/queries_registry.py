@@ -7813,6 +7813,58 @@ def events_attribution_touch(spark, sf_dir):
     )
 
 
+@register(
+    "lineitem_bloom_join_revenue",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           count(DISTINCT o_orderkey) AS n_orders,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000
+    GROUP BY 1
+    """,
+)
+def lineitem_bloom_join_revenue(spark, sf_dir):
+    """Fact⋈dim join behind an explicit Bloom runtime filter
+    (`operators/bloom.bloom_pruned_join`): the selective order
+    predicate's keys build an m-bit bitset; lineitem is prefiltered
+    MAP-SIDE (Arrow-batched bitset probes over JVM-computed hashes)
+    before its shuffle, and the exact join removes the false
+    positives — output identical to the plain join (which is the
+    oracle), but the fact side reaches the shuffle pre-shrunk by the
+    dim predicate's selectivity.  Integer-cents revenue per the
+    registry convention."""
+    from mr_lda_spark.operators.bloom import bloom_pruned_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    ords = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 250000)
+        )
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            "o_orderdate",
+        )
+    )
+    joined = bloom_pruned_join(li, ords, "l_orderkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(cents).alias("revenue_cents"),
+    )
+
+
 _MORTON10 = " + ".join(
     f"((xq >> {i}) & 1) * {1 << (2 * i + 1)}"
     f" + ((yq >> {i}) & 1) * {1 << (2 * i)}"

@@ -66,3 +66,33 @@ def test_bloom_probe_is_arrow_not_pickled(spark, documents):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators.bloom import bloom_pruned_join
+
+    big = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    )
+    small = spark.range(0, 5000, 83).select(
+        F.col("id").alias("k"), F.lit("dim").alias("d")
+    )
+    got = sorted(
+        (r["k"], r["v"], r["d"])
+        for r in bloom_pruned_join(big, small, "k").collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["d"])
+        for r in big.join(small, "k").collect()
+    )
+    assert got == want and len(got) == len(range(0, 5000, 83))
+
+
+def test_bloom_pruned_join_empty_small_side(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators.bloom import bloom_pruned_join
+
+    big = spark.range(100).select(F.col("id").alias("k"))
+    small = spark.range(0).select(F.col("id").alias("k"))
+    assert bloom_pruned_join(big, small, "k").count() == 0
