@@ -142,6 +142,9 @@ EXTRA = [
     # ends in a grouped aggregate over the join: count() runs the
     # bitset build, the map-side prefilter, and the exact join.
     "lineitem_bloom_join_revenue",
+    # inner+left joins of grouped aggregates (cardinality = the pair
+    # estimate relation): count() computes sketch and exact audit.
+    "text_hll_source_overlap",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hll_alpha", "hll_rho", "hll_registers", "hll_estimate",
-    "hll_distinct", "hll_merge",
+    "hll_distinct", "hll_merge", "hll_pairwise_sets",
 ]
 
 _HASH_BITS = 60  # 15 hex chars of md5 — fits signed int64 in both engines
@@ -147,3 +147,71 @@ def hll_merge(
         c for c in merged.columns if c not in ("bucket", "r")
     ]
     return hll_estimate(merged, remaining, p)
+
+
+def hll_pairwise_sets(
+    registers: DataFrame, label_col: str, p: int = 8
+) -> DataFrame:
+    """Set-operation cardinalities for every label pair from ONE
+    register relation: union by register-wise max (exact sketch
+    algebra — the union sketch IS the sketch of the union), then
+    intersection by inclusion-exclusion
+    ``|A∩B| ≈ max(0, |A| + |B| - |A∪B|)`` on the integer estimates.
+
+    This is the theta-sketch use case (cross-source overlap audits)
+    done with the sketches already built for per-source counting —
+    no second corpus pass: everything below operates on the
+    labels × m register relation.  Pair generation is two equi-joins
+    of the (a < b) label pairs against the registers (never an
+    OR-join), and the estimator is the shared integer-exact path.
+
+    Accuracy caveat (stated, not hidden): inclusion-exclusion
+    compounds the ±1.04/√m relative errors of three estimates of the
+    LARGE sets, so a small true intersection of two large sets can be
+    swamped by estimator noise — the clamp at 0 is doing real work.
+    Exact verification on candidates (as the registered query's audit
+    column does) is the production answer when the overlap decision
+    matters.
+    """
+    labels = registers.select(F.col(label_col).alias("a")).distinct()
+    pairs = labels.crossJoin(
+        labels.select(F.col("a").alias("b"))
+    ).filter(F.col("a") < F.col("b"))
+    ra = pairs.join(
+        registers.select(
+            F.col(label_col).alias("a"), "bucket", "r"
+        ),
+        "a",
+    ).select("a", "b", "bucket", "r")
+    rb = pairs.join(
+        registers.select(
+            F.col(label_col).alias("b"), "bucket", "r"
+        ),
+        "b",
+    ).select("a", "b", "bucket", "r")
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("a", "b", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est_union = hll_estimate(merged, ["a", "b"], p).select(
+        "a", "b", F.col("est_distinct").alias("est_union")
+    )
+    singles = hll_estimate(registers, [label_col], p)
+    ea = singles.select(
+        F.col(label_col).alias("a"),
+        F.col("est_distinct").alias("est_a"),
+    )
+    eb = singles.select(
+        F.col(label_col).alias("b"),
+        F.col("est_distinct").alias("est_b"),
+    )
+    out = est_union.join(ea, "a").join(eb, "b")
+    inter = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("est_a") + F.col("est_b") - F.col("est_union"),
+    )
+    return out.select(
+        "a", "b", "est_a", "est_b", "est_union",
+        inter.alias("est_intersection"),
+    )

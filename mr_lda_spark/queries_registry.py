@@ -8003,8 +8003,11 @@ def _sql_hll_est(regs: str, group: str) -> str:
     """DuckDB estimator over a register relation — mirrors
     hll.hll_estimate: integer-exact s_scaled, one literal/int64 IEEE
     division for hll_raw, the published linear-counting branch for
-    est_distinct (never taken at shipped SFs — see operators/hll.py)."""
+    est_distinct (never taken at shipped SFs — see operators/hll.py).
+    ``group`` may be empty, one column, or a comma-separated list."""
     g = f"{group}, " if group else ""
+    n_group = len(group.split(",")) if group else 0
+    group_by = ", ".join(str(i + 1) for i in range(n_group)) or "()"
     num = repr(_hll_num())
     return f"""
     WITH _sums AS (
@@ -8012,7 +8015,7 @@ def _sql_hll_est(regs: str, group: str) -> str:
              CAST(sum(CAST(1 AS BIGINT) << ({_HLL_B} - r))
                   + ({_HLL_M} - count(*)) * (CAST(1 AS BIGINT) << {_HLL_B})
                   AS BIGINT) AS s_scaled
-      FROM ({regs}) GROUP BY {"1" if group else "()"}
+      FROM ({regs}) GROUP BY {group_by}
     ), _raw AS (
       SELECT *, CAST(round({num} / s_scaled) AS BIGINT) AS hll_raw
       FROM _sums
@@ -8118,6 +8121,94 @@ def text_hll_merge(spark, sf_dir):
     )
     exact = sh.agg(F.count_distinct("shingle").alias("exact_distinct"))
     return merged.crossJoin(direct).crossJoin(exact)
+
+
+_SQL_SHINGLES5_SOURCE = f"""
+  SELECT d.source, s.shingle
+  FROM ({_sql_shingles(5)}) s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
+@register(
+    "text_hll_source_overlap",
+    f"""
+    WITH keys AS ({_SQL_SHINGLES5_SOURCE}),
+    regs AS ({_sql_hll_regs("SELECT * FROM keys", "source")}),
+    labels AS (SELECT DISTINCT source FROM keys),
+    pairs AS (
+      SELECT x.source AS a, y.source AS b
+      FROM labels x JOIN labels y ON x.source < y.source
+    ),
+    pair_regs AS (
+      SELECT a, b, bucket, CAST(max(r) AS INT) AS r FROM (
+        SELECT p.a, p.b, r.bucket, r.r
+        FROM pairs p JOIN regs r ON r.source = p.a
+        UNION ALL
+        SELECT p.a, p.b, r.bucket, r.r
+        FROM pairs p JOIN regs r ON r.source = p.b
+      ) GROUP BY 1, 2, 3
+    ),
+    est_union AS ({_sql_hll_est("SELECT * FROM pair_regs", "a, b")}),
+    singles AS ({_sql_hll_est("SELECT * FROM regs", "source")}),
+    ex AS (
+      SELECT x.source AS a, y.source AS b, count(*) AS exact_intersection
+      FROM (SELECT DISTINCT source, shingle FROM keys) x
+      JOIN (SELECT DISTINCT source, shingle FROM keys) y
+        ON y.shingle = x.shingle AND x.source < y.source
+      GROUP BY 1, 2
+    )
+    SELECT u.a, u.b,
+           sa.est_distinct AS est_a, sb.est_distinct AS est_b,
+           u.est_distinct AS est_union,
+           greatest(CAST(0 AS BIGINT),
+                    sa.est_distinct + sb.est_distinct - u.est_distinct)
+             AS est_intersection,
+           CAST(coalesce(ex.exact_intersection, 0) AS BIGINT)
+             AS exact_intersection
+    FROM est_union u
+    JOIN singles sa ON sa.source = u.a
+    JOIN singles sb ON sb.source = u.b
+    LEFT JOIN ex ON ex.a = u.a AND ex.b = u.b
+    """,
+)
+def text_hll_source_overlap(spark, sf_dir):
+    """Cross-source shingle-set cardinalities from ONE sketch pass
+    (`operators/hll.hll_pairwise_sets`): per source pair, the union
+    estimate by register-wise max (exact sketch algebra) and the
+    intersection by inclusion-exclusion on the integer estimates —
+    the theta-sketch overlap audit without a second corpus scan; all
+    pair work runs on the sources × 256 register relation.  The
+    `exact_intersection` audit column (a distinct self-join the
+    sketch route exists to avoid) shows the documented caveat:
+    inclusion-exclusion compounds three large-set errors, so small
+    true overlaps carry wide relative noise."""
+    from mr_lda_spark.operators import hll
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = textops.shingles(docs, "text", 5).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    regs = hll.hll_registers(keys, "shingle", ["source"], p=_HLL_P)
+    ests = hll.hll_pairwise_sets(regs, "source", p=_HLL_P)
+    ks = keys.select("source", "shingle").distinct()
+    exact = (
+        ks.alias("x")
+        .join(
+            ks.alias("y"),
+            (F.col("y.shingle") == F.col("x.shingle"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("a"), F.col("y.source").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return ests.join(exact, ["a", "b"], "left").select(
+        "a", "b", "est_a", "est_b", "est_union", "est_intersection",
+        F.coalesce("exact_intersection", F.lit(0))
+        .cast("bigint")
+        .alias("exact_intersection"),
+    )
 
 
 @register(

@@ -69,3 +69,33 @@ def test_small_range_uses_linear_counting(spark):
     row = hll.hll_distinct(df, "shingle", [], p=8).collect()[0]
     assert row["used_buckets"] < 256
     assert abs(row["est_distinct"] - 40) <= 8, row
+
+
+def test_pairwise_sets_identical_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    # A and B identical (union == each), C disjoint from both
+    base = spark.range(4000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("shingle")
+    )
+    a = base.withColumn("src", F.lit("A"))
+    b = base.withColumn("src", F.lit("B"))
+    c = spark.range(4000, 8000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("shingle"),
+        F.lit("C").alias("src"),
+    )
+    keys = a.unionByName(b).unionByName(c)
+    regs = hll.hll_registers(keys, "shingle", ["src"], p=8)
+    got = {
+        (r["a"], r["b"]): r
+        for r in hll.hll_pairwise_sets(regs, "src", p=8).collect()
+    }
+    ab = got[("A", "B")]
+    # identical sets: union estimate equals the single-set estimate,
+    # so the inclusion-exclusion intersection equals est_a (== est_b)
+    assert ab["est_union"] == ab["est_a"] == ab["est_b"]
+    assert ab["est_intersection"] == ab["est_a"]
+    # disjoint: intersection estimate within sketch noise of zero
+    ac = got[("A", "C")]
+    assert ac["est_union"] > ac["est_a"]
+    assert ac["est_intersection"] <= 0.15 * ac["est_union"]
