@@ -145,6 +145,9 @@ EXTRA = [
     # inner+left joins of grouped aggregates (cardinality = the pair
     # estimate relation): count() computes sketch and exact audit.
     "text_hll_source_overlap",
+    # ends in the (doc, rank) arg-min groupBy: count() computes the
+    # bucket join.
+    "curation_negative_samples",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

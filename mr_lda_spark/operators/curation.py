@@ -872,3 +872,79 @@ def temperature_sample(
         .filter(h < F.col("keep_rate"))
         .select("doc_id", source_col, "n_s", "keep_rate")
     )
+
+
+def negative_samples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    bucket_target: int = 256,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    every document, ``k`` pseudo-random negatives drawn (without a
+    driver-side shuffle, an RNG, or a dense-id assumption) by hashing
+    into bucketed candidate space — (doc_id, neg_rank, neg_doc_id).
+
+    Mechanics: every doc hashes into one of ``B`` buckets; each
+    (doc, i) request hashes to a TARGET bucket and takes the candidate
+    there with the smallest pair-tiebreak hash (arg-min — no ordering
+    assumptions).  All hashes are md5-derived 60-bit ints, so any
+    engine reproduces the exact sample.
+
+    Scale: ``B = max(16, n / bucket_target)`` keeps bucket size
+    ~constant, so the request⋈candidate equi-join is k·n·bucket_target
+    rows — linear in the corpus with a tunable constant; the arg-min
+    is a map-side-combined groupBy on (doc, i).  ``n`` is one driver
+    scalar (a count, like the Bloom join's filter sizing).  A (doc, i)
+    whose target bucket contains only the doc itself yields no row —
+    with bucket_target ≥ 16 that is vanishingly rare and deterministic
+    either way.
+    """
+    n = docs.count()
+    n_buckets = max(16, n // bucket_target)
+
+    def _h(col):
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+
+    ids = docs.select(F.col(id_col).cast("long").alias("cand"))
+    cand = ids.select(
+        "cand",
+        F.pmod(_h(F.col("cand").cast("string")), F.lit(n_buckets)).alias(
+            "bucket"
+        ),
+    )
+    wants = ids.select(
+        F.col("cand").alias("doc_id"),
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_rank"),
+    ).select(
+        "doc_id",
+        "neg_rank",
+        F.pmod(
+            _h(F.concat_ws(":", F.col("doc_id"), F.lit("neg"), "neg_rank")),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    paired = (
+        wants.join(cand, "bucket")
+        .filter(F.col("cand") != F.col("doc_id"))
+        .select(
+            "doc_id",
+            "neg_rank",
+            "cand",
+            _h(
+                F.concat_ws(
+                    ":", F.col("doc_id"), F.col("neg_rank"), F.col("cand")
+                )
+            ).alias("__tie"),
+        )
+    )
+    best = paired.groupBy("doc_id", "neg_rank").agg(
+        F.min(F.struct("__tie", "cand")).alias("__best")
+    )
+    return best.select(
+        "doc_id",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        F.col("__best.cand").alias("neg_doc_id"),
+    )

@@ -8123,6 +8123,52 @@ def text_hll_merge(spark, sf_dir):
     return merged.crossJoin(direct).crossJoin(exact)
 
 
+@register(
+    "curation_negative_samples",
+    """
+    WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS cand FROM documents),
+    n AS (SELECT greatest(16, count(*) // 256) AS b FROM ids),
+    cand AS (
+      SELECT cand,
+             ('0x' || substr(md5(CAST(cand AS VARCHAR)), 1, 15))::BIGINT
+               % b AS bucket
+      FROM ids, n
+    ),
+    wants AS (
+      SELECT cand AS doc_id, CAST(i AS INT) AS neg_rank,
+             ('0x' || substr(md5(cand || ':neg:' || i), 1, 15))::BIGINT
+               % b AS bucket
+      FROM ids, n, unnest(range(1, 5)) AS u(i)
+    ),
+    paired AS (
+      SELECT w.doc_id, w.neg_rank, c.cand,
+             ('0x' || substr(md5(w.doc_id || ':' || w.neg_rank || ':'
+                                 || c.cand), 1, 15))::BIGINT AS tie
+      FROM wants w JOIN cand c
+        ON c.bucket = w.bucket AND c.cand <> w.doc_id
+    )
+    SELECT doc_id, neg_rank, cand AS neg_doc_id FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id, neg_rank ORDER BY tie, cand
+      ) AS rn FROM paired
+    ) WHERE rn = 1
+    """,
+)
+def curation_negative_samples(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training
+    (`operators/curation.negative_samples`): 4 pseudo-random negatives
+    per document via md5 bucket hashing + pair-tiebreak arg-min — no
+    RNG, no driver shuffle, no dense-id assumption; any engine
+    reproduces the exact sample.  The request⋈candidate equi-join is
+    k·n·bucket_target rows (B scales with n, bucket size ~constant) —
+    linear in the corpus."""
+    from mr_lda_spark.operators.curation import negative_samples
+
+    return negative_samples(
+        _t(spark, sf_dir, "documents"), "doc_id", k=4, bucket_target=256
+    )
+
+
 _SQL_SHINGLES5_SOURCE = f"""
   SELECT d.source, s.shingle
   FROM ({_sql_shingles(5)}) s JOIN documents d ON d.doc_id = s.doc_id

@@ -345,3 +345,34 @@ def test_weighted_priority_sample_is_topk_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan  # never a full global sort
+
+
+def test_negative_samples_deterministic_and_self_free(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators.curation import negative_samples
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = negative_samples(docs, k=3, bucket_target=32)
+    rows = a.collect()
+    # one row per (doc, rank) except the rare self-only bucket
+    assert len(rows) >= 3 * 500 - 5
+    for r in rows:
+        assert r["neg_doc_id"] != r["doc_id"]
+        assert 1 <= r["neg_rank"] <= 3
+    # deterministic: a second evaluation is identical
+    b = {(r["doc_id"], r["neg_rank"]): r["neg_doc_id"]
+         for r in negative_samples(docs, k=3, bucket_target=32).collect()}
+    assert {(r["doc_id"], r["neg_rank"]): r["neg_doc_id"]
+            for r in rows} == b
+
+
+def test_negative_samples_spread(spark):
+    """Negatives should be spread over the corpus, not collapsed onto
+    a few candidates (hash-quality smoke check)."""
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators.curation import negative_samples
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    out = negative_samples(docs, k=2, bucket_target=64)
+    distinct_negs = out.select("neg_doc_id").distinct().count()
+    assert distinct_negs > 300
