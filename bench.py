@@ -148,6 +148,9 @@ EXTRA = [
     # ends in the (doc, rank) arg-min groupBy: count() computes the
     # bucket join.
     "curation_negative_samples",
+    # streaming sketch drain is eager at construction; count() forces
+    # the batch prefilter + exact verify (ends in a HAVING filter).
+    "documents_stream_heavy_hitters_cms",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bloom_positions", "bloom_build", "bloom_prefilter",
-    "bloom_pruned_join",
+    "bloom_prefilter_jvm", "bloom_pruned_join",
 ]
 
 
@@ -130,6 +130,49 @@ def bloom_prefilter(
     )
 
 
+def bloom_prefilter_jvm(
+    df: DataFrame,
+    key_col: str,
+    words: np.ndarray,
+    m: int,
+    n_hashes: int = 6,
+) -> DataFrame:
+    """JVM-side variant of :func:`bloom_prefilter`: the packed bitset
+    rides a 1-row broadcast DataFrame as an ``array<bigint>`` column
+    and every probe is a pure Column expression
+    (``element_at(words, pos div 64 + 1) >> (pos & 63)) & 1`` —
+    whole-stage-codegen, NO Python in the row path.
+
+    Why both exist: the pandas-UDF probe ships each row's k positions
+    through Arrow — measured 40× slower than the plain broadcast join
+    it was supposed to beat when the probed side is the 100 TB fact
+    table (SCALING_r09c first run).  This form keeps the probe at
+    codegen speed; the UDF form remains for contexts already inside a
+    Python stage.  Output sets are identical (same hash family, same
+    bitset)."""
+    spark = df.sparkSession
+    arr = [int(x) for x in words.astype(np.int64)]
+    bf = spark.createDataFrame(
+        [(arr,)], "__bloom_words array<bigint>"
+    )
+    cond = F.lit(True)
+    for i in range(1, n_hashes + 1):
+        bit = F.expr(
+            f"(shiftright(element_at(__bloom_words, "
+            f"cast(element_at(_bp, {i}) div 64 as int) + 1), "
+            f"cast(element_at(_bp, {i}) % 64 as int))) & 1"
+        )
+        cond = cond & (bit == 1)
+    return (
+        df.withColumn(
+            "_bp", bloom_positions(F.col(key_col), m, n_hashes)
+        )
+        .crossJoin(F.broadcast(bf))
+        .filter(cond)
+        .drop("_bp", "__bloom_words")
+    )
+
+
 def bloom_pruned_join(
     big: DataFrame,
     small: DataFrame,
@@ -165,5 +208,5 @@ def bloom_pruned_join(
         keys, key_col, n_keys, bits_per_key, n_hashes
     )
     keys.unpersist()
-    pruned = bloom_prefilter(big, key_col, words, m, n_hashes)
+    pruned = bloom_prefilter_jvm(big, key_col, words, m, n_hashes)
     return pruned.join(small, key_col)

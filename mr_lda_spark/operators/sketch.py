@@ -84,16 +84,24 @@ def cms_candidates(
     threshold: int,
     width: int = 8192,
     depth: int = 5,
+    table: "np.ndarray | None" = None,
 ) -> DataFrame:
     """The prefilter stage alone: every OCCURRENCE whose key's CMS
     min-estimate clears ``threshold`` (true hitters + collision
     noise; all occurrences of a key pass or fail together).  Exposed
     separately so probes can measure the pass fraction — the
     saturation diagnostic: once avg cell load ≳ threshold the
-    estimate clears the bar everywhere and the pass fraction → 1."""
+    estimate clears the bar everywhere and the pass fraction → 1.
+
+    ``table`` injects a pre-built (depth, width) cell array — the
+    streaming path builds the sketch incrementally (``cms_table`` is
+    one groupBy-count, exactly the aggregate Structured Streaming
+    maintains) and probes the batch corpus with it."""
     spark = keys.sparkSession
     bc = spark.sparkContext.broadcast(
         cms_build(keys, key_col, width, depth)
+        if table is None
+        else table
     )
 
     @F.pandas_udf("boolean")
@@ -122,12 +130,16 @@ def heavy_hitters_cms(
     threshold: int,
     width: int = 8192,
     depth: int = 5,
+    table: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Exact heavy hitters (count ≥ threshold) through the CMS
     prefilter: identical output to the plain groupBy-HAVING query,
     without ever shuffling the full key space.  ``keys`` is one row
-    per key OCCURRENCE (e.g. exploded tokens)."""
-    candidates = cms_candidates(keys, key_col, threshold, width, depth)
+    per key OCCURRENCE (e.g. exploded tokens).  ``table`` optionally
+    injects an externally-built sketch (see :func:`cms_candidates`)."""
+    candidates = cms_candidates(
+        keys, key_col, threshold, width, depth, table=table
+    )
     return (
         candidates.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))

@@ -8124,6 +8124,45 @@ def text_hll_merge(spark, sf_dir):
 
 
 @register(
+    "documents_stream_heavy_hitters_cms",
+    f"""
+    SELECT shingle, count(*) AS cnt
+    FROM ({_SQL_SHINGLES})
+    GROUP BY shingle HAVING count(*) >= {HEAVY_HITTER_MIN}
+    """,
+)
+def documents_stream_heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters with the count-min sketch maintained OVER THE
+    STREAM (`streaming/hll_stream.cms_table_from_stream`): the batch
+    `sketch.cms_table` aggregate runs verbatim as a streaming
+    groupBy-count with state bounded at depth×width cells regardless
+    of stream length, then the drained sketch prefilters the batch
+    corpus and the exact verify reproduces the plain HAVING query
+    bit-for-bit (same oracle as text_heavy_hitters_cms).  The second
+    sketch-on-stream composition next to the HLL row — counts where
+    HLL is max."""
+    import uuid
+
+    from mr_lda_spark.streaming.dedup_stream import read_documents_stream
+    from mr_lda_spark.streaming.hll_stream import cms_table_from_stream
+
+    stream_keys = textops.shingles(
+        read_documents_stream(spark, sf_dir), "text", 3
+    ).select("shingle")
+    table = cms_table_from_stream(
+        spark, stream_keys, "shingle",
+        f"cms_{uuid.uuid4().hex[:8]}", width=65536, depth=5,
+    )
+    batch_keys = textops.shingles(
+        _t(spark, sf_dir, "documents"), "text", 3
+    ).select("shingle")
+    return sketch.heavy_hitters_cms(
+        batch_keys, "shingle", threshold=HEAVY_HITTER_MIN,
+        width=65536, depth=5, table=table,
+    )
+
+
+@register(
     "curation_negative_samples",
     """
     WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS cand FROM documents),

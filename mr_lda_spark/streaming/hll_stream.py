@@ -72,3 +72,37 @@ def hll_estimate_stream(
     )
     q.awaitTermination(timeout_sec)
     return hll_estimate(spark.table(query_name), group_cols, p)
+
+
+def cms_table_from_stream(
+    spark,
+    keys_stream: DataFrame,
+    key_col: str,
+    query_name: str,
+    width: int = 8192,
+    depth: int = 5,
+    timeout_sec: int = 120,
+):
+    """Maintain a count-min sketch OVER A STREAM and return it as the
+    packed (depth, width) numpy array: ``sketch.cms_table`` is one
+    groupBy-count — the other streaming-safe sketch aggregate (state
+    bounded at depth × width cells regardless of stream length; the
+    same argument as the HLL registers, with counts instead of max).
+    Drained availableNow in complete mode."""
+    import numpy as np
+
+    from mr_lda_spark.operators.sketch import cms_table
+
+    q = (
+        cms_table(keys_stream, key_col, width, depth)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    packed = np.zeros((depth, width), dtype=np.int64)
+    for row in spark.table(query_name).collect():
+        packed[int(row["d"]), int(row["col"])] = int(row["cnt"])
+    return packed

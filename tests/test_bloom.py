@@ -96,3 +96,21 @@ def test_bloom_pruned_join_empty_small_side(spark):
     big = spark.range(100).select(F.col("id").alias("k"))
     small = spark.range(0).select(F.col("id").alias("k"))
     assert bloom_pruned_join(big, small, "k").count() == 0
+
+
+def test_jvm_prefilter_equals_udf_prefilter(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators import bloom
+
+    ref = spark.range(0, 1000, 13).select(F.col("id").alias("k"))
+    words, m = bloom.bloom_build(ref, "k", n_keys=100)
+    big = spark.range(2000).select(F.col("id").alias("k"))
+    via_udf = sorted(
+        r["k"] for r in bloom.bloom_prefilter(big, "k", words, m).collect()
+    )
+    via_jvm = sorted(
+        r["k"]
+        for r in bloom.bloom_prefilter_jvm(big, "k", words, m).collect()
+    )
+    assert via_udf == via_jvm
+    assert set(range(0, 1000, 13)) <= set(via_jvm)

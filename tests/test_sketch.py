@@ -94,3 +94,44 @@ def test_cms_probe_is_arrow_not_pickled(spark, documents):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_stream_cms_table_equals_batch(spark, sf_dir, documents):
+    """The streamed CMS cell table must equal the batch one exactly
+    (count is order-insensitive) — the property that makes the sketch
+    safe to maintain incrementally."""
+    import uuid
+
+    import numpy as np
+
+    from mr_lda_spark.streaming.dedup_stream import read_documents_stream
+    from mr_lda_spark.streaming.hll_stream import cms_table_from_stream
+
+    batch = sketch.cms_build(
+        _occurrences(documents), "shingle", width=4096, depth=3
+    )
+    stream_keys = textops.shingles(
+        read_documents_stream(spark, sf_dir), "text", 3
+    ).select("shingle")
+    streamed = cms_table_from_stream(
+        spark, stream_keys, "shingle",
+        f"t_cms_{uuid.uuid4().hex[:8]}", width=4096, depth=3,
+    )
+    assert np.array_equal(batch, streamed)
+
+
+def test_heavy_hitters_with_injected_table(spark, documents):
+    """An externally-supplied sketch must give the same exact output
+    as the internally-built one."""
+    occ = _occurrences(documents)
+    table = sketch.cms_build(occ, "shingle", width=8192, depth=4)
+    via_injected = sorted(
+        map(tuple, sketch.heavy_hitters_cms(
+            occ, "shingle", threshold=5, width=8192, depth=4,
+            table=table).collect())
+    )
+    via_internal = sorted(
+        map(tuple, sketch.heavy_hitters_cms(
+            occ, "shingle", threshold=5, width=8192, depth=4).collect())
+    )
+    assert via_injected == via_internal and via_injected
