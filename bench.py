@@ -151,6 +151,7 @@ EXTRA = [
     # streaming sketch drain is eager at construction; count() forces
     # the batch prefilter + exact verify (ends in a HAVING filter).
     "documents_stream_heavy_hitters_cms",
+    "curation_score_calibration",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -177,6 +178,8 @@ NOOP_FORCE = {
     # cardinality is the spine join: count() prunes the trailing
     # sums and the z-test — noop-force.
     "events_hourly_anomalies",
+    # cardinality is the input: count() prunes both rank windows.
+    "curation_score_calibration",
     "dedup_segments_corpus",
     "dedup_segments_intradoc",
     "dedup_exact_substring",

@@ -948,3 +948,51 @@ def negative_samples(
         F.col("neg_rank").cast("int").alias("neg_rank"),
         F.col("__best.cand").alias("neg_doc_id"),
     )
+
+
+def score_calibration(
+    scored: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Within-group percentile-rank calibration of a score column —
+    the step before applying ONE global threshold to scores whose
+    scale differs per source (a web-crawl quality score and a
+    curated-corpus quality score are not comparable; their within-
+    source ranks are).
+
+    Emits ``calibrated_ppm`` = ((rank-1)·10⁶) div (n-1) per the
+    ``percent_rank`` definition but in INTEGER parts-per-million with
+    integer floor division — cross-engine exact, no float ever; ties
+    share a rank (``rank()``, not ``row_number``), so equal scores
+    calibrate equally and the result is deterministic without a
+    tiebreak.  Single-member groups map to 0.  One shuffle on the
+    group key; both window functions share the partitioning, so
+    Catalyst collapses them into one Window node."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    rnk = F.rank().over(w)
+    return (
+        scored.select(
+            group_col,
+            id_col,
+            score_col,
+            (rnk - 1).cast("long").alias("__rank_m1"),
+            n.cast("long").alias("__n"),
+        )
+        .select(
+            group_col,
+            id_col,
+            score_col,
+            F.when(
+                F.col("__n") > 1,
+                F.expr("(__rank_m1 * 1000000) div (__n - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("calibrated_ppm"),
+        )
+    )

@@ -8124,6 +8124,44 @@ def text_hll_merge(spark, sf_dir):
 
 
 @register(
+    "curation_score_calibration",
+    f"""
+    WITH q AS ({_SQL_QUALITY}),
+    s AS (
+      SELECT d.source, q.doc_id, q.quality_score
+      FROM q JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT source, doc_id, quality_score,
+             rank() OVER (PARTITION BY source ORDER BY quality_score)
+               AS rnk,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT source, doc_id, quality_score,
+           CASE WHEN n > 1
+                THEN ((rnk - 1) * 1000000) // (n - 1)
+                ELSE CAST(0 AS BIGINT) END AS calibrated_ppm
+    FROM r
+    """,
+)
+def curation_score_calibration(spark, sf_dir):
+    """Per-source percentile-rank score calibration
+    (`operators/curation.score_calibration`): quality scores mapped to
+    within-source integer-ppm percent ranks (ties share a rank), so
+    one global threshold compares apples to apples across sources
+    whose raw score scales differ.  Integer floor division — no float
+    in the calibrated column; one source-keyed shuffle."""
+    from mr_lda_spark.operators.curation import score_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = textops.quality_scores(docs, keep_cols=("source",)).select(
+        "source", "doc_id", "quality_score"
+    )
+    return score_calibration(scored, "source", "quality_score")
+
+
+@register(
     "documents_stream_heavy_hitters_cms",
     f"""
     SELECT shingle, count(*) AS cnt

@@ -376,3 +376,27 @@ def test_negative_samples_spread(spark):
     out = negative_samples(docs, k=2, bucket_target=64)
     distinct_negs = out.select("neg_doc_id").distinct().count()
     assert distinct_negs > 300
+
+
+def test_score_calibration_ppm(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators.curation import score_calibration
+
+    rows = [
+        ("a", 1, 0.1), ("a", 2, 0.2), ("a", 3, 0.2), ("a", 4, 0.9),
+        ("b", 5, 100.0),           # singleton group -> 0
+        ("c", 6, 5.0), ("c", 7, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id long, quality_score double"
+    )
+    got = {
+        r["doc_id"]: r["calibrated_ppm"]
+        for r in score_calibration(df, "source", "quality_score").collect()
+    }
+    # group a, n=4: ranks 1,2,2,4 -> (r-1)*1e6 // 3
+    assert got[1] == 0
+    assert got[2] == got[3] == 1_000_000 // 3
+    assert got[4] == 1_000_000
+    assert got[5] == 0
+    assert got[6] == 0 and got[7] == 1_000_000
