@@ -152,6 +152,8 @@ EXTRA = [
     # the batch prefilter + exact verify (ends in a HAVING filter).
     "documents_stream_heavy_hitters_cms",
     "curation_score_calibration",
+    # inner join of grouped aggregates (sketch curve + exact audit).
+    "text_hll_cumulative_sources",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -8335,6 +8335,69 @@ def text_hll_source_overlap(spark, sf_dir):
 
 
 @register(
+    "text_hll_cumulative_sources",
+    f"""
+    WITH keys AS ({_SQL_SHINGLES5_SOURCE}),
+    regs AS ({_sql_hll_regs("SELECT * FROM keys", "source")}),
+    labels AS (SELECT DISTINCT source FROM keys),
+    cum_regs AS (
+      SELECT k.source, r.bucket, CAST(max(r.r) AS INT) AS r
+      FROM labels k JOIN regs r ON r.source <= k.source
+      GROUP BY 1, 2
+    ),
+    est AS ({_sql_hll_est("SELECT * FROM cum_regs", "source")}),
+    ex AS (
+      SELECT k.source, count(DISTINCT y.shingle) AS exact_distinct
+      FROM labels k
+      JOIN (SELECT DISTINCT source, shingle FROM keys) y
+        ON y.source <= k.source
+      GROUP BY 1
+    )
+    SELECT est.source, used_buckets, s_scaled, hll_raw, est_distinct,
+           ex.exact_distinct
+    FROM est JOIN ex ON ex.source = est.source
+    """,
+)
+def text_hll_cumulative_sources(spark, sf_dir):
+    """Cumulative distinct-shingle curve over sources (ingestion
+    order = lexicographic here): for every prefix of sources, the HLL
+    estimate from CUMULATIVE register-wise max — the
+    "uniques-to-date" dashboard query that plain counts cannot answer
+    without re-scanning every prefix, but sketches answer from the
+    labels × 256 register relation alone.  The prefix merge is a
+    labels ≤-join on that tiny relation (S²·m rows — label-sized, not
+    corpus-sized; the corpus is touched once to build the registers).
+    `exact_distinct` is the audit column and pays the per-prefix
+    re-scan the sketch route avoids."""
+    from mr_lda_spark.operators import hll
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = textops.shingles(docs, "text", 5).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).select("source", "shingle")
+    regs = hll.hll_registers(keys, "shingle", ["source"], p=_HLL_P)
+    labels = regs.select("source").distinct()
+    cum = (
+        labels.alias("k")
+        .join(
+            regs.alias("r"),
+            F.col("r.source") <= F.col("k.source"),
+        )
+        .groupBy(F.col("k.source").alias("source"), F.col("r.bucket"))
+        .agg(F.max("r.r").alias("r"))
+    )
+    est = hll.hll_estimate(cum, ["source"], p=_HLL_P)
+    ks = keys.distinct()
+    exact = (
+        labels.alias("k")
+        .join(ks.alias("y"), F.col("y.source") <= F.col("k.source"))
+        .groupBy(F.col("k.source").alias("source"))
+        .agg(F.count_distinct("y.shingle").alias("exact_distinct"))
+    )
+    return est.join(exact, "source")
+
+
+@register(
     "documents_stream_hll_shingles",
     _sql_hll_est(_sql_hll_regs(_SQL_SHINGLES5_LANG, "lang"), "lang"),
 )

@@ -99,3 +99,30 @@ def test_pairwise_sets_identical_and_disjoint(spark):
     ac = got[("A", "C")]
     assert ac["est_union"] > ac["est_a"]
     assert ac["est_intersection"] <= 0.15 * ac["est_union"]
+
+
+def test_cumulative_prefix_estimates_monotone(spark):
+    """Register-wise max over a growing prefix can only lower the
+    scaled harmonic sum, so the cumulative estimate curve must be
+    non-decreasing — the invariant behind a uniques-to-date chart."""
+    from pyspark.sql import functions as F
+
+    keys = spark.range(6000).select(
+        F.concat(F.lit("g"), (F.col("id") % 6)).alias("src"),
+        F.concat(F.lit("k"), (F.col("id") % 2500)).alias("shingle"),
+    )
+    regs = hll.hll_registers(keys, "shingle", ["src"], p=8)
+    labels = regs.select("src").distinct()
+    cum = (
+        labels.alias("k")
+        .join(regs.alias("r"), F.col("r.src") <= F.col("k.src"))
+        .groupBy(F.col("k.src").alias("src"), F.col("r.bucket"))
+        .agg(F.max("r.r").alias("r"))
+    )
+    curve = [
+        r["est_distinct"]
+        for r in hll.hll_estimate(cum, ["src"], p=8)
+        .orderBy("src")
+        .collect()
+    ]
+    assert curve == sorted(curve)
