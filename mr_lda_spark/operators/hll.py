@@ -174,8 +174,11 @@ def hll_pairwise_sets(
     matters.
     """
     labels = registers.select(F.col(label_col).alias("a")).distinct()
+    # broadcast: the label relation is tiny by construction, and an
+    # unhinted tiny×tiny cross join still plans a CartesianProduct —
+    # the plan-shape suite (rightly) bans that node everywhere.
     pairs = labels.crossJoin(
-        labels.select(F.col("a").alias("b"))
+        F.broadcast(labels.select(F.col("a").alias("b")))
     ).filter(F.col("a") < F.col("b"))
     ra = pairs.join(
         registers.select(

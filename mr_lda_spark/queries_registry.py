@@ -8378,7 +8378,7 @@ def text_hll_cumulative_sources(spark, sf_dir):
     regs = hll.hll_registers(keys, "shingle", ["source"], p=_HLL_P)
     labels = regs.select("source").distinct()
     cum = (
-        labels.alias("k")
+        F.broadcast(labels.alias("k"))
         .join(
             regs.alias("r"),
             F.col("r.source") <= F.col("k.source"),
@@ -8389,7 +8389,7 @@ def text_hll_cumulative_sources(spark, sf_dir):
     est = hll.hll_estimate(cum, ["source"], p=_HLL_P)
     ks = keys.distinct()
     exact = (
-        labels.alias("k")
+        F.broadcast(labels.alias("k"))
         .join(ks.alias("y"), F.col("y.source") <= F.col("k.source"))
         .groupBy(F.col("k.source").alias("source"))
         .agg(F.count_distinct("y.shingle").alias("exact_distinct"))
