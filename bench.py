@@ -154,6 +154,8 @@ EXTRA = [
     "curation_score_calibration",
     # inner join of grouped aggregates (sketch curve + exact audit).
     "text_hll_cumulative_sources",
+    "events_funnel_windowed",
+    "lineitem_correlations",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -182,6 +184,12 @@ NOOP_FORCE = {
     "events_hourly_anomalies",
     # cardinality is the input: count() prunes both rank windows.
     "curation_score_calibration",
+    # left joins of unique-keyed step aggregates: count() eliminates
+    # them (the funnel_conversion lesson) — noop-force.
+    "events_funnel_windowed",
+    # count() of the literal-length exploded array could fold away
+    # the stats aggregate — noop-force so the scan runs.
+    "lineitem_correlations",
     "dedup_segments_corpus",
     "dedup_segments_intradoc",
     "dedup_exact_substring",

@@ -20,7 +20,77 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "touch_attribution", "markov_transitions"]
+__all__ = [
+    "funnel_steps", "funnel_steps_windowed", "touch_attribution",
+    "markov_transitions",
+]
+
+
+def funnel_steps_windowed(
+    events: DataFrame,
+    steps: list[str],
+    max_gap_us: int,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion funnel with a PER-STEP DEADLINE: step i must occur
+    strictly after step i-1 and within ``max_gap_us`` microseconds of
+    it.  Greedy earliest-match is NOT exact here (an early step-1
+    whose window expires can mask a later step-1 that would convert),
+    so this computes the exact feasibility closure instead: an event
+    of step i is *feasible* iff some feasible step-(i-1) event
+    precedes it within the gap; per user the output keeps the
+    earliest feasible timestamp per step (null once infeasible).
+
+    Plan shape: one user-keyed range join per step between the step's
+    event slice and the previous FEASIBLE set (both pushdown-pruned
+    slices), then a per-user min — k steps = k range joins; the
+    feasible relations are event-sliced, never whole-stream buffers.
+    The joins carry an equi-key (the user) plus the time-range
+    residual, so they shuffle-hash-join with a filter — no
+    CartesianProduct.
+    """
+    assert steps, "need at least one step"
+    ts_us = F.unix_micros(F.col(ts_col))
+    slices = [
+        events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("__u"), ts_us.alias("__ts")
+        )
+        for s in steps
+    ]
+    feasible = slices[0]
+    firsts = [feasible.groupBy("__u").agg(F.min("__ts").alias("t_1"))]
+    for i in range(1, len(steps)):
+        prev = feasible.select("__u", F.col("__ts").alias("__pts"))
+        feasible = (
+            slices[i]
+            .join(prev, "__u")
+            .filter(
+                (F.col("__ts") > F.col("__pts"))
+                & (F.col("__ts") <= F.col("__pts") + max_gap_us)
+            )
+            .select("__u", "__ts")
+            .distinct()
+        )
+        firsts.append(
+            feasible.groupBy("__u").agg(
+                F.min("__ts").alias(f"t_{i + 1}")
+            )
+        )
+    out = firsts[0]
+    for i in range(1, len(steps)):
+        out = out.join(firsts[i], "__u", "left")
+    k = len(steps)
+    completed = sum(
+        (F.col(f"t_{i}").isNotNull()).cast("int") for i in range(1, k + 1)
+    )
+    return out.select(
+        F.col("__u").alias(user_col),
+        *[f"t_{i}" for i in range(1, k + 1)],
+        completed.cast("int").alias("steps_completed"),
+        (F.col(f"t_{k}").isNotNull()).alias("converted"),
+    )
 
 
 def markov_transitions(

@@ -47,3 +47,58 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+def pearson_correlations(
+    df: DataFrame, int_cols: list[str]
+) -> DataFrame:
+    """Pairwise Pearson correlations between INTEGER-VALUED columns
+    (callers pre-scale money/ratio columns to cents/basis points) —
+    one relation (var_a, var_b, n, r).
+
+    Cross-engine determinism design: the sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) aggregate EXACTLY in ONE scan (a
+    single global agg — map-side combined, no shuffle beyond the
+    1-row merge).  Products are exact per-row in int64; their SUMS
+    are not (Σ(price_cents²) overflowed int64 at sf0.1 — DuckDB
+    raised, Spark would have wrapped silently), so sums accumulate as
+    decimal(38,0) (exact to 10³⁸; DuckDB's INT128 on the oracle
+    side).  The final r converts the exact integers to doubles and
+    applies a fixed expression of correctly-rounded IEEE ops
+    (·, −, /, sqrt are all exactly specified), so two engines
+    computing from the same integers produce the same double;
+    round(·, 6) is cosmetic, not load-bearing.  Zero-variance
+    columns yield null r."""
+    dec = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in int_cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((F.col(c) * F.col(c)).cast(dec)).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(int_cols):
+        for b in int_cols[i + 1:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast(dec)).alias(f"sp_{a}_{b}")
+            )
+    wide = df.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(int_cols):
+        for b in int_cols[i + 1:]:
+            nd = F.col("n").cast("double")
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+            sp = F.col(f"sp_{a}_{b}").cast("double")
+            num = nd * sp - sa * sb
+            den = F.sqrt((nd * ssa - sa * sa) * (nd * ssb - sb * sb))
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("var_a"),
+                    F.lit(b).alias("var_b"),
+                    F.col("n").alias("n"),
+                    F.round(
+                        F.when(den > 0, num / den), 6
+                    ).alias("r"),
+                )
+            )
+    return wide.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

@@ -7776,6 +7776,148 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     )
 
 
+_FUNNEL_GAP_US = 7 * 86400 * 1_000_000  # 7-day per-step deadline
+
+
+@register(
+    "events_funnel_windowed",
+    f"""
+    WITH s1 AS (
+      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events WHERE event_type = 'view'
+    ),
+    s2r AS (
+      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    s3r AS (
+      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f2 AS (
+      SELECT DISTINCT e.u, e.t FROM s2r e JOIN s1 p
+        ON p.u = e.u AND e.t > p.t AND e.t <= p.t + {_FUNNEL_GAP_US}
+    ),
+    f3 AS (
+      SELECT DISTINCT e.u, e.t FROM s3r e JOIN f2 p
+        ON p.u = e.u AND e.t > p.t AND e.t <= p.t + {_FUNNEL_GAP_US}
+    ),
+    m1 AS (SELECT u, min(t) AS t_1 FROM s1 GROUP BY 1),
+    m2 AS (SELECT u, min(t) AS t_2 FROM f2 GROUP BY 1),
+    m3 AS (SELECT u, min(t) AS t_3 FROM f3 GROUP BY 1)
+    SELECT m1.u AS user_id, t_1, t_2, t_3,
+           CAST(1 + (t_2 IS NOT NULL)::INT + (t_3 IS NOT NULL)::INT
+                AS INT) AS steps_completed,
+           t_3 IS NOT NULL AS converted
+    FROM m1 LEFT JOIN m2 ON m2.u = m1.u LEFT JOIN m3 ON m3.u = m1.u
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Conversion funnel with a 7-day per-step deadline
+    (`operators/funnel.funnel_steps_windowed`): exact feasibility
+    closure, NOT greedy earliest-match — with deadlines an early
+    step-1 whose window expires can mask a later converting chain, so
+    each step's feasible event set is computed by a user-keyed range
+    join against the previous feasible set, and the output keeps the
+    earliest feasible timestamp per step.  k steps = k equi+range
+    joins over pushdown-pruned slices; no per-user event buffering."""
+    from mr_lda_spark.operators.funnel import funnel_steps_windowed
+
+    return funnel_steps_windowed(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_us=_FUNNEL_GAP_US,
+    )
+
+
+@register(
+    "lineitem_correlations",
+    """
+    WITH s AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qty,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(round(l_discount * 100) AS BIGINT) AS disc_bp
+      FROM lineitem
+    ),
+    a AS (
+      -- sums stay INT128-exact (Spark side: decimal(38,0));
+      -- Σ(price_cents²) overflows int64 at sf0.1
+      SELECT count(*) AS n,
+             sum(qty) AS s_qty,
+             sum(qty*qty) AS ss_qty,
+             sum(price_cents) AS s_price,
+             sum(price_cents*price_cents) AS ss_price,
+             sum(disc_bp) AS s_disc,
+             sum(disc_bp*disc_bp) AS ss_disc,
+             sum(qty*price_cents) AS sp_qp,
+             sum(qty*disc_bp) AS sp_qd,
+             sum(price_cents*disc_bp) AS sp_pd
+      FROM s
+    )
+    SELECT 'qty' AS var_a, 'price_cents' AS var_b, n,
+           round(CASE WHEN sqrt((CAST(n AS DOUBLE)*CAST(ss_qty AS DOUBLE)
+                       - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(ss_price AS DOUBLE)
+                       - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE))) > 0
+                 THEN (CAST(n AS DOUBLE)*CAST(sp_qp AS DOUBLE)
+                       - CAST(s_qty AS DOUBLE)*CAST(s_price AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE)*CAST(ss_qty AS DOUBLE)
+                       - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(ss_price AS DOUBLE)
+                       - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE)))
+                 END, 6) AS r
+    FROM a
+    UNION ALL
+    SELECT 'qty', 'disc_bp', n,
+           round(CASE WHEN sqrt((CAST(n AS DOUBLE)*CAST(ss_qty AS DOUBLE)
+                       - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(ss_disc AS DOUBLE)
+                       - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE))) > 0
+                 THEN (CAST(n AS DOUBLE)*CAST(sp_qd AS DOUBLE)
+                       - CAST(s_qty AS DOUBLE)*CAST(s_disc AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE)*CAST(ss_qty AS DOUBLE)
+                       - CAST(s_qty AS DOUBLE)*CAST(s_qty AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(ss_disc AS DOUBLE)
+                       - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE)))
+                 END, 6) AS r
+    FROM a
+    UNION ALL
+    SELECT 'price_cents', 'disc_bp', n,
+           round(CASE WHEN sqrt((CAST(n AS DOUBLE)*CAST(ss_price AS DOUBLE)
+                       - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(ss_disc AS DOUBLE)
+                       - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE))) > 0
+                 THEN (CAST(n AS DOUBLE)*CAST(sp_pd AS DOUBLE)
+                       - CAST(s_price AS DOUBLE)*CAST(s_disc AS DOUBLE))
+                      / sqrt((CAST(n AS DOUBLE)*CAST(ss_price AS DOUBLE)
+                       - CAST(s_price AS DOUBLE)*CAST(s_price AS DOUBLE))
+                      * (CAST(n AS DOUBLE)*CAST(ss_disc AS DOUBLE)
+                       - CAST(s_disc AS DOUBLE)*CAST(s_disc AS DOUBLE)))
+                 END, 6) AS r
+    FROM a
+    """,
+)
+def lineitem_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations over integer-scaled lineitem
+    measures (`operators/profile.pearson_correlations`): exact BIGINT
+    sufficient statistics in ONE map-side-combined scan, then a fixed
+    chain of correctly-rounded IEEE double ops — deterministic
+    cross-engine because every input integer converts exactly and
+    ·, −, /, sqrt are exactly specified.  The single-pass multi-column
+    stat agg is the profiling pattern; no shuffle beyond the 1-row
+    merge."""
+    from mr_lda_spark.operators.profile import pearson_correlations
+
+    s = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_bp"),
+    )
+    return pearson_correlations(s, ["qty", "price_cents", "disc_bp"])
+
+
 @register(
     "events_attribution_touch",
     """

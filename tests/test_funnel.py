@@ -181,3 +181,69 @@ def test_markov_transitions_no_cross_user_pair(spark):
         "ts timestamp, value double",
     )
     assert markov_transitions(events).count() == 0
+
+
+def test_windowed_funnel_not_greedy(spark):
+    """The case that breaks greedy earliest-match: the first view's
+    window expires before the click, but a later view converts."""
+    import datetime
+    from mr_lda_spark.operators.funnel import funnel_steps_windowed
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    gap = 10 * 60 * 1_000_000  # 10 minutes in us
+    rows = [
+        (1, 1, "view", ts(0), 0.0),      # expires (click at +15)
+        (2, 1, "view", ts(12), 0.0),     # feasible start
+        (3, 1, "click", ts(15), 0.0),    # within 10m of view@12
+        (4, 1, "purchase", ts(20), 0.0),  # within 10m of click@15
+        # user 2: greedy would also fail; no rescue view -> no convert
+        (5, 2, "view", ts(0), 0.0),
+        (6, 2, "click", ts(30), 0.0),
+        (7, 2, "purchase", ts(31), 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    got = {
+        r["user_id"]: (r["steps_completed"], r["converted"])
+        for r in funnel_steps_windowed(
+            events, ["view", "click", "purchase"], max_gap_us=gap
+        ).collect()
+    }
+    assert got[1] == (3, True)
+    assert got[2] == (1, False)
+
+
+def test_windowed_funnel_earliest_feasible_timestamps(spark):
+    import datetime
+    from mr_lda_spark.operators.funnel import funnel_steps_windowed
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    gap = 60 * 60 * 1_000_000
+    rows = [
+        (1, 1, "view", ts(0), 0.0),
+        (2, 1, "click", ts(5), 0.0),
+        (3, 1, "click", ts(10), 0.0),   # feasible but later
+        (4, 1, "purchase", ts(7), 0.0),  # after click@5 -> feasible
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    row = funnel_steps_windowed(
+        events, ["view", "click", "purchase"], max_gap_us=gap
+    ).collect()[0]
+    us = lambda m: int((t0 + datetime.timedelta(minutes=m)).timestamp() * 1_000_000)  # noqa: E731
+    assert row["t_2"] == us(5)      # earliest feasible click
+    assert row["t_3"] == us(7)      # purchase after the EARLIEST click

@@ -240,3 +240,20 @@ def test_hll_within_documented_bound(spark, sf_dir):
         assert abs(r["approx"] - r["exact"]) <= max(5, 5 * 0.02 * r["exact"]), (
             r["event_type"], r["approx"], r["exact"],
         )
+
+
+def test_pearson_correlations_known_values(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators.profile import pearson_correlations
+
+    # y = 2x (r=1), z anti-correlated with x (r=-1), w constant (null)
+    rows = [(x, 2 * x, 10 - x, 5) for x in range(1, 11)]
+    df = spark.createDataFrame(rows, "x long, y long, z long, w long")
+    got = {
+        (r["var_a"], r["var_b"]): r["r"]
+        for r in pearson_correlations(df, ["x", "y", "z", "w"]).collect()
+    }
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0
+    assert got[("x", "w")] is None
+    assert got[("y", "z")] == -1.0
