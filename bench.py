@@ -156,6 +156,9 @@ EXTRA = [
     "text_hll_cumulative_sources",
     "events_funnel_windowed",
     "lineitem_correlations",
+    # left-anti join sets the cardinality: count() computes the pair
+    # graph, components, and the quality arg-max.
+    "dedup_survivors_by_quality",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

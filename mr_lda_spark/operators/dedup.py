@@ -776,6 +776,51 @@ def dedup_survivors(
     return docs.join(losers, "doc_id", "left_anti")
 
 
+def dedup_survivors_by_score(
+    docs: DataFrame,
+    pairs: DataFrame,
+    scores: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Quality-aware near-dup collapse: per connected component keep
+    the HIGHEST-SCORING member (tie → lowest id) instead of the
+    minimum id — the production policy ("keep the best copy, not the
+    first"); docs in no pair survive untouched.
+
+    ``scores`` is (id, score).  Same scale shape as
+    :func:`dedup_survivors`: components and the arg-max run on the
+    pair-member relation (tiny — cluster members only, joined to
+    their scores by id), and the corpus itself meets only one
+    left-anti join against the loser set, never a shuffle."""
+    cc = connected_components(pairs, a_col, b_col)
+    members = cc.join(
+        scores.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(score_col).alias("__score"),
+        ),
+        "doc_id",
+    )
+    best = members.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col("__score").alias("s"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("__best")
+    ).select(
+        "cluster", (-F.col("__best.neg_id")).alias("__keep")
+    )
+    losers = (
+        cc.join(best, "cluster")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
 def hot_shingles(
     docs: DataFrame,
     text_col: str = "text",

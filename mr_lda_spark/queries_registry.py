@@ -1595,6 +1595,53 @@ def dedup_survivors(spark, sf_dir):
     return dedup.dedup_survivors(docs, pairs)
 
 
+@register(
+    "dedup_survivors_by_quality",
+    f"""
+    WITH RECURSIVE pairs AS (SELECT a, b FROM ({_SQL_JACCARD_PAIRS})),
+    edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    cc AS (SELECT node AS doc_id, min(lab) AS cluster
+           FROM reach GROUP BY node),
+    q AS ({_SQL_QUALITY}),
+    ranked AS (
+      SELECT cc.doc_id, cc.cluster,
+             row_number() OVER (
+               PARTITION BY cc.cluster
+               ORDER BY q.quality_score DESC, cc.doc_id ASC
+             ) AS rn
+      FROM cc JOIN q ON q.doc_id = cc.doc_id
+    )
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """,
+)
+def dedup_survivors_by_quality(spark, sf_dir):
+    """Quality-aware near-dup collapse
+    (`operators/dedup.dedup_survivors_by_score`): per Jaccard cluster
+    keep the member with the HIGHEST quality score (tie → lowest id)
+    — "keep the best copy", the production survivor policy — unpaired
+    docs untouched.  Components + arg-max run on the cluster-member
+    relation; the corpus meets one left-anti join.  The oracle ranks
+    the identical recursive-CTE components by the identical quality
+    score."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_near_dupes_exact(
+        docs, threshold=0.2, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    )
+    scores = textops.quality_scores(docs)
+    return dedup.dedup_survivors_by_score(docs, pairs, scores)
+
+
 _SQL_MINHASH_PAIRS = f"""
     WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
     sig AS (

@@ -164,3 +164,24 @@ def test_sorted_neighborhood_candidates_capped_by_window(spark):
     )
     pairs = dedup.sorted_neighborhood_pairs(docs, window=3).collect()
     assert len(pairs) == 3 * 20 - (1 + 2 + 3)  # tail rows lack successors
+
+
+def test_survivors_by_score_keeps_best(spark):
+    from mr_lda_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )  # clusters {1,2,3}, {4,5}; 6 unpaired
+    scores = spark.createDataFrame(
+        [(1, 0.1), (2, 0.9), (3, 0.5), (4, 0.7), (5, 0.7), (6, 0.0)],
+        "doc_id long, quality_score double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.dedup_survivors_by_score(docs, pairs, scores).collect()
+    )
+    # cluster one keeps 2 (best score); cluster two ties -> lowest id 4
+    assert kept == [2, 4, 6]

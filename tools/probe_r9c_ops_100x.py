@@ -140,6 +140,63 @@ def main() -> None:
         lambda: negative_samples(d100, k=4).count(),
     )
 
+    # ---- windowed funnel, users x100 --------------------------------
+    from mr_lda_spark.operators.funnel import funnel_steps_windowed
+    from mr_lda_spark.operators.profile import pearson_correlations
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    ).persist()
+    ev.count()
+    ev100 = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", idx100
+    ).select(
+        "event_id",
+        (F.col("user_id") + F.col("__i").cast("long") * 10_000_000)
+        .alias("user_id"),
+        "event_type", "ts",
+    ).persist()
+    ev100.count()
+    gap = 7 * 86400 * 1_000_000
+
+    def _noop_funnel(df):
+        df.write.format("noop").mode("overwrite").save()
+        return df.rdd.getNumPartitions()
+
+    run(
+        "funnel_windowed", 100,
+        lambda: _noop_funnel(funnel_steps_windowed(
+            ev, ["view", "click", "purchase"], gap)),
+        lambda: _noop_funnel(funnel_steps_windowed(
+            ev100, ["view", "click", "purchase"], gap)),
+    )
+    ev.unpersist(); ev100.unpersist()
+
+    # ---- correlations, rows x100 (pure scan/agg) --------------------
+    li2 = read_table(spark, sf_dir, "lineitem")
+    s1 = li2.select(
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        .alias("price_cents"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_bp"),
+    ).persist()
+    s1.count()
+    s100 = s1.select("*", idx100).drop("__i").persist()
+    s100.count()
+
+    def _noop_corr(df):
+        df.write.format("noop").mode("overwrite").save()
+        return df.rdd.getNumPartitions()
+
+    run(
+        "correlations", 100,
+        lambda: _noop_corr(
+            pearson_correlations(s1, ["qty", "price_cents", "disc_bp"])),
+        lambda: _noop_corr(
+            pearson_correlations(s100, ["qty", "price_cents", "disc_bp"])),
+    )
+    s1.unpersist(); s100.unpersist()
+
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=2)
     print("wrote", out_path)
