@@ -547,8 +547,11 @@ def cmd_dedup(args) -> None:
     (md5 groups), ``jaccard`` (capped inverted-index exact pairs),
     ``minhash`` (MinHash→LSH→verify), ``simhash`` (banded hamming),
     ``containment`` (directional subset detection).  Survivor policy
-    for pair methods is connected-component collapse to the minimum
-    doc_id (dedup_survivors)."""
+    for pair methods: ``--survivor-policy min-id`` (default,
+    connected-component collapse to the minimum doc_id) or
+    ``quality`` (keep the highest heuristic-quality member per
+    component — dedup_survivors_by_score over textops.quality_scores;
+    "keep the best copy")."""
     from pyspark.sql import functions as F
 
     from mr_lda_spark.operators import dedup
@@ -589,7 +592,14 @@ def cmd_dedup(args) -> None:
         n_pairs = pairs.count()  # eager: survivors + optional report
         if args.pairs_output:
             write_table(pairs, args.pairs_output)
-        survivors = dedup.dedup_survivors(docs, pairs)
+        if getattr(args, "survivor_policy", "min-id") == "quality":
+            from mr_lda_spark.operators.textops import quality_scores
+
+            survivors = dedup.dedup_survivors_by_score(
+                docs, pairs, quality_scores(docs)
+            )
+        else:
+            survivors = dedup.dedup_survivors(docs, pairs)
     write_table(survivors, args.output)
     n_out = spark.read.parquet(args.output).count()
     print(
@@ -943,6 +953,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="jaccard/minhash similarity or containment threshold",
     )
     pdu.add_argument("--max-shingle-df", type=int, default=100)
+    pdu.add_argument(
+        "--survivor-policy",
+        choices=["min-id", "quality"],
+        default="min-id",
+        help="per near-dup component keep the minimum doc_id or the "
+        "highest heuristic-quality member",
+    )
     pdu.add_argument("--max-hamming", type=int, default=6)
     pdu.add_argument(
         "--pairs-output", default=None, help="also write the dup-pair report"

@@ -199,3 +199,32 @@ def test_cli_decontaminate_both_modes(tmp_path):
         f"SELECT count(*) FROM '{tmp_path}/cut/*.parquet'"
     ).fetchone()[0]
     assert n_disk == n_in  # spans mode keeps every doc
+
+
+def test_cli_dedup_quality_policy(tmp_path):
+    """`dedup --survivor-policy quality` keeps one member per near-dup
+    component (count matches the min-id policy) but picks by quality:
+    the two runs agree on CARDINALITY and differ at most in WHICH
+    member survives."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    outs = {}
+    for policy in ("min-id", "quality"):
+        out_dir = str(tmp_path / f"dedup_{policy.replace('-', '_')}")
+        stdout = _run(
+            ["dedup", "--input", src, "--output", out_dir,
+             "--method", "jaccard", "--threshold", "0.2",
+             "--survivor-policy", policy],
+            cwd=str(tmp_path),
+        )
+        audit = json.loads(stdout.strip().splitlines()[-1])
+        outs[policy] = (out_dir, audit)
+    import duckdb as _dd
+
+    con = _dd.connect()
+    n_min = con.execute(
+        f"SELECT count(*) FROM '{outs['min-id'][0]}/*.parquet'"
+    ).fetchone()[0]
+    n_q = con.execute(
+        f"SELECT count(*) FROM '{outs['quality'][0]}/*.parquet'"
+    ).fetchone()[0]
+    assert n_min == n_q == outs["quality"][1]["surviving_docs"]
