@@ -159,6 +159,9 @@ EXTRA = [
     # left-anti join sets the cardinality: count() computes the pair
     # graph, components, and the quality arg-max.
     "dedup_survivors_by_quality",
+    # inner joins of a HAVING-filtered pair agg with the marginals:
+    # count() computes the basket explode and all three aggregates.
+    "lineitem_copurchase_lift",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -1,0 +1,72 @@
+"""Association mining — frequent item pairs with support and lift
+(the first two levels of A-priori, the market-basket workload).
+No counterpart in the reference (LLM-data-pipeline / analytics
+extension, like ``graph.py``).
+
+Scale shape (100 TB): item marginals are one groupBy; candidate pairs
+explode per basket as C(k, 2) — bounded by basket size, not corpus
+size — and reduce through map-side partial aggregation; the support
+threshold prunes BEFORE the marginals join (anti-monotonicity: a pair
+cannot be frequent if its count is below threshold, so the join input
+is answer-sized).  Lift is emitted in INTEGER parts-per-million via
+floor division — cross-engine exact, no float.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["copurchase_lift"]
+
+
+def copurchase_lift(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent item pairs over (basket, item) rows →
+    (item_a, item_b, n_pair, n_a, n_b, n_baskets, lift_ppm) for every
+    unordered pair co-occurring in ≥ ``min_support`` baskets.
+
+    lift = P(ab) / (P(a)·P(b)) = (n_ab · N) / (n_a · n_b), emitted as
+    ``(n_ab · N · 10⁶) div (n_a · n_b)`` — integers throughout
+    (int64-safe: n_ab·N ≤ N², and the ×10⁶ product stays under 2⁶³
+    for N up to ~3M baskets; callers at larger N pre-scale to
+    parts-per-thousand or go through decimal)."""
+    b = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = b.select("__b").distinct().count()
+    marg = b.groupBy("__i").agg(F.count(F.lit(1)).alias("n_item"))
+    left = b.select("__b", F.col("__i").alias("item_a"))
+    right = b.select("__b", F.col("__i").alias("item_b"))
+    pair_counts = (
+        left.join(right, "__b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    ma = marg.select(
+        F.col("__i").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("__i").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pair_counts.join(ma, "item_a")
+        .join(mb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.lit(n_baskets).cast("bigint").alias("n_baskets"),
+            F.expr(
+                f"(n_pair * {n_baskets} * 1000000) div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )

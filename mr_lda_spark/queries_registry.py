@@ -7823,6 +7823,44 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     )
 
 
+@register(
+    "lineitem_copurchase_lift",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      FROM lineitem WHERE l_quantity >= 30
+    ),
+    nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+    marg AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+    pairs AS (
+      SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_pair
+      FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, n_pair,
+           ma.n_item AS n_a, mb.n_item AS n_b,
+           CAST(nb.n_baskets AS BIGINT) AS n_baskets,
+           (n_pair * nb.n_baskets * 1000000) // (ma.n_item * mb.n_item)
+             AS lift_ppm
+    FROM pairs
+    JOIN marg ma ON ma.item = pairs.item_a
+    JOIN marg mb ON mb.item = pairs.item_b
+    CROSS JOIN nb
+    """,
+)
+def lineitem_copurchase_lift(spark, sf_dir):
+    """Frequent co-purchase pairs with support + lift
+    (`operators/mining.copurchase_lift`): the first two A-priori
+    levels over high-quantity baskets — pair explode bounded by
+    basket size, support threshold applied BEFORE the marginal joins
+    (anti-monotone pruning keeps the join answer-sized), lift in
+    integer ppm via floor division (cross-engine exact)."""
+    from mr_lda_spark.operators.mining import copurchase_lift
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return copurchase_lift(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 _FUNNEL_GAP_US = 7 * 86400 * 1_000_000  # 7-day per-step deadline
 
 

@@ -257,3 +257,35 @@ def test_pearson_correlations_known_values(spark):
     assert got[("x", "z")] == -1.0
     assert got[("x", "w")] is None
     assert got[("y", "z")] == -1.0
+
+
+def test_copurchase_lift_known_values(spark):
+    from mr_lda_spark.operators.mining import copurchase_lift
+
+    # 4 baskets: {a,b} x3, {a,c} x1 -> pair (a,b) support 3
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): r
+        for r in copurchase_lift(df, "bk", "item", min_support=2).collect()
+    }
+    assert set(got) == {("a", "b")}
+    r = got[("a", "b")]
+    assert (r["n_pair"], r["n_a"], r["n_b"], r["n_baskets"]) == (3, 4, 3, 4)
+    # lift = (3*4)/(4*3) = 1.0 -> 1_000_000 ppm
+    assert r["lift_ppm"] == 1_000_000
+
+
+def test_copurchase_lift_dedups_within_basket(spark):
+    from mr_lda_spark.operators.mining import copurchase_lift
+
+    # duplicate (basket, item) rows must not inflate counts
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    r = copurchase_lift(df, "bk", "item", min_support=2).collect()[0]
+    assert r["n_pair"] == 2 and r["n_a"] == 2
