@@ -162,6 +162,12 @@ EXTRA = [
     # inner joins of a HAVING-filtered pair agg with the marginals:
     # count() computes the basket explode and all three aggregates.
     "lineitem_copurchase_lift",
+    # ends in the per-item rank window filter: count() computes the
+    # pair relation and the cosine ordering.
+    "lineitem_item_similarity_topk",
+    # scalar audit: both pair pipelines run eagerly at construction
+    # (like the quantile/BPE rows); count() forces the 1-row result.
+    "dedup_minhash_recall",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

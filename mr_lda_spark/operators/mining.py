@@ -17,7 +17,58 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["copurchase_lift"]
+__all__ = ["copurchase_lift", "item_similarity_topk"]
+
+
+def item_similarity_topk(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    k: int = 5,
+    min_support: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Item-item collaborative filtering: top-``k`` most similar items
+    per item by co-occurrence cosine ``n_ab / sqrt(n_a · n_b)`` over
+    baskets — (item, rank, neighbor, sim).
+
+    Built on the same support-pruned pair relation as
+    :func:`copurchase_lift` (anti-monotone threshold before the
+    marginal joins), symmetrized, then a per-item rank window
+    (sim desc, neighbor asc — deterministic under ties).  The cosine
+    is sqrt-of-exact-integers then one division — correctly-rounded
+    IEEE ops, so engines agree bit-for-bit before the cosmetic
+    round."""
+    pairs = copurchase_lift(
+        baskets, basket_col, item_col, min_support
+    ).select("item_a", "item_b", "n_pair", "n_a", "n_b")
+    sym = pairs.unionByName(
+        pairs.select(
+            F.col("item_b").alias("item_a"),
+            F.col("item_a").alias("item_b"),
+            "n_pair",
+            F.col("n_b").alias("n_a"),
+            F.col("n_a").alias("n_b"),
+        )
+    )
+    sim = F.col("n_pair").cast("double") / F.sqrt(
+        F.col("n_a").cast("double") * F.col("n_b").cast("double")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_a").orderBy(
+        sim.desc(), F.col("item_b").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("item_a").alias("item"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("item_b").alias("neighbor"),
+            F.round(sim, round_to).alias("sim"),
+        )
+    )
 
 
 def copurchase_lift(

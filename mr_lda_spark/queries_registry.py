@@ -7861,6 +7861,137 @@ def lineitem_copurchase_lift(spark, sf_dir):
     return copurchase_lift(li, "l_orderkey", "l_partkey", min_support=2)
 
 
+@register(
+    "dedup_minhash_recall",
+    f"""
+    WITH lsh AS (SELECT a, b FROM ({_SQL_MINHASH_PAIRS})),
+    ex AS (SELECT a, b FROM ({_SQL_JACCARD_PAIRS})),
+    tp AS (SELECT count(*) AS n FROM lsh JOIN ex USING (a, b)),
+    lo AS (
+      SELECT count(*) AS n FROM lsh
+      WHERE NOT EXISTS (SELECT 1 FROM ex
+                        WHERE ex.a = lsh.a AND ex.b = lsh.b)
+    ),
+    eo AS (
+      SELECT count(*) AS n FROM ex
+      WHERE NOT EXISTS (SELECT 1 FROM lsh
+                        WHERE lsh.a = ex.a AND lsh.b = ex.b)
+    )
+    SELECT (SELECT count(*) FROM lsh) AS n_lsh,
+           (SELECT count(*) FROM ex) AS n_exact,
+           tp.n AS n_both,
+           lo.n AS n_lsh_only,
+           eo.n AS n_exact_only,
+           CASE WHEN (SELECT count(*) FROM ex) > 0
+                THEN (tp.n * 1000000) // (SELECT count(*) FROM ex)
+                ELSE CAST(0 AS BIGINT) END AS recall_vs_exact_ppm,
+           CASE WHEN (SELECT count(*) FROM lsh) > 0
+                THEN (tp.n * 1000000) // (SELECT count(*) FROM lsh)
+                ELSE CAST(0 AS BIGINT) END AS agreement_vs_lsh_ppm
+    FROM tp, lo, eo
+    """,
+)
+def dedup_minhash_recall(spark, sf_dir):
+    """End-to-end audit of the MinHash-LSH blocking against the
+    capped-exact Jaccard pair set at the same threshold (0.2) — the
+    dedup analogue of similarity_ivfflat_recall: how many true
+    near-dup pairs the banding finds (recall), and where the two
+    CANDIDATE policies diverge (the LSH side has no shingle-df cap,
+    so `n_lsh_only` counts boilerplate-bridged pairs the capped exact
+    path excludes — both directions are measured, not assumed).
+    Integer counts + floor-div ppm rates; both pair pipelines are
+    independently hash-green rows."""
+    docs = _t(spark, sf_dir, "documents")
+    lsh = dedup.near_duplicates_minhash(docs, threshold=0.2).select(
+        "a", "b"
+    )
+    ex = dedup.jaccard_near_dupes_exact(
+        docs, threshold=0.2, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+    ).select("a", "b")
+    lsh = lsh.persist()
+    ex = ex.persist()
+    tp = lsh.join(ex, ["a", "b"]).count()
+    n_lsh = lsh.count()
+    n_ex = ex.count()
+    lsh_only = lsh.join(ex, ["a", "b"], "left_anti").count()
+    ex_only = ex.join(lsh, ["a", "b"], "left_anti").count()
+    lsh.unpersist()
+    ex.unpersist()
+    row = [
+        (
+            n_lsh,
+            n_ex,
+            tp,
+            lsh_only,
+            ex_only,
+            (tp * 1_000_000) // n_ex if n_ex else 0,
+            (tp * 1_000_000) // n_lsh if n_lsh else 0,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_lsh bigint, n_exact bigint, n_both bigint, "
+        "n_lsh_only bigint, n_exact_only bigint, "
+        "recall_vs_exact_ppm bigint, agreement_vs_lsh_ppm bigint",
+    )
+
+
+@register(
+    "lineitem_item_similarity_topk",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS item
+      FROM lineitem WHERE l_quantity >= 30
+    ),
+    marg AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+    pairs AS (
+      SELECT x.item AS item_a, y.item AS item_b, count(*) AS n_pair
+      FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    withm AS (
+      SELECT item_a, item_b, n_pair, ma.n_item AS n_a, mb.n_item AS n_b
+      FROM pairs
+      JOIN marg ma ON ma.item = pairs.item_a
+      JOIN marg mb ON mb.item = pairs.item_b
+    ),
+    sym AS (
+      SELECT item_a, item_b, n_pair, n_a, n_b FROM withm
+      UNION ALL
+      SELECT item_b, item_a, n_pair, n_b, n_a FROM withm
+    ),
+    ranked AS (
+      SELECT item_a, item_b,
+             CAST(n_pair AS DOUBLE)
+               / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS s,
+             row_number() OVER (
+               PARTITION BY item_a
+               ORDER BY CAST(n_pair AS DOUBLE)
+                 / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) DESC,
+                 item_b ASC
+             ) AS rank
+      FROM sym
+    )
+    SELECT item_a AS item, CAST(rank AS INT) AS rank,
+           item_b AS neighbor, round(s, 6) AS sim
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def lineitem_item_similarity_topk(spark, sf_dir):
+    """Item-item collaborative filtering
+    (`operators/mining.item_similarity_topk`): top-5 most similar
+    parts per part by co-occurrence cosine over high-quantity
+    baskets — support-pruned pairs (answer-sized before the marginal
+    joins), symmetrized, per-item rank window ordered on the
+    UNROUNDED IEEE-deterministic cosine with an id tie-break."""
+    from mr_lda_spark.operators.mining import item_similarity_topk
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    return item_similarity_topk(
+        li, "l_orderkey", "l_partkey", k=5, min_support=2
+    )
+
+
 _FUNNEL_GAP_US = 7 * 86400 * 1_000_000  # 7-day per-step deadline
 
 

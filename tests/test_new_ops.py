@@ -289,3 +289,28 @@ def test_copurchase_lift_dedups_within_basket(spark):
     df = spark.createDataFrame(rows, "bk long, item string")
     r = copurchase_lift(df, "bk", "item", min_support=2).collect()[0]
     assert r["n_pair"] == 2 and r["n_a"] == 2
+
+
+def test_item_similarity_topk_symmetry_and_rank(spark):
+    from mr_lda_spark.operators.mining import item_similarity_topk
+
+    # a co-occurs with b twice, with c once; all in 3 baskets
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    out = item_similarity_topk(df, "bk", "item", k=2, min_support=1)
+    got = {
+        (r["item"], r["rank"]): (r["neighbor"], r["sim"])
+        for r in out.collect()
+    }
+    # a: n_a=3; (a,b) n=2, n_b=3 -> 2/3 ; (a,c) n=1, n_c=2 -> 1/sqrt(6)
+    assert got[("a", 1)][0] == "b"
+    assert abs(got[("a", 1)][1] - 2 / 3) < 1e-6
+    assert got[("a", 2)][0] == "c"
+    # symmetry: b's top neighbor is a with the same sim
+    assert got[("b", 1)][0] == "a"
+    assert got[("b", 1)][1] == got[("a", 1)][1]
