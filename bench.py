@@ -168,6 +168,9 @@ EXTRA = [
     # scalar audit: both pair pipelines run eagerly at construction
     # (like the quantile/BPE rows); count() forces the 1-row result.
     "dedup_minhash_recall",
+    # cross join of two 1-row aggregates: count() computes both the
+    # cell table and the exact F2 audit.
+    "dedup_selfjoin_mass_estimate",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cms_positions", "cms_table", "cms_build", "cms_candidates",
-    "heavy_hitters_cms",
+    "heavy_hitters_cms", "cms_positions_md5", "selfjoin_mass_estimate",
 ]
 
 
@@ -144,4 +144,72 @@ def heavy_hitters_cms(
         candidates.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= threshold)
+    )
+
+
+def cms_positions_md5(key: Column, width: int, depth: int) -> Column:
+    """md5-derived cell positions (``('0x'+md5(d:key)[:15]) % width``
+    per depth row) — same role as :func:`cms_positions` but in the
+    one hash family a SQL oracle can recompute bit-for-bit (the
+    HLL-module trick applied to the CMS; xxhash64 is Spark-only)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(d)), key)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(width),
+            )
+            for d in range(depth)
+        ]
+    )
+
+
+def selfjoin_mass_estimate(
+    keys: DataFrame, key_col: str, width: int = 8192, depth: int = 5
+) -> DataFrame:
+    """Upper-bound estimate of the equi-self-join mass Σ_k df(k)² —
+    the pre-flight diagnostic for any inverted-index pair join (the
+    candidate-pair count that decides whether a dedup self-join will
+    detonate) — WITHOUT shuffling the key space: from the md5-family
+    CMS cell table, ``est = min_d Σ_c cnt[d][c]²``.  Each depth row's
+    Σc² equals the true F₂ plus non-negative collision cross terms,
+    so every row is ≥ the truth and the min is the tightest upper
+    bound the sketch offers (the classic CMS inner-product estimate
+    of a relation with itself).
+
+    Returns one row (width, depth, est_mass, exact_mass,
+    overestimate_ppm); the exact column is the audit the production
+    caller skips.  Integer-exact throughout."""
+    cells = (
+        keys.select(
+            F.posexplode(
+                cms_positions_md5(F.col(key_col), width, depth)
+            ).alias("d", "col")
+        )
+        .groupBy("d", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    est = (
+        cells.groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("m"))
+        .agg(F.min("m").alias("est_mass"))
+    )
+    exact = (
+        keys.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("exact_mass"))
+    )
+    return est.crossJoin(exact).select(
+        F.lit(width).cast("int").alias("width"),
+        F.lit(depth).cast("int").alias("depth"),
+        F.col("est_mass").cast("bigint").alias("est_mass"),
+        F.col("exact_mass").cast("bigint").alias("exact_mass"),
+        F.expr("(est_mass * 1000000) div exact_mass").alias(
+            "overestimate_ppm"
+        ),
     )

@@ -7862,6 +7862,55 @@ def lineitem_copurchase_lift(spark, sf_dir):
 
 
 @register(
+    "dedup_selfjoin_mass_estimate",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    cells AS (
+      SELECT d, ('0x' || substr(md5(d || ':' || shingle), 1, 15))::BIGINT
+               % 65536 AS col,
+             count(*) AS cnt
+      FROM sh, unnest(range(0, 5)) AS u(d)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT min(m) AS est_mass FROM (
+        SELECT d, CAST(sum(cnt*cnt) AS BIGINT) AS m
+        FROM cells GROUP BY 1
+      )
+    ),
+    ex AS (
+      SELECT CAST(sum(df*df) AS BIGINT) AS exact_mass FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+      )
+    )
+    SELECT CAST(65536 AS INT) AS width, CAST(5 AS INT) AS depth,
+           est.est_mass, ex.exact_mass,
+           (est.est_mass * 1000000) // ex.exact_mass AS overestimate_ppm
+    FROM est, ex
+    """,
+)
+def dedup_selfjoin_mass_estimate(spark, sf_dir):
+    """Pre-flight blow-up diagnostic for the shingle inverted-index
+    self-join (`operators/sketch.selfjoin_mass_estimate`): the CMS
+    inner-product upper bound on Σ df(shingle)² — the candidate-pair
+    mass that decides whether a Jaccard-style pair join is safe to
+    run — from a depth×width cell table only, never a key-space
+    shuffle.  md5 hash family so the oracle recomputes the IDENTICAL
+    sketch (the first CMS row whose sketch itself is hash-checked,
+    not just its exact verify output); the exact column is the audit
+    the production caller skips.  Width sizing rule (measured at
+    registration): the collision term adds ~F1²/width, so the bound
+    is tight only when width ≳ F1²/F2 — at 8192 the sf0.01 estimate
+    read 2.5× the truth, at 65536 it is near-exact."""
+    sh = (
+        textops.shingles(_t(spark, sf_dir, "documents"), "text", 3)
+        .distinct()
+        .select("shingle")
+    )
+    return sketch.selfjoin_mass_estimate(sh, "shingle", 65536, 5)
+
+
+@register(
     "dedup_minhash_recall",
     f"""
     WITH lsh AS (SELECT a, b FROM ({_SQL_MINHASH_PAIRS})),

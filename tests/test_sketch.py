@@ -135,3 +135,25 @@ def test_heavy_hitters_with_injected_table(spark, documents):
             occ, "shingle", threshold=5, width=8192, depth=4).collect())
     )
     assert via_injected == via_internal and via_injected
+
+
+def test_selfjoin_mass_upper_bound_and_tightening(spark):
+    """Every depth row's estimate must upper-bound the true F2, and
+    widening the sketch must not loosen the bound (collision term
+    shrinks ~F1²/width)."""
+    from pyspark.sql import functions as F
+
+    keys = spark.range(20000).select(
+        F.concat(F.lit("k"), (F.col("id") % 3000)).alias("shingle")
+    )
+    wide = sketch.selfjoin_mass_estimate(keys, "shingle", 16384, 4).collect()[0]
+    narrow = sketch.selfjoin_mass_estimate(keys, "shingle", 1024, 4).collect()[0]
+    # true F2: 3000 keys x ceil/floor(20000/3000) occurrences
+    exact = wide["exact_mass"]
+    assert narrow["exact_mass"] == exact
+    assert wide["est_mass"] >= exact
+    assert narrow["est_mass"] >= exact
+    assert wide["est_mass"] <= narrow["est_mass"]
+    # the collision term is ~F1^2/width in expectation (measured
+    # 157.6k vs exact 134k + 20000^2/16384 = 158.4k) — allow 2x slack
+    assert wide["est_mass"] <= exact + 2 * (20000 ** 2) // 16384
