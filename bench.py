@@ -171,6 +171,7 @@ EXTRA = [
     # cross join of two 1-row aggregates: count() computes both the
     # cell table and the exact F2 audit.
     "dedup_selfjoin_mass_estimate",
+    "dedup_selfjoin_mass_ams",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

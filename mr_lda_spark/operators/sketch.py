@@ -29,12 +29,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "cms_positions", "cms_table", "cms_build", "cms_candidates",
     "heavy_hitters_cms", "cms_positions_md5", "selfjoin_mass_estimate",
+    "ams_f2_estimate",
 ]
 
 
@@ -212,4 +213,74 @@ def selfjoin_mass_estimate(
         F.expr("(est_mass * 1000000) div exact_mass").alias(
             "overestimate_ppm"
         ),
+    )
+
+
+def ams_f2_estimate(
+    keys: DataFrame, key_col: str, width: int = 8192, depth: int = 5
+) -> DataFrame:
+    """UNBIASED F₂ (self-join mass) estimate by AMS / CountSketch —
+    the two-sided companion to :func:`selfjoin_mass_estimate`'s CMS
+    upper bound: each key also draws a ±1 sign per depth row, cells
+    accumulate SIGNED counts, and Σ_c val² per row is an unbiased F₂
+    estimator (collision cross terms cancel in expectation); the
+    MEDIAN over depth rows controls variance.  The median is taken
+    relationally (rank the depth sums, pick the middle row — integer,
+    deterministic) so the whole estimate is oracle-checkable in the
+    md5 hash family.
+
+    Same bounded-state shape as every sketch here: the corpus reduces
+    to depth×width cells through partial aggregation; nothing else
+    scales with the key space."""
+    pos = cms_positions_md5(F.col(key_col), width, depth)
+    sign = F.array(
+        *[
+            F.when(
+                F.instr(
+                    F.lit("01234567"),
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(f"s{d}"), F.col(key_col)
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                > 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            for d in range(depth)
+        ]
+    )
+    cells = (
+        keys.select(
+            F.posexplode(pos).alias("d", "col"), sign.alias("__s")
+        )
+        .select("d", "col", F.expr("element_at(__s, d + 1)").alias("sgn"))
+        .groupBy("d", "col")
+        .agg(F.sum("sgn").alias("val"))
+    )
+    per_row = cells.groupBy("d").agg(
+        F.sum(F.col("val") * F.col("val")).alias("m")
+    )
+    w = Window.orderBy("m", "d")
+    med = (
+        per_row.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == (depth + 1) // 2)
+        .select(F.col("m").alias("ams_f2"))
+    )
+    exact = (
+        keys.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .agg(F.sum(F.col("df") * F.col("df")).alias("exact_mass"))
+    )
+    return med.crossJoin(exact).select(
+        F.lit(width).cast("int").alias("width"),
+        F.lit(depth).cast("int").alias("depth"),
+        F.col("ams_f2").cast("bigint").alias("ams_f2"),
+        F.col("exact_mass").cast("bigint").alias("exact_mass"),
+        F.expr("(ams_f2 * 1000000) div exact_mass").alias("ratio_ppm"),
     )

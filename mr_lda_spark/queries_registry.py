@@ -7911,6 +7911,55 @@ def dedup_selfjoin_mass_estimate(spark, sf_dir):
 
 
 @register(
+    "dedup_selfjoin_mass_ams",
+    f"""
+    WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
+    cells AS (
+      SELECT d,
+             ('0x' || substr(md5(d || ':' || shingle), 1, 15))::BIGINT
+               % 65536 AS col,
+             CAST(sum(CASE WHEN strpos('01234567',
+                    substr(md5('s' || d || ':' || shingle), 1, 1)) > 0
+                  THEN 1 ELSE -1 END) AS BIGINT) AS val
+      FROM sh, unnest(range(0, 5)) AS u(d)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT d, CAST(sum(val*val) AS BIGINT) AS m FROM cells GROUP BY 1
+    ),
+    med AS (
+      SELECT m AS ams_f2 FROM (
+        SELECT *, row_number() OVER (ORDER BY m, d) AS rn FROM per
+      ) WHERE rn = 3
+    ),
+    ex AS (
+      SELECT CAST(sum(df*df) AS BIGINT) AS exact_mass FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+      )
+    )
+    SELECT CAST(65536 AS INT) AS width, CAST(5 AS INT) AS depth,
+           med.ams_f2, ex.exact_mass,
+           (med.ams_f2 * 1000000) // ex.exact_mass AS ratio_ppm
+    FROM med, ex
+    """,
+)
+def dedup_selfjoin_mass_ams(spark, sf_dir):
+    """UNBIASED self-join-mass estimate by AMS / CountSketch
+    (`operators/sketch.ams_f2_estimate`) next to the CMS upper bound
+    (dedup_selfjoin_mass_estimate): ±1 signs cancel collision cross
+    terms in expectation, the relational median-of-depth-rows keeps
+    the whole estimator integer and oracle-checkable in the md5
+    family.  Same bounded depth×width state; the two rows together
+    bracket the true F₂ (upper bound above, unbiased beside)."""
+    sh = (
+        textops.shingles(_t(spark, sf_dir, "documents"), "text", 3)
+        .distinct()
+        .select("shingle")
+    )
+    return sketch.ams_f2_estimate(sh, "shingle", 65536, 5)
+
+
+@register(
     "dedup_minhash_recall",
     f"""
     WITH lsh AS (SELECT a, b FROM ({_SQL_MINHASH_PAIRS})),

@@ -157,3 +157,18 @@ def test_selfjoin_mass_upper_bound_and_tightening(spark):
     # the collision term is ~F1^2/width in expectation (measured
     # 157.6k vs exact 134k + 20000^2/16384 = 158.4k) — allow 2x slack
     assert wide["est_mass"] <= exact + 2 * (20000 ** 2) // 16384
+
+
+def test_ams_f2_unbiased_near_truth(spark):
+    """AMS should land much closer to the truth than the CMS upper
+    bound at the same width, and is NOT one-sided."""
+    from pyspark.sql import functions as F
+
+    keys = spark.range(20000).select(
+        F.concat(F.lit("k"), (F.col("id") % 3000)).alias("shingle")
+    )
+    ams = sketch.ams_f2_estimate(keys, "shingle", 4096, 5).collect()[0]
+    exact = ams["exact_mass"]
+    assert abs(ams["ams_f2"] - exact) <= 0.2 * exact
+    cms = sketch.selfjoin_mass_estimate(keys, "shingle", 4096, 5).collect()[0]
+    assert abs(ams["ams_f2"] - exact) < cms["est_mass"] - exact
