@@ -172,6 +172,8 @@ EXTRA = [
     # cell table and the exact F2 audit.
     "dedup_selfjoin_mass_estimate",
     "dedup_selfjoin_mass_ams",
+    # ends in the per-source aggregate: count() computes the windows.
+    "curation_pareto_report",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -7911,6 +7911,75 @@ def dedup_selfjoin_mass_estimate(spark, sf_dir):
 
 
 @register(
+    "curation_pareto_report",
+    """
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source ORDER BY n_tok DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum,
+             row_number() OVER (
+               PARTITION BY source ORDER BY n_tok DESC, doc_id
+             ) AS rn,
+             sum(n_tok) OVER (PARTITION BY source) AS total
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(total) AS BIGINT) AS total_tokens,
+           CAST(min(CASE WHEN 2 * cum >= total THEN rn END) AS BIGINT)
+             AS docs_for_half
+    FROM ranked GROUP BY 1
+    """,
+)
+def curation_pareto_report(spark, sf_dir):
+    """Token-mass concentration per source (the Pareto report a
+    curation owner reads before sampling): how many of the largest
+    docs carry half the source's tokens — rank docs by token count
+    (total order via doc_id tie-break), one streaming cumulative
+    window per source, and ``docs_for_half`` = the first rank where
+    2·cum ≥ total (integer comparison, no float share).  One shuffle
+    on the source key."""
+    t = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    w_order = Window.partitionBy("source").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id")
+    )
+    ranked = t.select(
+        "source",
+        "n_tok",
+        F.sum("n_tok")
+        .over(w_order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.row_number().over(w_order).alias("rn"),
+        F.sum("n_tok").over(Window.partitionBy("source")).alias("total"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("total").alias("total_tokens"),
+        F.min(
+            F.when(2 * F.col("cum") >= F.col("total"), F.col("rn"))
+        )
+        .cast("bigint")
+        .alias("docs_for_half"),
+    )
+
+
+@register(
     "dedup_selfjoin_mass_ams",
     f"""
     WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SQL_SHINGLES})),
