@@ -197,6 +197,67 @@ def main() -> None:
     )
     s1.unpersist(); s100.unpersist()
 
+    # ---- co-purchase mining, disjoint basket clones x10 -------------
+    from mr_lda_spark.operators.mining import (
+        copurchase_lift,
+        item_similarity_topk,
+    )
+    from mr_lda_spark.operators.sketch import (
+        ams_f2_estimate,
+        selfjoin_mass_estimate,
+    )
+    from mr_lda_spark.operators import textops
+
+    lif = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 30
+    ).select("l_orderkey", "l_partkey").persist()
+    lif.count()
+    lif10 = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 30
+    ).select("l_orderkey", "l_partkey", idx10).select(
+        (F.col("l_orderkey") + F.col("__i").cast("long") * 100_000_000)
+        .alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("__i").cast("long") * 10_000_000)
+        .alias("l_partkey"),
+    ).persist()
+    lif10.count()
+    run(
+        "copurchase_lift", 10,
+        lambda: copurchase_lift(lif, "l_orderkey", "l_partkey", 2).count(),
+        lambda: copurchase_lift(
+            lif10, "l_orderkey", "l_partkey", 2).count(),
+    )
+    run(
+        "item_similarity_topk", 10,
+        lambda: item_similarity_topk(
+            lif, "l_orderkey", "l_partkey", 5, 2).count(),
+        lambda: item_similarity_topk(
+            lif10, "l_orderkey", "l_partkey", 5, 2).count(),
+    )
+    lif.unpersist(); lif10.unpersist()
+
+    # ---- self-join mass sketches, distinct keys x100 ----------------
+    docs2 = read_table(spark, sf_dir, "documents")
+    sh1 = textops.shingles(docs2, "text", 3).distinct().select(
+        "shingle").persist()
+    sh1.count()
+    sh100b = sh1.select("shingle", idx100).select(
+        F.concat_ws("#", "shingle", F.col("__i")).alias("shingle")
+    ).persist()
+    sh100b.count()
+    run(
+        "selfjoin_mass_cms", 100,
+        lambda: selfjoin_mass_estimate(sh1, "shingle", 65536, 5).count(),
+        lambda: selfjoin_mass_estimate(
+            sh100b, "shingle", 65536, 5).count(),
+    )
+    run(
+        "selfjoin_mass_ams", 100,
+        lambda: ams_f2_estimate(sh1, "shingle", 65536, 5).count(),
+        lambda: ams_f2_estimate(sh100b, "shingle", 65536, 5).count(),
+    )
+    sh1.unpersist(); sh100b.unpersist()
+
     with open(out_path, "w") as fh:
         json.dump(out, fh, indent=2)
     print("wrote", out_path)
