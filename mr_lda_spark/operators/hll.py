@@ -98,9 +98,13 @@ def hll_estimate(
     big = _HASH_BITS - p + 1  # B
     num = hll_alpha(m) * m * m * float(1 << big)
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {big} - r)")
+    # coalesce: a group with ZERO registers (global agg over an empty
+    # relation) must flow through as used_buckets = 0, s = m·2^B — the
+    # linear-counting branch then yields est_distinct = m·ln(m/m) = 0,
+    # the correct empty-input answer (a null sum would poison s).
     per_group = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("used_buckets"),
-        F.sum(term).alias("s_present"),
+        F.coalesce(F.sum(term), F.lit(0)).alias("s_present"),
     )
     s = (
         F.col("s_present")

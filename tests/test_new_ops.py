@@ -314,3 +314,49 @@ def test_item_similarity_topk_symmetry_and_rank(spark):
     # symmetry: b's top neighbor is a with the same sim
     assert got[("b", 1)][0] == "a"
     assert got[("b", 1)][1] == got[("a", 1)][1]
+
+
+def test_zorder_single_point_domain(spark):
+    """Degenerate domains (max == min == 0) must not divide by zero
+    and land everything in one cell."""
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators.layout import zorder_cell_extents
+
+    df = spark.range(10).select(
+        F.lit(0).cast("long").alias("x"), F.lit(0).cast("long").alias("y")
+    )
+    cells = zorder_cell_extents(df, "x", "y", qbits=8, levels=3).collect()
+    assert len(cells) == 1 and cells[0]["n_rows"] == 10
+
+
+def test_markov_self_loops_counted(spark):
+    import datetime
+    from mr_lda_spark.operators.funnel import markov_transitions
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, 1, "a", t0 + datetime.timedelta(seconds=i), 0.0)
+        for i in range(1, 5)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    got = markov_transitions(events).collect()
+    assert len(got) == 1
+    assert (got[0]["src"], got[0]["dst"], got[0]["n"]) == ("a", "a", 3)
+    assert got[0]["p_ppm"] == 1_000_000
+
+
+def test_hll_empty_input(spark):
+    from pyspark.sql import functions as F
+    from mr_lda_spark.operators import hll
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    # a global aggregate always yields one row; the empty sketch must
+    # flow through the linear-counting branch to est_distinct = 0
+    row = hll.hll_distinct(empty, "k", [], p=8).collect()
+    assert len(row) == 1
+    assert row[0]["used_buckets"] == 0
+    assert row[0]["est_distinct"] == 0
