@@ -311,3 +311,45 @@ def test_mllib_vector_assembly_is_arrow_batched(spark):
     plan = vecs._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" in plan
+
+
+def test_zorder_no_global_sort(spark):
+    """Morton-cell layout must never SORT or window the corpus — the
+    cell id is a shift of the key (embarrassingly parallel), which is
+    the operator's whole scale claim.  (A SinglePartition exchange
+    does appear for the 1-ROW quantization-bounds aggregate — that is
+    the broadcast scalar, not a data path.)"""
+    plan, _ = _plan(spark, "lineitem_zorder_extents")
+    assert "Window" not in plan
+    assert "Sort " not in plan and "+- Sort" not in plan
+
+
+def test_scd2_and_attribution_shuffle_on_entity_key_only(spark):
+    """All windows in SCD2 / attribution hash-partition on the entity
+    key — no unpartitioned (single-task) window anywhere."""
+    for name in ("customer_priority_scd2", "events_attribution_touch"):
+        plan, _ = _plan(spark, name)
+        assert "Window" in plan, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_windowed_funnel_joins_carry_equi_keys(spark):
+    """The feasibility range joins must plan as equi-joins on the user
+    key with the time residual as a post-join filter — never a
+    BroadcastNestedLoopJoin over the event stream."""
+    plan, _ = _plan(spark, "events_funnel_windowed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hll_register_agg_is_partial(spark):
+    """The register reduction must partial-aggregate map-side (the
+    'keys never shuffle' claim): the plan shows a partial
+    HashAggregate below the exchange for max(rho)."""
+    ex = _explain(spark, "text_hll_distinct_shingles")
+    assert "partial_max" in ex or "partial max" in ex.lower()
+
+
+def test_sorted_neighborhood_window_is_block_partitioned(spark):
+    plan, _ = _plan(spark, "dedup_sorted_neighborhood")
+    assert "SinglePartition" not in plan
