@@ -898,7 +898,10 @@ def negative_samples(
     scalar (a count, like the Bloom join's filter sizing).  A (doc, i)
     whose target bucket contains only the doc itself yields no row —
     with bucket_target ≥ 16 that is vanishingly rare and deterministic
-    either way.
+    either way.  Ranks draw INDEPENDENTLY (two ranks of one doc can
+    land the same negative — sampling with replacement across ranks,
+    the cheap-and-standard contrastive setup); callers needing k
+    DISTINCT negatives should over-draw and dedup.
     """
     n = docs.count()
     n_buckets = max(16, n // bucket_target)

@@ -790,11 +790,15 @@ def dedup_survivors_by_score(
     minimum id — the production policy ("keep the best copy, not the
     first"); docs in no pair survive untouched.
 
-    ``scores`` is (id, score).  Same scale shape as
-    :func:`dedup_survivors`: components and the arg-max run on the
-    pair-member relation (tiny — cluster members only, joined to
-    their scores by id), and the corpus itself meets only one
-    left-anti join against the loser set, never a shuffle."""
+    ``scores`` is (id, score); members MISSING a score row rank as
+    -inf (a LEFT join + coalesce — an inner join would silently
+    delete every unscored member and skip fully-unscored clusters;
+    with all scores absent the policy degrades to min-id, matching
+    :func:`dedup_survivors`).  Same scale shape as that function:
+    components and the arg-max run on the pair-member relation
+    (tiny — cluster members only, joined to their scores by id), and
+    the corpus itself meets only one left-anti join against the
+    loser set, never a shuffle."""
     cc = connected_components(pairs, a_col, b_col)
     members = cc.join(
         scores.select(
@@ -802,6 +806,10 @@ def dedup_survivors_by_score(
             F.col(score_col).alias("__score"),
         ),
         "doc_id",
+        "left",
+    ).withColumn(
+        "__score",
+        F.coalesce(F.col("__score"), F.lit(float("-inf"))),
     )
     best = members.groupBy("cluster").agg(
         F.max(

@@ -59,7 +59,11 @@ def funnel_steps_windowed(
         )
         for s in steps
     ]
-    feasible = slices[0]
+    # each feasible relation is persisted: it feeds BOTH the next
+    # step's range join and its own min-aggregate, and without the
+    # persist every firsts[i] re-derives the whole prior join chain
+    # (k(k+1)/2 joins instead of k — caught in the r9 self-review).
+    feasible = slices[0].persist()
     firsts = [feasible.groupBy("__u").agg(F.min("__ts").alias("t_1"))]
     for i in range(1, len(steps)):
         prev = feasible.select("__u", F.col("__ts").alias("__pts"))
@@ -72,6 +76,7 @@ def funnel_steps_windowed(
             )
             .select("__u", "__ts")
             .distinct()
+            .persist()
         )
         firsts.append(
             feasible.groupBy("__u").agg(

@@ -75,17 +75,27 @@ def zorder_cell_extents(
 
     The max() quantization bounds come from a 1-row aggregate joined
     back by a broadcast cross join — no driver collect in the plan.
+    Coordinates must be non-negative (Morton interleave is defined on
+    unsigned ints); shift/mask of a negative key would produce a
+    meaningless curve position.
     """
     (x_lo_pct, x_hi_pct), (y_lo_pct, y_hi_pct) = probe_pct
     maxes = df.agg(
         F.max(F.col(x_col)).cast("long").alias("_xmax"),
         F.max(F.col(y_col)).cast("long").alias("_ymax"),
     )
+    # quantize in BIGINT: with a 32-bit input column the raw multiply
+    # can overflow int32 (ANSI error or wrapped garbage cells), and the
+    # DuckDB oracle promotes — cast FIRST so both engines agree.
     scaled = df.crossJoin(F.broadcast(maxes)).select(
         F.col(x_col).cast("long").alias("_x"),
         F.col(y_col).cast("long").alias("_y"),
-        F.expr(f"({x_col} * {1 << qbits}) div (_xmax + 1)").alias("_xq"),
-        F.expr(f"({y_col} * {1 << qbits}) div (_ymax + 1)").alias("_yq"),
+        F.expr(
+            f"(CAST({x_col} AS BIGINT) * {1 << qbits}) div (_xmax + 1)"
+        ).alias("_xq"),
+        F.expr(
+            f"(CAST({y_col} AS BIGINT) * {1 << qbits}) div (_ymax + 1)"
+        ).alias("_yq"),
         "_xmax",
         "_ymax",
     )

@@ -246,7 +246,17 @@ def rolling_count_anomalies(
     counts per group are corpus-size / step, so even a year of hourly
     buckets is ~9k rows per group — group skew is structurally capped.
     """
-    bounds = buckets.groupBy(by).agg(
+    # floor-align input buckets to the step grid FIRST: a bucket not
+    # at min + k*step would otherwise miss the generated spine and be
+    # silently dropped by the left join (aligned inputs — the usual
+    # date_trunc output — pass through unchanged).
+    aligned = buckets.groupBy(
+        by,
+        F.expr(f"({bucket_col} div {int(step)}) * {int(step)}").alias(
+            bucket_col
+        ),
+    ).agg(F.sum(count_col).alias("__n_aligned"))
+    bounds = aligned.groupBy(by).agg(
         F.min(bucket_col).alias("__mn"), F.max(bucket_col).alias("__mx")
     )
     spine = bounds.select(
@@ -255,10 +265,10 @@ def rolling_count_anomalies(
             F.sequence("__mn", "__mx", F.lit(int(step)))
         ).alias(bucket_col),
     )
-    filled = spine.join(buckets, [by, bucket_col], "left").select(
+    filled = spine.join(aligned, [by, bucket_col], "left").select(
         by,
         bucket_col,
-        F.coalesce(F.col(count_col), F.lit(0))
+        F.coalesce(F.col("__n_aligned"), F.lit(0))
         .cast("long")
         .alias("cnt"),
     )

@@ -26,7 +26,9 @@ from pyspark.sql import functions as F
 
 from mr_lda_spark.operators.textops import _tokens
 
-__all__ = ["shingle_lang_stream", "hll_estimate_stream"]
+__all__ = [
+    "shingle_lang_stream", "hll_estimate_stream", "cms_table_from_stream",
+]
 
 
 def shingle_lang_stream(docs_stream: DataFrame, n: int = 5) -> DataFrame:
@@ -70,7 +72,13 @@ def hll_estimate_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming register drain '{query_name}' exceeded "
+            f"{timeout_sec}s — refusing to estimate from a "
+            "partially-filled sketch"
+        )
     return hll_estimate(spark.table(query_name), group_cols, p)
 
 
@@ -101,7 +109,16 @@ def cms_table_from_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming CMS drain '{query_name}' exceeded {timeout_sec}s "
+            "— a partial sketch would under-estimate and break the "
+            "exact-output contract"
+        )
+    # packing kept inline rather than shared with cms_build: that
+    # helper drives its own collect; this one packs an already-drained
+    # memory table (same 4 lines, different source of rows).
     packed = np.zeros((depth, width), dtype=np.int64)
     for row in spark.table(query_name).collect():
         packed[int(row["d"]), int(row["col"])] = int(row["cnt"])

@@ -208,3 +208,21 @@ def test_rolling_count_anomalies_groups_independent(spark):
     # per-group sx at bucket 4 is 4 buckets x group's own constant
     sx = {(r["k"], r["bucket"] // 60): r["sx"] for r in out}
     assert sx[("a", 4)] == 20 and sx[("b", 4)] == 28
+
+
+def test_rolling_count_anomalies_snaps_offgrid_buckets(spark):
+    """Buckets not on the min+k*step grid must floor-align and merge,
+    never silently vanish (r9 self-review finding)."""
+    from mr_lda_spark.operators.timeseries import rolling_count_anomalies
+
+    rows = [("a", 0, 4), ("a", 5, 6), ("a", 10, 2), ("a", 3600, 1)]
+    df = spark.createDataFrame(rows, "k string, bucket long, n long")
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in rolling_count_anomalies(
+            df, "k", "bucket", "n", step=3600,
+            lookback=4, z=3, min_periods=2,
+        ).collect()
+    }
+    # buckets 0, 5, 10 align to 0 and merge; total row count preserved
+    assert got == {0: 12, 3600: 1}
