@@ -811,15 +811,17 @@ def dedup_survivors_by_score(
         "__score",
         F.coalesce(F.col("__score"), F.lit(float("-inf"))),
     )
-    best = members.groupBy("cluster").agg(
-        F.max(
-            F.struct(
-                F.col("__score").alias("s"),
-                (-F.col("doc_id")).alias("neg_id"),
-            )
-        ).alias("__best")
-    ).select(
-        "cluster", (-F.col("__best.neg_id")).alias("__keep")
+    # Two-stage arg-max (max score, then min id among the maximal):
+    # id-type agnostic, unlike a max(struct(score, -id)) whose unary
+    # minus silently requires numeric ids while the rest of the dedup
+    # family accepts any orderable id type (ADVICE r9 #4).  Both
+    # stages run on the tiny cluster-member relation.
+    top = members.groupBy("cluster").agg(F.max("__score").alias("__smax"))
+    best = (
+        members.join(top, "cluster")
+        .filter(F.col("__score") == F.col("__smax"))
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("__keep"))
     )
     losers = (
         cc.join(best, "cluster")

@@ -63,7 +63,12 @@ def funnel_steps_windowed(
     # step's range join and its own min-aggregate, and without the
     # persist every firsts[i] re-derives the whole prior join chain
     # (k(k+1)/2 joins instead of k — caught in the r9 self-review).
+    # Handles are tracked and unpersisted once the (small, per-user)
+    # result is materialized below — a long-lived session running the
+    # whole registry otherwise accumulates one cached slice per step
+    # per invocation until storage evicts (ADVICE r9 #1).
     feasible = slices[0].persist()
+    cached = [feasible]
     firsts = [feasible.groupBy("__u").agg(F.min("__ts").alias("t_1"))]
     for i in range(1, len(steps)):
         prev = feasible.select("__u", F.col("__ts").alias("__pts"))
@@ -78,6 +83,7 @@ def funnel_steps_windowed(
             .distinct()
             .persist()
         )
+        cached.append(feasible)
         firsts.append(
             feasible.groupBy("__u").agg(
                 F.min("__ts").alias(f"t_{i + 1}")
@@ -90,12 +96,20 @@ def funnel_steps_windowed(
     completed = sum(
         (F.col(f"t_{i}").isNotNull()).cast("int") for i in range(1, k + 1)
     )
-    return out.select(
+    result = out.select(
         F.col("__u").alias(user_col),
         *[f"t_{i}" for i in range(1, k + 1)],
         completed.cast("int").alias("steps_completed"),
         (F.col(f"t_{k}").isNotNull()).alias("converted"),
     )
+    # Materialize the per-user result (≤ one row per user — the small
+    # end of the funnel) so the feasible caches can be released now;
+    # localCheckpoint blocks are GC-managed, unlike CacheManager
+    # entries keyed by logical plan.
+    result = result.localCheckpoint()
+    for h in cached:
+        h.unpersist()
+    return result
 
 
 def markov_transitions(

@@ -82,7 +82,15 @@ def triangles(edges: DataFrame) -> DataFrame:
         F.col("y.v").alias("q"),
     )
     closing = o.select(F.col("u").alias("p"), F.col("v").alias("q"))
-    return wedges.join(closing, ["p", "q"]).select("u", "p", "q")
+    tri = wedges.join(closing, ["p", "q"]).select("u", "p", "q")
+    # Materialize the triangle list so the oriented-edge cache can be
+    # released immediately instead of leaking one |E|-sized cache per
+    # call across a long-lived session (ADVICE r9 #2:
+    # triangle_participation calls this too).  localCheckpoint blocks
+    # are GC-managed; CacheManager entries are not.
+    tri = tri.localCheckpoint()
+    o.unpersist()
+    return tri
 
 
 def triangle_participation(edges: DataFrame) -> DataFrame:

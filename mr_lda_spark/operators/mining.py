@@ -82,10 +82,10 @@ def copurchase_lift(
     unordered pair co-occurring in ≥ ``min_support`` baskets.
 
     lift = P(ab) / (P(a)·P(b)) = (n_ab · N) / (n_a · n_b), emitted as
-    ``(n_ab · N · 10⁶) div (n_a · n_b)`` — integers throughout
-    (int64-safe: n_ab·N ≤ N², and the ×10⁶ product stays under 2⁶³
-    for N up to ~3M baskets; callers at larger N pre-scale to
-    parts-per-thousand or go through decimal)."""
+    ``(n_ab · N · 10⁶) div (n_a · n_b)`` — exact integers throughout:
+    the products run in decimal(38,0) (n_ab·N·10⁶ would wrap int64
+    silently past ~3M baskets in non-ANSI Spark), and the quotient is
+    division-shrunk back under int64 before the BIGINT cast."""
     b = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
@@ -116,8 +116,16 @@ def copurchase_lift(
             "n_a",
             "n_b",
             F.lit(n_baskets).cast("bigint").alias("n_baskets"),
+            # decimal(38,0) sufficient products (the standing rule from
+            # pearson_correlations): n_pair·N·10⁶ wraps int64 silently
+            # in non-ANSI Spark past ~3M baskets while the DuckDB
+            # oracle raises — exact decimals on both engines instead
+            # (ADVICE r9 #3).  lift_ppm itself is division-shrunk, so
+            # the final BIGINT cast is lossless.
             F.expr(
-                f"(n_pair * {n_baskets} * 1000000) div (n_a * n_b)"
+                f"CAST((CAST(n_pair AS DECIMAL(38,0)) * {n_baskets}"
+                f" * 1000000) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                f" AS BIGINT)"
             ).alias("lift_ppm"),
         )
     )

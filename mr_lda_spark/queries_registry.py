@@ -7840,8 +7840,9 @@ def dedup_sorted_neighborhood(spark, sf_dir):
     SELECT item_a, item_b, n_pair,
            ma.n_item AS n_a, mb.n_item AS n_b,
            CAST(nb.n_baskets AS BIGINT) AS n_baskets,
-           (n_pair * nb.n_baskets * 1000000) // (ma.n_item * mb.n_item)
-             AS lift_ppm
+           CAST((CAST(n_pair AS HUGEINT) * nb.n_baskets * 1000000)
+                // (CAST(ma.n_item AS HUGEINT) * mb.n_item)
+                AS BIGINT) AS lift_ppm
     FROM pairs
     JOIN marg ma ON ma.item = pairs.item_a
     JOIN marg mb ON mb.item = pairs.item_b
@@ -8354,13 +8355,15 @@ def events_attribution_touch(spark, sf_dir):
 def lineitem_bloom_join_revenue(spark, sf_dir):
     """Fact⋈dim join behind an explicit Bloom runtime filter
     (`operators/bloom.bloom_pruned_join`): the selective order
-    predicate's keys build an m-bit bitset; lineitem is prefiltered
-    MAP-SIDE (Arrow-batched bitset probes over JVM-computed hashes)
-    before its shuffle, and the exact join removes the false
-    positives — output identical to the plain join (which is the
-    oracle), but the fact side reaches the shuffle pre-shrunk by the
-    dim predicate's selectivity.  Integer-cents revenue per the
-    registry convention."""
+    predicate's keys build an m-bit bitset broadcast as a packed
+    int64 array; lineitem is prefiltered MAP-SIDE with a pure
+    JVM-codegen probe (xxhash64 → element_at/shiftright/bit-AND on
+    the broadcast array — no Arrow round-trip in the per-row path,
+    the r9-measured 40× difference) before its shuffle, and the
+    exact join removes the false positives — output identical to the
+    plain join (which is the oracle), but the fact side reaches the
+    shuffle pre-shrunk by the dim predicate's selectivity.
+    Integer-cents revenue per the registry convention."""
     from mr_lda_spark.operators.bloom import bloom_pruned_join
 
     li = _t(spark, sf_dir, "lineitem").select(
