@@ -1,0 +1,62 @@
+"""Golden-run LDA oracle contract (VERDICT r9 "Next round" #1).
+
+The four golden rows freeze a seeded VB-EM configuration against a
+committed expected table (mr_lda_spark/golden_lda.json, written by
+tools/freeze_lda_golden.py after proving cross-partitioning
+stability).  tests/test_oracle_parity.py replays them against the
+literal-VALUES DuckDB oracle like every other row; this file pins the
+surrounding contract — the JSON is complete and sane, and the queries
+really ignore sf_dir (the frozen corpus is part of the configuration,
+so the driver's sf0.01 run and the sweep's sf0.1 run must agree).
+"""
+
+import math
+
+from mr_lda_spark import queries_registry as reg
+
+GOLDEN_NAMES = [
+    "lda_train_golden",
+    "lda_doc_topics_golden",
+    "lda_join_train_golden",
+    "polylda_train_golden",
+]
+
+
+def test_golden_json_complete_and_sane():
+    spec = reg._golden_expected()
+    missing = [n for n in GOLDEN_NAMES if n not in spec]
+    assert not missing, f"golden JSON missing {missing} — run tools/freeze_lda_golden.py"
+    for n in GOLDEN_NAMES:
+        s = spec[n]
+        assert s["rows"], f"{n}: empty expected table"
+        assert len(s["columns"]) == len(s["duck_types"])
+        for row in s["rows"]:
+            assert len(row) == len(s["columns"]), f"{n}: ragged row {row}"
+            for v in row:
+                assert v is not None, f"{n}: NULL in golden row {row}"
+                if isinstance(v, float):
+                    assert math.isfinite(v), f"{n}: non-finite {row}"
+        # every query is oracle-backed once frozen
+        assert n in reg.ORACLES, f"{n} lost its oracle"
+
+
+def test_golden_alpha_rows_present():
+    """The α audit rows pin the Newton-Raphson path; K rows each."""
+    spec = reg._golden_expected()
+    for n in ["lda_train_golden", "lda_join_train_golden"]:
+        kinds = [r[0] for r in spec[n]["rows"]]
+        assert kinds.count("alpha") == reg.GOLDEN_K, n
+    poly = [r[0] for r in spec["polylda_train_golden"]["rows"]]
+    assert poly.count("alpha") == reg.GOLDEN_K
+
+
+def test_golden_ignores_sf_dir(spark):
+    """The driver calls with sf0.01, the sweep with sf0.1 — the golden
+    rows must return the frozen-corpus result for ANY sf_dir."""
+    spec = reg._golden_expected()["lda_train_golden"]
+    df = reg.QUERIES["lda_train_golden"](spark, "/nonexistent/sf_dir")
+    got = sorted(
+        [list(r) for r in df.collect()],
+        key=lambda r: tuple(str(x) for x in r),
+    )
+    assert got == spec["rows"]
