@@ -33,6 +33,7 @@ def funnel_steps_windowed(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    materialize: bool = True,
 ) -> DataFrame:
     """Conversion funnel with a PER-STEP DEADLINE: step i must occur
     strictly after step i-1 and within ``max_gap_us`` microseconds of
@@ -102,6 +103,11 @@ def funnel_steps_windowed(
         completed.cast("int").alias("steps_completed"),
         (F.col(f"t_{k}").isNotNull()).alias("converted"),
     )
+    if not materialize:
+        # Caller owns the persist lifecycle (used by the plan-shape
+        # guard, which must see the live join plan, not a checkpoint
+        # scan).
+        return result
     # Materialize the per-user result (≤ one row per user — the small
     # end of the funnel) so the feasible caches can be released now;
     # localCheckpoint blocks are GC-managed, unlike CacheManager

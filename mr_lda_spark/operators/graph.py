@@ -66,7 +66,7 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame) -> DataFrame:
+def triangles(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """All triangles of an undirected graph, one row (u, v, w) each —
     the compact-forward / degree-ordered algorithm as two equi-joins:
     wedges from the oriented list's shared tail (ordered by the
@@ -83,6 +83,9 @@ def triangles(edges: DataFrame) -> DataFrame:
     )
     closing = o.select(F.col("u").alias("p"), F.col("v").alias("q"))
     tri = wedges.join(closing, ["p", "q"]).select("u", "p", "q")
+    if not materialize:
+        # Caller owns the persist lifecycle (plan-shape guard path).
+        return tri
     # Materialize the triangle list so the oriented-edge cache can be
     # released immediately instead of leaking one |E|-sized cache per
     # call across a long-lived session (ADVICE r9 #2:

@@ -4,6 +4,7 @@ gives us is only a win if we keep the plans in the shapes that use it).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from mr_lda_spark import queries_registry as qr
 
@@ -336,9 +337,67 @@ def test_scd2_and_attribution_shuffle_on_entity_key_only(spark):
 def test_windowed_funnel_joins_carry_equi_keys(spark):
     """The feasibility range joins must plan as equi-joins on the user
     key with the time residual as a post-join filter — never a
-    BroadcastNestedLoopJoin over the event stream."""
-    plan, _ = _plan(spark, "events_funnel_windowed")
+    BroadcastNestedLoopJoin over the event stream.  Inspected with
+    materialize=False: the production path localCheckpoints the
+    result (cache-release, ADVICE r9 #1), which would reduce the
+    registry query's plan to a checkpoint scan and make this guard
+    vacuous."""
+    from mr_lda_spark.operators.funnel import funnel_steps_windowed
+    from mr_lda_spark.session import read_table
+
+    df = funnel_steps_windowed(
+        read_table(spark, SF, "events"),
+        ["view", "click", "purchase"],
+        max_gap_us=7 * 24 * 3600 * 1_000_000,
+        materialize=False,
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangles_plan_is_two_equi_joins(spark):
+    """The compact-forward triangle count must stay two node-keyed
+    equi-joins (wedge + closure) — no CartesianProduct, no nested
+    loop.  materialize=False for the same reason as the funnel
+    guard."""
+    from mr_lda_spark.operators.graph import triangles
+    from mr_lda_spark.session import read_table
+
+    li = read_table(spark, SF, "lineitem").select(
+        F.col("l_suppkey").alias("a"), F.col("l_partkey").alias("b")
+    ).distinct().limit(2000)
+    plan = (
+        triangles(li, materialize=False)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_stays_jvm_codegen(spark):
+    """lineitem_bloom_join_revenue's docstring claims the map-side
+    bitset probe is pure JVM codegen (element_at/shiftright over the
+    broadcast word array) — the r9 probe measured the Arrow
+    round-trip alternative at 40× slower at 100×.  No Python
+    evaluation node of any kind may appear in the row path, and the
+    xxhash64 probe must be present."""
+    plan, _ = _plan(spark, "lineitem_bloom_join_revenue")
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "xxhash64" in plan
+
+
+def test_exact_substring_digest_agg_is_partial(spark):
+    """dedup_exact_substring's docstring claims the canonical-location
+    reduction partial-aggregates map-side (min(struct(doc,start)) per
+    digest before the shuffle) and that no corpus-wide window/sort
+    exists — the 'digests-only shuffle' scale claim."""
+    ex = _explain(spark, "dedup_exact_substring")
+    assert "partial_min" in ex
+    plan, _ = _plan(spark, "dedup_exact_substring")
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan
 
 
