@@ -2,6 +2,7 @@
 with the plain groupBy-HAVING query, the overestimate invariant, the
 prefilter's pruning, and the Arrow-not-pickled plan shape."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from mr_lda_spark.operators import sketch, textops
@@ -172,3 +173,41 @@ def test_ams_f2_unbiased_near_truth(spark):
     assert abs(ams["ams_f2"] - exact) <= 0.2 * exact
     cms = sketch.selfjoin_mass_estimate(keys, "shingle", 4096, 5).collect()[0]
     assert abs(ams["ams_f2"] - exact) < cms["est_mass"] - exact
+
+
+def test_cms_tail_pass_fraction_rule():
+    """The width-sizing rule as numpy: pass fraction = product over
+    rows of the fraction of cells at/over the threshold."""
+    import numpy as np
+
+    t = np.zeros((2, 10), dtype=np.int64)
+    t[0, :] = 20         # saturated row: every cell >= 10
+    t[1, :5] = 20        # half-saturated row
+    pf = sketch.cms_tail_pass_fraction(t, threshold=10)
+    assert abs(pf - 0.5) < 1e-12
+    # one true hitter per row in a wide healthy sketch: tiny fraction
+    h = np.zeros((3, 1000), dtype=np.int64)
+    h[:, 0] = 500
+    assert sketch.cms_tail_pass_fraction(h, threshold=10) < 1e-8
+
+
+def test_cms_saturation_guard_fires_and_stays_quiet(spark):
+    """VERDICT r9 #5: an undersized width must warn (the prefilter
+    cannot prune), the probe-sized 65,536 width must not."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    # 20k singleton keys: tail mass 20k, no true hitters at thr=50.
+    keys = spark.range(20000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("shingle")
+    )
+    with pytest.warns(sketch.CmsSaturationWarning):
+        sketch.heavy_hitters_cms(keys, "shingle", threshold=50, width=32,
+                                 depth=3).collect()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", sketch.CmsSaturationWarning)
+        out = sketch.heavy_hitters_cms(
+            keys, "shingle", threshold=50, width=65536, depth=3
+        ).collect()
+    assert out == []  # no true hitters either way — output exactness
