@@ -118,6 +118,48 @@ def funnel_steps_windowed(
     return result
 
 
+def funnel_dropoff(funnel: DataFrame, steps: list[str]) -> DataFrame:
+    """Per-step loss attribution over an already-computed funnel
+    relation (the output of :func:`funnel_steps` /
+    :func:`funnel_steps_windowed`): one row per step with how many
+    users reached it, how many it lost before the next step, and the
+    step-to-step retention in integer ppm — "which step loses users",
+    the question the conversion rate alone can't answer.
+
+    One global aggregate over the (per-user, small) funnel relation,
+    then a k-row explode — no second pass over the event stream.  The
+    last step retains everyone who reached it (dropped_next 0,
+    retained_ppm 1,000,000) by construction."""
+    k = len(steps)
+    row = funnel.agg(
+        *[
+            F.count(F.when(F.col(f"t_{i}").isNotNull(), 1)).alias(f"r_{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    structs = []
+    for i in range(1, k + 1):
+        nxt = f"r_{i + 1}" if i < k else f"r_{i}"
+        structs.append(
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(steps[i - 1]).alias("event_type"),
+                F.col(f"r_{i}").cast("bigint").alias("reached"),
+                (F.col(f"r_{i}") - F.col(nxt)).cast("bigint").alias(
+                    "dropped_next"
+                ),
+                F.expr(
+                    f"CASE WHEN r_{i} = 0 THEN NULL "
+                    f"ELSE CAST(({nxt} * 1000000) div r_{i} AS BIGINT) END"
+                ).alias("retained_ppm"),
+            )
+        )
+    return row.select(
+        F.explode(F.array(*structs)).alias("s")
+    ).select("s.step", "s.event_type", "s.reached", "s.dropped_next",
+             "s.retained_ppm")
+
+
 def markov_transitions(
     events: DataFrame,
     user_col: str = "user_id",

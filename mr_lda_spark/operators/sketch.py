@@ -35,7 +35,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "cms_positions", "cms_table", "cms_build", "cms_candidates",
     "heavy_hitters_cms", "cms_positions_md5", "selfjoin_mass_estimate",
-    "ams_f2_estimate", "CmsSaturationWarning", "cms_tail_pass_fraction",
+    "ams_f2_estimate", "ams_cells", "ams_estimate_from_cells",
+    "CmsSaturationWarning", "cms_tail_pass_fraction",
 ]
 
 
@@ -277,7 +278,24 @@ def ams_f2_estimate(
 
     Same bounded-state shape as every sketch here: the corpus reduces
     to depth×width cells through partial aggregation; nothing else
-    scales with the key space."""
+    scales with the key space.
+
+    Split as :func:`ams_cells` (the streaming-safe groupBy-sum) +
+    :func:`ams_estimate_from_cells` (the estimator tail) so the
+    streaming twin reuses both verbatim."""
+    return ams_estimate_from_cells(
+        ams_cells(keys, key_col, width, depth), keys, key_col, width, depth
+    )
+
+
+def ams_cells(
+    keys: DataFrame, key_col: str, width: int = 8192, depth: int = 5
+) -> DataFrame:
+    """The signed AMS cell relation (d, col, val) — one
+    groupBy().sum() over md5-derived cells and ±1 signs: the
+    incrementally-maintainable aggregate shape (state bounded at
+    depth × width cells), shared verbatim by the batch estimator and
+    the Structured Streaming twin."""
     pos = cms_positions_md5(F.col(key_col), width, depth)
     sign = F.array(
         *[
@@ -309,6 +327,20 @@ def ams_f2_estimate(
         .groupBy("d", "col")
         .agg(F.sum("sgn").alias("val"))
     )
+    return cells
+
+
+def ams_estimate_from_cells(
+    cells: DataFrame,
+    exact_keys: DataFrame,
+    key_col: str,
+    width: int = 8192,
+    depth: int = 5,
+) -> DataFrame:
+    """Estimator tail over an (already-built) signed cell relation:
+    per-row Σ val², relational median across rows, plus the exact-F₂
+    audit column from ``exact_keys`` (the pass production callers
+    skip)."""
     per_row = cells.groupBy("d").agg(
         F.sum(F.col("val") * F.col("val")).alias("m")
     )
@@ -319,7 +351,7 @@ def ams_f2_estimate(
         .select(F.col("m").alias("ams_f2"))
     )
     exact = (
-        keys.groupBy(key_col)
+        exact_keys.groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("df"))
         .agg(F.sum(F.col("df") * F.col("df")).alias("exact_mass"))
     )

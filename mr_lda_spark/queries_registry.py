@@ -8487,6 +8487,97 @@ def events_funnel_windowed(spark, sf_dir):
     )
 
 
+# 6-hour deadline for the drop-off row — at the 7-day gap every user
+# converts at both driver SFs (probed r10: 150/150/150 and
+# 1500/1500/1500) and the attribution row would hash-green without
+# exercising the loss math; at 6h it reads 150→118→18 (sf0.01) and
+# 1500→1081→195 (sf0.1).
+_DROPOFF_GAP_US = 6 * 3600 * 1_000_000
+
+
+def _sql_funnel_windowed_users(gap_us: int) -> str:
+    return f"""
+    WITH s1 AS (
+      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events WHERE event_type = 'view'
+    ),
+    s2r AS (
+      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events WHERE event_type = 'click'
+    ),
+    s3r AS (
+      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    f2 AS (
+      SELECT DISTINCT e.u, e.t FROM s2r e JOIN s1 p
+        ON p.u = e.u AND e.t > p.t AND e.t <= p.t + {gap_us}
+    ),
+    f3 AS (
+      SELECT DISTINCT e.u, e.t FROM s3r e JOIN f2 p
+        ON p.u = e.u AND e.t > p.t AND e.t <= p.t + {gap_us}
+    ),
+    m1 AS (SELECT u, min(t) AS t_1 FROM s1 GROUP BY 1),
+    m2 AS (SELECT u, min(t) AS t_2 FROM f2 GROUP BY 1),
+    m3 AS (SELECT u, min(t) AS t_3 FROM f3 GROUP BY 1),
+    funnel AS (
+      SELECT m1.u, t_1, t_2, t_3
+      FROM m1 LEFT JOIN m2 ON m2.u = m1.u LEFT JOIN m3 ON m3.u = m1.u
+    ),
+    agg AS (
+      SELECT count(t_1) AS r_1, count(t_2) AS r_2, count(t_3) AS r_3
+      FROM funnel
+    )
+"""
+
+
+@register(
+    "events_funnel_dropoff",
+    f"""
+    {_sql_funnel_windowed_users(_DROPOFF_GAP_US)}
+    SELECT CAST(step AS INT) AS step, event_type,
+           CAST(reached AS BIGINT) AS reached,
+           CAST(dropped_next AS BIGINT) AS dropped_next,
+           CAST(retained_ppm AS BIGINT) AS retained_ppm
+    FROM (
+      SELECT 1 AS step, 'view' AS event_type, r_1 AS reached,
+             r_1 - r_2 AS dropped_next,
+             CASE WHEN r_1 = 0 THEN NULL
+                  ELSE (r_2 * 1000000) // r_1 END AS retained_ppm
+      FROM agg
+      UNION ALL
+      SELECT 2, 'click', r_2, r_2 - r_3,
+             CASE WHEN r_2 = 0 THEN NULL
+                  ELSE (r_3 * 1000000) // r_2 END
+      FROM agg
+      UNION ALL
+      SELECT 3, 'purchase', r_3, 0,
+             CASE WHEN r_3 = 0 THEN NULL ELSE 1000000 END
+      FROM agg
+    )
+    """,
+)
+def events_funnel_dropoff(spark, sf_dir):
+    """Per-step loss attribution for the deadline funnel
+    (`operators/funnel.funnel_dropoff`, VERDICT r9 "Next round" #8):
+    which step loses users — reached / dropped_next / retained_ppm
+    per step, one global aggregate over the already-built per-user
+    feasible-set relation plus a k-row explode.  No second pass over
+    the event stream.  Runs at a 6-hour deadline (not the windowed
+    row's 7 days) so the loss math is exercised at both driver SFs —
+    see _DROPOFF_GAP_US."""
+    from mr_lda_spark.operators.funnel import (
+        funnel_dropoff,
+        funnel_steps_windowed,
+    )
+
+    steps = ["view", "click", "purchase"]
+    f = funnel_steps_windowed(
+        _t(spark, sf_dir, "events"), steps, max_gap_us=_DROPOFF_GAP_US
+    )
+    return funnel_dropoff(f, steps)
+
+
 @register(
     "lineitem_correlations",
     """
@@ -8998,6 +9089,73 @@ def documents_stream_heavy_hitters_cms(spark, sf_dir):
     return sketch.heavy_hitters_cms(
         batch_keys, "shingle", threshold=HEAVY_HITTER_MIN,
         width=65536, depth=5, table=table,
+    )
+
+
+@register(
+    "documents_stream_ams",
+    f"""
+    WITH sh AS (SELECT shingle FROM ({_SQL_SHINGLES})),
+    cells AS (
+      SELECT d,
+             ('0x' || substr(md5(d || ':' || shingle), 1, 15))::BIGINT
+               % 65536 AS col,
+             CAST(sum(CASE WHEN strpos('01234567',
+                    substr(md5('s' || d || ':' || shingle), 1, 1)) > 0
+                  THEN 1 ELSE -1 END) AS BIGINT) AS val
+      FROM sh, unnest(range(0, 5)) AS u(d)
+      GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT d, CAST(sum(val*val) AS BIGINT) AS m FROM cells GROUP BY 1
+    ),
+    med AS (
+      SELECT m AS ams_f2 FROM (
+        SELECT *, row_number() OVER (ORDER BY m, d) AS rn FROM per
+      ) WHERE rn = 3
+    ),
+    ex AS (
+      SELECT CAST(sum(df*df) AS BIGINT) AS exact_mass FROM (
+        SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+      )
+    )
+    SELECT CAST(65536 AS INT) AS width, CAST(5 AS INT) AS depth,
+           med.ams_f2, ex.exact_mass,
+           (med.ams_f2 * 1000000) // ex.exact_mass AS ratio_ppm
+    FROM med, ex
+    """,
+)
+def documents_stream_ams(spark, sf_dir):
+    """Self-join-mass (F₂) estimate with the signed AMS/CountSketch
+    maintained OVER THE STREAM (`streaming/hll_stream.
+    ams_cells_from_stream`, VERDICT r9 "Next round" #8): the batch
+    `sketch.ams_cells` groupBy().sum() runs verbatim as the streaming
+    aggregate — the third sketch-on-stream twin next to the HLL (max)
+    and CMS (count) rows, with state bounded at depth×width signed
+    cells regardless of stream length.  The drained cells feed the
+    batch estimator tail unchanged, so the answer is bit-for-bit the
+    batch sketch and the oracle is the batch SQL.  Measures shingle
+    OCCURRENCES (no per-doc dedup): a streaming distinct would need
+    unbounded dropDuplicates state — exactly what the sketch family
+    exists to avoid — while the batch twin
+    (dedup_selfjoin_mass_ams) keeps the distinct form."""
+    import uuid
+
+    from mr_lda_spark.streaming.dedup_stream import read_documents_stream
+    from mr_lda_spark.streaming.hll_stream import ams_cells_from_stream
+
+    stream_keys = textops.shingles(
+        read_documents_stream(spark, sf_dir), "text", 3
+    ).select("shingle")
+    cells = ams_cells_from_stream(
+        spark, stream_keys, "shingle",
+        f"ams_{uuid.uuid4().hex[:8]}", width=65536, depth=5,
+    )
+    batch_keys = textops.shingles(
+        _t(spark, sf_dir, "documents"), "text", 3
+    ).select("shingle")
+    return sketch.ams_estimate_from_cells(
+        cells, batch_keys, "shingle", 65536, 5
     )
 
 

@@ -28,6 +28,7 @@ from mr_lda_spark.operators.textops import _tokens
 
 __all__ = [
     "shingle_lang_stream", "hll_estimate_stream", "cms_table_from_stream",
+    "ams_cells_from_stream",
 ]
 
 
@@ -123,3 +124,39 @@ def cms_table_from_stream(
     for row in spark.table(query_name).collect():
         packed[int(row["d"]), int(row["col"])] = int(row["cnt"])
     return packed
+
+
+def ams_cells_from_stream(
+    spark,
+    keys_stream: DataFrame,
+    key_col: str,
+    query_name: str,
+    width: int = 8192,
+    depth: int = 5,
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Maintain the signed AMS/CountSketch cell relation OVER A STREAM
+    and return it as a static DataFrame: ``sketch.ams_cells`` is one
+    groupBy().sum() — the third streaming-safe sketch aggregate (state
+    bounded at depth × width cells; signed counts instead of counts or
+    max).  Drained availableNow in complete mode; the estimator tail
+    (``sketch.ams_estimate_from_cells``) then runs as a trivial batch
+    query over the cell table."""
+    from mr_lda_spark.operators.sketch import ams_cells
+
+    q = (
+        ams_cells(keys_stream, key_col, width, depth)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming AMS drain '{query_name}' exceeded {timeout_sec}s "
+            "— a partial sketch is a biased estimator; refusing to "
+            "finalize"
+        )
+    return spark.table(query_name)
