@@ -6410,7 +6410,13 @@ def polylda_train_golden(spark, sf_dir):
             gamma_tol=0.0,
         )
         _LDA_CACHE[key] = state
-    state = _LDA_CACHE[key]
+    return _golden_poly_frame(spark, _LDA_CACHE[key])
+
+
+def _golden_poly_frame(spark, state):
+    """(kind, lang, topic, term_id, val) audit slice for a
+    PolyLdaState: per-language E[log β] head + the shared α
+    (lang = -1, term_id 0)."""
     import pandas as pd
 
     frames = []
@@ -6431,6 +6437,74 @@ def polylda_train_golden(spark, sf_dir):
         F.col("term_id").cast("int").alias("term_id"),
         F.round("raw", GOLDEN_ROUND).alias("val"),
     )
+
+
+@register("lda_informed_golden", _golden_oracle("lda_informed_golden"))
+def lda_informed_golden(spark, sf_dir):
+    """Hash-checked golden run of the informed-prior (η) train path
+    (plans/lda.train with log_eta; InformedPrior.java:43-44 smoothing
+    — seed words at log 1000, others at log 0.001): the frozen
+    configuration plus the deterministic seed rule
+    topic = (term_id-1) div 3 for topics < K.  Pins the M-step η
+    smoothing and its interaction with the per-topic normalizer.
+    Ignores sf_dir."""
+    from mr_lda_spark.operators import informed_prior as ip
+    from mr_lda_spark.plans import lda as lda_plan
+
+    key = ("golden-informed-state", spark.sparkContext.applicationId)
+    if key not in _LDA_CACHE:
+        dictionary, num_terms, _, corpus_doc = _golden_setup(spark)
+        eta_rows = dictionary.select(
+            ((F.col("term_id") - 1) / 3).cast("int").alias("topic"),
+            "term_id",
+        ).filter(F.col("topic") < GOLDEN_K)
+        log_eta = ip.eta_from_rows(eta_rows, num_terms, GOLDEN_K)
+        _, state = lda_plan.train(
+            spark,
+            corpus_doc,
+            num_terms=num_terms,
+            num_topics=GOLDEN_K,
+            max_iterations=GOLDEN_ITERS,
+            max_gamma_iter=GOLDEN_GAMMA_ITER,
+            gamma_tol=0.0,
+            converge=0.0,
+            seed=GOLDEN_SEED,
+            log_eta=log_eta,
+        )
+        _LDA_CACHE[key] = state
+    state = _LDA_CACHE[key]
+    return _golden_beta_alpha_frame(
+        spark, state.alpha, lda_plan.beta_dataframe(spark, state)
+    )
+
+
+@register(
+    "polylda_join_train_golden",
+    _golden_oracle("polylda_join_train_golden"),
+)
+def polylda_join_train_golden(spark, sf_dir):
+    """polylda_train_golden through the packed-key shuffle-join
+    E-step (plans/polylda_join.train_poly_join — distributed
+    per-language β keyed (lang << 32) | term_id): same audit shape,
+    its own frozen expectations.  Ignores sf_dir."""
+    from mr_lda_spark.plans import polylda_join
+
+    key = ("golden-poly-join-state", spark.sparkContext.applicationId)
+    if key not in _LDA_CACHE:
+        tall, _, num_terms = _poly_setup(spark, GOLDEN_SF_DIR)
+        _, state = polylda_join.train_poly_join(
+            spark,
+            tall,
+            num_terms,
+            GOLDEN_K,
+            max_iterations=GOLDEN_ITERS,
+            max_gamma_iter=GOLDEN_GAMMA_ITER,
+            seed=GOLDEN_SEED,
+            converge=0.0,
+            gamma_tol=0.0,
+        )
+        _LDA_CACHE[key] = state
+    return _golden_poly_frame(spark, _LDA_CACHE[key])
 
 
 # --------------------------------------------------------------------------

@@ -19,6 +19,8 @@ GOLDEN_NAMES = [
     "lda_doc_topics_golden",
     "lda_join_train_golden",
     "polylda_train_golden",
+    "lda_informed_golden",
+    "polylda_join_train_golden",
 ]
 
 
@@ -43,11 +45,13 @@ def test_golden_json_complete_and_sane():
 def test_golden_alpha_rows_present():
     """The α audit rows pin the Newton-Raphson path; K rows each."""
     spec = reg._golden_expected()
-    for n in ["lda_train_golden", "lda_join_train_golden"]:
+    for n in ["lda_train_golden", "lda_join_train_golden",
+              "lda_informed_golden"]:
         kinds = [r[0] for r in spec[n]["rows"]]
         assert kinds.count("alpha") == reg.GOLDEN_K, n
-    poly = [r[0] for r in spec["polylda_train_golden"]["rows"]]
-    assert poly.count("alpha") == reg.GOLDEN_K
+    for n in ["polylda_train_golden", "polylda_join_train_golden"]:
+        poly = [r[0] for r in spec[n]["rows"]]
+        assert poly.count("alpha") == reg.GOLDEN_K, n
 
 
 def test_golden_ignores_sf_dir(spark):

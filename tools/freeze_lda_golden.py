@@ -35,6 +35,8 @@ GOLDEN_NAMES = [
     "lda_doc_topics_golden",
     "lda_join_train_golden",
     "polylda_train_golden",
+    "lda_informed_golden",
+    "polylda_join_train_golden",
 ]
 
 _DUCK_TYPE = {
