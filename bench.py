@@ -174,6 +174,18 @@ EXTRA = [
     "dedup_selfjoin_mass_ams",
     # ends in the per-source aggregate: count() computes the windows.
     "curation_pareto_report",
+    # r10 additions (recorded, not in the round-over-round total).
+    # The six lda/polylda *_golden rows are deliberately NOT benched:
+    # they ignore sf_dir (frozen sf0.001 corpus) so they measure
+    # nothing about sf0.1 throughput.
+    # inner join of grouped aggregates (sketch + exact audit).
+    "events_distinct_users_hll",
+    # the funnel feasibility closure runs eagerly at construction
+    # (localCheckpoint); count() forces the global agg + k-row explode.
+    "events_funnel_dropoff",
+    # streaming cell drain is eager at construction; count() forces
+    # the estimator tail + exact F2 audit (cross join of aggregates).
+    "documents_stream_ams",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

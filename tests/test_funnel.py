@@ -247,3 +247,59 @@ def test_windowed_funnel_earliest_feasible_timestamps(spark):
     us = lambda m: int((t0 + datetime.timedelta(minutes=m)).timestamp() * 1_000_000)  # noqa: E731
     assert row["t_2"] == us(5)      # earliest feasible click
     assert row["t_3"] == us(7)      # purchase after the EARLIEST click
+
+
+def test_funnel_dropoff_attribution(spark):
+    """Per-step loss attribution: reached/dropped/retained over a
+    funnel where each step loses exactly one user; the last step
+    retains everyone who reached it by construction."""
+    import datetime
+
+    from mr_lda_spark.operators.funnel import (
+        funnel_dropoff,
+        funnel_steps_windowed,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1)
+    m = lambda k: t0 + datetime.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # u1 converts; u2 stops after click; u3 only views
+        (1, 1, "view", m(0), 0.0), (2, 1, "click", m(1), 0.0),
+        (3, 1, "purchase", m(2), 0.0),
+        (4, 2, "view", m(0), 0.0), (5, 2, "click", m(1), 0.0),
+        (6, 3, "view", m(0), 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    steps = ["view", "click", "purchase"]
+    f = funnel_steps_windowed(events, steps, max_gap_us=10 * 60 * 1_000_000)
+    out = {r["step"]: r for r in funnel_dropoff(f, steps).collect()}
+    assert (out[1]["reached"], out[1]["dropped_next"]) == (3, 1)
+    assert (out[2]["reached"], out[2]["dropped_next"]) == (2, 1)
+    assert (out[3]["reached"], out[3]["dropped_next"]) == (1, 0)
+    assert out[1]["retained_ppm"] == 666666  # 2e6 div 3
+    assert out[3]["retained_ppm"] == 1000000
+    assert out[2]["event_type"] == "click"
+
+
+def test_funnel_dropoff_empty(spark):
+    """Zero users: reached 0 everywhere and retained_ppm NULL (no
+    division by zero on either engine)."""
+    from mr_lda_spark.operators.funnel import (
+        funnel_dropoff,
+        funnel_steps_windowed,
+    )
+
+    events = spark.createDataFrame(
+        [],
+        "event_id long, user_id long, event_type string, "
+        "ts timestamp, value double",
+    )
+    steps = ["view", "click"]
+    f = funnel_steps_windowed(events, steps, max_gap_us=1_000_000)
+    out = sorted(funnel_dropoff(f, steps).collect(), key=lambda r: r["step"])
+    assert [r["reached"] for r in out] == [0, 0]
+    assert [r["retained_ppm"] for r in out] == [None, None]
