@@ -6478,6 +6478,42 @@ def lda_informed_golden(spark, sf_dir):
     )
 
 
+@register("lda_online_golden", _golden_oracle("lda_online_golden"))
+def lda_online_golden(spark, sf_dir):
+    """Hash-checked golden run of the streaming online-VB path
+    (streaming/lda_stream: Hoffman et al. 2010 stochastic λ fold over
+    a file stream via foreachBatch) at the frozen configuration.  The
+    sf0.001 table is a single parquet file, so the stream delivers
+    one deterministic micro-batch and the fold reduces to a seeded
+    full-batch update — which is what makes a frozen expectation
+    possible; the freeze tool still proves cross-partitioning
+    stability before writing.  Ignores sf_dir."""
+    from mr_lda_spark.plans import lda as lda_plan
+    from mr_lda_spark.streaming import lda_stream
+
+    key = ("golden-online-state", spark.sparkContext.applicationId)
+    if key not in _LDA_CACHE:
+        dictionary, _, _, corpus_doc = _golden_setup(spark)
+        n_docs = _t(spark, GOLDEN_SF_DIR, "documents").count()
+        model = lda_stream.train_online_from_stream(
+            spark,
+            GOLDEN_SF_DIR,
+            dictionary,
+            num_topics=GOLDEN_K,
+            corpus_size_estimate=float(n_docs),
+            docs_per_batch=200,
+            max_gamma_iter=GOLDEN_GAMMA_ITER,
+            seed=GOLDEN_SEED,
+        )
+        _LDA_CACHE[key] = lda_plan.LdaState(
+            alpha=model.alpha, elog_beta=model.elog_beta
+        )
+    state = _LDA_CACHE[key]
+    return _golden_beta_alpha_frame(
+        spark, state.alpha, lda_plan.beta_dataframe(spark, state)
+    )
+
+
 @register(
     "polylda_join_train_golden",
     _golden_oracle("polylda_join_train_golden"),

@@ -21,6 +21,7 @@ GOLDEN_NAMES = [
     "polylda_train_golden",
     "lda_informed_golden",
     "polylda_join_train_golden",
+    "lda_online_golden",
 ]
 
 
@@ -46,7 +47,7 @@ def test_golden_alpha_rows_present():
     """The α audit rows pin the Newton-Raphson path; K rows each."""
     spec = reg._golden_expected()
     for n in ["lda_train_golden", "lda_join_train_golden",
-              "lda_informed_golden"]:
+              "lda_informed_golden", "lda_online_golden"]:
         kinds = [r[0] for r in spec[n]["rows"]]
         assert kinds.count("alpha") == reg.GOLDEN_K, n
     for n in ["polylda_train_golden", "polylda_join_train_golden"]:

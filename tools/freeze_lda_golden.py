@@ -37,6 +37,7 @@ GOLDEN_NAMES = [
     "polylda_train_golden",
     "lda_informed_golden",
     "polylda_join_train_golden",
+    "lda_online_golden",
 ]
 
 _DUCK_TYPE = {
