@@ -67,13 +67,18 @@ def funnel_steps_windowed(
     # Handles are tracked and unpersisted once the (small, per-user)
     # result is materialized below — a long-lived session running the
     # whole registry otherwise accumulates one cached slice per step
-    # per invocation until storage evicts (ADVICE r9 #1).
-    feasible = slices[0].persist()
+    # per invocation until storage evicts (ADVICE r9 #1).  With
+    # materialize=False nothing is persisted at all: that path exists
+    # for plan inspection, where the plan never executes and a
+    # persist would register CacheManager entries no caller could
+    # ever release.
+    maybe_persist = (lambda df: df.persist()) if materialize else (lambda df: df)
+    feasible = maybe_persist(slices[0])
     cached = [feasible]
     firsts = [feasible.groupBy("__u").agg(F.min("__ts").alias("t_1"))]
     for i in range(1, len(steps)):
         prev = feasible.select("__u", F.col("__ts").alias("__pts"))
-        feasible = (
+        feasible = maybe_persist(
             slices[i]
             .join(prev, "__u")
             .filter(
@@ -82,7 +87,6 @@ def funnel_steps_windowed(
             )
             .select("__u", "__ts")
             .distinct()
-            .persist()
         )
         cached.append(feasible)
         firsts.append(
@@ -104,9 +108,7 @@ def funnel_steps_windowed(
         (F.col(f"t_{k}").isNotNull()).alias("converted"),
     )
     if not materialize:
-        # Caller owns the persist lifecycle (used by the plan-shape
-        # guard, which must see the live join plan, not a checkpoint
-        # scan).
+        # Plan-inspection path: fully lazy, nothing was persisted.
         return result
     # Materialize the per-user result (≤ one row per user — the small
     # end of the funnel) so the feasible caches can be released now;
@@ -133,7 +135,9 @@ def funnel_dropoff(funnel: DataFrame, steps: list[str]) -> DataFrame:
     k = len(steps)
     row = funnel.agg(
         *[
-            F.count(F.when(F.col(f"t_{i}").isNotNull(), 1)).alias(f"r_{i}")
+            # count(col) counts non-nulls — same semantics as the
+            # oracle's count(t_i).
+            F.count(F.col(f"t_{i}")).alias(f"r_{i}")
             for i in range(1, k + 1)
         ]
     )

@@ -66,15 +66,11 @@ def oriented_edges(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangles(edges: DataFrame, materialize: bool = True) -> DataFrame:
-    """All triangles of an undirected graph, one row (u, v, w) each —
-    the compact-forward / degree-ordered algorithm as two equi-joins:
-    wedges from the oriented list's shared tail (ordered by the
-    orientation key so each triangle forms exactly once), closed by an
-    equi-join back to the oriented edges.  No CartesianProduct, no
-    per-node adjacency materialization; both joins shuffle on node
-    keys and AQE can split residual skew."""
-    o = oriented_edges(edges).persist()
+def _triangles_from_oriented(o: DataFrame) -> DataFrame:
+    """The lazy triangle relation over an (already materialized or
+    plain) oriented-edge relation — shared by :func:`triangles` and
+    :func:`triangle_participation` so each can own the cache
+    lifecycle that fits its consumption shape."""
     x, y = o.alias("x"), o.alias("y")
     wedges = x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.kv") < F.col("y.kv"))).select(
         F.col("x.u").alias("u"),
@@ -82,16 +78,33 @@ def triangles(edges: DataFrame, materialize: bool = True) -> DataFrame:
         F.col("y.v").alias("q"),
     )
     closing = o.select(F.col("u").alias("p"), F.col("v").alias("q"))
-    tri = wedges.join(closing, ["p", "q"]).select("u", "p", "q")
+    return wedges.join(closing, ["p", "q"]).select("u", "p", "q")
+
+
+def triangles(edges: DataFrame, materialize: bool = True) -> DataFrame:
+    """All triangles of an undirected graph, one row (u, v, w) each —
+    the compact-forward / degree-ordered algorithm as two equi-joins:
+    wedges from the oriented list's shared tail (ordered by the
+    orientation key so each triangle forms exactly once), closed by an
+    equi-join back to the oriented edges.  No CartesianProduct, no
+    per-node adjacency materialization; both joins shuffle on node
+    keys and AQE can split residual skew.
+
+    Cache lifecycle: materialize=True (default) persists the oriented
+    list for the duration of the two joins, localCheckpoints the
+    TRIANGLE LIST, and releases the |E|-sized cache — right when the
+    caller will iterate the triangles themselves (storage = output
+    size, which the caller was going to hold anyway).  An
+    aggregate-only consumer should NOT pay that buffering — use
+    :func:`triangle_participation`, which streams the join output
+    into partial aggregates and checkpoints only the per-node counts.
+    materialize=False returns the fully lazy plan with NO persist at
+    all (plan inspection / guards; a plan that is never executed must
+    not register CacheManager entries nothing can release)."""
     if not materialize:
-        # Caller owns the persist lifecycle (plan-shape guard path).
-        return tri
-    # Materialize the triangle list so the oriented-edge cache can be
-    # released immediately instead of leaking one |E|-sized cache per
-    # call across a long-lived session (ADVICE r9 #2:
-    # triangle_participation calls this too).  localCheckpoint blocks
-    # are GC-managed; CacheManager entries are not.
-    tri = tri.localCheckpoint()
+        return _triangles_from_oriented(oriented_edges(edges))
+    o = oriented_edges(edges).persist()
+    tri = _triangles_from_oriented(o).localCheckpoint()
     o.unpersist()
     return tri
 
@@ -99,16 +112,23 @@ def triangles(edges: DataFrame, materialize: bool = True) -> DataFrame:
 def triangle_participation(edges: DataFrame) -> DataFrame:
     """(node, n_triangles) for every node in ≥ 1 triangle — each
     triangle credits its three corners (the local clustering /
-    cohesion signal)."""
-    tri = triangles(edges)
+    cohesion signal).  Owns its cache lifecycle: the oriented list is
+    persisted across the two joins, the triangle rows stream straight
+    into the partial aggregation (never buffered — |triangles| can
+    exceed |E| on dense communities), and only the per-node counts
+    are checkpointed before the cache is released."""
+    o = oriented_edges(edges).persist()
+    tri = _triangles_from_oriented(o)
     corners = (
         tri.select(F.col("u").alias("node"))
         .unionByName(tri.select(F.col("p").alias("node")))
         .unionByName(tri.select(F.col("q").alias("node")))
     )
-    return corners.groupBy("node").agg(
+    out = corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
-    )
+    ).localCheckpoint()
+    o.unpersist()
+    return out
 
 
 def pagerank(

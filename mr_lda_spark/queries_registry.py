@@ -8546,57 +8546,6 @@ def lineitem_item_similarity_topk(spark, sf_dir):
 _FUNNEL_GAP_US = 7 * 86400 * 1_000_000  # 7-day per-step deadline
 
 
-@register(
-    "events_funnel_windowed",
-    f"""
-    WITH s1 AS (
-      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
-      FROM events WHERE event_type = 'view'
-    ),
-    s2r AS (
-      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
-      FROM events WHERE event_type = 'click'
-    ),
-    s3r AS (
-      SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
-      FROM events WHERE event_type = 'purchase'
-    ),
-    f2 AS (
-      SELECT DISTINCT e.u, e.t FROM s2r e JOIN s1 p
-        ON p.u = e.u AND e.t > p.t AND e.t <= p.t + {_FUNNEL_GAP_US}
-    ),
-    f3 AS (
-      SELECT DISTINCT e.u, e.t FROM s3r e JOIN f2 p
-        ON p.u = e.u AND e.t > p.t AND e.t <= p.t + {_FUNNEL_GAP_US}
-    ),
-    m1 AS (SELECT u, min(t) AS t_1 FROM s1 GROUP BY 1),
-    m2 AS (SELECT u, min(t) AS t_2 FROM f2 GROUP BY 1),
-    m3 AS (SELECT u, min(t) AS t_3 FROM f3 GROUP BY 1)
-    SELECT m1.u AS user_id, t_1, t_2, t_3,
-           CAST(1 + (t_2 IS NOT NULL)::INT + (t_3 IS NOT NULL)::INT
-                AS INT) AS steps_completed,
-           t_3 IS NOT NULL AS converted
-    FROM m1 LEFT JOIN m2 ON m2.u = m1.u LEFT JOIN m3 ON m3.u = m1.u
-    """,
-)
-def events_funnel_windowed(spark, sf_dir):
-    """Conversion funnel with a 7-day per-step deadline
-    (`operators/funnel.funnel_steps_windowed`): exact feasibility
-    closure, NOT greedy earliest-match — with deadlines an early
-    step-1 whose window expires can mask a later converting chain, so
-    each step's feasible event set is computed by a user-keyed range
-    join against the previous feasible set, and the output keeps the
-    earliest feasible timestamp per step.  k steps = k equi+range
-    joins over pushdown-pruned slices; no per-user event buffering."""
-    from mr_lda_spark.operators.funnel import funnel_steps_windowed
-
-    return funnel_steps_windowed(
-        _t(spark, sf_dir, "events"),
-        ["view", "click", "purchase"],
-        max_gap_us=_FUNNEL_GAP_US,
-    )
-
-
 # 6-hour deadline for the drop-off row — at the 7-day gap every user
 # converts at both driver SFs (probed r10: 150/150/150 and
 # 1500/1500/1500) and the attribution row would hash-green without
@@ -8606,6 +8555,10 @@ _DROPOFF_GAP_US = 6 * 3600 * 1_000_000
 
 
 def _sql_funnel_windowed_users(gap_us: int) -> str:
+    """The windowed-funnel CTE chain (shared by the windowed row and
+    the drop-off row so the two oracles can never drift apart):
+    step slices → feasibility closures → per-user earliest feasible
+    timestamps (`funnel`), plus the reached-count aggregate (`agg`)."""
     return f"""
     WITH s1 AS (
       SELECT user_id AS u, CAST(epoch_us(ts) AS BIGINT) AS t
@@ -8639,6 +8592,35 @@ def _sql_funnel_windowed_users(gap_us: int) -> str:
       FROM funnel
     )
 """
+
+
+@register(
+    "events_funnel_windowed",
+    f"""
+    {_sql_funnel_windowed_users(_FUNNEL_GAP_US)}
+    SELECT u AS user_id, t_1, t_2, t_3,
+           CAST(1 + (t_2 IS NOT NULL)::INT + (t_3 IS NOT NULL)::INT
+                AS INT) AS steps_completed,
+           t_3 IS NOT NULL AS converted
+    FROM funnel
+    """,
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Conversion funnel with a 7-day per-step deadline
+    (`operators/funnel.funnel_steps_windowed`): exact feasibility
+    closure, NOT greedy earliest-match — with deadlines an early
+    step-1 whose window expires can mask a later converting chain, so
+    each step's feasible event set is computed by a user-keyed range
+    join against the previous feasible set, and the output keeps the
+    earliest feasible timestamp per step.  k steps = k equi+range
+    joins over pushdown-pruned slices; no per-user event buffering."""
+    from mr_lda_spark.operators.funnel import funnel_steps_windowed
+
+    return funnel_steps_windowed(
+        _t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        max_gap_us=_FUNNEL_GAP_US,
+    )
 
 
 @register(

@@ -127,7 +127,14 @@ def run_stream_to_batch(
     )
     q.awaitTermination(timeout_sec)
     spark = stream_df.sparkSession
-    return spark.table(query_name)
+    # Detach from the memory sink before returning (checkpoint +
+    # dropTempView): callers drain with fresh uuid names, so returning
+    # the live sink table would leak one in-memory table per drain for
+    # the session's lifetime (r10 self-review; the ADVICE r9 #1/#2
+    # leak class).
+    out = spark.table(query_name).localCheckpoint()
+    spark.catalog.dropTempView(query_name)
+    return out
 
 
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

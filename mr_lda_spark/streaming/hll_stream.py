@@ -80,7 +80,13 @@ def hll_estimate_stream(
             f"{timeout_sec}s — refusing to estimate from a "
             "partially-filled sketch"
         )
-    return hll_estimate(spark.table(query_name), group_cols, p)
+    # Detach from the memory sink before returning: checkpoint the
+    # (bounded, groups × m) register rows and drop the sink's temp
+    # view, else every drain leaks one never-dropped in-memory table
+    # for the session's lifetime (the ADVICE r9 #1/#2 leak class).
+    regs = spark.table(query_name).localCheckpoint()
+    spark.catalog.dropTempView(query_name)
+    return hll_estimate(regs, group_cols, p)
 
 
 def cms_table_from_stream(
@@ -123,6 +129,9 @@ def cms_table_from_stream(
     packed = np.zeros((depth, width), dtype=np.int64)
     for row in spark.table(query_name).collect():
         packed[int(row["d"]), int(row["col"])] = int(row["cnt"])
+    # The sketch now lives in the numpy array — drop the sink table
+    # instead of leaking one per drain.
+    spark.catalog.dropTempView(query_name)
     return packed
 
 
@@ -159,4 +168,8 @@ def ams_cells_from_stream(
             "— a partial sketch is a biased estimator; refusing to "
             "finalize"
         )
-    return spark.table(query_name)
+    # Detach from the memory sink (bounded depth × width rows) and
+    # drop the sink's temp view — see hll_estimate_stream.
+    cells = spark.table(query_name).localCheckpoint()
+    spark.catalog.dropTempView(query_name)
+    return cells

@@ -1,7 +1,8 @@
 """Freeze the golden-run LDA expectations (VERDICT r9 "Next round" #1).
 
-Runs the four golden LDA queries (queries_registry: lda_train_golden,
-lda_doc_topics_golden, lda_join_train_golden, polylda_train_golden)
+Runs every golden LDA query in GOLDEN_NAMES below (broadcast train,
+held-out infer, shuffle-join train, polylingual train broadcast and
+join-mode, informed-prior train, streaming online-VB)
 in TWO separate vanilla-session subprocesses with deliberately
 different execution geometry (local[8]/200 shuffle partitions vs
 local[3]/7) and writes ``mr_lda_spark/golden_lda.json`` only if both
