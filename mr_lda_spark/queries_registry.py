@@ -6236,11 +6236,14 @@ def _golden_oracle(name: str) -> str | None:
     vals = ",\n      ".join(
         "(" + ", ".join(_golden_lit(v) for v in r) + ")" for r in rows
     )
+    # identifiers quoted: BPE's left/right are reserved words in
+    # DuckDB's parser when used as bare aliases.
     sel = ", ".join(
-        f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types)
+        f'CAST("{c}" AS {t}) AS "{c}"' for c, t in zip(cols, types)
     )
+    quoted = ", ".join(f'"{c}"' for c in cols)
     return (
-        f"SELECT {sel}\n    FROM (VALUES {vals}) AS t({', '.join(cols)})"
+        f"SELECT {sel}\n    FROM (VALUES {vals}) AS t({quoted})"
     )
 
 
@@ -6476,6 +6479,31 @@ def lda_informed_golden(spark, sf_dir):
     return _golden_beta_alpha_frame(
         spark, state.alpha, lda_plan.beta_dataframe(spark, state)
     )
+
+
+@register(
+    "text_bpe_merges_golden", _golden_oracle("text_bpe_merges_golden")
+)
+def text_bpe_merges_golden(spark, sf_dir):
+    """Hash-checked golden run of the OTHER iterative algorithm
+    family: 20 distributed BPE merges on the frozen sf0.001 corpus.
+    Unlike the VB-EM goldens this loop is EXACTLY deterministic (the
+    argmax tie-break is total: count DESC, left ASC, right ASC), and
+    the committed expectation equals the independent pure-Python
+    reference fixture (tests/fixtures_bpe_sf0001_golden.json) that
+    test_bpe.py already pins the live trainer against — so the driver
+    hash, the freeze tool, and the out-of-engine reference must all
+    agree three ways.  Ignores sf_dir."""
+    from mr_lda_spark.operators import bpe
+
+    key = ("golden-bpe", spark.sparkContext.applicationId)
+    if key not in _LDA_CACHE:
+        _LDA_CACHE[key] = bpe.train_bpe(
+            _t(spark, GOLDEN_SF_DIR, "documents"),
+            num_merges=20,
+            min_pair_count=2,
+        ).localCheckpoint()
+    return _LDA_CACHE[key]
 
 
 @register("lda_online_golden", _golden_oracle("lda_online_golden"))

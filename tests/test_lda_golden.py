@@ -22,6 +22,7 @@ GOLDEN_NAMES = [
     "lda_informed_golden",
     "polylda_join_train_golden",
     "lda_online_golden",
+    "text_bpe_merges_golden",
 ]
 
 
@@ -53,6 +54,27 @@ def test_golden_alpha_rows_present():
     for n in ["polylda_train_golden", "polylda_join_train_golden"]:
         poly = [r[0] for r in spec[n]["rows"]]
         assert poly.count("alpha") == reg.GOLDEN_K, n
+
+
+def test_bpe_golden_equals_pure_python_fixture():
+    """The registry's committed BPE expectation and the independent
+    pure-Python reference fixture (which test_bpe.py pins the live
+    trainer against) must be the same table — a drift in either
+    artifact goes red here without a Spark session."""
+    import json
+    import os
+
+    spec = reg._golden_expected()["text_bpe_merges_golden"]
+    fx = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(__file__), "fixtures_bpe_sf0001_golden.json"
+            )
+        )
+    )
+    assert sorted(spec["rows"]) == sorted(
+        [list(r) for r in fx["merges"]]
+    )
 
 
 def test_golden_ignores_sf_dir(spark):

@@ -39,6 +39,7 @@ GOLDEN_NAMES = [
     "lda_informed_golden",
     "polylda_join_train_golden",
     "lda_online_golden",
+    "text_bpe_merges_golden",
 ]
 
 _DUCK_TYPE = {
