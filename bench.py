@@ -175,7 +175,7 @@ EXTRA = [
     # ends in the per-source aggregate: count() computes the windows.
     "curation_pareto_report",
     # r10 additions (recorded, not in the round-over-round total).
-    # The seven lda/polylda *_golden rows are deliberately NOT benched:
+    # The eight *_golden rows are deliberately NOT benched:
     # they ignore sf_dir (frozen sf0.001 corpus) so they measure
     # nothing about sf0.1 throughput.
     # inner join of grouped aggregates (sketch + exact audit).

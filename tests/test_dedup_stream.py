@@ -130,3 +130,47 @@ def test_near_dedup_history_hot_bucket_capped(spark, tmp_path):
         r["doc_id"] for r in capped.survivors(spark).select("doc_id").collect()
     )
     assert 100 in got and len(got) == n_hist + 1
+
+
+def test_stream_drains_leave_no_sink_tables(spark):
+    """r10 self-review regression: every memory-sink drain helper
+    (HLL / CMS / AMS / run_stream_to_batch) must detach from its
+    uuid-named sink table (localCheckpoint + dropTempView), else each
+    invocation leaks one in-memory table for the session lifetime."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators.hll import hll_registers
+    from mr_lda_spark.streaming import events as se
+    from mr_lda_spark.streaming.hll_stream import (
+        ams_cells_from_stream,
+        cms_table_from_stream,
+        hll_estimate_stream,
+    )
+
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    sf = "/root/testdata/sf0.001"
+    keys = ds.read_documents_stream(spark, sf).select(
+        F.md5("text").alias("shingle")
+    )
+    hll_estimate_stream(
+        spark,
+        hll_registers(keys, "shingle", []),
+        [],
+        f"t_hll_{uuid.uuid4().hex[:6]}",
+    ).collect()
+    cms_table_from_stream(
+        spark, keys, "shingle", f"t_cms_{uuid.uuid4().hex[:6]}",
+        width=1024, depth=3,
+    )
+    ams_cells_from_stream(
+        spark, keys, "shingle", f"t_ams_{uuid.uuid4().hex[:6]}",
+        width=1024, depth=3,
+    ).collect()
+    se.run_stream_to_batch(
+        ds.read_documents_stream(spark, sf).groupBy("lang").count(),
+        f"t_evt_{uuid.uuid4().hex[:6]}",
+    ).collect()
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    assert after - before == set(), f"leaked sink tables: {after - before}"
