@@ -186,6 +186,9 @@ EXTRA = [
     # streaming cell drain is eager at construction; count() forces
     # the estimator tail + exact F2 audit (cross join of aggregates).
     "documents_stream_ams",
+    # ends in the per-query arg-max aggregate over the rank window:
+    # count() computes the broadcast scan + ranking + margin.
+    "similarity_margin_mining",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

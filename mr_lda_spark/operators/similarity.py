@@ -1669,3 +1669,55 @@ def rrf_fuse(
             "rrf_score",
         )
     )
+
+
+def margin_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    threshold: float = 1.12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based candidate mining between two embedding sets — the
+    bitext/parallel-corpus criterion (Artetxe & Schwenk 2019; the
+    CCMatrix pipeline): score a cross-set pair not by raw cosine but
+    by its RATIO to the mean of the query's top-k cross-set
+    neighborhood.  Absolute cosine thresholds mis-rank hub vectors
+    (dense neighborhoods score high everywhere); the margin
+    normalizes hubness away.
+
+    Returns one row per query: (query_id, neighbor_id, cos_top1,
+    margin, mined) where margin = round(cos@1 / mean(cos@1..k), 4)
+    over the top-k neighbors in ``corpus`` and mined = margin ≥
+    threshold.
+
+    Scale shape: the scoring tail reuses :func:`cosine_topk`
+    (broadcast queries × corpus scan, codegen folds, per-query rank
+    window — no corpus shuffle).  For corpus×corpus mining at 100 TB
+    the candidate generation goes through the banded hyperplane LSH
+    (:func:`embedding_lsh_pairs`) first and this operator scores the
+    survivors; the margin math is identical either way.  The ratio is
+    computed from the ROUNDED top-k cosines so the DuckDB oracle
+    reproduces it bit-for-bit (one IEEE divide of identical doubles).
+    """
+    top = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    agg = top.groupBy("query_id").agg(
+        F.avg("cos_sim").alias("__avg_topk"),
+        F.max(
+            F.when(
+                F.col("rank") == 1,
+                F.struct("cos_sim", "neighbor_id"),
+            )
+        ).alias("__best"),
+    )
+    margin = F.round(F.col("__best.cos_sim") / F.col("__avg_topk"), 4)
+    return agg.select(
+        "query_id",
+        F.col("__best.neighbor_id").alias("neighbor_id"),
+        F.col("__best.cos_sim").alias("cos_top1"),
+        margin.alias("margin"),
+        (margin >= F.lit(threshold)).alias("mined"),
+    )

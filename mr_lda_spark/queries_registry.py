@@ -4547,6 +4547,69 @@ def similarity_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, queries, k=SIM_K)
 
 
+MARGIN_QUERY_CAP = 200   # label-0 query slice for the mining row
+MARGIN_THRESHOLD = 1.12  # probed r10: margins span 1.03-1.57 (sf0.01)
+                         # and 1.04-1.21 (sf0.1) -> mixed mined sets
+
+
+@register(
+    "similarity_margin_mining",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e
+          WHERE label = 0 AND vec_id < {MARGIN_QUERY_CAP}),
+    c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE label = 1),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM q, c
+    ),
+    top AS (
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC)
+               AS rank
+      FROM scored
+    ),
+    m AS (
+      SELECT query_id,
+             avg(cos_r) AS avg_topk,
+             max(CASE WHEN rank = 1 THEN cos_r END) AS cos_top1,
+             max(CASE WHEN rank = 1 THEN neighbor_id END)
+               AS neighbor_id
+      FROM top WHERE rank <= {SIM_K} GROUP BY 1
+    )
+    SELECT query_id, neighbor_id, cos_top1,
+           round(cos_top1 / avg_topk, 4) AS margin,
+           round(cos_top1 / avg_topk, 4) >= {MARGIN_THRESHOLD} AS mined
+    FROM m
+    """,
+)
+def similarity_margin_mining(spark, sf_dir):
+    """Margin-based cross-set candidate mining
+    (`operators/similarity.margin_mining` — the Artetxe & Schwenk /
+    CCMatrix bitext criterion): label-0 queries against the label-1
+    corpus, pair score = cos@1 relative to the mean of the top-k
+    cross-set neighborhood, mined = margin ≥ threshold.  The margin
+    normalizes hubness away, which an absolute cosine threshold
+    cannot; the ratio runs on the rounded top-k cosines so the oracle
+    reproduces it exactly.  Full-oracle exact form; at corpus×corpus
+    scale the candidate generation goes through the banded hyperplane
+    LSH first and this row's scoring tail is unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.margin_mining(
+        emb.filter(
+            (F.col("label") == 0) & (F.col("vec_id") < MARGIN_QUERY_CAP)
+        ),
+        emb.filter(F.col("label") == 1),
+        k=SIM_K,
+        threshold=MARGIN_THRESHOLD,
+    )
+
+
 @register("similarity_ivf_fullprobe_topk", _SQL_EXACT_TOPK)
 def similarity_ivf_fullprobe_topk(spark, sf_dir):
     """IVF ANN at full probe (n_probe = n_centroids): probing every

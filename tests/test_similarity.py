@@ -545,3 +545,43 @@ def test_rrf_fuse_tie_broken_by_neighbor_id(spark):
     rows = rrf_fuse([a], topk=2).collect()
     assert [r["neighbor_id"] for r in sorted(
         rows, key=lambda r: r["fused_rank"])] == [10, 20]
+
+
+def test_margin_mining_normalizes_hubness(spark):
+    """The margin criterion's point: a hub query whose whole
+    neighborhood scores high (uniform cosines) must NOT mine, while a
+    query with one isolated strong match must — even when the hub's
+    absolute top cosine is higher."""
+    from mr_lda_spark.operators.similarity import margin_mining
+
+    def vec(x, y):
+        return [float(x), float(y)]
+
+    # query 10 (hub): corpus vectors all nearly parallel to it.
+    # query 20 (isolated match): one aligned vector, two orthogonal-ish.
+    queries = spark.createDataFrame(
+        [(10, vec(1, 0)), (20, vec(0, 1))],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, vec(1, 0.02)), (2, vec(1, -0.05)), (3, vec(1, 0.1)),
+            (4, vec(0.05, 1)), (5, vec(1, 0.3)), (6, vec(1, -0.3)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["query_id"]: r
+        for r in margin_mining(
+            queries, corpus, k=3, threshold=1.12
+        ).collect()
+    }
+    # hub: top-3 cosines all ~0.99+ -> margin ~1, not mined, despite
+    # cos_top1 being the highest in the whole table
+    assert out[10]["cos_top1"] > out[20]["cos_top1"]
+    assert not out[10]["mined"]
+    assert out[10]["margin"] < 1.12
+    # isolated: top1 ~1.0 vs weak runners-up -> margin >> threshold
+    assert out[20]["mined"]
+    assert out[20]["neighbor_id"] == 4
+    assert out[20]["margin"] > 1.5
