@@ -35,7 +35,12 @@ def funnel_steps_windowed(
     ts_col: str = "ts",
     materialize: bool = True,
 ) -> DataFrame:
-    """Conversion funnel with a PER-STEP DEADLINE: step i must occur
+    """Conversion funnel with a PER-STEP DEADLINE.  NOTE:
+    materialize=True (the default) runs Spark jobs EAGERLY at call
+    time and returns a localCheckpoint scan — pass materialize=False
+    for lazy composition / plan inspection (ADVICE r10).
+
+    Step i must occur
     strictly after step i-1 and within ``max_gap_us`` microseconds of
     it.  Greedy earliest-match is NOT exact here (an early step-1
     whose window expires can mask a later step-1 that would convert),

@@ -1698,14 +1698,22 @@ def margin_mining(
     the candidate generation goes through the banded hyperplane LSH
     (:func:`embedding_lsh_pairs`) first and this operator scores the
     survivors; the margin math is identical either way.  The ratio is
-    computed from the ROUNDED top-k cosines so the DuckDB oracle
-    reproduces it bit-for-bit (one IEEE divide of identical doubles).
+    bit-for-bit oracle-reproducible BY CONSTRUCTION: each rounded
+    4-decimal cosine is rescaled to an exact BIGINT (×10⁴), summed as
+    integers (order-independent — ADVICE r10 flagged that a float
+    F.avg sums in nondeterministic partition order, so a margin
+    within ~1 ulp of a rounding boundary could flip between engines),
+    and the margin is ONE IEEE divide of exact integers:
+    margin = round((best·k′) / Σscaled, 4) with k′ the actual
+    neighbor count.
     """
     top = cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     )
+    scaled = F.round(F.col("cos_sim") * 10000).cast("long")
     agg = top.groupBy("query_id").agg(
-        F.avg("cos_sim").alias("__avg_topk"),
+        F.sum(scaled).alias("__sum_scaled"),
+        F.count(F.lit(1)).alias("__n"),
         F.max(
             F.when(
                 F.col("rank") == 1,
@@ -1713,7 +1721,12 @@ def margin_mining(
             )
         ).alias("__best"),
     )
-    margin = F.round(F.col("__best.cos_sim") / F.col("__avg_topk"), 4)
+    best_scaled = F.round(F.col("__best.cos_sim") * 10000).cast("long")
+    margin = F.round(
+        (best_scaled * F.col("__n")).cast("double")
+        / F.col("__sum_scaled"),
+        4,
+    )
     return agg.select(
         "query_id",
         F.col("__best.neighbor_id").alias("neighbor_id"),

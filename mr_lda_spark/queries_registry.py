@@ -4576,15 +4576,19 @@ MARGIN_THRESHOLD = 1.12  # probed r10: margins span 1.03-1.57 (sf0.01)
     ),
     m AS (
       SELECT query_id,
-             avg(cos_r) AS avg_topk,
+             sum(CAST(round(cos_r * 10000) AS BIGINT)) AS sum_scaled,
+             count(*) AS n,
              max(CASE WHEN rank = 1 THEN cos_r END) AS cos_top1,
              max(CASE WHEN rank = 1 THEN neighbor_id END)
                AS neighbor_id
       FROM top WHERE rank <= {SIM_K} GROUP BY 1
     )
     SELECT query_id, neighbor_id, cos_top1,
-           round(cos_top1 / avg_topk, 4) AS margin,
-           round(cos_top1 / avg_topk, 4) >= {MARGIN_THRESHOLD} AS mined
+           round(CAST(CAST(round(cos_top1 * 10000) AS BIGINT) * n
+                      AS DOUBLE) / sum_scaled, 4) AS margin,
+           round(CAST(CAST(round(cos_top1 * 10000) AS BIGINT) * n
+                      AS DOUBLE) / sum_scaled, 4)
+             >= {MARGIN_THRESHOLD} AS mined
     FROM m
     """,
 )
@@ -4595,8 +4599,9 @@ def similarity_margin_mining(spark, sf_dir):
     corpus, pair score = cos@1 relative to the mean of the top-k
     cross-set neighborhood, mined = margin ≥ threshold.  The margin
     normalizes hubness away, which an absolute cosine threshold
-    cannot; the ratio runs on the rounded top-k cosines so the oracle
-    reproduces it exactly.  Full-oracle exact form; at corpus×corpus
+    cannot; the rounded cosines are rescaled to exact integers and
+    summed order-independently, so the oracle reproduces the ratio
+    bit-for-bit (ADVICE r10).  Full-oracle exact form; at corpus×corpus
     scale the candidate generation goes through the banded hyperplane
     LSH first and this row's scoring tail is unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -6248,7 +6253,15 @@ def polylda_join_mode_topics(spark, sf_dir):
 # MIN_DF_FRAC registry constants, so registry tuning cannot silently
 # invalidate the committed expectations.
 # --------------------------------------------------------------------------
-GOLDEN_SF_DIR = "/root/testdata/sf0.001"
+# Frozen-corpus location: overridable (ADVICE r10 — the absolute path
+# was a silent machine-local dependency), and the documents table the
+# expectations were frozen against is CONTENT-PINNED by md5 so a
+# different corpus at the same path fails loudly instead of producing
+# confusing hash mismatches.
+GOLDEN_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_GOLDEN_SF_DIR", "/root/testdata/sf0.001"
+)
+GOLDEN_CORPUS_MD5 = "a9ad0e7f18501085037a2ff6f023be4b"
 GOLDEN_K = 4
 GOLDEN_ITERS = 3
 GOLDEN_GAMMA_ITER = 10
@@ -6262,6 +6275,41 @@ GOLDEN_ROUND = 4
 _GOLDEN_JSON = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "golden_lda.json"
 )
+
+
+def _golden_corpus_check() -> None:
+    """Fail loudly if the corpus at GOLDEN_SF_DIR is not the one the
+    committed expectations were frozen against (content pin — the
+    path alone is a machine-local convention, ADVICE r10)."""
+    import glob
+    import hashlib
+
+    p = os.path.join(GOLDEN_SF_DIR, "documents.parquet")
+    files = (
+        sorted(glob.glob(os.path.join(p, "**", "*"), recursive=True))
+        if os.path.isdir(p)
+        else [p]
+    )
+    h = hashlib.md5()
+    try:
+        for f in files:
+            if os.path.isfile(f):
+                with open(f, "rb") as fh:
+                    h.update(fh.read())
+    except OSError as e:
+        raise FileNotFoundError(
+            f"golden corpus not readable at {GOLDEN_SF_DIR} "
+            "(set SPARK_GRAFT_GOLDEN_SF_DIR to the frozen sf0.001 "
+            f"fixture): {e}"
+        ) from e
+    if h.hexdigest() != GOLDEN_CORPUS_MD5:
+        raise RuntimeError(
+            f"documents.parquet at {GOLDEN_SF_DIR} has md5 "
+            f"{h.hexdigest()}, but mr_lda_spark/golden_lda.json was "
+            f"frozen against {GOLDEN_CORPUS_MD5} — point "
+            "SPARK_GRAFT_GOLDEN_SF_DIR at the frozen corpus or "
+            "re-freeze with tools/freeze_lda_golden.py"
+        )
 
 
 def _golden_expected() -> dict:
@@ -6316,6 +6364,7 @@ def _golden_setup(spark):
     key = ("golden-setup", spark.sparkContext.applicationId)
     if key in _LDA_CACHE:
         return _LDA_CACHE[key]
+    _golden_corpus_check()
     docs = _t(spark, GOLDEN_SF_DIR, "documents")
     n_docs = docs.count()
     tokens = parse.tokenize(docs, stopwords=GOLDEN_STOPWORDS)
@@ -6460,6 +6509,7 @@ def polylda_train_golden(spark, sf_dir):
 
     key = ("golden-poly-state", spark.sparkContext.applicationId)
     if key not in _LDA_CACHE:
+        _golden_corpus_check()
         tall, dicts, num_terms = _poly_setup(spark, GOLDEN_SF_DIR)
         corpus = poly_plan.poly_corpus_from_tall(
             tall, n_languages=len(num_terms)
@@ -6561,6 +6611,7 @@ def text_bpe_merges_golden(spark, sf_dir):
 
     key = ("golden-bpe", spark.sparkContext.applicationId)
     if key not in _LDA_CACHE:
+        _golden_corpus_check()
         _LDA_CACHE[key] = bpe.train_bpe(
             _t(spark, GOLDEN_SF_DIR, "documents"),
             num_merges=20,
@@ -6618,6 +6669,7 @@ def polylda_join_train_golden(spark, sf_dir):
 
     key = ("golden-poly-join-state", spark.sparkContext.applicationId)
     if key not in _LDA_CACHE:
+        _golden_corpus_check()
         tall, _, num_terms = _poly_setup(spark, GOLDEN_SF_DIR)
         _, state = polylda_join.train_poly_join(
             spark,

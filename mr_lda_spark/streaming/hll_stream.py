@@ -73,19 +73,24 @@ def hll_estimate_stream(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"streaming register drain '{query_name}' exceeded "
-            f"{timeout_sec}s — refusing to estimate from a "
-            "partially-filled sketch"
-        )
     # Detach from the memory sink before returning: checkpoint the
     # (bounded, groups × m) register rows and drop the sink's temp
     # view, else every drain leaks one never-dropped in-memory table
     # for the session's lifetime (the ADVICE r9 #1/#2 leak class).
-    regs = spark.table(query_name).localCheckpoint()
-    spark.catalog.dropTempView(query_name)
+    # The drop sits in a finally so the TIMEOUT path also detaches
+    # the sink (ADVICE r10: the error path leaked the very table the
+    # change set out to eliminate).
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming register drain '{query_name}' exceeded "
+                f"{timeout_sec}s — refusing to estimate from a "
+                "partially-filled sketch"
+            )
+        regs = spark.table(query_name).localCheckpoint()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(query_name)
     return hll_estimate(regs, group_cols, p)
 
 
@@ -116,22 +121,24 @@ def cms_table_from_stream(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"streaming CMS drain '{query_name}' exceeded {timeout_sec}s "
-            "— a partial sketch would under-estimate and break the "
-            "exact-output contract"
-        )
     # packing kept inline rather than shared with cms_build: that
     # helper drives its own collect; this one packs an already-drained
-    # memory table (same 4 lines, different source of rows).
-    packed = np.zeros((depth, width), dtype=np.int64)
-    for row in spark.table(query_name).collect():
-        packed[int(row["d"]), int(row["col"])] = int(row["cnt"])
-    # The sketch now lives in the numpy array — drop the sink table
-    # instead of leaking one per drain.
-    spark.catalog.dropTempView(query_name)
+    # memory table (same 4 lines, different source of rows).  The
+    # sink drop sits in a finally so the timeout path detaches too
+    # (ADVICE r10).
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming CMS drain '{query_name}' exceeded "
+                f"{timeout_sec}s — a partial sketch would "
+                "under-estimate and break the exact-output contract"
+            )
+        packed = np.zeros((depth, width), dtype=np.int64)
+        for row in spark.table(query_name).collect():
+            packed[int(row["d"]), int(row["col"])] = int(row["cnt"])
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(query_name)
     return packed
 
 
@@ -161,15 +168,18 @@ def ams_cells_from_stream(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"streaming AMS drain '{query_name}' exceeded {timeout_sec}s "
-            "— a partial sketch is a biased estimator; refusing to "
-            "finalize"
-        )
     # Detach from the memory sink (bounded depth × width rows) and
-    # drop the sink's temp view — see hll_estimate_stream.
-    cells = spark.table(query_name).localCheckpoint()
-    spark.catalog.dropTempView(query_name)
+    # drop the sink's temp view — see hll_estimate_stream; finally so
+    # the timeout path detaches too (ADVICE r10).
+    try:
+        if not q.awaitTermination(timeout_sec):
+            raise TimeoutError(
+                f"streaming AMS drain '{query_name}' exceeded "
+                f"{timeout_sec}s — a partial sketch is a biased "
+                "estimator; refusing to finalize"
+            )
+        cells = spark.table(query_name).localCheckpoint()
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(query_name)
     return cells
