@@ -5598,8 +5598,9 @@ def lda_heldout_perplexity(spark, sf_dir):
     log-likelihood counter, VariationalInference.java held-out path):
     one audit row with summed variational doc log-likelihood and
     per-token perplexity exp(-ll/N).  Deterministic given the seeded
-    trained state; rows-only (stochastic-EM core is not
-    SQL-expressible)."""
+    trained state; rows-only at registry scale (stochastic-EM core is
+    not SQL-expressible) — the hash-checked twin is
+    ``lda_heldout_perplexity_golden`` (frozen configuration, r11)."""
     from mr_lda_spark.plans import lda as lda_plan
 
     _, corpus_doc = _lda_setup(spark, sf_dir)
@@ -5631,7 +5632,8 @@ def lda_heldout_perplexity_join(spark, sf_dir):
     past-the-broadcast-cliff held-out plan (VERDICT r5 item #2).  Same
     audit row as the broadcast query; the pytest parity test pins
     per-doc γ/ll equality, this row pins the aggregate end-to-end.
-    Rows-only."""
+    Rows-only; hash-checked twin:
+    ``lda_heldout_perplexity_join_golden`` (r11)."""
     from mr_lda_spark.plans import lda as lda_plan
     from mr_lda_spark.plans import lda_join
 
@@ -6184,7 +6186,8 @@ def polylda_heldout_perplexity(spark, sf_dir):
     -test mode, polylda/VariationalInference.java:90): γ-only pass
     under the trained per-language β, one audit row (docs, tokens,
     total variational ll, per-token perplexity).  Rows-only
-    (stochastic-EM scorer)."""
+    (stochastic-EM scorer); hash-checked twin:
+    ``polylda_heldout_perplexity_golden`` (r11)."""
     from mr_lda_spark.plans import polylda as poly_plan
 
     tall, _, num_terms, state = _poly_trained(spark, sf_dir)
@@ -6198,7 +6201,8 @@ def polylda_heldout_perplexity_join(spark, sf_dir):
     """polylda_heldout_perplexity through the packed-key β JOIN path
     with auto-broadcast DISABLED — the past-the-cliff polylingual
     held-out plan; must equal the broadcast audit row (pytest pins
-    per-doc parity).  Rows-only."""
+    per-doc parity).  Rows-only; hash-checked twin:
+    ``polylda_heldout_perplexity_join_golden`` (r11)."""
     from mr_lda_spark.plans import polylda_join
 
     tall, _, num_terms, state = _poly_trained(spark, sf_dir)
@@ -6499,12 +6503,9 @@ def lda_join_train_golden(spark, sf_dir):
     )
 
 
-@register("polylda_train_golden", _golden_oracle("polylda_train_golden"))
-def polylda_train_golden(spark, sf_dir):
-    """Hash-checked golden run of polylingual VB-EM
-    (plans/polylda.train_poly — per-language β, shared γ): per-language
-    E[log β] audit slices + the shared α, frozen at GOLDEN_SF_DIR.
-    Ignores sf_dir."""
+def _golden_poly_state(spark):
+    """The frozen broadcast-mode polylingual train (shared by the poly
+    train golden and the poly held-out goldens)."""
     from mr_lda_spark.plans import polylda as poly_plan
 
     key = ("golden-poly-state", spark.sparkContext.applicationId)
@@ -6526,7 +6527,16 @@ def polylda_train_golden(spark, sf_dir):
             gamma_tol=0.0,
         )
         _LDA_CACHE[key] = state
-    return _golden_poly_frame(spark, _LDA_CACHE[key])
+    return _LDA_CACHE[key]
+
+
+@register("polylda_train_golden", _golden_oracle("polylda_train_golden"))
+def polylda_train_golden(spark, sf_dir):
+    """Hash-checked golden run of polylingual VB-EM
+    (plans/polylda.train_poly — per-language β, shared γ): per-language
+    E[log β] audit slices + the shared α, frozen at GOLDEN_SF_DIR.
+    Ignores sf_dir."""
+    return _golden_poly_frame(spark, _golden_poly_state(spark))
 
 
 def _golden_poly_frame(spark, state):
@@ -6684,6 +6694,159 @@ def polylda_join_train_golden(spark, sf_dir):
         )
         _LDA_CACHE[key] = state
     return _golden_poly_frame(spark, _LDA_CACHE[key])
+
+
+# --------------------------------------------------------------------------
+# Held-out perplexity goldens (VERDICT r10 "Next round" #1): held-out
+# likelihood is the reference's own validation metric (README.md:169-224;
+# test mode at VariationalInference.java:277-278, per-doc likelihood at
+# DocumentMapper.java:264,342), and until r11 the four heldout rows were
+# the last stochastic rows without a hash-checked twin.  A seeded run's
+# perplexity is one deterministic scalar: these rows score the FULL frozen
+# corpus under the frozen trained state and emit a single audit row
+# (n_docs, n_tokens, total_ll, perplexity).  total_ll is rounded to 2
+# decimals (it is a ~n_docs-term float sum, so its combine jitter is
+# ~n_docs× a per-doc row's — 2 decimals keeps the same >100× margin above
+# jitter that GOLDEN_ROUND gives the per-cell values); perplexity's
+# exp(-ll/N) contracts that jitter by 1/N, so GOLDEN_ROUND is safe.  The
+# freeze tool proves both roundings stable across two execution
+# geometries before committing the expectation.
+# --------------------------------------------------------------------------
+GOLDEN_LL_ROUND = 2
+
+
+def _golden_heldout_frame(scored, tokens):
+    """(doc_id, ..., doc_ll) + (doc_id, n_tokens) → the 1-row audit."""
+    return scored.join(tokens, "doc_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.sum("doc_ll"), GOLDEN_LL_ROUND).alias("total_ll"),
+        F.round(
+            F.exp(-F.sum("doc_ll") / F.sum("n_tokens")), GOLDEN_ROUND
+        ).alias("perplexity"),
+    )
+
+
+def _golden_doc_tokens(corpus_doc):
+    return corpus_doc.select(
+        "doc_id",
+        F.aggregate(
+            "term_counts", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("n_tokens"),
+    )
+
+
+@register(
+    "lda_heldout_perplexity_golden",
+    _golden_oracle("lda_heldout_perplexity_golden"),
+)
+def lda_heldout_perplexity_golden(spark, sf_dir):
+    """Hash-checked golden run of held-out evaluation under the frozen
+    trained model (plans/lda.infer — the reference -test mode's
+    log-likelihood counter): one audit row with the corpus-summed
+    variational log-likelihood and per-token perplexity exp(-ll/N).
+    Ignores sf_dir (the corpus is part of the frozen configuration)."""
+    from mr_lda_spark.plans import lda as lda_plan
+
+    _, _, _, corpus_doc = _golden_setup(spark)
+    state = _golden_trained(spark)
+    scored = lda_plan.infer(
+        spark, corpus_doc, state, max_gamma_iter=GOLDEN_GAMMA_ITER
+    )
+    return _golden_heldout_frame(scored, _golden_doc_tokens(corpus_doc))
+
+
+@register(
+    "lda_heldout_perplexity_join_golden",
+    _golden_oracle("lda_heldout_perplexity_join_golden"),
+)
+def lda_heldout_perplexity_join_golden(spark, sf_dir):
+    """lda_heldout_perplexity_golden through the β JOIN inference path
+    (plans/lda_join.infer_join) with auto-broadcast DISABLED — the
+    past-the-broadcast-cliff held-out plan, hash-pinned against its
+    own frozen expectation (which the freeze tool proves equal to the
+    broadcast row's, so the two E-step geometries are also pinned to
+    each other).  Ignores sf_dir."""
+    from mr_lda_spark.plans import lda as lda_plan
+    from mr_lda_spark.plans import lda_join
+
+    _, _, tall, corpus_doc = _golden_setup(spark)
+    state = _golden_trained(spark)
+    beta_df = lda_join.beta_relation(lda_plan.beta_dataframe(spark, state))
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        scored = lda_join.infer_join(
+            spark,
+            tall,
+            beta_df,
+            state.alpha,
+            max_gamma_iter=GOLDEN_GAMMA_ITER,
+        )
+        return _golden_heldout_frame(
+            scored, _golden_doc_tokens(corpus_doc)
+        ).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
+
+
+def _golden_poly_tokens(tall):
+    return tall.groupBy("doc_id").agg(
+        F.sum("term_count").cast("long").alias("n_tokens")
+    )
+
+
+@register(
+    "polylda_heldout_perplexity_golden",
+    _golden_oracle("polylda_heldout_perplexity_golden"),
+)
+def polylda_heldout_perplexity_golden(spark, sf_dir):
+    """Hash-checked golden run of polylingual held-out evaluation
+    (plans/polylda.infer_poly under the frozen per-language β and
+    shared α — the reference polylda -test mode): one audit row.
+    Ignores sf_dir."""
+    from mr_lda_spark.plans import polylda as poly_plan
+
+    state = _golden_poly_state(spark)
+    tall, _, num_terms = _poly_setup(spark, GOLDEN_SF_DIR)
+    corpus = poly_plan.poly_corpus_from_tall(tall, n_languages=len(num_terms))
+    scored = poly_plan.infer_poly(
+        spark, corpus, state, max_gamma_iter=GOLDEN_GAMMA_ITER
+    )
+    return _golden_heldout_frame(scored, _golden_poly_tokens(tall))
+
+
+@register(
+    "polylda_heldout_perplexity_join_golden",
+    _golden_oracle("polylda_heldout_perplexity_join_golden"),
+)
+def polylda_heldout_perplexity_join_golden(spark, sf_dir):
+    """polylda_heldout_perplexity_golden through the packed-key β JOIN
+    path (plans/polylda_join.infer_poly_join) with auto-broadcast
+    DISABLED — the past-the-cliff polylingual held-out plan,
+    hash-pinned.  Ignores sf_dir."""
+    from mr_lda_spark.plans import polylda_join
+
+    state = _golden_poly_state(spark)
+    tall, _, num_terms = _poly_setup(spark, GOLDEN_SF_DIR)
+    beta_df = polylda_join.poly_beta_relation(spark, state)
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "-1")
+    try:
+        scored = polylda_join.infer_poly_join(
+            spark,
+            tall,
+            beta_df,
+            state.alpha,
+            max_gamma_iter=GOLDEN_GAMMA_ITER,
+        )
+        return _golden_heldout_frame(
+            scored, _golden_poly_tokens(tall)
+        ).localCheckpoint()
+    finally:
+        spark.conf.set(key, prev) if prev is not None else spark.conf.unset(key)
 
 
 # --------------------------------------------------------------------------

@@ -23,7 +23,43 @@ GOLDEN_NAMES = [
     "polylda_join_train_golden",
     "lda_online_golden",
     "text_bpe_merges_golden",
+    "lda_heldout_perplexity_golden",
+    "lda_heldout_perplexity_join_golden",
+    "polylda_heldout_perplexity_golden",
+    "polylda_heldout_perplexity_join_golden",
 ]
+
+
+def test_heldout_golden_broadcast_equals_join():
+    """The held-out join goldens score the SAME frozen state through
+    the other E-step geometry — their committed audit rows must be
+    identical (the freeze tool asserts this before writing; this pins
+    the committed artifact without a Spark session)."""
+    spec = reg._golden_expected()
+    assert (
+        spec["lda_heldout_perplexity_golden"]["rows"]
+        == spec["lda_heldout_perplexity_join_golden"]["rows"]
+    )
+    assert (
+        spec["polylda_heldout_perplexity_golden"]["rows"]
+        == spec["polylda_heldout_perplexity_join_golden"]["rows"]
+    )
+
+
+def test_heldout_golden_row_shape():
+    """One audit row each: positive counts, negative total_ll, finite
+    perplexity > 1 (a uniform model over V terms tops out at V)."""
+    spec = reg._golden_expected()
+    for n in [
+        "lda_heldout_perplexity_golden",
+        "polylda_heldout_perplexity_golden",
+    ]:
+        rows = spec[n]["rows"]
+        assert len(rows) == 1, n
+        n_docs, n_tokens, total_ll, perplexity = rows[0]
+        assert n_docs > 0 and n_tokens >= n_docs, n
+        assert total_ll < 0, n
+        assert 1.0 < perplexity < 1e6, n
 
 
 def test_golden_json_complete_and_sane():

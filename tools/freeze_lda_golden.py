@@ -40,6 +40,22 @@ GOLDEN_NAMES = [
     "polylda_join_train_golden",
     "lda_online_golden",
     "text_bpe_merges_golden",
+    "lda_heldout_perplexity_golden",
+    "lda_heldout_perplexity_join_golden",
+    "polylda_heldout_perplexity_golden",
+    "polylda_heldout_perplexity_join_golden",
+]
+
+# The held-out join rows score the SAME frozen state through the other
+# E-step geometry, so beyond per-name stability the freeze also proves
+# broadcast ≡ join at the audit-row level (the pytest parity suite pins
+# the per-doc γ/ll equality these aggregates summarize).
+CROSS_EQUAL = [
+    ("lda_heldout_perplexity_golden", "lda_heldout_perplexity_join_golden"),
+    (
+        "polylda_heldout_perplexity_golden",
+        "polylda_heldout_perplexity_join_golden",
+    ),
 ]
 
 _DUCK_TYPE = {
@@ -118,6 +134,15 @@ def main() -> int:
                 f"freezing"
             )
         print(f"  {name}: {len(a[name]['rows'])} rows stable")
+
+    for lhs, rhs in CROSS_EQUAL:
+        if a[lhs]["rows"] != a[rhs]["rows"]:
+            raise SystemExit(
+                f"broadcast/join divergence: {lhs} != {rhs} — the two "
+                "E-step geometries no longer agree on the held-out "
+                "audit row"
+            )
+        print(f"  cross-pin: {lhs} == {rhs}")
 
     target = os.path.join(_REPO, "mr_lda_spark", "golden_lda.json")
     if args.check:
