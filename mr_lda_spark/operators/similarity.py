@@ -1710,6 +1710,15 @@ def margin_mining(
     top = cosine_topk(
         corpus, queries, k=k, id_col=id_col, vec_col=vec_col
     )
+    return _margin_tail(top, threshold)
+
+
+def _margin_tail(top: DataFrame, threshold: float) -> DataFrame:
+    """The margin criterion over a ranked (query_id, neighbor_id,
+    rank, cos_sim[4dp]) relation — shared by the broadcast-queries
+    path (:func:`margin_mining`) and the banded-LSH corpus×corpus
+    path (:func:`margin_mining_lsh`).  Integer-exact: see
+    :func:`margin_mining`'s docstring."""
     scaled = F.round(F.col("cos_sim") * 10000).cast("long")
     agg = top.groupBy("query_id").agg(
         F.sum(scaled).alias("__sum_scaled"),
@@ -1734,3 +1743,92 @@ def margin_mining(
         margin.alias("margin"),
         (margin >= F.lit(threshold)).alias("mined"),
     )
+
+
+def margin_mining_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    threshold: float = 1.12,
+    n_planes: int = 4,
+    n_bands: int = 6,
+    dim: int = 64,
+    salt: str = "marginfp",
+    max_bucket_size: int | None = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Corpus×corpus margin mining — the documented 100 TB composition
+    (VERDICT r10 "Next round" #5): banded hyperplane LSH generates the
+    cross-set candidates (a (band, bucket) equi-join between the two
+    sets' bucket relations — bucket-local, never queries × corpus),
+    then the margin criterion (:func:`_margin_tail`) scores each
+    query's surviving candidates.  Semantics vs :func:`margin_mining`:
+    the top-k neighborhood is the top-k OF THE LSH CANDIDATES, so a
+    neighbor the banding misses is absent here — the recall trade
+    every banded pipeline makes, pinned by the pytest recall test.
+
+    Plan shape: one Arrow-batched bucketing matmul per side, the
+    cross-set bucket equi-join with a corpus-side hot-bucket cap,
+    pair dedup across bands, two id-keyed joins to rehydrate vectors,
+    per-query rank window.  No CartesianProduct anywhere; with
+    ``planes=None`` the matrix is the frozen md5 derivation
+    (:func:`frozen_hyperplanes`) so a SQL oracle regenerates the
+    identical banding — same technique as
+    :func:`embedding_near_dupes_frozen`."""
+    if planes is None:
+        planes = frozen_hyperplanes(n_bands * n_planes, dim, salt)
+    bucket_udf = _band_buckets_udf(planes, n_bands, n_planes)
+
+    def buckets(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(
+                bucket_udf(_as_double(F.col(vec_col)))
+            ).alias("band", "bucket"),
+        )
+
+    qb = buckets(queries, "query_id")
+    cb = buckets(corpus, "neighbor_id")
+    if max_bucket_size is not None:
+        cb = cb.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band", "bucket")),
+        ).filter(F.col("bucket_n") <= max_bucket_size).drop("bucket_n")
+    pair_ids = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        pair_ids.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _pair_cos(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round("cos", 4).alias("cos_sim"),
+        )
+    )
+    return _margin_tail(top, threshold)

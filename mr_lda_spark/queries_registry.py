@@ -4615,6 +4615,101 @@ def similarity_margin_mining(spark, sf_dir):
     )
 
 
+@register(
+    "similarity_margin_mining_lsh",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v FROM e
+          WHERE label = 0 AND vec_id < {MARGIN_QUERY_CAP}),
+    c AS (SELECT vec_id AS neighbor_id, v FROM e WHERE label = 1),
+    pl AS (
+      SELECT p.p // 4 AS band, p.p % 4 AS bit, d.d,
+             round(CAST(('0x' || substr(md5(
+                     'marginfp:' || p.p || ':' || d.d), 1, 8)
+                   )::BIGINT AS DOUBLE) / 4294967296.0 * 2 - 1, 6) AS w
+      FROM (SELECT unnest(range(0, 24)) AS p) p,
+           (SELECT unnest(range(0, 64)) AS d) d
+    ),
+    xq AS (SELECT query_id, i - 1 AS d, v[i] AS val
+           FROM q, unnest(range(1, 65)) AS u(i)),
+    xc AS (SELECT neighbor_id, i - 1 AS d, v[i] AS val
+           FROM c, unnest(range(1, 65)) AS u(i)),
+    bq AS (
+      SELECT query_id, band,
+             sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+               AS bucket
+      FROM (SELECT xq.query_id, pl.band, pl.bit,
+                   sum(xq.val * pl.w) AS dot
+            FROM xq JOIN pl ON xq.d = pl.d GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ),
+    bc AS (
+      SELECT neighbor_id, band,
+             sum(CASE WHEN dot > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+               AS bucket
+      FROM (SELECT xc.neighbor_id, pl.band, pl.bit,
+                   sum(xc.val * pl.w) AS dot
+            FROM xc JOIN pl ON xc.d = pl.d GROUP BY 1, 2, 3)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT bq.query_id, bc.neighbor_id
+      FROM bq JOIN bc ON bq.band = bc.band AND bq.bucket = bc.bucket
+      WHERE bq.query_id <> bc.neighbor_id
+    ),
+    top AS (
+      SELECT query_id, neighbor_id, round(cos, 4) AS cos_r,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id ASC)
+               AS rank
+      FROM (SELECT cand.query_id, cand.neighbor_id,
+                   list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))) AS cos
+            FROM cand
+            JOIN q ON q.query_id = cand.query_id
+            JOIN c ON c.neighbor_id = cand.neighbor_id)
+    ),
+    m AS (
+      SELECT query_id,
+             sum(CAST(round(cos_r * 10000) AS BIGINT)) AS sum_scaled,
+             count(*) AS n,
+             max(CASE WHEN rank = 1 THEN cos_r END) AS cos_top1,
+             max(CASE WHEN rank = 1 THEN neighbor_id END)
+               AS neighbor_id
+      FROM top WHERE rank <= {SIM_K} GROUP BY 1
+    )
+    SELECT query_id, neighbor_id, cos_top1,
+           round(CAST(CAST(round(cos_top1 * 10000) AS BIGINT) * n
+                      AS DOUBLE) / sum_scaled, 4) AS margin,
+           round(CAST(CAST(round(cos_top1 * 10000) AS BIGINT) * n
+                      AS DOUBLE) / sum_scaled, 4)
+             >= {MARGIN_THRESHOLD} AS mined
+    FROM m
+    """,
+)
+def similarity_margin_mining_lsh(spark, sf_dir):
+    """The corpus×corpus margin-mining composition (VERDICT r10 "Next
+    round" #5): banded FROZEN-hyperplane LSH candidate generation
+    (`operators/similarity.margin_mining_lsh` — plane (p,d) =
+    md5('marginfp:p:d'), the embedding_near_dupes_frozen technique)
+    feeding the integer-exact margin criterion.  DuckDB regenerates
+    the banding, the cross-set bucket-restricted candidates, the
+    exact-cosine top-k within them, and the margin — hash-greening
+    the documented 100 TB path end-to-end (no broadcast of either
+    set, no CartesianProduct; plan-guarded)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.margin_mining_lsh(
+        emb.filter(
+            (F.col("label") == 0) & (F.col("vec_id") < MARGIN_QUERY_CAP)
+        ),
+        emb.filter(F.col("label") == 1),
+        k=SIM_K,
+        threshold=MARGIN_THRESHOLD,
+    )
+
+
 @register("similarity_ivf_fullprobe_topk", _SQL_EXACT_TOPK)
 def similarity_ivf_fullprobe_topk(spark, sf_dir):
     """IVF ANN at full probe (n_probe = n_centroids): probing every

@@ -585,3 +585,65 @@ def test_margin_mining_normalizes_hubness(spark):
     assert out[20]["mined"]
     assert out[20]["neighbor_id"] == 4
     assert out[20]["margin"] > 1.5
+
+
+def test_margin_mining_lsh_equals_exact_when_buckets_saturate(spark):
+    """With a single band of 0 effective selectivity impossible, the
+    next-best exactness proof: clone vectors so every query/corpus
+    pair shares at least one bucket (identical vectors bucket
+    identically in every band), making the LSH candidate set the full
+    cross set — margin_mining_lsh must then return exactly what
+    margin_mining returns."""
+    import numpy as np
+
+    from mr_lda_spark.operators.similarity import (
+        margin_mining,
+        margin_mining_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(64)
+    # corpus: small perturbations of one direction (all same bucket
+    # with near-certainty under any banding) + the queries themselves
+    # reuse the same direction family.
+    def jitter(eps, i):
+        r = np.random.default_rng(100 + i)
+        return [float(x) for x in base + eps * r.standard_normal(64)]
+
+    queries = spark.createDataFrame(
+        [(i, jitter(0.001, i)) for i in range(2)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(10 + i, jitter(0.002, 50 + i)) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = sorted(
+        map(tuple, margin_mining(queries, corpus, k=3).collect())
+    )
+    lsh = sorted(
+        map(tuple, margin_mining_lsh(queries, corpus, k=3).collect())
+    )
+    assert lsh == exact
+
+
+def test_margin_mining_lsh_plan_no_cartesian(spark):
+    """The composition's whole point: candidates come from the banded
+    bucket equi-join, never a cross join of the two sets."""
+    from mr_lda_spark.operators.similarity import margin_mining_lsh
+
+    q = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    c = spark.createDataFrame(
+        [(2, [1.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        margin_mining_lsh(q, c)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # bucketing is Arrow-batched
