@@ -6108,7 +6108,24 @@ def lda_join_mode_topics(spark, sf_dir):
 @register("lda_mllib_topics")
 def lda_mllib_topics(spark, sf_dir):
     """Path A cross-check: MLlib online-VB LDA, top-5 terms per topic
-    in the same output schema as the native path."""
+    in the same output schema as the native path.
+
+    PERMANENTLY rows-only, by evidence (VERDICT r10 "Next round" #6):
+    a fixed seed does NOT make MLlib LDA partition-stable, so the
+    two-geometry freeze technique cannot produce a golden expectation.
+    Measured at the frozen sf0.001/K=4 configuration (r11): training
+    the same seeded model on a 2-partition vs 16-partition corpus
+    diverges in topicsMatrix by max |Δ| ≈ 72 (online) and ≈ 26 (em).
+    Cause, from the public Spark source (mllib LDAOptimizer):
+    OnlineLDAOptimizer.submitMiniBatch draws each mini-batch with
+    RDD.sample, whose XORShiftRandom is seeded per (seed, partition
+    index) — repartitioning changes every mini-batch's composition;
+    EMLDAOptimizer seeds its initial edge topic-counts per partition
+    the same way.  The native plans/lda path avoids this by hashing
+    the doc_id for its seeded γ init (partition-independent), which
+    is exactly why IT can be golden-frozen and this row cannot.
+    pytest pins the divergence (tests/test_mllib_crosscheck.py) so
+    this note stays evidence, not lore."""
     from mr_lda_spark.plans import mllib_lda
 
     dictionary, corpus_doc = _lda_setup(spark, sf_dir)
