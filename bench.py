@@ -189,6 +189,13 @@ EXTRA = [
     # ends in the per-query arg-max aggregate over the rank window:
     # count() computes the broadcast scan + ranking + margin.
     "similarity_margin_mining",
+    # r11 additions (recorded, not in the round-over-round total).
+    # The four heldout *_golden rows are NOT benched (frozen sf0.001
+    # corpus — they measure nothing about sf0.1 throughput).
+    # ends in the per-query margin aggregate: count() computes the
+    # bucketing matmuls, the cross-set bucket join, pair dedup, the
+    # rehydration joins, and the rank window.
+    "similarity_margin_mining_lsh",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed
@@ -341,6 +348,51 @@ def main() -> None:
     lda_metrics, lda_iter_seconds = _lda_per_iteration(spark, sf_dir)
     per_query.update(lda_metrics)
     per_query.update(_polylda_per_iteration(spark, sf_dir))
+
+    # Complete per-query table committed to the repo (VERDICT r10
+    # "Next round" #4): the driver's BENCH_rN.json keeps only a ~2 KiB
+    # tail of this stdout line, so round-over-round regression diffs
+    # covered only the last ~50 rows.  BENCH_FULL_rN.json carries
+    # EVERY row (min-of-N and single-shot), protocol-stamped, so the
+    # round-close notes can diff the full set.  Round number from
+    # SPARK_GRAFT_ROUND, else inferred as max(BENCH_r*.json)+1 (the
+    # driver snapshots BENCH_r{N} after this run).
+    try:
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if rnd is None:
+            import glob as _glob
+
+            prev = [
+                int(mm.group(1))
+                for p in _glob.glob(os.path.join(_REPO, "BENCH_r*.json"))
+                if (mm := re.search(r"BENCH_r(\d+)\.json$", p))
+            ]
+            rnd = str(max(prev) + 1 if prev else 1)
+        full_path = os.path.join(_REPO, f"BENCH_FULL_r{int(rnd):02d}.json")
+        with open(full_path, "w") as fh:
+            json.dump(
+                {
+                    "metric": "bench_full_per_query",
+                    "protocol": (
+                        "same process/session as the stdout line: "
+                        "sf0.1 local[32], warm-up on sf0.001, per "
+                        "pass cold caches (registry memos + spark "
+                        "catalog cleared), min_of_n = per-query min "
+                        f"over {passes} passes, single_shot = pass 1 "
+                        "only (the r1-comparable protocol)"
+                    ),
+                    "sf": sf,
+                    "bench_passes": passes,
+                    "min_of_n": {k: per_query[k] for k in sorted(per_query)},
+                    "single_shot": {k: pass1[k] for k in sorted(pass1)},
+                    "lda_iter_seconds": lda_iter_seconds,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries the tail
 
     print(
         json.dumps(

@@ -77,3 +77,83 @@ def test_uncommitted_batch_invisible_then_replay_heals(spark, tmp_path):
     # directory and re-commits — visible exactly once.
     sink(batch, 1)
     assert sink.read_committed(spark).count() == 10
+
+
+class _CrashOnceSink(IdempotentBatchSink):
+    """Simulates a worker/driver death inside the foreachBatch body at
+    a chosen micro-batch — either BEFORE the commit marker (payload
+    possibly down, delivery unacknowledged) or AFTER it (delivered,
+    but Spark's own checkpoint never learned) — exactly the two
+    halves of the failure window the commit-log design argues about."""
+
+    def __init__(self, out_dir, crash_batch, after_marker):
+        super().__init__(out_dir)
+        self.crash_batch = int(crash_batch)
+        self.after_marker = after_marker
+
+    def __call__(self, batch_df, batch_id):
+        if int(batch_id) == self.crash_batch:
+            if self.after_marker:
+                super().__call__(batch_df, batch_id)
+                raise RuntimeError("simulated crash AFTER marker")
+            if not self.is_committed(batch_id):
+                # payload lands, marker never written
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(self.out_dir, f"batch_id={int(batch_id)}")
+                )
+                raise RuntimeError("simulated crash BEFORE marker")
+        super().__call__(batch_df, batch_id)
+
+
+def _run_expect_failure(spark, src, sink, ckpt):
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        run_exactly_once(_doc_stream(spark, src), sink, ckpt)
+
+
+def test_crash_before_marker_then_restart_no_loss_no_dup(spark, tmp_path):
+    """The real restart-from-checkpoint leg (VERDICT r10 #8): the
+    query DIES mid-batch with the payload written but unmarked; a
+    fresh process restarts from the same checkpoint, Spark re-delivers
+    the dead batch, the sink overwrites its own directory and commits
+    — every source row lands exactly once."""
+    src, n_docs = _split_docs(spark, tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    crashing = _CrashOnceSink(out, crash_batch=1, after_marker=False)
+    _run_expect_failure(spark, src, crashing, ckpt)
+    # the dead batch is invisible to committed readers
+    partial = crashing.read_committed(spark).count()
+    assert partial < n_docs
+
+    fresh = IdempotentBatchSink(out)  # new process, same checkpoint
+    run_exactly_once(_doc_stream(spark, src), fresh, ckpt)
+    df = fresh.read_committed(spark)
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    # batch 1 was never marked delivered, so the restart REPLAYS it
+    # rather than skipping it
+    assert fresh.replays_skipped == 0
+
+
+def test_crash_after_marker_then_restart_skips_replay(spark, tmp_path):
+    """Other half of the window: payload AND marker down, crash before
+    Spark acks the batch in its checkpoint — the restart re-delivers
+    and the commit log absorbs it (ack without rewrite)."""
+    src, n_docs = _split_docs(spark, tmp_path)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    crashing = _CrashOnceSink(out, crash_batch=1, after_marker=True)
+    _run_expect_failure(spark, src, crashing, ckpt)
+
+    fresh = IdempotentBatchSink(out)
+    run_exactly_once(_doc_stream(spark, src), fresh, ckpt)
+    df = fresh.read_committed(spark)
+    assert df.count() == n_docs
+    assert df.select("doc_id").distinct().count() == n_docs
+    # the marked batch was re-delivered and skipped, not rewritten
+    assert fresh.replays_skipped == 1
