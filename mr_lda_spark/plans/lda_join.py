@@ -327,8 +327,15 @@ def train_beta_join(
         lambda s: pd.Series(digamma(s.to_numpy())), "double"
     )
 
+    import time as _time
+
     prev_elbo = None
     for _ in range(max_iterations):
+        # Same per-iteration E+M wall instrumentation as broadcast
+        # mode (plans/lda.py — A7/BASELINE.md sec-per-iteration
+        # counters), so growth probes and benches read the loop
+        # directly instead of dividing the train total.
+        iter_t0 = _time.perf_counter()
         joined = tall.join(beta_df, "term_id")
         docs = joined.groupBy("doc_id").agg(
             F.collect_list("term_id").alias("term_ids"),
@@ -450,6 +457,9 @@ def train_beta_join(
             state.perplexity_history.append(
                 float(math.exp(-elbo / state.total_tokens))
             )
+        state.iter_seconds.append(
+            round(_time.perf_counter() - iter_t0, 3)
+        )
         if prev_elbo is not None and abs((elbo - prev_elbo) / prev_elbo) <= converge:
             break
         prev_elbo = elbo

@@ -131,7 +131,7 @@ def main() -> None:
 
         # --- distributed-β join mode ---
         t0 = time.perf_counter()
-        lda_join.train_beta_join(
+        _, jstate = lda_join.train_beta_join(
             spark,
             tall,
             num_terms,
@@ -145,6 +145,12 @@ def main() -> None:
         out["modes"].setdefault("join", {})[f"x{factor}"] = {
             "total_sec": round(jt, 3),
             "sec_per_iter": round(jt / ITERS, 3),
+            "iter_seconds": list(jstate.iter_seconds),
+            "iter_tail_ratio": round(
+                jstate.iter_seconds[-1] / jstate.iter_seconds[0], 3
+            )
+            if jstate.iter_seconds
+            else None,
         }
         print(
             f"x{factor}: broadcast {bt:.1f}s "
