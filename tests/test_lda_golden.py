@@ -123,3 +123,28 @@ def test_golden_ignores_sf_dir(spark):
         key=lambda r: tuple(str(x) for x in r),
     )
     assert got == spec["rows"]
+
+
+def test_freeze_tool_covers_every_golden_row():
+    """tools/freeze_lda_golden.py and the registry must agree on what
+    'the golden family' is: every *_golden registry row appears in the
+    tool's GOLDEN_NAMES (else re-freezing silently drops a row), every
+    GOLDEN_NAMES entry is registered, and the committed JSON carries
+    exactly that set."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "freeze_lda_golden",
+        os.path.join(
+            os.path.dirname(__file__), "..", "tools", "freeze_lda_golden.py"
+        ),
+    )
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+
+    registry_golden = {n for n in reg.QUERIES if n.endswith("_golden")}
+    assert set(tool.GOLDEN_NAMES) == registry_golden
+    assert set(reg._golden_expected()) == registry_golden
+    for lhs, rhs in tool.CROSS_EQUAL:
+        assert lhs in registry_golden and rhs in registry_golden
