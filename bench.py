@@ -391,8 +391,12 @@ def main() -> None:
                 indent=1,
                 sort_keys=True,
             )
-    except OSError:
-        pass  # read-only checkout: the stdout line still carries the tail
+    except (OSError, ValueError):
+        # OSError: read-only checkout; ValueError: a non-numeric
+        # SPARK_GRAFT_ROUND.  Either way the stdout JSON line (which
+        # the driver snapshot parses) must still print below —
+        # BENCH_FULL is supplementary, never load-bearing.
+        pass
 
     print(
         json.dumps(

@@ -181,40 +181,47 @@ def pagerank(
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    if materialize:
-        ed.count()
-        nodes.count()
-    base = scale * (damping_den - damping_num) // damping_den
-    ranks = nodes.withColumn("pr", F.lit(scale).cast("long"))
-    for _ in range(int(iterations)):
-        contrib = (
-            ed.join(ranks, ed["src"] == ranks["node"])
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("pr div deg").alias("c"),
+    # try/finally: a failed count/loop-job/checkpoint must still
+    # release the invariants, or the failure path reinstates the exact
+    # r10 leak this lifecycle exists to prevent (self-review r11).
+    try:
+        if materialize:
+            ed.count()
+            nodes.count()
+        base = scale * (damping_den - damping_num) // damping_den
+        ranks = nodes.withColumn("pr", F.lit(scale).cast("long"))
+        for _ in range(int(iterations)):
+            contrib = (
+                ed.join(ranks, ed["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("pr div deg").alias("c"),
+                )
             )
-        )
-        sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * coalesce(s, 0L))"
-                        f" div {damping_den}"
-                    )
-                ).alias("pr"),
+            sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(sums, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_num} * coalesce(s, 0L))"
+                            f" div {damping_den}"
+                        )
+                    ).alias("pr"),
+                )
             )
-        )
-        if checkpoint and materialize:
-            ranks = ranks.localCheckpoint(eager=False)
-    if materialize:
-        # Eager: cut the loop lineage and detach from the invariants
-        # BEFORE releasing them, so callers can't re-trigger the freed
-        # caches and the session accumulates nothing per invocation.
-        ranks = ranks.localCheckpoint()
-        ed.unpersist()
-        nodes.unpersist()
+            if checkpoint and materialize:
+                ranks = ranks.localCheckpoint(eager=False)
+        if materialize:
+            # Eager: cut the loop lineage and detach from the
+            # invariants BEFORE releasing them, so callers can't
+            # re-trigger the freed caches and the session accumulates
+            # nothing per invocation.
+            ranks = ranks.localCheckpoint()
+    finally:
+        if materialize:
+            ed.unpersist()
+            nodes.unpersist()
     return ranks

@@ -1731,17 +1731,25 @@ def _margin_tail(top: DataFrame, threshold: float) -> DataFrame:
         ).alias("__best"),
     )
     best_scaled = F.round(F.col("__best.cos_sim") * 10000).cast("long")
-    margin = F.round(
+    margin_raw = F.round(
         (best_scaled * F.col("__n")).cast("double")
         / F.col("__sum_scaled"),
         4,
     )
+    # Exact integer sums make Σscaled == 0 genuinely reachable (e.g.
+    # rounded cosines 0.25, -0.12, -0.13), and on a zero divisor the
+    # engines disagree (Spark double-divide → NULL, DuckDB → inf) —
+    # so the degenerate neighborhood is defined explicitly: margin
+    # NULL, mined false, in BOTH engines (self-review r11).
+    nonzero = F.col("__sum_scaled") != 0
     return agg.select(
         "query_id",
         F.col("__best.neighbor_id").alias("neighbor_id"),
         F.col("__best.cos_sim").alias("cos_top1"),
-        margin.alias("margin"),
-        (margin >= F.lit(threshold)).alias("mined"),
+        F.when(nonzero, margin_raw).alias("margin"),
+        F.when(nonzero, margin_raw >= F.lit(threshold))
+        .otherwise(F.lit(False))
+        .alias("mined"),
     )
 
 

@@ -647,3 +647,29 @@ def test_margin_mining_lsh_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # bucketing is Arrow-batched
+
+
+def test_margin_mining_zero_sum_neighborhood_defined(spark):
+    """Integer-exact sums make Σscaled == 0 reachable (rounded
+    cosines 0.25, -0.12, -0.13 → 2500-1200-1300 = 0); the degenerate
+    neighborhood must be DEFINED — margin NULL, mined False — instead
+    of a divide-by-zero whose result differs between engines
+    (self-review r11)."""
+    import math
+
+    from mr_lda_spark.operators.similarity import margin_mining
+
+    def unit(c):
+        return [float(c), float(math.sqrt(1.0 - c * c))]
+
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, unit(0.25)), (11, unit(-0.12)), (12, unit(-0.13))],
+        "vec_id long, embedding array<double>",
+    )
+    [row] = margin_mining(queries, corpus, k=3).collect()
+    assert row["cos_top1"] == 0.25
+    assert row["margin"] is None
+    assert row["mined"] is False

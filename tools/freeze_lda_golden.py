@@ -94,10 +94,16 @@ def _run_leg(master: str, shuffle: str) -> dict:
     fd, path = tempfile.mkstemp(suffix=".json")
     os.close(fd)
     try:
+        env = dict(os.environ)
+        # The legs must run even when the corpus pin in the committed
+        # golden_lda.json no longer matches (that is exactly what a
+        # re-freeze is FOR); the new pin is written below with the new
+        # expectations (self-review r11).
+        env["SPARK_GRAFT_GOLDEN_UNPINNED"] = "1"
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--collect", path,
              "--master", master, "--shuffle", shuffle],
-            check=True, cwd=_REPO,
+            check=True, cwd=_REPO, env=env,
         )
         with open(path) as fh:
             return json.load(fh)
@@ -145,6 +151,9 @@ def main() -> int:
         print(f"  cross-pin: {lhs} == {rhs}")
 
     target = os.path.join(_REPO, "mr_lda_spark", "golden_lda.json")
+    from mr_lda_spark.queries_registry import _golden_corpus_md5
+
+    a["_corpus_md5"] = _golden_corpus_md5()
     if args.check:
         with open(target) as fh:
             committed = json.load(fh)
@@ -155,7 +164,7 @@ def main() -> int:
         return 0
     with open(target, "w") as fh:
         json.dump(a, fh, indent=1)
-    print(f"wrote {target}")
+    print(f"wrote {target} (corpus md5 {a['_corpus_md5']})")
     return 0
 
 
