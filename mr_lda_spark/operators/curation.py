@@ -999,3 +999,54 @@ def score_calibration(
             .alias("calibrated_ppm"),
         )
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    alpha: float = 0.1,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020): score every document with the corpus-trained add-α bigram
+    LM (``textops.bigram_lm_scores`` — the deterministic relational
+    scorer ``lm_perplexity_filter`` already uses), then split EACH
+    LANGUAGE into ``n_buckets`` equal-population tiers by ascending
+    perplexity — head / middle / tail at the default 3, the split the
+    CCNet pipeline trains and filters on (head ≈ cleanest third).
+
+    Exactness: the tier assignment is ``ntile`` over (perplexity,
+    doc_id) — a total order, because the scorer's perplexity is
+    rounded and the doc id breaks ties — so a SQL oracle reproduces
+    every row.  Plan shape: one scoring pass, one per-language window
+    (hash-partitioned on the language key, never a global sort); at
+    100 TB the window is the same per-group rank shape as the exact
+    grouped quantiles, with language cardinality ~dozens.
+
+    Returns (doc_id, lang, perplexity, bucket_i, bucket) with
+    bucket ∈ head/middle/tail (or ``t<i>`` beyond 3).
+    """
+    from pyspark.sql import Window
+
+    scored = textops.bigram_lm_scores(docs, text_col=text_col, alpha=alpha)
+    with_lang = scored.join(
+        docs.select("doc_id", F.col(lang_col).alias("lang")), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("perplexity").asc(), F.col("doc_id").asc()
+    )
+    b = F.ntile(n_buckets).over(w)
+    if n_buckets == 3:
+        label = F.when(b == 1, "head").when(b == 2, "middle").otherwise(
+            "tail"
+        )
+    else:
+        label = F.concat(F.lit("t"), b.cast("string"))
+    return with_lang.select(
+        "doc_id",
+        "lang",
+        "perplexity",
+        b.cast("int").alias("bucket_i"),
+        label.alias("bucket"),
+    )
