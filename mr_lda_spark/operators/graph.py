@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "oriented_edges", "triangles",
-           "triangle_participation"]
+           "triangle_participation", "kcore", "link_prediction"]
 
 
 def oriented_edges(edges: DataFrame) -> DataFrame:
@@ -225,3 +225,114 @@ def pagerank(
             ed.unpersist()
             nodes.unpersist()
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """k-core of an undirected graph (canonical edge list ``a < b``)
+    → (node, core_deg): the maximal subgraph where every node keeps
+    degree ≥ k, with each survivor's degree INSIDE that subgraph.
+
+    Peeling as a fixed number of pruning ``rounds`` (not
+    run-to-convergence): each round recomputes degrees over the
+    surviving symmetric edge relation and semi-joins out the nodes
+    below k.  A FIXED round count is what makes a cross-engine SQL
+    oracle possible — the oracle unrolls exactly the same prune
+    sequence, and once the peel has converged every further round is
+    a no-op in both engines, so any ``rounds`` ≥ the true peel depth
+    yields the identical (and correct) fixpoint.  Convergence within
+    the pinned count is property-tested (rounds vs rounds+4 equality,
+    ``tests/test_graph.py``), not assumed.
+
+    Scale shape (100 TB): each round is one node-keyed groupBy
+    (map-side combined — degree counting) plus two left-semi joins on
+    node keys; the survivor relation only shrinks, no round ever
+    joins anything bigger than the input edge list, and there is no
+    CartesianProduct anywhere (plan-guarded).  Lineage is cut per
+    round with ``localCheckpoint`` exactly like the pagerank /
+    connected-components loops so a deep peel doesn't stack a
+    quadratically-replanned DAG.  materialize=False returns the fully
+    lazy unrolled plan with no checkpoint (plan inspection)."""
+    sym = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("t")
+    ).unionByName(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    e = sym
+    for _ in range(int(rounds)):
+        alive = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("s")
+        )
+        e = (
+            e.join(alive, "s", "left_semi")
+            .join(alive.withColumnRenamed("s", "t"), "t", "left_semi")
+            .select("s", "t")
+        )
+        if materialize:
+            e = e.localCheckpoint(eager=False)
+    out = (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .select(F.col("s").alias("node"), "core_deg")
+    )
+    return out.localCheckpoint() if materialize else out
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_center_degree: int = 64,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected graph
+    (canonical edge list ``a < b``) → (u, v, cn, ra_ppb) for every
+    NON-edge pair sharing ≥ ``min_common`` neighbors: ``cn`` is the
+    common-neighbor count and ``ra_ppb`` the resource-allocation
+    index Σ_w 1/deg(w) in integer parts-per-billion
+    (``scale // deg(w)`` summed — floor division, cross-engine
+    exact; Adamic-Adar's 1/log would put libm in the oracle).
+
+    Scale shape (100 TB): the wedge join explodes deg(w)² pairs per
+    CENTER node w — the one quadratic hazard in any common-neighbor
+    method — so centers above ``max_center_degree`` are excluded
+    up front (the standard hub cut: a node connected to everything
+    certifies nothing about any particular pair, exactly the
+    shingle-df cap argument in ``dedup.jaccard_pairs``).  After the
+    cap the wedge relation is ≤ cap × |E| rows, the pair aggregation
+    is map-side combined on (u, v), and the existing-edge removal is
+    one left-anti equi-join.  No CartesianProduct (plan-guarded)."""
+    sym = edges.select(
+        F.col("a").alias("w"), F.col("b").alias("n")
+    ).unionByName(
+        edges.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    deg = sym.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.filter(F.col("d") <= max_center_degree)
+    nbr = sym.join(centers, "w").select(
+        "w", "n", F.expr(f"CAST({scale} AS BIGINT) div d").alias("ra_w")
+    )
+    x, y = nbr.alias("x"), nbr.alias("y")
+    wedges = x.join(
+        y, (F.col("x.w") == F.col("y.w")) & (F.col("x.n") < F.col("y.n"))
+    ).select(
+        F.col("x.n").alias("u"),
+        F.col("y.n").alias("v"),
+        F.col("x.ra_w").alias("ra_w"),
+    )
+    scored = (
+        wedges.groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum("ra_w").alias("ra_ppb"),
+        )
+        .filter(F.col("cn") >= min_common)
+    )
+    existing = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    return scored.join(existing, ["u", "v"], "left_anti")

@@ -8532,6 +8532,121 @@ def graph_triangles_parts(spark, sf_dir):
     return graph.triangle_participation(edges)
 
 
+_KCORE_EDGE_CTE = """
+    ed AS MATERIALIZED (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      WHERE x.l_quantity >= 30 AND y.l_quantity >= 30
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a AS s, b AS t FROM ed UNION ALL SELECT b AS s, a AS t FROM ed
+    )"""
+
+_KCORE_K, _KCORE_ROUNDS = 12, 10
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled peel oracle: each round MATERIALIZED, or DuckDB
+    re-expands e{r-1} three times per round (~3^rounds parquet scans
+    — found the hard way at registration)."""
+    sql = "WITH " + _KCORE_EDGE_CTE
+    for r in range(1, rounds + 1):
+        sql += f""",
+    a{r} AS MATERIALIZED (
+      SELECT s FROM e{r - 1} GROUP BY s HAVING count(*) >= {k}),
+    e{r} AS MATERIALIZED (
+      SELECT s, t FROM e{r - 1}
+      WHERE s IN (SELECT s FROM a{r}) AND t IN (SELECT s FROM a{r}))"""
+    sql += (
+        f"\n    SELECT s AS node, count(*) AS core_deg"
+        f" FROM e{rounds} GROUP BY s"
+    )
+    return sql
+
+
+@register("graph_kcore_parts", _kcore_oracle_sql(_KCORE_K, _KCORE_ROUNDS))
+def graph_kcore_parts(spark, sf_dir):
+    """k-core of the high-quantity co-purchase graph
+    (`operators/graph.kcore`, k=12): the maximal subgraph where every
+    part keeps ≥ 12 co-purchase partners — the density-community
+    primitive (a dedup/curation analog: keep only entities with
+    enough mutually-reinforcing support).  Fixed 10-round peel so the
+    DuckDB oracle unrolls the identical prune sequence; the true peel
+    depth is 6 at sf0.01 / 5 at sf0.1 (measured at registration) and
+    extra rounds are no-ops in both engines, so the pinned count IS
+    the fixpoint — convergence property-tested in tests/test_graph.py
+    (rounds vs rounds+4 equality).  Each round: one map-side-combined
+    degree groupBy + two left-semi joins on node keys, lineage cut
+    per round; no CartesianProduct (plan-guarded)."""
+    from mr_lda_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return graph.kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+@register(
+    "graph_linkpred_parts",
+    f"""
+    WITH {_KCORE_EDGE_CTE},
+    deg AS (SELECT s AS w, count(*) AS d FROM e0 GROUP BY 1),
+    ctr AS (
+      SELECT w, CAST(1000000000 // d AS BIGINT) AS ra_w
+      FROM deg WHERE d <= 40
+    ),
+    nbr AS (
+      SELECT e0.s AS w, e0.t AS n, ctr.ra_w
+      FROM e0 JOIN ctr ON ctr.w = e0.s
+    ),
+    wedges AS (
+      SELECT x.n AS u, y.n AS v, x.ra_w
+      FROM nbr x JOIN nbr y ON x.w = y.w AND x.n < y.n
+    ),
+    scored AS (
+      SELECT u, v, count(*) AS cn, CAST(sum(ra_w) AS BIGINT) AS ra_ppb
+      FROM wedges GROUP BY 1, 2 HAVING count(*) >= 4
+    )
+    SELECT s.u, s.v, s.cn, s.ra_ppb FROM scored s
+    LEFT JOIN ed ON ed.a = s.u AND ed.b = s.v
+    WHERE ed.a IS NULL
+    """,
+)
+def graph_linkpred_parts(spark, sf_dir):
+    """Common-neighbor link prediction over the co-purchase graph
+    (`operators/graph.link_prediction`): non-edge part pairs sharing
+    ≥ 4 neighbors, scored by common-neighbor count and the
+    resource-allocation index Σ 1/deg(w) in integer ppb (floor
+    division — cross-engine exact; Adamic-Adar's 1/log would put
+    libm rounding in the oracle).  The wedge join explodes deg²
+    pairs per CENTER node — the quadratic hazard of every
+    common-neighbor method — so centers above degree 40 are cut up
+    front (the 99th-pctile degree is 41 here, so the cap genuinely
+    bites; same argument as the shingle-df cap in dedup).  After the
+    cap: wedge relation ≤ 40·|E|, map-side-combined (u,v) agg, one
+    left-anti join against existing edges.  No CartesianProduct
+    (plan-guarded)."""
+    from mr_lda_spark.operators import graph
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 30)
+    a = li.select("l_orderkey", F.col("l_partkey").alias("a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("b"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return graph.link_prediction(edges, min_common=4, max_center_degree=40)
+
+
 @register(
     "events_markov_transitions",
     """

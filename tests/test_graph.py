@@ -149,3 +149,152 @@ def test_pagerank_releases_loop_invariant_caches(spark):
     got = {r["node"]: r["pr"] for r in ranks.collect()}
     assert set(got) == {0, 1, 2}
     assert all(v > 0 for v in got.values())
+
+
+# ---------------------------------------------------------------- kcore
+
+
+def _py_kcore(pairs, k):
+    """Reference peel: remove < k-degree nodes until fixpoint."""
+    edges = set(pairs)
+    while True:
+        deg: dict = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        alive = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in edges if a in alive and b in alive}
+        if nxt == edges:
+            return {
+                v: sum(1 for a, b in edges if v in (a, b)) for v in alive
+            }
+        edges = nxt
+
+
+def test_kcore_k4_plus_pendant(spark):
+    # K4 with a pendant: the 3-core is exactly the K4, pendant peeled.
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in graph.kcore(_tri_edges(spark, e), k=3, rounds=4).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    # chain of pendants hanging off a triangle: each peel round only
+    # exposes the next pendant, so the result is wrong unless the
+    # peel really iterates.
+    e = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in graph.kcore(_tri_edges(spark, e), k=2, rounds=6).collect()
+    }
+    assert got == _py_kcore(e, 2) == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_matches_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(18), 2)))
+            for _ in range(60)
+        }
+    )
+    got = {
+        r["node"]: r["core_deg"]
+        for r in graph.kcore(
+            _tri_edges(spark, pairs), k=4, rounds=10
+        ).collect()
+    }
+    assert got == _py_kcore(pairs, 4)
+
+
+def test_kcore_registered_rounds_reach_fixpoint(spark):
+    """The registered row pins rounds=10; the true fixpoint is
+    whatever rounds+4 yields.  Equality here is what lets the
+    unrolled SQL oracle claim to BE the k-core, not merely round 10
+    of a peel (measured depth: 6 at sf0.01, 5 at sf0.1)."""
+    from mr_lda_spark.queries_registry import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        graph_kcore_parts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = graph_kcore_parts(spark, sf).toPandas()
+    li = None  # rebuild edges once more with deeper peel
+    from mr_lda_spark.session import read_table
+
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 30)
+    ed = (
+        li.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(li.select("l_orderkey", F.col("l_partkey").alias("b")), "l_orderkey")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    b = graph.kcore(ed, k=_KCORE_K, rounds=_KCORE_ROUNDS + 4).toPandas()
+    key = ["node", "core_deg"]
+    assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+        map(tuple, b[key].values.tolist())
+    )
+
+
+def test_kcore_lazy_plan_no_cartesian_no_persist(spark):
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
+    e = [(a, b) for a in range(8) for b in range(8) if a < b]
+    lazy = graph.kcore(_tri_edges(spark, e), k=3, rounds=3, materialize=False)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert cm.cachedData().size() == before
+
+
+# ------------------------------------------------------ link prediction
+
+
+def test_link_prediction_path_and_square(spark):
+    # square 1-2-3-4-1: each diagonal shares exactly its two
+    # opposite corners; all degrees are 2 so ra = 2 * (1e9 // 2).
+    e = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    got = sorted(
+        (r["u"], r["v"], r["cn"], r["ra_ppb"])
+        for r in graph.link_prediction(
+            _tri_edges(spark, e), min_common=2
+        ).collect()
+    )
+    assert got == [(1, 3, 2, 1_000_000_000), (2, 4, 2, 1_000_000_000)]
+
+
+def test_link_prediction_excludes_existing_edges_and_hubs(spark):
+    # star hub 0: every leaf pair shares the hub — but with the hub
+    # over the degree cap, NO wedge survives.
+    e = [(0, i) for i in range(1, 6)]
+    df = graph.link_prediction(
+        _tri_edges(spark, e), min_common=1, max_center_degree=4
+    )
+    assert df.count() == 0
+    # with the cap lifted the leaf pairs appear, hub pairs never do
+    # (and existing edges stay excluded).
+    rows = graph.link_prediction(
+        _tri_edges(spark, e), min_common=1, max_center_degree=64
+    ).collect()
+    pairs = {(r["u"], r["v"]) for r in rows}
+    assert pairs == {(i, j) for i in range(1, 6) for j in range(i + 1, 6)}
+    assert all(r["ra_ppb"] == 1_000_000_000 // 5 for r in rows)
+
+
+def test_link_prediction_plan_no_cartesian(spark):
+    e = [(a, b) for a in range(8) for b in range(8) if a < b]
+    plan = (
+        graph.link_prediction(_tri_edges(spark, e))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
