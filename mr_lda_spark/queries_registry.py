@@ -3567,6 +3567,55 @@ def embedding_outliers(spark, sf_dir):
 
 
 @register(
+    "embedding_gram_exact",
+    """
+    WITH ok AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM ok, unnest(range(1, 65)) AS u(i)
+    ),
+    gram AS (
+      SELECT x.i AS i, y.i AS j,
+             CAST(sum(CAST(x.qx AS HUGEINT) * y.qx) AS DECIMAL(38,0)) AS s
+      FROM q x JOIN q y ON x.vec_id = y.vec_id AND y.i >= x.i
+      GROUP BY 1, 2
+    ),
+    firsts AS (
+      SELECT i, CAST(0 AS INTEGER) AS j,
+             CAST(sum(qx) AS DECIMAL(38,0)) AS s
+      FROM q GROUP BY 1
+    ),
+    cnt AS (
+      SELECT CAST(0 AS INTEGER) AS i, CAST(0 AS INTEGER) AS j,
+             CAST(count(*) AS DECIMAL(38,0)) AS s
+      FROM ok
+    )
+    SELECT i, j, s FROM gram
+    UNION ALL SELECT i, j, s FROM firsts
+    UNION ALL SELECT i, j, s FROM cnt
+    """,
+)
+def embedding_gram_exact(spark, sf_dir):
+    """One-pass exact Gram / covariance sufficient statistics of the
+    embedding table (`operators/linalg.gram_moments`): quantized
+    X^T X upper triangle + component sums + row count in one
+    relation, integer-exact (micro-unit quantization, DECIMAL(38,0)
+    cross-batch sum) so the hash matches DuckDB regardless of
+    partition order.  Spark side computes each Arrow batch's d×d
+    block in numpy (in-mapper combining — the shuffle carries 2 145
+    rows per partition, never row-count-shaped data); the oracle pays
+    the honest 64²-per-vector unnest self-join instead."""
+    from mr_lda_spark.operators.linalg import gram_moments
+
+    return gram_moments(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
     "events_stream_join",
     """
     SELECT v.user_id, v.event_id AS view_id, b.event_id AS purchase_id,

@@ -1,0 +1,87 @@
+"""gram_moments: numpy-reference parity, drop semantics for bad rows,
+covariance derivability, and plan shape."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators.linalg import gram_moments
+
+
+def _df(spark, rows, dim=4):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v] if v is not None else None) for i, v in enumerate(rows)],
+        f"vec_id long, embedding array<float>",
+    )
+
+
+def _expected(mat, scale=1_000_000):
+    q = np.floor(np.asarray(mat, dtype=np.float64) * scale + 0.5).astype(
+        np.int64
+    )
+    g = q.T @ q
+    out = {(0, 0): q.shape[0]}
+    for i in range(q.shape[1]):
+        out[(i + 1, 0)] = int(q[:, i].sum())
+        for j in range(i, q.shape[1]):
+            out[(i + 1, j + 1)] = int(g[i, j])
+    return out
+
+
+def test_gram_matches_numpy_reference(spark):
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(37, 4)).astype(np.float32)
+    got = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(_df(spark, mat.tolist()), dim=4).collect()
+    }
+    assert got == _expected(mat.astype(np.float64))
+
+
+def test_gram_drops_null_and_ragged_vectors(spark):
+    rows = [[1.0, 2.0, 3.0, 4.0], None, [1.0, 1.0], [0.5, 0.0, -0.5, 1.0]]
+    got = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(_df(spark, rows), dim=4).collect()
+    }
+    # only the two well-formed rows count
+    assert got[(0, 0)] == 2
+    assert got == _expected([rows[0], rows[3]])
+
+
+def test_gram_output_is_d_squared_shaped(spark):
+    rng = np.random.default_rng(5)
+    df = gram_moments(_df(spark, rng.normal(size=(50, 4)).tolist()), dim=4)
+    # 10 upper-triangle + 4 first moments + 1 count
+    assert df.count() == 4 * 5 // 2 + 4 + 1
+
+
+def test_gram_covariance_derivable_and_exact(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(200, 4))
+    stats = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(_df(spark, mat.tolist()), dim=4).collect()
+    }
+    n = stats[(0, 0)]
+    scale = 1_000_000
+    # the stored column is float32 — quantize what Spark actually saw
+    q = np.floor(mat.astype(np.float32).astype(np.float64) * scale + 0.5)
+    for i in range(4):
+        for j in range(i, 4):
+            cov = (
+                stats[(i + 1, j + 1)]
+                - stats[(i + 1, 0)] * stats[(j + 1, 0)] / n
+            ) / (n * scale**2)
+            ref = np.cov(q[:, i], q[:, j], bias=True)[0, 1] / scale**2
+            assert abs(cov - ref) < 1e-9
+
+
+def test_gram_plan_partial_agg_no_cartesian(spark):
+    rng = np.random.default_rng(9)
+    df = gram_moments(_df(spark, rng.normal(size=(20, 4)).tolist()), dim=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the cross-batch sum must be map-side combined: a partial
+    # HashAggregate below the exchange, the final one above it.
+    assert plan.count("HashAggregate") >= 2
