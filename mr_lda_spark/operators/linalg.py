@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gram_moments"]
+__all__ = ["gram_moments", "pca_power"]
 
 _GRAM_SCHEMA = "i int, j int, s long"
 
@@ -88,4 +88,85 @@ def gram_moments(
     partials = vecs.select(vec_col).mapInPandas(kernel, schema=_GRAM_SCHEMA)
     return partials.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+
+
+def pca_power(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+    iterations: int = 12,
+) -> DataFrame:
+    """Top principal component by INTEGER-EXACT power iteration →
+    (i, loading) with 1-based component index and micro-unit
+    DECIMAL(38,0) loadings (max-abs-normalized to ±scale).
+
+    The heavy lifting is the distributed one-pass
+    :func:`gram_moments`; the iteration itself runs on the
+    ANSWER-SIZED d×d integer matrix ``M = n·S − s·sᵀ`` (the
+    covariance numerator — positive-semidefinite, eigenvectors
+    identical to the covariance's) with driver-side arbitrary-
+    precision Python ints, the same driver-scalar pattern as the
+    Newton–Raphson α update in ``functions/alpha.py``.  Every step is
+    exact integer arithmetic:
+
+        w   = M · v
+        v'  = sign(w) · (|w| · scale // max|w|)
+
+    Max-abs renormalization by floor division (on NON-NEGATIVE
+    operands — DuckDB's ``//`` truncates toward zero while Python's
+    floors, so the sign is factored out first) keeps the whole
+    trajectory engine-independent: the SQL oracle unrolls the exact
+    same 12 steps over the same integers and matches bit-for-bit —
+    libm-free PCA.  Sign convention falls out of the deterministic
+    all-ones start; no RNG anywhere.
+
+    Convergence is the spectrum's business, not the operator's: the
+    iterate aligns with the top eigenvector at rate (λ₂/λ₁)^k, so on
+    a genuinely anisotropic table a handful of steps suffice
+    (unit-tested against numpy's eigh on planted-direction data),
+    while on a near-isotropic input — the synthetic embeddings table
+    is λ₂/λ₁ ≈ 0.98 by construction — the k-step iterate is what the
+    mathematics says it is.  Either way both engines compute the
+    identical vector; callers needing a convergence certificate
+    should compare successive iterates.
+
+    Headroom (documented, not hoped): |M| ≤ 2·n²·(scale·‖x‖∞)², and
+    |w| ≤ d·|M|·scale — at n = 10⁹ rows, d = 64, unit-normed inputs
+    that is ~10³⁷, inside DECIMAL(38,0)/HUGEINT.  Past that, lower
+    ``scale``."""
+    from decimal import Decimal
+
+    stats = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(vecs, vec_col, dim, scale).collect()
+    }
+    n = stats[(0, 0)]
+    s1 = [stats[(i, 0)] for i in range(1, dim + 1)]
+    m = [[0] * dim for _ in range(dim)]
+    for i in range(dim):
+        for j in range(i, dim):
+            v = n * stats[(i + 1, j + 1)] - s1[i] * s1[j]
+            m[i][j] = m[j][i] = v
+    v = [scale] * dim
+    for _ in range(int(iterations)):
+        w = [sum(m[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        # degenerate all-zero step: pin to the zero vector (the SQL
+        # oracle's CASE does the same) rather than breaking early,
+        # so both engines walk identical trajectories even on a
+        # rank-0 input.
+        v = (
+            [0] * dim
+            if mx == 0
+            else [
+                (1 if x >= 0 else -1) * (abs(x) * scale // mx)
+                for x in w
+            ]
+        )
+    spark = vecs.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, Decimal(v[i])) for i in range(dim)],
+        "i int, loading decimal(38,0)",
     )

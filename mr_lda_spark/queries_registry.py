@@ -3615,6 +3615,97 @@ def embedding_gram_exact(spark, sf_dir):
     return gram_moments(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+def _pca_power_oracle_sql(iterations: int) -> str:
+    """Unrolled integer power iteration (see linalg.pca_power): the
+    same gram statistics as embedding_gram_exact kept in HUGEINT, the
+    covariance numerator M = n·S − s·sᵀ, then `iterations` exact
+    matrix-vector steps with abs-sign max-norm floor renormalization
+    (DuckDB's // truncates toward zero, Python's floors — factoring
+    the sign out makes them agree).  Every round MATERIALIZED (the
+    kcore lesson: un-materialized self-referencing rounds re-expand
+    exponentially)."""
+    sql = """
+    WITH ok AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM ok, unnest(range(1, 65)) AS u(i)
+    ),
+    gram AS MATERIALIZED (
+      SELECT x.i AS i, y.i AS j, sum(CAST(x.qx AS HUGEINT) * y.qx) AS s
+      FROM q x JOIN q y ON x.vec_id = y.vec_id AND y.i >= x.i
+      GROUP BY 1, 2
+    ),
+    g2 AS (
+      SELECT i, j, s FROM gram
+      UNION ALL SELECT j AS i, i AS j, s FROM gram WHERE i <> j
+    ),
+    firsts AS (SELECT i, sum(CAST(qx AS HUGEINT)) AS sx FROM q GROUP BY 1),
+    nval AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM ok),
+    m AS MATERIALIZED (
+      SELECT g2.i, g2.j, nval.n * g2.s - fi.sx * fj.sx AS mv
+      FROM g2
+      CROSS JOIN nval
+      JOIN firsts fi ON fi.i = g2.i
+      JOIN firsts fj ON fj.i = g2.j
+    ),
+    v0 AS (
+      SELECT CAST(i AS INTEGER) AS i, CAST(1000000 AS HUGEINT) AS v
+      FROM unnest(range(1, 65)) AS u(i)
+    )"""
+    for r in range(1, iterations + 1):
+        sql += f""",
+    w{r} AS MATERIALIZED (
+      SELECT m.i, sum(m.mv * v{r - 1}.v) AS w
+      FROM m JOIN v{r - 1} ON v{r - 1}.i = m.j GROUP BY 1
+    ),
+    v{r} AS MATERIALIZED (
+      SELECT i,
+             CASE WHEN t.mx = 0 THEN CAST(0 AS HUGEINT)
+                  WHEN w < 0 THEN -((-w) * 1000000 // t.mx)
+                  ELSE (w * 1000000 // t.mx)
+             END AS v
+      FROM w{r} CROSS JOIN (SELECT max(abs(w)) AS mx FROM w{r}) t
+    )"""
+    sql += (
+        f"\n    SELECT i, CAST(v AS DECIMAL(38,0)) AS loading"
+        f" FROM v{iterations}"
+    )
+    return sql
+
+
+_PCA_ITERATIONS = 12
+
+
+@register("embedding_pca_power", _pca_power_oracle_sql(_PCA_ITERATIONS))
+def embedding_pca_power(spark, sf_dir):
+    """12 integer-exact power-iteration steps toward the embedding
+    table's top principal component (`operators/linalg.pca_power`):
+    the distributed one-pass integer Gram (same kernel as
+    embedding_gram_exact) followed by exact matrix-vector steps on
+    the answer-sized d×d covariance numerator — max-abs floor
+    renormalization with the sign factored out, so Python ints and
+    DuckDB HUGEINTs walk bit-identical trajectories (libm-free: no
+    sqrt, no float sum order anywhere).  The eigen step is
+    driver-side on d² = 4 096 integers — the Newton-α driver-scalar
+    pattern, not a distributed collect.  NOTE the synthetic
+    embeddings are near-isotropic (λ₂/λ₁ ≈ 0.98 measured at
+    registration), so 12 steps cannot single out an eigendirection
+    on THIS table — the row pins the exact iteration machinery
+    cross-engine; convergence on gapped spectra is unit-tested
+    against numpy eigh (tests/test_linalg.py)."""
+    from mr_lda_spark.operators.linalg import pca_power
+
+    return pca_power(
+        _t(spark, sf_dir, "embeddings"), dim=64,
+        iterations=_PCA_ITERATIONS,
+    )
+
+
 @register(
     "events_stream_join",
     """

@@ -85,3 +85,48 @@ def test_gram_plan_partial_agg_no_cartesian(spark):
     # the cross-batch sum must be map-side combined: a partial
     # HashAggregate below the exchange, the final one above it.
     assert plan.count("HashAggregate") >= 2
+
+
+# ------------------------------------------------------------ pca_power
+
+
+def test_pca_power_converges_on_gapped_spectrum(spark):
+    """Planted dominant direction: data = strong signal along a fixed
+    unit vector + weak isotropic noise (λ₁ ≫ λ₂), where 12 exact
+    steps must align with numpy eigh's top eigenvector."""
+    from mr_lda_spark.operators.linalg import pca_power
+
+    rng = np.random.default_rng(13)
+    d, n = 6, 400
+    u = np.array([3.0, -1.0, 2.0, 0.5, -2.0, 1.0])
+    u /= np.linalg.norm(u)
+    mat = (
+        np.outer(rng.normal(size=n) * 5.0, u)
+        + rng.normal(size=(n, d)) * 0.1
+    )
+    got = {
+        r["i"]: int(r["loading"])
+        for r in pca_power(_df(spark, mat.tolist(), dim=d), dim=d).collect()
+    }
+    v = np.array([got[i] for i in range(1, d + 1)], dtype=np.float64)
+    q = np.floor(mat.astype(np.float32).astype(np.float64) * 1e6 + 0.5)
+    evals, evecs = np.linalg.eigh(np.cov(q.T, bias=True))
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.9999
+    # loadings are max-abs normalized to ±1e6
+    assert max(abs(x) for x in got.values()) == 1_000_000
+
+
+def test_pca_power_zero_matrix_yields_zero_vector(spark):
+    """Rank-0 input (all rows identical): M = n·S − s·sᵀ is exactly
+    zero, the degenerate branch pins the zero vector — matching the
+    SQL oracle's CASE, not an early break."""
+    from mr_lda_spark.operators.linalg import pca_power
+
+    rows = [[0.25, -0.5, 0.75, 1.0]] * 10
+    got = {
+        r["i"]: int(r["loading"])
+        for r in pca_power(_df(spark, rows, dim=4), dim=4).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0, 4: 0}
