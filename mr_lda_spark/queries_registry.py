@@ -3681,6 +3681,66 @@ def _pca_power_oracle_sql(iterations: int) -> str:
 _PCA_ITERATIONS = 12
 
 
+@register(
+    "embeddings_stream_gram",
+    """
+    WITH ok AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM ok, unnest(range(1, 65)) AS u(i)
+    ),
+    gram AS (
+      SELECT x.i AS i, y.i AS j,
+             CAST(sum(CAST(x.qx AS HUGEINT) * y.qx) AS DECIMAL(38,0)) AS s
+      FROM q x JOIN q y ON x.vec_id = y.vec_id AND y.i >= x.i
+      GROUP BY 1, 2
+    ),
+    firsts AS (
+      SELECT i, CAST(0 AS INTEGER) AS j,
+             CAST(sum(qx) AS DECIMAL(38,0)) AS s
+      FROM q GROUP BY 1
+    ),
+    cnt AS (
+      SELECT CAST(0 AS INTEGER) AS i, CAST(0 AS INTEGER) AS j,
+             CAST(count(*) AS DECIMAL(38,0)) AS s
+      FROM ok
+    )
+    SELECT i, j, s FROM gram
+    UNION ALL SELECT i, j, s FROM firsts
+    UNION ALL SELECT i, j, s FROM cnt
+    """,
+)
+def embeddings_stream_gram(spark, sf_dir):
+    """Gram / covariance statistics maintained OVER THE STREAM
+    (`streaming/gram_stream.gram_moments_from_stream`): the batch
+    `linalg.gram_moments` — stateless Arrow matmul blocks + one
+    groupBy().sum() — runs verbatim as the streaming aggregate, the
+    fourth sketch-on-stream twin next to HLL (max), CMS (count) and
+    AMS (signed count), with state bounded at d(d+1)/2+d+1 = 2 145
+    rows regardless of stream length.  Integer-exact partials make
+    micro-batch boundaries invisible in the result: the drained
+    table is bit-for-bit the batch Gram and the oracle is the batch
+    SQL."""
+    import uuid
+
+    from mr_lda_spark.streaming.gram_stream import (
+        gram_moments_from_stream,
+        read_embeddings_stream,
+    )
+
+    return gram_moments_from_stream(
+        spark,
+        read_embeddings_stream(spark, sf_dir),
+        f"gram_{uuid.uuid4().hex[:8]}",
+        dim=64,
+    )
+
+
 @register("embedding_pca_power", _pca_power_oracle_sql(_PCA_ITERATIONS))
 def embedding_pca_power(spark, sf_dir):
     """12 integer-exact power-iteration steps toward the embedding
@@ -6930,6 +6990,43 @@ def text_bpe_merges_golden(spark, sf_dir):
             min_pair_count=2,
         ).localCheckpoint()
     return _LDA_CACHE[key]
+
+
+@register(
+    "text_bpe_encode_golden", _golden_oracle("text_bpe_encode_golden")
+)
+def text_bpe_encode_golden(spark, sf_dir):
+    """Hash-checked golden run of the BPE ENCODER — the other half of
+    the tokenizer lifecycle (text_bpe_merges_golden freezes training;
+    this row freezes applying the learned merges to the corpus, which
+    is what a 100 TB tokenization pass actually runs).  Encodes the
+    frozen sf0.001 documents with the 20 golden merges
+    (`operators/bpe.encode_bpe`: greedy rank-order merge application,
+    Arrow-batched with per-batch word memoization) and freezes the
+    answer-sized usage profile: the top 20 BPE tokens by
+    (count DESC, token ASC — total tie-break) with corpus totals.
+    Exactly deterministic end to end: no floats anywhere, so the
+    two-geometry freeze proof is belt-and-braces.  Ignores sf_dir."""
+    from mr_lda_spark.operators import bpe
+
+    merges = text_bpe_merges_golden(spark, sf_dir)
+    enc_key = ("golden-bpe-encode", spark.sparkContext.applicationId)
+    if enc_key not in _LDA_CACHE:
+        enc = bpe.encode_bpe(
+            _t(spark, GOLDEN_SF_DIR, "documents"), merges
+        )
+        counts = (
+            enc.select(F.explode("bpe_tokens").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        top = counts.orderBy(F.desc("n"), F.asc("token")).limit(20)
+        totals = enc.agg(
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+            F.sum("n_words").alias("total_words"),
+        )
+        _LDA_CACHE[enc_key] = top.crossJoin(totals).localCheckpoint()
+    return _LDA_CACHE[enc_key]
 
 
 @register("lda_online_golden", _golden_oracle("lda_online_golden"))

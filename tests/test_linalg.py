@@ -130,3 +130,60 @@ def test_pca_power_zero_matrix_yields_zero_vector(spark):
         for r in pca_power(_df(spark, rows, dim=4), dim=4).collect()
     }
     assert got == {1: 0, 2: 0, 3: 0, 4: 0}
+
+
+# ----------------------------------------------------- streaming twin
+
+
+def test_gram_stream_equals_batch_across_microbatches(spark, tmp_path):
+    """Three parquet files + maxFilesPerTrigger=1 → three micro-
+    batches; integer-exact partials must make the drained table
+    bit-identical to the batch Gram over the union."""
+    import uuid
+
+    from mr_lda_spark.streaming.gram_stream import (
+        EMB_SCHEMA,
+        gram_moments_from_stream,
+    )
+
+    rng = np.random.default_rng(21)
+    d = 4
+    parts = [rng.normal(size=(30, d)).astype(np.float32) for _ in range(3)]
+    base = 0
+    for k, mat in enumerate(parts):
+        df = spark.createDataFrame(
+            [
+                (base + i, [float(x) for x in row], 0)
+                for i, row in enumerate(mat)
+            ],
+            "vec_id long, embedding array<float>, label int",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"part{k}")
+        )
+        base += len(mat)
+    # one directory containing the three single-file tables
+    import glob
+    import shutil
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for k in range(3):
+        f = glob.glob(str(tmp_path / f"part{k}" / "*.parquet"))[0]
+        shutil.copy(f, src / f"f{k}.parquet")
+
+    stream = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = gram_moments_from_stream(
+        spark, stream, f"g_{uuid.uuid4().hex[:8]}", dim=d
+    )
+    batch = gram_moments(
+        spark.read.schema(EMB_SCHEMA).parquet(str(src)), dim=d
+    )
+    g = sorted((r["i"], r["j"], str(r["s"])) for r in got.collect())
+    b = sorted((r["i"], r["j"], str(r["s"])) for r in batch.collect())
+    assert g == b
+    assert len(g) == d * (d + 1) // 2 + d + 1

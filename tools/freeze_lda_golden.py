@@ -40,6 +40,7 @@ GOLDEN_NAMES = [
     "polylda_join_train_golden",
     "lda_online_golden",
     "text_bpe_merges_golden",
+    "text_bpe_encode_golden",
     "lda_heldout_perplexity_golden",
     "lda_heldout_perplexity_join_golden",
     "polylda_heldout_perplexity_golden",
