@@ -196,6 +196,26 @@ EXTRA = [
     # bucketing matmuls, the cross-set bucket join, pair dedup, the
     # rehydration joins, and the rank window.
     "similarity_margin_mining_lsh",
+    # r11 continuation additions (recorded, not in the total).
+    # text_bpe_encode_golden is NOT benched (golden-row policy).
+    # the peel materializes at construction (localCheckpoint);
+    # count() forces only the final survivor-degree agg.
+    "graph_kcore_parts",
+    # ends in a left-anti join over the HAVING-filtered wedge agg:
+    # count() computes the degree cap, wedge join, and both aggs.
+    "graph_linkpred_parts",
+    # ends in the (i,j) moment groupBy: count() computes the Arrow
+    # matmul blocks and the decimal combine.
+    "embedding_gram_exact",
+    # gram collect + driver power iteration run at construction;
+    # count() forces the 64-row result.
+    "embedding_pca_power",
+    # streaming drain is eager at construction (availableNow memory
+    # sink); count() forces the drained 2145-row table.
+    "embeddings_stream_gram",
+    # frontier rounds run eagerly at construction (localCheckpoint +
+    # isEmpty); count() forces the final visited relation.
+    "graph_bfs_levels_parts",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "oriented_edges", "triangles",
-           "triangle_participation", "kcore", "link_prediction"]
+           "triangle_participation", "kcore", "link_prediction",
+           "bfs_levels"]
 
 
 def oriented_edges(edges: DataFrame) -> DataFrame:
@@ -336,3 +337,62 @@ def link_prediction(
     )
     existing = edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
     return scored.join(existing, ["u", "v"], "left_anti")
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_rounds: int = 8,
+    materialize: bool = True,
+) -> DataFrame:
+    """Multi-source BFS over an undirected graph (canonical edge list
+    ``a < b``; ``seeds`` a (node) relation) → (node, dist): the
+    minimum hop count from any seed, exploring at most ``max_rounds``
+    hops.  The remaining core graph primitive next to pagerank /
+    triangles / components / k-core / link prediction.
+
+    Frontier expansion with the visited set as the loop state: each
+    round joins the CURRENT frontier (not the whole visited relation)
+    to the edge list and anti-joins out already-visited nodes, so a
+    round's work is frontier-adjacency-sized and the whole traversal
+    touches each edge O(1) times — textbook Pregel BFS as DataFrame
+    joins, lineage cut per round with ``localCheckpoint``.  The loop
+    stops early when the frontier empties (the driver-side isEmpty is
+    a frontier-sized check, same class as the pagerank loop counts);
+    ``max_rounds`` is both the scale guard and what the SQL oracle
+    pins — DuckDB's recursive CTE explores the same ≤ max_rounds hops
+    (the depth bound is what keeps cyclic graphs from recursing
+    forever), so the relations agree exactly whether or not the
+    traversal has converged, and a property test pins convergence
+    within the registered bound.  materialize=False: fully lazy, no
+    checkpoint (plan inspection)."""
+    sym = edges.select(
+        F.col("a").alias("s"), F.col("b").alias("t")
+    ).unionByName(
+        edges.select(F.col("b").alias("s"), F.col("a").alias("t"))
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    if materialize:
+        dist = dist.localCheckpoint()
+    frontier = dist
+    for r in range(1, int(max_rounds) + 1):
+        cand = (
+            frontier.join(sym, frontier["node"] == sym["s"])
+            .select(F.col("t").alias("node"))
+            .distinct()
+        )
+        new = cand.join(dist, "node", "left_anti").withColumn(
+            "dist", F.lit(r).cast("int")
+        )
+        if materialize:
+            new = new.localCheckpoint()
+            if new.isEmpty():
+                break
+        dist = dist.unionByName(new)
+        if materialize:
+            dist = dist.localCheckpoint(eager=False)
+        frontier = new
+    return dist

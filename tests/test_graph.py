@@ -298,3 +298,131 @@ def test_link_prediction_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ------------------------------------------------------------ bfs_levels
+
+
+def _py_bfs(pairs, seeds, cap):
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for r in range(1, cap + 1):
+        nxt = {
+            t
+            for v in frontier
+            for t in adj.get(v, ())
+            if t not in dist
+        }
+        if not nxt:
+            break
+        for t in nxt:
+            dist[t] = r
+        frontier = nxt
+    return dist
+
+
+def test_bfs_path_distances(spark):
+    # path 1-2-3-4-5 from seed 1: dist = index.
+    e = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_levels(_tri_edges(spark, e), seeds, 8).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_bfs_multi_source_takes_min(spark):
+    # seeds at both ends of the path: middle node is 2 from either.
+    e = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    seeds = spark.createDataFrame([(1,), (5,)], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_levels(_tri_edges(spark, e), seeds, 8).collect()
+    }
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_cap_truncates_and_disconnected_unreached(spark):
+    e = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    seeds = spark.createDataFrame([(1,)], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_levels(_tri_edges(spark, e), seeds, 2).collect()
+    }
+    # node 4 is 3 hops away — beyond the cap; component {10,11} never.
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_bfs_matches_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(23)
+    pairs = sorted(
+        {tuple(sorted(rng.sample(range(25), 2))) for _ in range(40)}
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "node int")
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_levels(
+            _tri_edges(spark, pairs), seeds, 10
+        ).collect()
+    }
+    assert got == _py_bfs(pairs, [0, 7], 10)
+
+
+def test_bfs_registered_cap_reaches_fixpoint(spark):
+    """cap vs cap+4 equality on the frozen sf0.001 graph — what lets
+    the depth-bounded recursive oracle claim to BE the hop distance,
+    not a truncation (measured eccentricity 3-4 at the graded SFs)."""
+    from mr_lda_spark.queries_registry import (
+        _BFS_MAX_ROUNDS,
+        graph_bfs_levels_parts,
+    )
+    from mr_lda_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    a = graph_bfs_levels_parts(spark, sf).toPandas()
+    li = read_table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 30)
+    ed = (
+        li.select("l_orderkey", F.col("l_partkey").alias("a"))
+        .join(
+            li.select("l_orderkey", F.col("l_partkey").alias("b")),
+            "l_orderkey",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sym = ed.select(F.col("a").alias("s")).unionByName(
+        ed.select(F.col("b").alias("s"))
+    )
+    seeds = (
+        sym.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), F.asc("s"))
+        .limit(3)
+        .select(F.col("s").alias("node"))
+    )
+    b = graph.bfs_levels(ed, seeds, _BFS_MAX_ROUNDS + 4).toPandas()
+    assert sorted(map(tuple, a.values.tolist())) == sorted(
+        map(tuple, b.values.tolist())
+    )
+
+
+def test_bfs_lazy_plan_no_cartesian_no_persist(spark):
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    before = cm.cachedData().size()
+    e = [(a, b) for a in range(6) for b in range(6) if a < b]
+    seeds = spark.createDataFrame([(0,)], "node int")
+    lazy = graph.bfs_levels(
+        _tri_edges(spark, e), seeds, 3, materialize=False
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert cm.cachedData().size() == before
