@@ -1050,3 +1050,73 @@ def ccnet_perplexity_buckets(
         b.cast("int").alias("bucket_i"),
         label.alias("bucket"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    weight_cap: int = 64,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: the k
+    winners of a min-hash race over an integer-replicated multiset —
+    each row enters ``min(max(w,1), weight_cap)`` md5-keyed tickets
+    and keeps its smallest; the k smallest surviving keys win.
+    Equivalent to uniform sampling without replacement from the
+    weight-replicated multiset then deduping — heavier rows win
+    proportionally more often, with NO floating point anywhere
+    (the Efraimidis–Spirakis u^(1/w) key needs pow/log whose libm
+    ulp differences could flip ranks across engines; 60-bit integer
+    keys cannot tie in practice and compare exactly).
+
+    Scale: replication is bounded by ``weight_cap`` (explode factor
+    ≤ cap — weights above the cap saturate; pipelines needing finer
+    resolution pre-bucket weights into the cap range).  The per-id
+    min is one map-side-combined groupBy; the global top-k is
+    orderBy().limit(k) which Spark executes as TakeOrderedAndProject
+    (per-partition heap + driver merge of k·P rows — no full sort,
+    no single-reducer shuffle).
+    """
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
+        F.lit(int(weight_cap)),
+    )
+    rep = df.select(
+        F.col(id_col), w.cast("int").alias("w_capped")
+    ).select(
+        id_col,
+        "w_capped",
+        F.explode(F.sequence(F.lit(1), F.col("w_capped"))).alias("__i"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.lit("wrs"),
+                    F.col("__i").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    best = (
+        rep.select(id_col, "w_capped", key.alias("__key"))
+        .groupBy(id_col, "w_capped")
+        .agg(F.min("__key").alias("min_key"))
+    )
+    from pyspark.sql import Window
+
+    topk = best.orderBy("min_key", id_col).limit(int(k))
+    win = Window.orderBy("min_key", id_col)
+    return topk.select(
+        id_col,
+        "w_capped",
+        "min_key",
+        F.row_number().over(win).cast("int").alias("rank"),
+    )

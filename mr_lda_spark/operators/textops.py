@@ -1015,3 +1015,144 @@ def decontaminate_spans(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    cheap "is this natural text or noise/boilerplate" quality signal
+    (low for repeated padding / single-char runs, ~4 bits for natural
+    prose, high for base64/binary spill).  Complements
+    ``quality_scores`` (token ratios) and ``repetition_scores``
+    (n-gram loops) with a distribution-shape signal neither sees.
+
+    Cross-engine determinism: H = log2(N) - (Σ c·log2 c)/N.  The only
+    libm calls live in the per-(doc,char) terms, each ROUNDED to an
+    integer at 1e6 scale BEFORE summation (``clogc_q`` — bigint), so
+    the sum is exact integer arithmetic in any order/engine; the final
+    entropy is float ops over exact integers (IEEE-exact ÷ and −, one
+    log2) rounded to 4 decimals.  Residual risk is a term landing
+    within ~1e-10 of a rounding boundary under a 1-ulp libm
+    difference — the documented margin-mining class, negligible at
+    1e6 term scale / 4-decimal output.
+
+    Scale: explode-to-chars is corpus-linear (the shingling cost
+    class); the (doc,char) groupBy map-side-combines to ≤ alphabet
+    rows per doc before the doc_id shuffle, so shuffle volume is
+    ~100× SMALLER than the input scan.  Empty documents produce no
+    character rows and are emitted with zero entropy via the
+    left join back to the doc spine.
+    """
+    spine = docs.select("doc_id", *keep_cols)
+    ch = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per = ch.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    doc = (
+        per.select(
+            "doc_id",
+            "c",
+            F.round(F.col("c") * F.log2("c") * 1e6, 0)
+            .cast("bigint")
+            .alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+            F.sum("t").alias("clogc_q"),
+        )
+    )
+    return spine.join(doc, "doc_id", "left").select(
+        "doc_id",
+        *keep_cols,
+        F.coalesce("n_chars", F.lit(0).cast("bigint")).alias("n_chars"),
+        F.coalesce("n_distinct_chars", F.lit(0)).alias("n_distinct_chars"),
+        F.coalesce("clogc_q", F.lit(0).cast("bigint")).alias("clogc_q"),
+        F.when(F.col("n_chars").isNull() | (F.col("n_chars") == 0), 0.0)
+        .otherwise(
+            F.round(
+                F.log2("n_chars")
+                - F.col("clogc_q") / (F.col("n_chars") * 1e6),
+                4,
+            )
+        )
+        .alias("entropy_bits"),
+    )
+
+
+def source_divergence(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (bits) between the unigram
+    term distributions of every pair of sources — the domain-mixture
+    diagnostic (which domains are interchangeable, which add coverage)
+    behind DoReMi-style mixture design and dedup-across-domain
+    decisions.  0 = identical distributions, 1 = disjoint
+    vocabularies.
+
+    Decomposition that needs ONLY the inner term join: terms present
+    in one side contribute p·log2(2) /2 = p/2 to JS, so
+    JS = Σ_both [p/2·log2(2p/(p+q)) + q/2·log2(2q/(p+q))]
+         + (2 − P_both − Q_both)/2,
+    where P_both/Q_both are the shared-term probability masses —
+    recoverable from the SAME join via exact integer count sums.  No
+    full-outer vocabulary alignment needed.
+
+    Determinism: per-term contributions are rounded to integers at 1e9
+    scale (``js_q`` sums exactly in any order); the shared masses are
+    integer counts; the final js is IEEE-exact arithmetic over those
+    integers, rounded to 6 decimals.
+
+    Scale: the joined relation is vocabulary × source-pairs — domains
+    are few (tens), so this is vocabulary-sized, never corpus-sized;
+    the per-source totals are a broadcast-sized dimension.  A pair
+    with NO shared terms emits no row (its JS is exactly 1) — callers
+    needing the dense matrix left-join against the source cross
+    product and coalesce to 1.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    cnt = toks.groupBy("g", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("g").agg(F.sum("c").cast("bigint").alias("n"))
+    cn = cnt.join(F.broadcast(tot), "g")
+    a, b = cn.alias("a"), cn.alias("b")
+    p = F.col("a.c") / F.col("a.n")
+    q = F.col("b.c") / F.col("b.n")
+    m2 = p + q  # = 2m
+    term_js = 0.5 * (
+        p * F.log2(2 * p / m2) + q * F.log2(2 * q / m2)
+    )
+    joined = a.join(b, "term").filter(F.col("a.g") < F.col("b.g"))
+    agg = joined.groupBy(
+        F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_shared_terms"),
+        F.sum(F.round(term_js * 1e9, 0).cast("bigint")).alias("js_q"),
+        F.sum("a.c").cast("bigint").alias("shared_c_a"),
+        F.sum("b.c").cast("bigint").alias("shared_c_b"),
+        F.min("a.n").alias("n_a"),
+        F.min("b.n").alias("n_b"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        "js_q",
+        "shared_c_a",
+        "shared_c_b",
+        F.round(
+            F.col("js_q") / 1e9
+            + (
+                2
+                - F.col("shared_c_a") / F.col("n_a")
+                - F.col("shared_c_b") / F.col("n_b")
+            )
+            / 2,
+            6,
+        ).alias("js_bits"),
+    )

@@ -10405,6 +10405,159 @@ def documents_stream_hll_shingles(spark, sf_dir):
     )
 
 
+@register(
+    "text_char_entropy_by_source",
+    """
+    WITH ch AS (
+      SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ), per AS (
+      SELECT doc_id, source, ch, count(*) AS c
+      FROM ch WHERE ch <> '' GROUP BY 1, 2, 3
+    ), doc AS (
+      SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c * log2(c) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM per GROUP BY 1, 2
+    ), ent AS (
+      SELECT *, round(log2(n) - s / (n * 1000000.0), 4) AS h FROM doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_chars,
+           CAST(sum(s) AS BIGINT) AS sum_clogc_q,
+           CAST(sum(CASE WHEN h < 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_entropy,
+           min(h) AS min_entropy,
+           max(h) AS max_entropy
+    FROM ent GROUP BY source
+    """,
+)
+def text_char_entropy_by_source(spark, sf_dir):
+    """Per-source character-entropy quality report
+    (`operators/textops.char_entropy`): doc-level Shannon entropy in
+    bits with the libm-bearing c·log2(c) terms quantized to integers
+    BEFORE summation, so every column either IS an exact integer
+    (n_docs, total_chars, sum_clogc_q, n_low_entropy) or is a
+    per-doc-deterministic double reduced by order-free min/max — no
+    float summation crosses the engine boundary.  The < 4.0-bit gate
+    marks the low-entropy tail (repetitive/templated pages; natural
+    prose in this corpus sits at 3.7–4.2 bits).  Non-empty docs only,
+    matching the oracle's natural exclusion of char-less rows."""
+    docs = _t(spark, sf_dir, "documents")
+    ent = textops.char_entropy(docs, keep_cols=("source",))
+    return (
+        ent.filter(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("clogc_q").cast("bigint").alias("sum_clogc_q"),
+            F.sum((F.col("entropy_bits") < 4.0).cast("bigint"))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+            F.min("entropy_bits").alias("min_entropy"),
+            F.max("entropy_bits").alias("max_entropy"),
+        )
+    )
+
+
+@register(
+    "curation_weighted_sample",
+    """
+    WITH rep AS (
+      SELECT doc_id, w_capped,
+             unnest(generate_series(1, w_capped)) AS i
+      FROM (SELECT doc_id,
+                   CAST(least(greatest(n_chars, 1), 64) AS INT)
+                     AS w_capped
+            FROM documents)
+    ), keyed AS (
+      SELECT doc_id, w_capped,
+             min(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                     || ':wrs:'
+                                     || CAST(i AS VARCHAR)), 1, 15)
+                 )::BIGINT) AS min_key
+      FROM rep GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, w_capped, min_key,
+             CAST(row_number() OVER (ORDER BY min_key, doc_id) AS INT)
+               AS rank
+      FROM keyed
+    )
+    SELECT * FROM ranked WHERE rank <= 20
+    """,
+)
+def curation_weighted_sample(spark, sf_dir):
+    """Length-weighted deterministic document sample
+    (`operators/curation.weighted_sample`): each doc races
+    min(n_chars, 64) md5 tickets and the 20 smallest surviving keys
+    win — integer-exact weighted sampling without replacement (the
+    u^(1/w) float key would hang cross-engine rank stability on libm
+    pow/log ulps; 60-bit integer keys compare exactly).  The global
+    top-k runs as TakeOrderedAndProject (per-partition heap, no full
+    sort), plan-guarded in tests/test_entropy_ops.py."""
+    from mr_lda_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.weighted_sample(
+        docs.select("doc_id", "n_chars"), "n_chars", k=20
+    )
+
+
+@register(
+    "text_source_js_divergence",
+    """
+    WITH toks AS (
+      SELECT source AS g, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), cnt AS (
+      SELECT g, term, count(*) AS c
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), tot AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1
+    ), cn AS (
+      SELECT cnt.g, term, c, n FROM cnt JOIN tot ON cnt.g = tot.g
+    ), paired AS (
+      SELECT a.g AS source_a, b.g AS source_b,
+             a.c AS ca, b.c AS cb, a.n AS na, b.n AS nb,
+             a.c / a.n AS p, b.c / b.n AS q
+      FROM cn a JOIN cn b ON a.term = b.term AND a.g < b.g
+    ), agg AS (
+      SELECT source_a, source_b,
+             CAST(count(*) AS INT) AS n_shared_terms,
+             CAST(sum(CAST(round(0.5 * (p * log2(2 * p / (p + q))
+                                        + q * log2(2 * q / (p + q)))
+                                 * 1000000000) AS BIGINT))
+                  AS BIGINT) AS js_q,
+             CAST(sum(ca) AS BIGINT) AS shared_c_a,
+             CAST(sum(cb) AS BIGINT) AS shared_c_b,
+             min(na) AS n_a, min(nb) AS n_b
+      FROM paired GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared_terms, js_q,
+           shared_c_a, shared_c_b,
+           round(js_q / 1000000000.0
+                 + (2 - shared_c_a / n_a - shared_c_b / n_b) / 2,
+                 6) AS js_bits
+    FROM agg
+    """,
+)
+def text_source_js_divergence(spark, sf_dir):
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    distributions (`operators/textops.source_divergence`) — the
+    domain-mixture diagnostic (DoReMi-style mixture design: which
+    sources are near-interchangeable, which add real coverage).
+    Inner-join-only decomposition: one-sided terms contribute exactly
+    half their probability mass, recovered from the shared-term
+    integer count sums, so no full-outer vocabulary alignment runs.
+    Per-term libm contributions are quantized to bigints before the
+    sum; js_bits is IEEE-exact arithmetic over exact integers, rounded
+    once."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.source_divergence(docs)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -1,0 +1,216 @@
+"""char_entropy / source_divergence / weighted_sample unit tests.
+
+Golden values are hand-derivable (powers-of-two alphabets) or
+recomputed in-process with numpy/hashlib — the same
+mirror-the-engine-in-python strategy the minhash and negative-sample
+suites use, so a regression in either engine's arithmetic shows up as
+a value diff, not just a shape diff.
+"""
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators.curation import weighted_sample
+from mr_lda_spark.operators.textops import char_entropy, source_divergence
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestCharEntropy:
+    def test_powers_of_two_alphabets(self, spark):
+        # aaaa -> 0 bits; abab -> 1 bit; abcdabcd -> 2 bits (exact).
+        out = {
+            r["doc_id"]: r
+            for r in char_entropy(
+                _docs(
+                    spark,
+                    [(1, "aaaa"), (2, "abab"), (3, "abcdabcd")],
+                )
+            ).collect()
+        }
+        assert out[1]["entropy_bits"] == 0.0
+        assert out[2]["entropy_bits"] == 1.0
+        assert out[3]["entropy_bits"] == 2.0
+        assert out[3]["n_distinct_chars"] == 4
+        assert out[3]["n_chars"] == 8
+
+    def test_matches_numpy_on_mixed_text(self, spark):
+        text = "the quick brown fox jumps over the lazy dog 12345!"
+        row = char_entropy(_docs(spark, [(1, text)])).collect()[0]
+        # Mirror: quantized c*log2(c) terms summed exactly.
+        counts = {}
+        for ch in text:
+            counts[ch] = counts.get(ch, 0) + 1
+        n = sum(counts.values())
+        s = sum(round(c * math.log2(c) * 1e6) for c in counts.values())
+        assert row["clogc_q"] == s
+        assert row["n_chars"] == n
+        assert row["entropy_bits"] == pytest.approx(
+            math.log2(n) - s / (n * 1e6), abs=1e-4
+        )
+
+    def test_empty_doc_zero_entropy(self, spark):
+        rows = char_entropy(_docs(spark, [(1, ""), (2, "xy")])).collect()
+        by_id = {r["doc_id"]: r for r in rows}
+        assert by_id[1]["n_chars"] == 0
+        assert by_id[1]["entropy_bits"] == 0.0
+        assert by_id[2]["entropy_bits"] == 1.0
+
+    def test_unicode_chars_counted_once(self, spark):
+        row = char_entropy(_docs(spark, [(1, "éé¤¤")])).collect()[0]
+        assert row["n_chars"] == 4
+        assert row["n_distinct_chars"] == 2
+        assert row["entropy_bits"] == 1.0
+
+    def test_keep_cols_passthrough(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ab", "web")], ["doc_id", "text", "source"]
+        )
+        row = char_entropy(df, keep_cols=("source",)).collect()[0]
+        assert row["source"] == "web"
+
+
+class TestSourceDivergence:
+    def test_identical_sources_zero(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c", "s1"), (2, "a b c", "s2")],
+            ["doc_id", "text", "source"],
+        )
+        row = source_divergence(df).collect()[0]
+        assert (row["source_a"], row["source_b"]) == ("s1", "s2")
+        assert row["js_bits"] == 0.0
+        assert row["n_shared_terms"] == 3
+
+    def test_disjoint_sources_emit_no_row(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b", "s1"), (2, "x y", "s2")],
+            ["doc_id", "text", "source"],
+        )
+        assert source_divergence(df).count() == 0
+
+    def test_matches_numpy_js(self, spark):
+        rows = [
+            (1, "a a b c d", "s1"),
+            (2, "a b b b e", "s2"),
+            (3, "c c c d e f", "s3"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = {
+            (r["source_a"], r["source_b"]): r["js_bits"]
+            for r in source_divergence(df).collect()
+        }
+
+        def js(ta, tb):
+            va = {}
+            vb = {}
+            for t in ta.split():
+                va[t] = va.get(t, 0) + 1
+            for t in tb.split():
+                vb[t] = vb.get(t, 0) + 1
+            na, nb = sum(va.values()), sum(vb.values())
+            terms = set(va) | set(vb)
+            total = 0.0
+            for t in terms:
+                p = va.get(t, 0) / na
+                q = vb.get(t, 0) / nb
+                m = (p + q) / 2
+                if p:
+                    total += p / 2 * math.log2(p / m)
+                if q:
+                    total += q / 2 * math.log2(q / m)
+            return total
+
+        assert got[("s1", "s2")] == pytest.approx(
+            js(rows[0][1], rows[1][1]), abs=1e-5
+        )
+        assert got[("s1", "s3")] == pytest.approx(
+            js(rows[0][1], rows[2][1]), abs=1e-5
+        )
+        assert got[("s2", "s3")] == pytest.approx(
+            js(rows[1][1], rows[2][1]), abs=1e-5
+        )
+        # JS in bits is bounded by 1; all pairs share some terms here
+        # so strictly inside (0, 1).
+        for v in got.values():
+            assert 0.0 < v < 1.0
+
+    def test_symmetric_in_distribution(self, spark):
+        # Swapping which source holds which text flips only the labels.
+        d1 = spark.createDataFrame(
+            [(1, "a a b", "s1"), (2, "b c c", "s2")],
+            ["doc_id", "text", "source"],
+        )
+        d2 = spark.createDataFrame(
+            [(1, "b c c", "s1"), (2, "a a b", "s2")],
+            ["doc_id", "text", "source"],
+        )
+        v1 = source_divergence(d1).collect()[0]["js_bits"]
+        v2 = source_divergence(d2).collect()[0]["js_bits"]
+        assert v1 == v2
+
+
+def _mirror_min_key(doc_id, w):
+    best = None
+    for i in range(1, w + 1):
+        h = hashlib.md5(f"{doc_id}:wrs:{i}".encode()).hexdigest()
+        k = int(h[:15], 16)
+        best = k if best is None or k < best else best
+    return best
+
+
+class TestWeightedSample:
+    def test_matches_python_mirror(self, spark):
+        df = spark.createDataFrame(
+            [(i, (i % 7) + 1) for i in range(1, 101)], ["doc_id", "w"]
+        )
+        got = sorted(
+            weighted_sample(df, "w", k=10).collect(),
+            key=lambda r: r["rank"],
+        )
+        mirror = sorted(
+            (_mirror_min_key(i, (i % 7) + 1), i) for i in range(1, 101)
+        )[:10]
+        assert [(r["min_key"], r["doc_id"]) for r in got] == mirror
+        assert [r["rank"] for r in got] == list(range(1, 11))
+
+    def test_heavy_rows_win_more(self, spark):
+        # 50 heavy (w=64) + 50 light (w=1): expectation ~64/65 of the
+        # sample is heavy; deterministic draw, assert a safe majority.
+        rows = [(i, 64) for i in range(50)] + [
+            (i, 1) for i in range(50, 100)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        got = weighted_sample(df, "w", k=20).collect()
+        heavy = sum(1 for r in got if r["doc_id"] < 50)
+        assert heavy >= 16
+
+    def test_weight_cap_and_floor(self, spark):
+        # w <= 0 floors to 1 ticket; w > cap saturates at cap — both
+        # still sample deterministically.
+        df = spark.createDataFrame(
+            [(1, 0), (2, 10_000), (3, 5)], ["doc_id", "w"]
+        )
+        got = {r["doc_id"]: r for r in weighted_sample(df, "w", k=3).collect()}
+        assert got[1]["w_capped"] == 1
+        assert got[2]["w_capped"] == 64
+        assert got[1]["min_key"] == _mirror_min_key(1, 1)
+        assert got[2]["min_key"] == _mirror_min_key(2, 64)
+
+    def test_without_replacement(self, spark):
+        df = spark.createDataFrame(
+            [(i, 64) for i in range(30)], ["doc_id", "w"]
+        )
+        got = weighted_sample(df, "w", k=30).collect()
+        assert len({r["doc_id"] for r in got}) == 30
+
+    def test_topk_plan_no_global_sort(self, spark):
+        df = spark.createDataFrame([(i, 3) for i in range(20)], ["doc_id", "w"])
+        plan = weighted_sample(df, "w", k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

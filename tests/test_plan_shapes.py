@@ -412,3 +412,38 @@ def test_hll_register_agg_is_partial(spark):
 def test_sorted_neighborhood_window_is_block_partitioned(spark):
     plan, _ = _plan(spark, "dedup_sorted_neighborhood")
     assert "SinglePartition" not in plan
+
+
+def test_char_entropy_agg_is_partial_no_python(spark):
+    """char_entropy's scale claim: the (doc,char) count map-side
+    combines to <= alphabet rows per doc BEFORE the doc_id shuffle
+    (partial_count below the exchange), and the whole row path is
+    JVM codegen — no Arrow/pickled Python anywhere."""
+    ex = _explain(spark, "text_char_entropy_by_source")
+    assert "partial_count" in ex
+    plan, _ = _plan(spark, "text_char_entropy_by_source")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_js_divergence_equi_join_only(spark):
+    """source_divergence's vocabulary-sized claim: the pair generation
+    is an equi-join on term (SortMergeJoin/ShuffledHashJoin carrying
+    the term key) with the a.g < b.g predicate as a post-join filter —
+    never a CartesianProduct or nested-loop over the vocabulary; the
+    tiny per-source totals broadcast."""
+    plan, _ = _plan(spark, "text_source_js_divergence")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # totals dimension
+    assert "partial_count" in _explain(spark, "text_source_js_divergence")
+
+
+def test_weighted_sample_topk_no_full_sort(spark):
+    """weighted_sample's top-k claim: global selection runs as
+    TakeOrderedAndProject (per-partition heap), not a full Sort over
+    an all-to-one exchange; the per-id min partial-aggregates."""
+    ex = _explain(spark, "curation_weighted_sample")
+    assert "TakeOrderedAndProject" in ex
+    assert "partial_min" in ex
