@@ -1156,3 +1156,116 @@ def source_divergence(
             6,
         ).alias("js_bits"),
     )
+
+
+def char_entropy_stateless(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
+    """``char_entropy`` recomputed entirely WITHIN each row — fold the
+    quantized c·log2(c) terms over the row's DISTINCT characters, with
+    c counted by an array filter — so the plan is a pure projection:
+    NO shuffle, NO aggregation state, NO join-back (plan-guarded: zero
+    Exchange nodes).  Bit-identical output to the groupBy variant
+    (same integer quantization, and integer addition is order-free),
+    pinned by tests/test_entropy_ops.py's equivalence sweep.
+
+    This is the variant a 100 TB scan wants (entropy becomes a free
+    rider on any existing pass over the corpus) and the one a STREAM
+    can run verbatim — stateless projections need no watermark, no
+    state store, no output-mode constraints.  Per-row cost is
+    O(distinct_chars × doc_length) array scans — alphabet-bounded, and
+    deliberately scan-shaped rather than sort-shaped: higher-order
+    lambdas are interpreted, so the expression stays small (Catalyst
+    re-inlines collapsed projections, multiplying every subtree
+    reference; a sorted run-length formulation measured ~50× slower
+    here).  The groupBy variant remains for extreme doc lengths where
+    the quadratic-in-alphabet row cost beats a shuffle.
+    """
+    text = F.col(text_col)
+    cs = F.filter(F.split(text, ""), lambda c: c != "")
+    n = F.size(cs)
+    counts = F.transform(
+        F.array_distinct(cs),
+        lambda d: F.size(F.filter(cs, lambda c: c == d)),
+    )
+    s = F.aggregate(
+        counts,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc
+        + F.round(c * F.log2(c) * 1e6, 0).cast("bigint"),
+    )
+    staged = docs.select(
+        "doc_id",
+        *keep_cols,
+        n.cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(cs)).cast("int").alias("n_distinct_chars"),
+        F.when(n == 0, F.lit(0).cast("bigint")).otherwise(s).alias(
+            "clogc_q"
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        *keep_cols,
+        "n_chars",
+        "n_distinct_chars",
+        "clogc_q",
+        F.when(F.col("n_chars") == 0, 0.0)
+        .otherwise(
+            F.round(
+                F.log2("n_chars")
+                - F.col("clogc_q") / (F.col("n_chars") * 1e6),
+                4,
+            )
+        )
+        .alias("entropy_bits"),
+    )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-source lexical diversity: token count, vocabulary size,
+    hapax (once-only) count, and the Simpson repeat probability
+    Σc(c−1)/N(N−1) — the probability two tokens drawn without
+    replacement are the same type (low = diverse, high = repetitive) —
+    plus the type-token ratio.  The Gopher-style corpus-level
+    complement of the per-doc repetition filters.
+
+    Everything is exact: counts are integers, the Simpson numerator
+    runs in decimal(38,0) (c² at planetary token counts wraps int64 —
+    the copurchase-lift rule), and the two ratios are single IEEE
+    divisions of exact integers, rounded once.  One vocabulary-sized
+    aggregation; no joins.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("source"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    cnt = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cdec = F.col("c").cast("decimal(38,0)")
+    agg = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("bigint"))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum(cdec * (cdec - 1)).cast("decimal(38,0)").alias("simpson_num"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "simpson_num",
+        F.round(
+            F.col("simpson_num").cast("double")
+            / (
+                F.col("n_tokens").cast("double")
+                * (F.col("n_tokens") - 1).cast("double")
+            ),
+            6,
+        ).alias("simpson"),
+        F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("ttr"),
+    )

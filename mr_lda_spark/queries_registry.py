@@ -10558,6 +10558,101 @@ def text_source_js_divergence(spark, sf_dir):
     return textops.source_divergence(docs)
 
 
+_SQL_DOC_ENTROPY = """
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ), per AS (
+      SELECT doc_id, ch, count(*) AS c
+      FROM ch WHERE ch <> '' GROUP BY 1, 2
+    ), doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+             CAST(count(*) AS INT) AS n_distinct_chars,
+             CAST(sum(CAST(round(c * log2(c) * 1000000) AS BIGINT))
+                  AS BIGINT) AS clogc_q
+      FROM per GROUP BY 1
+    ), ent AS (
+      SELECT *, round(log2(n_chars) - clogc_q / (n_chars * 1000000.0), 4)
+                  AS entropy_bits
+      FROM doc
+    )
+    SELECT doc_id, n_chars, n_distinct_chars, clogc_q, entropy_bits,
+           entropy_bits >= 4.0 AS passed
+    FROM ent
+"""
+
+
+@register("documents_stream_entropy_gate", _SQL_DOC_ENTROPY)
+def documents_stream_entropy_gate(spark, sf_dir):
+    """Streaming entropy quality gate: ``char_entropy_stateless`` is a
+    pure projection (zero Exchange nodes, plan-guarded), so the SAME
+    operator definition runs UNCHANGED on the document stream — no
+    watermark, no state store, no output-mode constraint — and drains
+    through the exactly-once parquet sink.  ``passed`` is the ≥4.0-bit
+    gate production pipelines filter on (here kept as a column so the
+    oracle checks both sides of the gate).  The oracle recomputes the
+    quantized-integer entropy per doc in SQL; values are bit-identical
+    to the batch groupBy variant by the equivalence pin in
+    tests/test_entropy_ops.py."""
+    import tempfile
+    import uuid
+
+    from mr_lda_spark.streaming import dedup_stream as ds
+
+    run = uuid.uuid4().hex[:8]
+    base = tempfile.gettempdir()
+    out = f"{base}/stream_entropy_{run}/out"
+    ckpt = f"{base}/stream_entropy_{run}/ckpt"
+    stream = textops.char_entropy_stateless(
+        ds.read_documents_stream(spark, sf_dir)
+    ).withColumn("passed", F.col("entropy_bits") >= 4.0)
+    ds.run_to_parquet(stream, out, ckpt)
+    return spark.read.parquet(out).select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        "clogc_q",
+        "entropy_bits",
+        "passed",
+    )
+
+
+@register(
+    "text_lexical_diversity",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term
+      FROM documents
+    ), cnt AS (
+      SELECT source, term, count(*) AS c
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1))
+                AS DECIMAL(38,0)) AS simpson_num,
+           round(CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
+                 / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1.0)), 6)
+             AS simpson,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr
+    FROM cnt GROUP BY source
+    """,
+)
+def text_lexical_diversity(spark, sf_dir):
+    """Per-source lexical-diversity report
+    (`operators/textops.lexical_diversity`): token count, vocabulary,
+    hapax count, and the Simpson repeat probability Σc(c−1)/N(N−1) —
+    all sufficient statistics integer/decimal(38,0)-exact (the
+    copurchase-lift overflow rule), the two ratios single IEEE
+    divisions rounded once.  The corpus-level complement of the
+    per-doc repetition filters: a source whose Simpson index drifts up
+    between crawls is collapsing into templates."""
+    docs = _t(spark, sf_dir, "documents")
+    return textops.lexical_diversity(docs)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

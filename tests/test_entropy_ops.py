@@ -214,3 +214,81 @@ class TestWeightedSample:
         df = spark.createDataFrame([(i, 3) for i in range(20)], ["doc_id", "w"])
         plan = weighted_sample(df, "w", k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestCharEntropyStateless:
+    def test_bit_identical_to_groupby_variant(self, spark, documents):
+        from mr_lda_spark.operators.textops import char_entropy_stateless
+
+        a = {
+            r["doc_id"]: tuple(r)
+            for r in char_entropy(documents).collect()
+        }
+        b = {
+            r["doc_id"]: tuple(r)
+            for r in char_entropy_stateless(documents).collect()
+        }
+        assert a == b
+
+    def test_plan_is_pure_projection(self, spark, documents):
+        from mr_lda_spark.operators.textops import char_entropy_stateless
+
+        plan = (
+            char_entropy_stateless(documents)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+    def test_edge_cases(self, spark):
+        from mr_lda_spark.operators.textops import char_entropy_stateless
+
+        rows = {
+            r["doc_id"]: r
+            for r in char_entropy_stateless(
+                _docs(spark, [(1, ""), (2, "aaaa"), (3, "abcdabcd")])
+            ).collect()
+        }
+        assert rows[1]["n_chars"] == 0 and rows[1]["entropy_bits"] == 0.0
+        assert rows[1]["clogc_q"] == 0
+        assert rows[2]["entropy_bits"] == 0.0
+        assert rows[3]["entropy_bits"] == 2.0
+
+
+class TestLexicalDiversity:
+    def test_matches_python_mirror(self, spark):
+        from mr_lda_spark.operators.textops import lexical_diversity
+
+        rows = [
+            (1, "a a a b c", "s1"),
+            (2, "d d a", "s1"),
+            (3, "x y z", "s2"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        got = {r["source"]: r for r in lexical_diversity(df).collect()}
+        # s1: tokens a*4 b c d*2 -> N=8, V=4, hapax=2,
+        # simpson_num = 4*3 + 0 + 0 + 2*1 = 14
+        s1 = got["s1"]
+        assert s1["n_tokens"] == 8
+        assert s1["vocab"] == 4
+        assert s1["hapax"] == 2
+        assert int(s1["simpson_num"]) == 14
+        assert s1["simpson"] == pytest.approx(14 / (8 * 7), abs=1e-6)
+        assert s1["ttr"] == pytest.approx(4 / 8, abs=1e-6)
+        # s2: all hapax -> simpson 0 (no repeats possible)
+        s2 = got["s2"]
+        assert int(s2["simpson_num"]) == 0
+        assert s2["simpson"] == 0.0
+
+    def test_simpson_num_is_decimal(self, spark):
+        from mr_lda_spark.operators.textops import lexical_diversity
+
+        df = spark.createDataFrame(
+            [(1, "a a", "s")], ["doc_id", "text", "source"]
+        )
+        schema = {f.name: f.dataType.simpleString()
+                  for f in lexical_diversity(df).schema.fields}
+        assert schema["simpson_num"] == "decimal(38,0)"

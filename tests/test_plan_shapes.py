@@ -447,3 +447,14 @@ def test_weighted_sample_topk_no_full_sort(spark):
     ex = _explain(spark, "curation_weighted_sample")
     assert "TakeOrderedAndProject" in ex
     assert "partial_min" in ex
+
+
+def test_lexical_diversity_agg_is_partial(spark):
+    """lexical_diversity's one-aggregation claim: the (source,term)
+    count partial-aggregates map-side; no joins, no window, no
+    Python in the plan."""
+    ex = _explain(spark, "text_lexical_diversity")
+    assert "partial_count" in ex
+    plan, _ = _plan(spark, "text_lexical_diversity")
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
