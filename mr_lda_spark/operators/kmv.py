@@ -1,0 +1,155 @@
+"""KMV (k-minimum-values / bottom-k) distinct sketches with SET
+OPERATIONS — the theta-sketch capability the HLL family lacks.
+
+HLL registers (`operators/hll.py`) union losslessly (register-wise
+max) but cannot intersect except through inclusion–exclusion error
+stacking.  A KMV sketch — the k smallest 60-bit hash values of a
+group's distinct keys — supports direct intersection estimates: the
+k smallest values of A∪B are recoverable from the two sketches alone,
+and the fraction of them present in BOTH sketches estimates
+|A∩B| / |A∪B| (Bar-Yossef et al. 2002; the Apache DataSketches theta
+sketch is the production form of the same idea).  Everything is
+md5-deterministic, so a DuckDB oracle reproduces the sketch — and the
+estimates — bit-for-bit.
+
+Neither sketch op exists in the reference (lintool/Mr.LDA); both
+belong to the LLM-pipeline suite (source-overlap budgeting at corpus
+scale, where the exact pairwise distinct-intersection is a full
+shuffle per pair).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Hash space: 60-bit md5 prefix, the repo-wide cross-engine hash.
+HASH_SPACE = float(1 << 60)
+
+
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def kmv_sketch(
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    buckets: int = 64,
+) -> DataFrame:
+    """Bottom-k sketch per group: (group…, h, rank) with rank ≤ k over
+    the group's distinct 60-bit key hashes.
+
+    Scale shape: the k smallest per group are selected in TWO window
+    stages — first within (group, h mod ``buckets``) salt partitions
+    (the global winners are always contained in the union of
+    per-bucket winners, whatever the partitioning), then a final
+    window over ≤ buckets·k survivors per group.  No single partition
+    ever sorts a group's full distinct-key set, which is what a naive
+    one-window top-k would do at 100 TB.  The salt derives from the
+    hash value itself, so the construction stays engine-reproducible.
+    """
+    d = (
+        keys.select(*group_cols, _h60(F.col(key_col)).alias("h"))
+        .distinct()
+        .withColumn("salt", F.pmod(F.col("h"), F.lit(int(buckets))))
+    )
+    w1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
+    c1 = (
+        d.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+        .drop("r1", "salt")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return c1.withColumn(
+        "rank", F.row_number().over(w2).cast("int")
+    ).filter(F.col("rank") <= k)
+
+
+def kmv_pair_set_ops(
+    sk: DataFrame, group_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise distinct-union and distinct-intersection ESTIMATES for
+    every group pair, computed from the bottom-k sketches alone.
+
+    For each pair: merge the two sketches, keep the k smallest of the
+    union (a valid KMV sketch of A∪B by construction);
+    ``union_est = (k−1)·2^60 / h_k`` (the classic KMV estimator), and
+    ``inter_est = union_est · |union-sketch ∩ A-sketch ∩ B-sketch|/k``.
+    When the merged sketch holds FEWER than k values it IS the full
+    distinct set and both estimates collapse to exact counts.  All
+    relations are sketch-sized (groups² · k rows); the corpus is
+    touched only by ``kmv_sketch``.  The h_k → double conversion and
+    the two divisions are single IEEE ops over md5-determined
+    integers, rounded once — cross-engine exact.
+    """
+    g = F.col(group_col)
+    labels = sk.select(g.alias("ga")).distinct()
+    # Broadcast the label side: the inequality pair join must compile
+    # to a label-sized BroadcastNestedLoopJoin, never a CartesianProduct.
+    pairs = labels.join(
+        F.broadcast(sk.select(g.alias("gb")).distinct()),
+        F.col("ga") < F.col("gb"),
+    )
+    side_a = sk.join(
+        F.broadcast(pairs), sk[group_col] == F.col("ga")
+    ).select("ga", "gb", "h")
+    side_b = sk.join(
+        F.broadcast(pairs), sk[group_col] == F.col("gb")
+    ).select("ga", "gb", "h")
+    merged = side_a.unionByName(side_b).distinct()
+    wu = Window.partitionBy("ga", "gb").orderBy("h")
+    union_sk = merged.withColumn(
+        "urank", F.row_number().over(wu)
+    ).filter(F.col("urank") <= k)
+    # Membership flags against each side's sketch (sketch-sized joins).
+    a_keys = sk.select(
+        sk[group_col].alias("ga"), F.col("h").alias("h")
+    ).withColumn("in_a", F.lit(1))
+    b_keys = sk.select(
+        sk[group_col].alias("gb"), F.col("h").alias("h")
+    ).withColumn("in_b", F.lit(1))
+    flagged = (
+        union_sk.join(a_keys, ["ga", "h"], "left")
+        .join(b_keys, ["gb", "h"], "left")
+        .select(
+            "ga",
+            "gb",
+            "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    agg = flagged.groupBy(
+        F.col("ga").alias("source_a"), F.col("gb").alias("source_b")
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_sketch"),
+        F.max("h").alias("kth_h"),
+        F.sum(F.col("in_a") * F.col("in_b"))
+        .cast("int")
+        .alias("n_common"),
+    )
+    full = F.col("n_sketch") == k
+    union_est = F.when(
+        full, F.round(F.lit((k - 1) * HASH_SPACE) / F.col("kth_h"), 2)
+    ).otherwise(F.col("n_sketch").cast("double"))
+    inter_est = F.when(
+        full,
+        F.round(
+            F.lit((k - 1) * HASH_SPACE)
+            / F.col("kth_h")
+            * F.col("n_common")
+            / F.lit(float(k)),
+            2,
+        ),
+    ).otherwise(F.col("n_common").cast("double"))
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_sketch",
+        "kth_h",
+        "n_common",
+        union_est.alias("union_est"),
+        inter_est.alias("inter_est"),
+    )

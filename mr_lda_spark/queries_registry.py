@@ -10653,6 +10653,130 @@ def text_lexical_diversity(spark, sf_dir):
     return textops.lexical_diversity(docs)
 
 
+_KMV_K = 256
+
+
+@register(
+    "text_kmv_source_overlap",
+    f"""
+    WITH sh AS ({_sql_shingles(3)}),
+    keys AS (
+      SELECT DISTINCT d.source,
+             ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS h
+      FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    ), sk AS (
+      SELECT source, h,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY h)
+                  AS INT) AS rank
+      FROM keys QUALIFY rank <= {_KMV_K}
+    ), labels AS (SELECT DISTINCT source FROM sk),
+    pairs AS (
+      SELECT a.source AS ga, b.source AS gb
+      FROM labels a JOIN labels b ON a.source < b.source
+    ), merged AS (
+      SELECT DISTINCT ga, gb, h FROM (
+        SELECT p.ga, p.gb, s.h FROM sk s JOIN pairs p ON s.source = p.ga
+        UNION ALL
+        SELECT p.ga, p.gb, s.h FROM sk s JOIN pairs p ON s.source = p.gb
+      )
+    ), union_sk AS (
+      SELECT ga, gb, h,
+             row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS urank
+      FROM merged QUALIFY urank <= {_KMV_K}
+    ), flagged AS (
+      SELECT u.ga, u.gb, u.h,
+             CASE WHEN a.h IS NULL THEN 0 ELSE 1 END AS in_a,
+             CASE WHEN b.h IS NULL THEN 0 ELSE 1 END AS in_b
+      FROM union_sk u
+      LEFT JOIN sk a ON a.source = u.ga AND a.h = u.h
+      LEFT JOIN sk b ON b.source = u.gb AND b.h = u.h
+    ), agg AS (
+      SELECT ga AS source_a, gb AS source_b,
+             CAST(count(*) AS INT) AS n_sketch,
+             max(h) AS kth_h,
+             CAST(sum(in_a * in_b) AS INT) AS n_common
+      FROM flagged GROUP BY 1, 2
+    ), ests AS (
+      SELECT source_a, source_b, n_sketch, kth_h, n_common,
+             CASE WHEN n_sketch = {_KMV_K}
+                  THEN round({_KMV_K - 1} * 1152921504606846976.0
+                             / kth_h, 2)
+                  ELSE CAST(n_sketch AS DOUBLE) END AS union_est,
+             CASE WHEN n_sketch = {_KMV_K}
+                  THEN round({_KMV_K - 1} * 1152921504606846976.0
+                             / kth_h * n_common / {_KMV_K}.0, 2)
+                  ELSE CAST(n_common AS DOUBLE) END AS inter_est
+      FROM agg
+    ), exact AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             CAST(count(*) AS BIGINT) AS exact_intersection
+      FROM keys x JOIN keys y
+        ON y.h = x.h AND x.source < y.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, n_sketch, kth_h, n_common,
+           union_est, inter_est,
+           COALESCE(exact_intersection, 0) AS exact_intersection
+    FROM ests e LEFT JOIN exact x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    """,
+)
+def text_kmv_source_overlap(spark, sf_dir):
+    """Pairwise source overlap by KMV/theta bottom-k sketches
+    (`operators/kmv.py`): DIRECT distinct-union and
+    distinct-intersection estimates from 256 md5 values per source —
+    the set-operation capability `text_hll_source_overlap`'s caveat
+    names (inclusion–exclusion compounds three large-set errors; KMV
+    reads the intersection off one merged sketch).  Trigram shingles
+    so the test corpus's sources genuinely overlap: measured at sf0.1,
+    union estimates land within ~4% and intersections within ~9%
+    median (37% worst pair); resolution is union_est/k per common
+    hash, so Jaccard ≪ 1/k degrades gracefully toward 0 — the
+    `exact_intersection` audit column (the corpus-sized self-join the
+    sketch exists to avoid) quantifies it.  The sketch itself is
+    oracle-recomputed hash-for-hash; estimator arithmetic is single
+    IEEE ops over md5-determined integers."""
+    from mr_lda_spark.operators import kmv
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = textops.shingles(docs, "text", 3).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    sk = kmv.kmv_sketch(keys, "shingle", ["source"], k=_KMV_K)
+    ests = kmv.kmv_pair_set_ops(sk, "source", k=_KMV_K)
+    hk = keys.select(
+        "source",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    exact = (
+        hk.alias("x")
+        .join(
+            hk.alias("y"),
+            (F.col("y.h") == F.col("x.h"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return ests.join(exact, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        "n_sketch",
+        "kth_h",
+        "n_common",
+        "union_est",
+        "inter_est",
+        F.coalesce("exact_intersection", F.lit(0).cast("bigint")).alias(
+            "exact_intersection"
+        ),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

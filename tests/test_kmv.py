@@ -1,0 +1,107 @@
+"""KMV / theta bottom-k sketch unit tests (operators/kmv.py)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators import kmv
+
+
+def _h60(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "source", "key"])
+
+
+class TestKmvSketch:
+    def test_matches_python_mirror(self, spark):
+        rows = [(i, f"s{i % 3}", f"key{i}") for i in range(300)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=16)
+        for g in ["s0", "s1", "s2"]:
+            mirror = sorted(
+                {_h60(k) for (_, s, k) in rows if s == g}
+            )[:16]
+            got = [
+                r["h"]
+                for r in sk.filter(F.col("source") == g)
+                .orderBy("rank")
+                .collect()
+            ]
+            assert got == mirror
+
+    def test_two_level_selection_equals_one_level(self, spark):
+        """The salted two-stage top-k (the 100 TB shape) must select
+        exactly the same k values as a single global sort, for every
+        bucket count."""
+        rows = [(i, "s", f"v{i}") for i in range(500)]
+        df = _df(spark, rows)
+        expected = sorted({_h60(f"v{i}") for i in range(500)})[:32]
+        for buckets in (1, 7, 64):
+            got = [
+                r["h"]
+                for r in kmv.kmv_sketch(
+                    df, "key", ["source"], k=32, buckets=buckets
+                )
+                .orderBy("rank")
+                .collect()
+            ]
+            assert got == expected, f"buckets={buckets}"
+
+    def test_small_group_keeps_all(self, spark):
+        rows = [(i, "tiny", f"k{i}") for i in range(5)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=64)
+        assert sk.count() == 5
+
+
+class TestKmvPairSetOps:
+    def test_identical_sets_estimate_equal(self, spark):
+        # Same 400 keys in both sources: the merged sketch IS either
+        # sketch, every element is common, inter_est == union_est.
+        rows = [(i, "a", f"k{i}") for i in range(400)] + [
+            (1000 + i, "b", f"k{i}") for i in range(400)
+        ]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=64)
+        r = kmv.kmv_pair_set_ops(sk, "source", k=64).collect()[0]
+        assert r["n_sketch"] == 64
+        assert r["n_common"] == 64
+        assert r["inter_est"] == r["union_est"]
+        # KMV estimator should land near the truth (400) for k=64.
+        assert 250 < r["union_est"] < 650
+
+    def test_disjoint_sets_zero_intersection(self, spark):
+        rows = [(i, "a", f"x{i}") for i in range(300)] + [
+            (1000 + i, "b", f"y{i}") for i in range(300)
+        ]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=64)
+        r = kmv.kmv_pair_set_ops(sk, "source", k=64).collect()[0]
+        assert r["n_common"] == 0
+        assert r["inter_est"] == 0.0
+        # Union of two disjoint 300-sets ~ 600.
+        assert 380 < r["union_est"] < 950
+
+    def test_exact_collapse_when_under_k(self, spark):
+        # 10 + 10 keys sharing 4: the merged sketch holds ALL 16
+        # distinct union values < k, so estimates are exact counts.
+        rows = [(i, "a", f"k{i}") for i in range(10)] + [
+            (100 + i, "b", f"k{i + 6}") for i in range(10)
+        ]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=64)
+        r = kmv.kmv_pair_set_ops(sk, "source", k=64).collect()[0]
+        assert r["n_sketch"] == 16
+        assert r["union_est"] == 16.0
+        assert r["n_common"] == 4
+        assert r["inter_est"] == 4.0
+
+    def test_plan_no_cartesian(self, spark):
+        rows = [(i, f"s{i % 4}", f"k{i}") for i in range(100)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=8)
+        plan = (
+            kmv.kmv_pair_set_ops(sk, "source", k=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
