@@ -473,6 +473,7 @@ def cmd_curate(args) -> None:
         min_quality=args.min_quality,
         jaccard_threshold=args.jaccard_threshold,
         max_shingle_df=args.max_shingle_df,
+        min_entropy=args.min_entropy,
     )
     write_table(final, args.output)
     print(
@@ -480,7 +481,44 @@ def cmd_curate(args) -> None:
             {
                 "total_docs": scored.count(),
                 "after_lang_filter": after_lang.count(),
+                "min_entropy": args.min_entropy,
                 "final_docs": spark.read.parquet(args.output).count(),
+                "output": args.output,
+            }
+        )
+    )
+
+
+def cmd_sample(args) -> None:
+    """Deterministic weighted sample of a documents parquet: each row
+    races min(weight, cap) md5 tickets, the k smallest keys win; the
+    winners' FULL rows are written (rank column attached) plus a JSON
+    audit.  Same draw on every engine and every run."""
+    from mr_lda_spark.operators.curation import weighted_sample
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-sample")
+    docs = spark.read.parquet(args.input)
+    picked = weighted_sample(
+        docs,
+        args.weight_col,
+        k=args.k,
+        id_col=args.id_col,
+        weight_cap=args.weight_cap,
+    )
+    out = docs.join(
+        picked.select(args.id_col, "rank"), args.id_col
+    )
+    write_table(out, args.output)
+    n_in = docs.count()
+    n_out = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "input_docs": n_in,
+                "k": args.k,
+                "weight_col": args.weight_col,
+                "sampled_docs": n_out,
                 "output": args.output,
             }
         )
@@ -932,7 +970,27 @@ def build_parser() -> argparse.ArgumentParser:
     pcu.add_argument("--min-quality", type=float, default=0.3)
     pcu.add_argument("--jaccard-threshold", type=float, default=0.5)
     pcu.add_argument("--max-shingle-df", type=int, default=100)
+    pcu.add_argument(
+        "--min-entropy",
+        type=float,
+        default=None,
+        help="optional char-entropy floor in bits (Gopher-style "
+        "noise/boilerplate gate); omit to skip the stage",
+    )
     pcu.set_defaults(fn=cmd_curate)
+
+    psa = sub.add_parser(
+        "sample",
+        help="deterministic weighted sampling without replacement "
+        "(md5 min-hash race; beyond the reference)",
+    )
+    psa.add_argument("--input", required=True, help="documents parquet")
+    psa.add_argument("--output", required=True, help="sampled parquet")
+    psa.add_argument("--k", type=int, required=True)
+    psa.add_argument("--weight-col", default="n_chars")
+    psa.add_argument("--weight-cap", type=int, default=64)
+    psa.add_argument("--id-col", default="doc_id")
+    psa.set_defaults(fn=cmd_sample)
 
     pdu = sub.add_parser(
         "dedup",

@@ -27,6 +27,7 @@ def _curate_stages(
     min_quality: float = 0.3,
     jaccard_threshold: float = 0.5,
     max_shingle_df: int | None = 100,
+    min_entropy: float | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One shared lineage for the whole pipeline: returns
     (scored, after_lang, final) where every stage derives from the one
@@ -51,6 +52,18 @@ def _curate_stages(
     scored.count()
     after_lang = scored.filter(F.col("pred_lang").isin(list(keep_langs)))
     base = after_lang.filter(F.col("quality_score") >= min_quality)
+    if min_entropy is not None:
+        # Optional char-entropy gate (Gopher-style noise/boilerplate
+        # floor): a stateless projection over the raw docs, so it adds
+        # zero shuffle — just one more doc_id semi-join into the spine.
+        ent = textops.char_entropy_stateless(docs).select(
+            "doc_id", "entropy_bits"
+        )
+        base = (
+            base.join(ent, "doc_id")
+            .filter(F.col("entropy_bits") >= min_entropy)
+            .drop("entropy_bits")
+        )
     survivors = docs.join(base.select("doc_id"), "doc_id")
 
     # Exact dedup: keep each text's minimum doc_id.

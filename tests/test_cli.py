@@ -228,3 +228,69 @@ def test_cli_dedup_quality_policy(tmp_path):
         f"SELECT count(*) FROM '{outs['quality'][0]}/*.parquet'"
     ).fetchone()[0]
     assert n_min == n_q == outs["quality"][1]["surviving_docs"]
+
+
+def test_cli_curate_entropy_gate(tmp_path):
+    """`curate --min-entropy` adds the char-entropy floor as an extra
+    stage: survivors are a subset of the ungated run and every
+    survivor clears the gate."""
+    gated_dir = str(tmp_path / "curated_gated")
+    stdout = _run(
+        [
+            "curate",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", gated_dir,
+            "--langs", "en",
+            "--min-quality", "0.3",
+            "--min-entropy", "4.0",
+        ],
+        cwd=str(tmp_path),
+    )
+    audit = json.loads(stdout.strip().splitlines()[-1])
+    assert audit["min_entropy"] == 4.0
+    assert 0 < audit["final_docs"] <= audit["after_lang_filter"]
+    con = duckdb.connect()
+    # Every survivor's recomputed entropy clears the floor.
+    low = con.execute(f"""
+        WITH surv AS (
+          SELECT d.doc_id, d.text
+          FROM '/root/testdata/sf0.001/documents.parquet' d
+          JOIN '{gated_dir}/*.parquet' s ON s.doc_id = d.doc_id
+        ), ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch FROM surv
+        ), per AS (
+          SELECT doc_id, ch, count(*) AS c FROM ch
+          WHERE ch <> '' GROUP BY 1, 2
+        ), doc AS (
+          SELECT doc_id, sum(c) AS n,
+                 sum(CAST(round(c * log2(c) * 1000000) AS BIGINT)) AS s
+          FROM per GROUP BY 1
+        )
+        SELECT count(*) FROM doc
+        WHERE round(log2(n) - s / (n * 1000000.0), 4) < 4.0
+    """).fetchone()[0]
+    assert low == 0
+
+
+def test_cli_sample_weighted(tmp_path):
+    """`sample` writes exactly k full rows with a rank column and the
+    draw is deterministic across runs."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    outs = []
+    for run in ("a", "b"):
+        out_dir = str(tmp_path / f"sampled_{run}")
+        stdout = _run(
+            ["sample", "--input", src, "--output", out_dir,
+             "--k", "15", "--weight-col", "n_chars"],
+            cwd=str(tmp_path),
+        )
+        audit = json.loads(stdout.strip().splitlines()[-1])
+        assert audit["sampled_docs"] == 15
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT doc_id, rank FROM '{out_dir}/*.parquet' ORDER BY rank"
+        ).fetchall()
+        assert len(rows) == 15
+        assert [r[1] for r in rows] == list(range(1, 16))
+        outs.append(rows)
+    assert outs[0] == outs[1]
