@@ -216,6 +216,24 @@ EXTRA = [
     # frontier rounds run eagerly at construction (localCheckpoint +
     # isEmpty); count() forces the final visited relation.
     "graph_bfs_levels_parts",
+    # second r11 continuation batch (recorded, not in the total).
+    # ends in the per-source aggregate over per-doc entropies:
+    # count() computes the char explode and both aggregations.
+    "text_char_entropy_by_source",
+    # ends in TakeOrderedAndProject over the per-id ticket minima.
+    "curation_weighted_sample_tickets",
+    # inner join of grouped aggregates (pair relation cardinality):
+    # count() computes the term join and the quantized JS fold.
+    "text_source_js_divergence",
+    # streaming drain is eager at construction (availableNow parquet
+    # sink); count() forces the drained per-doc gate table.
+    "documents_stream_entropy_gate",
+    # single grouped aggregate: count() computes the token explode
+    # and the decimal simpson fold.
+    "text_lexical_diversity",
+    # left join of the sketch estimates with the exact audit agg:
+    # count() computes both (inner cardinality = pair relation).
+    "text_kmv_source_overlap",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -49,6 +49,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
+        # A duplicate name would SILENTLY shadow an existing row (and
+        # its oracle), rewriting that row's semantics while its driver
+        # hash history keeps the old identity — caught once in the
+        # wild (a new sampler re-used "curation_weighted_sample");
+        # now a registration-time error.
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -10463,7 +10470,7 @@ def text_char_entropy_by_source(spark, sf_dir):
 
 
 @register(
-    "curation_weighted_sample",
+    "curation_weighted_sample_tickets",
     """
     WITH rep AS (
       SELECT doc_id, w_capped,
@@ -10488,9 +10495,12 @@ def text_char_entropy_by_source(spark, sf_dir):
     SELECT * FROM ranked WHERE rank <= 20
     """,
 )
-def curation_weighted_sample(spark, sf_dir):
+def curation_weighted_sample_tickets(spark, sf_dir):
     """Length-weighted deterministic document sample
-    (`operators/curation.weighted_sample`): each doc races
+    (`operators/curation.weighted_sample`, the multi-ticket min-hash
+    race — a DIFFERENT inclusion law from the sequential-Poisson
+    `curation_weighted_sample`: min of w tickets vs one u/w priority,
+    so tail-inclusion odds saturate at the cap): each doc races
     min(n_chars, 64) md5 tickets and the 20 smallest surviving keys
     win — integer-exact weighted sampling without replacement (the
     u^(1/w) float key would hang cross-engine rank stability on libm

@@ -292,3 +292,14 @@ class TestLexicalDiversity:
         schema = {f.name: f.dataType.simpleString()
                   for f in lexical_diversity(df).schema.fields}
         assert schema["simpson_num"] == "decimal(38,0)"
+
+
+def test_duplicate_registration_raises():
+    """register() must refuse a name that already exists — a duplicate
+    silently shadows the old row's semantics while its driver-hash
+    history keeps the old identity (the curation_weighted_sample
+    collision this guard was born from)."""
+    from mr_lda_spark import queries_registry as qr
+
+    with pytest.raises(ValueError, match="duplicate query registration"):
+        qr.register("curation_weighted_sample")(lambda spark, sf: None)

@@ -444,7 +444,7 @@ def test_weighted_sample_topk_no_full_sort(spark):
     """weighted_sample's top-k claim: global selection runs as
     TakeOrderedAndProject (per-partition heap), not a full Sort over
     an all-to-one exchange; the per-id min partial-aggregates."""
-    ex = _explain(spark, "curation_weighted_sample")
+    ex = _explain(spark, "curation_weighted_sample_tickets")
     assert "TakeOrderedAndProject" in ex
     assert "partial_min" in ex
 
