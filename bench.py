@@ -234,6 +234,10 @@ EXTRA = [
     # left join of the sketch estimates with the exact audit agg:
     # count() computes both (inner cardinality = pair relation).
     "text_kmv_source_overlap",
+    # stateful streaming drain is eager at construction (availableNow
+    # memory sink + applyInPandasWithState); count() forces only the
+    # sources x k exploded sketch relation.
+    "documents_stream_kmv",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -10787,6 +10787,50 @@ def text_kmv_source_overlap(spark, sf_dir):
     )
 
 
+@register(
+    "documents_stream_kmv",
+    f"""
+    WITH sh AS ({_sql_shingles(3)}),
+    keys AS (
+      SELECT DISTINCT d.source,
+             ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS h
+      FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT source, h,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY h)
+                AS INT) AS rank
+    FROM keys QUALIFY rank <= 64
+    """,
+)
+def documents_stream_kmv(spark, sf_dir):
+    """Streaming KMV bottom-k sketch
+    (`streaming/kmv_stream.kmv_sketch_stream`): bottom-k is NOT a
+    commutative scalar the built-in streaming aggregates can hold, so
+    this is the ``applyInPandasWithState`` tier — explicit GroupState
+    carries each source's k smallest shingle hashes (state bounded at
+    k longs per group by construction; every Arrow chunk
+    merges-and-prunes, never materializing a trigger's distinct set).
+    Bottom-k is order-insensitive, so the drained state is
+    BIT-IDENTICAL to the batch `kmv.kmv_sketch` relation — the oracle
+    is the batch sketch SQL verbatim."""
+    import uuid
+
+    from mr_lda_spark.streaming.dedup_stream import read_documents_stream
+    from mr_lda_spark.streaming.kmv_stream import (
+        kmv_drain_stream,
+        kmv_sketch_stream,
+        shingle_source_stream,
+    )
+
+    stream = shingle_source_stream(
+        read_documents_stream(spark, sf_dir), n=3
+    )
+    sketch = kmv_sketch_stream(stream, "shingle", "source", k=64)
+    return kmv_drain_stream(
+        spark, sketch, f"kmvsk_{uuid.uuid4().hex[:8]}"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

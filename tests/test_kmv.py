@@ -105,3 +105,73 @@ class TestKmvPairSetOps:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestKmvStream:
+    def test_tracker_merges_and_prunes_incrementally(self):
+        """Pure-python pin of the stateful kernel: chunked Arrow
+        batches + pre-existing state must produce exactly the bottom-k
+        of the union, and state stays pruned to k after EVERY chunk
+        (the bounded-transient-memory claim)."""
+        import pandas as pd
+
+        from mr_lda_spark.streaming.kmv_stream import _kmv_tracker
+
+        class FakeState:
+            def __init__(self, hs):
+                self.exists = hs is not None
+                self._hs = hs
+                self.updated = None
+
+            @property
+            def get(self):
+                return (self._hs,)
+
+            def update(self, v):
+                self.updated = v
+
+        fn = _kmv_tracker(k=4)
+        st = FakeState([10, 20, 30, 40])
+        chunks = [
+            pd.DataFrame({"h": [5, 25, 25, 100]}),
+            pd.DataFrame({"h": [1, 999]}),
+        ]
+        out = list(fn(("src",), chunks, st))
+        expected = sorted({10, 20, 30, 40, 5, 25, 100, 1, 999})[:4]
+        assert out[0]["hs"].iloc[0] == expected == [1, 5, 10, 20]
+        assert st.updated == ([1, 5, 10, 20],)
+
+    def test_stream_equals_batch_sketch(self, spark, documents):
+        """Drained streaming sketch ≡ batch kmv_sketch on the same
+        corpus (bottom-k is order-insensitive, so trigger boundaries
+        cannot change it)."""
+        import uuid
+
+        from mr_lda_spark.operators import textops
+        from mr_lda_spark.streaming.dedup_stream import (
+            read_documents_stream,
+        )
+        from mr_lda_spark.streaming.kmv_stream import (
+            kmv_drain_stream,
+            kmv_sketch_stream,
+            shingle_source_stream,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        stream = shingle_source_stream(
+            read_documents_stream(spark, sf), n=3
+        )
+        drained = kmv_drain_stream(
+            spark,
+            kmv_sketch_stream(stream, "shingle", "source", k=32),
+            f"kmvtest_{uuid.uuid4().hex[:8]}",
+        )
+        keys = textops.shingles(documents, "text", 3).join(
+            documents.select("doc_id", "source"), "doc_id"
+        )
+        batch = kmv.kmv_sketch(keys, "shingle", ["source"], k=32)
+        a = sorted(tuple(r) for r in drained.collect())
+        b = sorted(
+            (r["source"], r["h"], r["rank"]) for r in batch.collect()
+        )
+        assert a == b
