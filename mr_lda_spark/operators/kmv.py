@@ -49,9 +49,13 @@ def kmv_sketch(
     ever sorts a group's full distinct-key set, which is what a naive
     one-window top-k would do at 100 TB.  The salt derives from the
     hash value itself, so the construction stays engine-reproducible.
+    NULL keys are dropped before hashing — md5(NULL) is NULL, which
+    sorts FIRST in Spark's window and would silently displace a real
+    bottom-k value the oracle keeps.
     """
     d = (
-        keys.select(*group_cols, _h60(F.col(key_col)).alias("h"))
+        keys.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, _h60(F.col(key_col)).alias("h"))
         .distinct()
         .withColumn("salt", F.pmod(F.col("h"), F.lit(int(buckets))))
     )

@@ -86,6 +86,17 @@ def gram_moments(
             yield out
 
     partials = vecs.select(vec_col).mapInPandas(kernel, schema=_GRAM_SCHEMA)
+    # Seed the (0,0) count key with 0 so an input with NO valid vectors
+    # still yields the count row the SQL oracle's count(*) always
+    # emits (moment keys are absent on empty input in BOTH engines);
+    # with data present the seed adds 0 to the sum — a no-op.  Batch
+    # only: a batch∪stream union is unsupported, and the streaming
+    # twin's incremental state makes an absent-count trigger moot.
+    if not vecs.isStreaming:
+        seed = vecs.sparkSession.createDataFrame(
+            [(0, 0, 0)], schema=_GRAM_SCHEMA
+        )
+        partials = partials.unionByName(seed)
     return partials.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
     )
@@ -142,12 +153,16 @@ def pca_power(
         (r["i"], r["j"]): int(r["s"])
         for r in gram_moments(vecs, vec_col, dim, scale).collect()
     }
-    n = stats[(0, 0)]
-    s1 = [stats[(i, 0)] for i in range(1, dim + 1)]
+    # .get defaults: an input with no valid vectors has ONLY the
+    # seeded count row — every moment defaults to 0 and the iteration
+    # walks the documented degenerate all-zero trajectory instead of
+    # raising KeyError.
+    n = stats.get((0, 0), 0)
+    s1 = [stats.get((i, 0), 0) for i in range(1, dim + 1)]
     m = [[0] * dim for _ in range(dim)]
     for i in range(dim):
         for j in range(i, dim):
-            v = n * stats[(i + 1, j + 1)] - s1[i] * s1[j]
+            v = n * stats.get((i + 1, j + 1), 0) - s1[i] * s1[j]
             m[i][j] = m[j][i] = v
     v = [scale] * dim
     for _ in range(int(iterations)):

@@ -407,10 +407,19 @@ def npmi_coherence(
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    id_cols: tuple = ("doc_id",),
+) -> DataFrame:
     """Explode each doc into its n-token shingles (1-based positions so
     the DuckDB oracle matches exactly).  Docs shorter than n tokens are
-    dropped.
+    dropped.  ``id_cols`` names the carried key columns — ("doc_id",)
+    for batch corpora, a group label like ("source",) for STREAMS,
+    which cannot join labels back later the way batch does; the
+    streaming shingle helpers are thin wrappers over this one function
+    so batch and stream tokenize identically by construction.
 
     The token array is materialized behind a Filter barrier on
     purpose: a single-select formulation lets projection collapse
@@ -418,7 +427,7 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     lambda (3 re-splits per shingle — measured ~13× slower at
     sf0.1)."""
     toks = _tokens(F.col(text_col))
-    with_toks = docs.select("doc_id", toks.alias("toks")).filter(
+    with_toks = docs.select(*id_cols, toks.alias("toks")).filter(
         F.size("toks") >= n
     )
     idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
@@ -426,7 +435,7 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
         " ", *[F.element_at("toks", i + j) for j in range(n)]
     )
     return with_toks.select(
-        "doc_id",
+        *id_cols,
         F.explode(F.transform(idx, lambda i: shingle(i))).alias("shingle"),
     )
 

@@ -10616,13 +10616,21 @@ def documents_stream_entropy_gate(spark, sf_dir):
         ds.read_documents_stream(spark, sf_dir)
     ).withColumn("passed", F.col("entropy_bits") >= 4.0)
     ds.run_to_parquet(stream, out, ckpt)
-    return spark.read.parquet(out).select(
-        "doc_id",
-        "n_chars",
-        "n_distinct_chars",
-        "clogc_q",
-        "entropy_bits",
-        "passed",
+    # n_chars > 0: the oracle's per-(doc,char) grouping naturally
+    # excludes char-less documents, while the stateless projection
+    # emits a zero row for them — same parity filter as the batch
+    # text_char_entropy_by_source row.
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("n_chars") > 0)
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct_chars",
+            "clogc_q",
+            "entropy_bits",
+            "passed",
+        )
     )
 
 

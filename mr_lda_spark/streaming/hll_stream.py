@@ -34,22 +34,12 @@ __all__ = [
 
 def shingle_lang_stream(docs_stream: DataFrame, n: int = 5) -> DataFrame:
     """(lang, shingle) explode over a streaming documents source —
-    the same tokenize/shingle pipeline as ``textops.shingles`` (same
-    ``_tokens``, 1-based positions) with the group label kept inline
-    (a stream cannot join labels back later the way batch does)."""
-    toks = _tokens(F.col("text"))
-    with_toks = docs_stream.select("lang", toks.alias("toks")).filter(
-        F.size("toks") >= n
-    )
-    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    LITERALLY ``textops.shingles`` with the lang label as the carried
+    key (a stream cannot join labels back later the way batch does),
+    so batch and stream tokenize identically by construction."""
+    from mr_lda_spark.operators.textops import shingles
 
-    def shingle(i):
-        return F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)])
-
-    return with_toks.select(
-        "lang",
-        F.explode(F.transform(idx, lambda i: shingle(i))).alias("shingle"),
-    )
+    return shingles(docs_stream, "text", n, id_cols=("lang",))
 
 
 def hll_estimate_stream(

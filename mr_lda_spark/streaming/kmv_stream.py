@@ -57,9 +57,9 @@ def kmv_sketch_stream(
     """Streaming bottom-k: (group, hs[≤k]) maintained in GroupState.
     The hash is the repo-wide md5 60-bit prefix, so the drained state
     equals the batch ``kmv.kmv_sketch`` relation exactly."""
-    h = F.conv(
-        F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10
-    ).cast("bigint")
+    from mr_lda_spark.operators.kmv import _h60
+
+    h = _h60(F.col(key_col))
     return (
         keys_stream.select(F.col(group_col).alias("source"), h.alias("h"))
         .groupBy("source")
@@ -81,11 +81,14 @@ def kmv_drain_stream(
 ) -> DataFrame:
     """Drain the streaming sketch (availableNow) into a memory sink
     and explode to the batch sketch's (source, h, rank) relation.
-    Update-mode emits one row per group per trigger; the LAST row per
-    group is the final state (earlier partials are superseded), so the
-    drain keeps the max-length entry per group — with availableNow's
-    single trigger there is exactly one row per group anyway.  Sink
-    detach in a ``finally`` (the hll_stream leak-class rule)."""
+    Update-mode memory sinks APPEND each trigger's emitted rows, so a
+    multi-micro-batch run leaves one row per group PER TRIGGER; the
+    final state is selected per group by the sketch's own monotonicity
+    (size grows until k, then the kth — last — element strictly
+    decreases on every update), ordering by (size DESC, last element
+    ASC); rows tying on both are identical states, so any winner is
+    the same state.  Sink detach in a ``finally`` (the hll_stream
+    leak-class rule)."""
     q = (
         sketch_stream.writeStream.format("memory")
         .queryName(query_name)
@@ -103,7 +106,18 @@ def kmv_drain_stream(
     finally:
         q.stop()
         spark.catalog.dropTempView(query_name)
-    return rows.select(
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.size("hs").desc(),
+        F.element_at("hs", F.size("hs")).asc_nulls_last(),
+    )
+    final = (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return final.select(
         "source", F.posexplode("hs").alias("pos", "h")
     ).select(
         "source", "h", (F.col("pos") + 1).cast("int").alias("rank")
@@ -112,20 +126,9 @@ def kmv_drain_stream(
 
 def shingle_source_stream(docs_stream: DataFrame, n: int = 3) -> DataFrame:
     """(source, shingle) explode over a streaming documents source —
-    same tokenize/shingle pipeline as ``textops.shingles`` (1-based
-    positions) with the source label kept inline."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    with_toks = docs_stream.select(
-        "source", toks.alias("toks")
-    ).filter(F.size("toks") >= n)
-    idx = F.sequence(F.lit(1), F.size("toks") - (n - 1))
+    LITERALLY ``textops.shingles`` with the source label as the carried
+    key, so batch and stream tokenize identically by construction (the
+    bit-equality the documents_stream_kmv oracle depends on)."""
+    from mr_lda_spark.operators.textops import shingles
 
-    def shingle(i):
-        return F.concat_ws(
-            " ", *[F.element_at("toks", i + j) for j in range(n)]
-        )
-
-    return with_toks.select(
-        "source",
-        F.explode(F.transform(idx, lambda i: shingle(i))).alias("shingle"),
-    )
+    return shingles(docs_stream, "text", n, id_cols=("source",))

@@ -175,3 +175,82 @@ class TestKmvStream:
             (r["source"], r["h"], r["rank"]) for r in batch.collect()
         )
         assert a == b
+
+
+class TestReviewRegressions:
+    def test_null_keys_do_not_poison_sketch(self, spark):
+        """md5(NULL) is NULL and sorts first in Spark's window — a NULL
+        key must be dropped, not take rank 1."""
+        rows = [(i, "s", f"k{i}") for i in range(50)]
+        with_nulls = spark.createDataFrame(
+            [(999, "s", None)] + rows, ["id", "source", "key"]
+        )
+        clean = _df(spark, rows)
+        a = sorted(
+            tuple(r)
+            for r in kmv.kmv_sketch(
+                with_nulls, "key", ["source"], k=8
+            ).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in kmv.kmv_sketch(clean, "key", ["source"], k=8).collect()
+        )
+        assert a == b
+        assert all(r[1] is not None for r in a)
+
+    def test_drain_across_multiple_microbatches(self, spark, tmp_path):
+        """Update-mode memory sinks APPEND a row per group per trigger;
+        the drain must keep only the final state.  Two source files +
+        maxFilesPerTrigger=1 forces two micro-batches whose partial
+        states would otherwise both explode into the output."""
+        import uuid
+
+        from mr_lda_spark.streaming.kmv_stream import (
+            kmv_drain_stream,
+            kmv_sketch_stream,
+        )
+
+        rows1 = [(f"s{i % 2}", f"k{i}") for i in range(60)]
+        rows2 = [(f"s{i % 2}", f"k{i + 60}") for i in range(60)]
+        d1 = spark.createDataFrame(rows1, ["source", "key"])
+        d2 = spark.createDataFrame(rows2, ["source", "key"])
+        src = str(tmp_path / "kmv_two_batches")
+        d1.coalesce(1).write.parquet(src)
+        d2.coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream.schema("source string, key string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        drained = kmv_drain_stream(
+            spark,
+            kmv_sketch_stream(stream, "key", "source", k=16),
+            f"kmv2b_{uuid.uuid4().hex[:8]}",
+        )
+        batch = kmv.kmv_sketch(
+            d1.unionByName(d2), "key", ["source"], k=16
+        )
+        a = sorted(tuple(r) for r in drained.collect())
+        b = sorted(
+            (r["source"], r["h"], r["rank"]) for r in batch.collect()
+        )
+        assert a == b
+        # exactly one rank sequence per group, no duplicate hashes
+        assert len(a) == len({(s, h) for s, h, _ in a})
+
+
+def test_gram_empty_input_yields_count_row_and_zero_pca(spark):
+    """An input with no valid vectors must still emit the (0,0,0)
+    count row (the SQL oracle's count(*) always does) and pca_power
+    must walk the documented degenerate trajectory to the zero vector
+    instead of raising KeyError."""
+    from mr_lda_spark.operators.linalg import gram_moments, pca_power
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    rows = gram_moments(empty, dim=4).collect()
+    assert [(r["i"], r["j"], int(r["s"])) for r in rows] == [(0, 0, 0)]
+    v = pca_power(empty, dim=4, iterations=3).collect()
+    assert [int(r["loading"]) for r in v] == [0, 0, 0, 0]
