@@ -238,6 +238,11 @@ EXTRA = [
     # memory sink + applyInPandasWithState); count() forces only the
     # sources x k exploded sketch relation.
     "documents_stream_kmv",
+    # ends in the per-source rank window over per-id ticket minima.
+    "curation_weighted_sample_per_source",
+    # doc_id-keyed join of the language-ID projection with labels,
+    # then one grouped count: count() computes the classifier scan.
+    "text_lang_confusion",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -1133,3 +1133,65 @@ def weighted_sample(
         "min_key",
         F.row_number().over(win).cast("int").alias("rank"),
     )
+
+
+def weighted_sample_grouped(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    weight_cap: int = 64,
+) -> DataFrame:
+    """Per-group ``weighted_sample``: the same md5 min-ticket race,
+    ranked WITHIN each group — k winners per group instead of k
+    global.  The per-domain sampling primitive (inspect k docs from
+    every source, weighted by length) that a global top-k starves for
+    small groups.
+
+    Same determinism story as the global variant (integer keys, no
+    floats); the rank window partitions by group so no single
+    partition ever holds more than one group's candidates — the
+    groups × k result is answer-sized.
+    """
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
+        F.lit(int(weight_cap)),
+    )
+    rep = df.select(
+        F.col(id_col), F.col(group_col), w.cast("int").alias("w_capped")
+    ).select(
+        id_col,
+        group_col,
+        "w_capped",
+        F.explode(F.sequence(F.lit(1), F.col("w_capped"))).alias("__i"),
+    )
+    key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    F.lit("wrs"),
+                    F.col("__i").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    best = (
+        rep.select(id_col, group_col, "w_capped", key.alias("__key"))
+        .groupBy(id_col, group_col, "w_capped")
+        .agg(F.min("__key").alias("min_key"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(group_col).orderBy("min_key", id_col)
+    return (
+        best.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= int(k))
+        .select(id_col, group_col, "w_capped", "min_key", "rank")
+    )

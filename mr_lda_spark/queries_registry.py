@@ -10839,6 +10839,88 @@ def documents_stream_kmv(spark, sf_dir):
     )
 
 
+@register(
+    "curation_weighted_sample_per_source",
+    """
+    WITH rep AS (
+      SELECT doc_id, source, w_capped,
+             unnest(generate_series(1, w_capped)) AS i
+      FROM (SELECT doc_id, source,
+                   CAST(least(greatest(n_chars, 1), 64) AS INT)
+                     AS w_capped
+            FROM documents)
+    ), keyed AS (
+      SELECT doc_id, source, w_capped,
+             min(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                     || ':wrs:'
+                                     || CAST(i AS VARCHAR)), 1, 15)
+                 )::BIGINT) AS min_key
+      FROM rep GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, source, w_capped, min_key,
+           CAST(row_number() OVER (PARTITION BY source
+                                   ORDER BY min_key, doc_id) AS INT)
+             AS rank
+    FROM keyed QUALIFY rank <= 5
+    """,
+)
+def curation_weighted_sample_per_source(spark, sf_dir):
+    """Per-source weighted sample
+    (`operators/curation.weighted_sample_grouped`): the md5 min-ticket
+    race ranked WITHIN each source — 5 winners per source, so small
+    domains are never starved by a global top-k.  Same integer-only
+    determinism as the global tickets row; the rank window partitions
+    by source, so no single partition holds more than one group's
+    candidates."""
+    from mr_lda_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation.weighted_sample_grouped(
+        docs.select("doc_id", "source", "n_chars"),
+        "n_chars",
+        k=5,
+        group_col="source",
+    )
+
+
+@register(
+    "text_lang_confusion",
+    f"""
+    WITH pred AS (
+      SELECT doc_id, {_LANG_SQL_PRED} AS pred_lang
+      FROM ({_SQL_LANG_HITS})
+    )
+    SELECT d.lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN d.lang = p.pred_lang THEN count(*)
+                     ELSE 0 END AS BIGINT) AS n_correct
+    FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def text_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs labeled language,
+    integer counts only (the evaluation row for the Cavnar–Trenkle
+    classifier `textops.language_id` — which labels the classifier is
+    burning when it misses, not just how often).  Zero float risk:
+    every column is an exact count; the join is doc_id-keyed against
+    the already-plan-guarded language-ID projection."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = textops.language_id(docs).select("doc_id", "pred_lang")
+    return (
+        pred.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("lang") == F.col("pred_lang")).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -303,3 +303,38 @@ def test_duplicate_registration_raises():
 
     with pytest.raises(ValueError, match="duplicate query registration"):
         qr.register("curation_weighted_sample")(lambda spark, sf: None)
+
+
+class TestWeightedSampleGrouped:
+    def test_k_per_group_and_mirror(self, spark):
+        from mr_lda_spark.operators.curation import weighted_sample_grouped
+
+        rows = [(i, f"g{i % 3}", (i % 5) + 1) for i in range(1, 61)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "w"])
+        got = weighted_sample_grouped(
+            df, "w", k=4, group_col="source"
+        ).collect()
+        by_g = {}
+        for r in got:
+            by_g.setdefault(r["source"], []).append(r)
+        assert set(by_g) == {"g0", "g1", "g2"}
+        for g, rs in by_g.items():
+            assert sorted(r["rank"] for r in rs) == [1, 2, 3, 4]
+            # mirror: per-group 4 smallest min-ticket keys
+            mirror = sorted(
+                (_mirror_min_key(i, (i % 5) + 1), i)
+                for (i, gg, _) in rows
+                if gg == g
+            )[:4]
+            assert sorted((r["min_key"], r["doc_id"]) for r in rs) == mirror
+
+    def test_small_group_keeps_all(self, spark):
+        from mr_lda_spark.operators.curation import weighted_sample_grouped
+
+        df = spark.createDataFrame(
+            [(1, "tiny", 3), (2, "tiny", 3)], ["doc_id", "source", "w"]
+        )
+        got = weighted_sample_grouped(
+            df, "w", k=10, group_col="source"
+        ).collect()
+        assert len(got) == 2
