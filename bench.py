@@ -243,6 +243,9 @@ EXTRA = [
     # doc_id-keyed join of the language-ID projection with labels,
     # then one grouped count: count() computes the classifier scan.
     "text_lang_confusion",
+    # cross join of three 1-row aggregates (merged/direct/exact):
+    # count() computes both sketch constructions and the exact audit.
+    "text_kmv_merge",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

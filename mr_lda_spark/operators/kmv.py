@@ -57,7 +57,17 @@ def kmv_sketch(
         keys.filter(F.col(key_col).isNotNull())
         .select(*group_cols, _h60(F.col(key_col)).alias("h"))
         .distinct()
-        .withColumn("salt", F.pmod(F.col("h"), F.lit(int(buckets))))
+    )
+    return _bottom_k(d, list(group_cols), k, buckets)
+
+
+def _bottom_k(
+    hashes: DataFrame, group_cols: list[str], k: int, buckets: int = 64
+) -> DataFrame:
+    """Salted two-stage bottom-k over a distinct (group…, h) relation —
+    the shared selection kernel of ``kmv_sketch`` and ``kmv_merge``."""
+    d = hashes.withColumn(
+        "salt", F.pmod(F.col("h"), F.lit(int(buckets)))
     )
     w1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
     c1 = (
@@ -69,6 +79,40 @@ def kmv_sketch(
     return c1.withColumn(
         "rank", F.row_number().over(w2).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def kmv_merge(
+    sketches: DataFrame, k: int, buckets: int = 64
+) -> DataFrame:
+    """Merge per-group bottom-k sketches into ONE global sketch of the
+    union: distinct the hash values, keep the k smallest — a valid KMV
+    sketch of the union BY CONSTRUCTION (bottom-k is
+    grouping-insensitive: the k smallest of the whole are always among
+    the per-group k smallest).  This is the property that makes KMV a
+    distributed/temporal aggregate — 1000 shard (or day) sketches
+    merge into exactly the sketch one global pass would build, on
+    sketch-sized data (groups × k rows, the corpus is never touched)."""
+    return _bottom_k(
+        sketches.select("h").distinct(), [], k, buckets
+    )
+
+
+def kmv_estimate(sk: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate from a single (ungrouped) bottom-k
+    sketch: (n_sketch, kth_h, est_distinct).  A sketch holding fewer
+    than k values IS the distinct set — exact collapse, same rule as
+    ``kmv_pair_set_ops``."""
+    agg = sk.groupBy().agg(
+        F.count(F.lit(1)).cast("int").alias("n_sketch"),
+        F.max("h").alias("kth_h"),
+    )
+    est = F.when(
+        F.col("n_sketch") == k,
+        F.round(F.lit((k - 1) * HASH_SPACE) / F.col("kth_h"), 2),
+    ).otherwise(F.col("n_sketch").cast("double"))
+    return agg.select(
+        "n_sketch", "kth_h", est.alias("est_distinct")
+    )
 
 
 def kmv_pair_set_ops(

@@ -10921,6 +10921,88 @@ def text_lang_confusion(spark, sf_dir):
     )
 
 
+@register(
+    "text_kmv_merge",
+    f"""
+    WITH sh AS ({_sql_shingles(3)}),
+    keys AS (
+      SELECT DISTINCT d.lang,
+             ('0x' || substr(md5(s.shingle), 1, 15))::BIGINT AS h
+      FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+    ), per_lang AS (
+      SELECT lang, h,
+             row_number() OVER (PARTITION BY lang ORDER BY h) AS rank
+      FROM keys QUALIFY rank <= 64
+    ), merged AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rank
+      FROM (SELECT DISTINCT h FROM per_lang) QUALIFY rank <= 64
+    ), direct AS (
+      SELECT h, row_number() OVER (ORDER BY h) AS rank
+      FROM (SELECT DISTINCT h FROM keys) QUALIFY rank <= 64
+    ), m AS (
+      SELECT CAST(count(*) AS INT) AS n_merged,
+             max(h) AS kth_merged,
+             CASE WHEN count(*) = 64
+                  THEN round(63 * 1152921504606846976.0 / max(h), 2)
+                  ELSE CAST(count(*) AS DOUBLE) END AS est_merged
+      FROM merged
+    ), dr AS (
+      SELECT max(h) AS kth_direct,
+             CASE WHEN count(*) = 64
+                  THEN round(63 * 1152921504606846976.0 / max(h), 2)
+                  ELSE CAST(count(*) AS DOUBLE) END AS est_direct
+      FROM direct
+    ), exact AS (
+      SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct
+      FROM keys
+    )
+    SELECT n_merged, kth_merged, est_merged, kth_direct, est_direct,
+           exact_distinct
+    FROM m, dr, exact
+    """,
+)
+def text_kmv_merge(spark, sf_dir):
+    """KMV sketch mergeability — the property that makes bottom-k a
+    distributed/temporal aggregate (`operators/kmv.kmv_merge`):
+    per-language sketches merged by union-distinct-and-reselect equal
+    the direct global sketch BIT-FOR-BIT (the k smallest of the whole
+    are always among the per-group k smallest), so 1000 shard or
+    per-day sketches combine into exactly what one global pass would
+    build — on sketch-sized data.  The row carries both kth hashes and
+    both estimates; the driver hash proves kth_merged = kth_direct and
+    est_merged = est_direct.  The HLL twin of this proof is
+    `text_hll_merge`."""
+    from mr_lda_spark.operators import kmv
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = textops.shingles(docs, "text", 3).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    per_lang = kmv.kmv_sketch(keys, "shingle", ["lang"], k=64)
+    merged = kmv.kmv_estimate(
+        kmv.kmv_merge(per_lang, k=64), k=64
+    ).select(
+        F.col("n_sketch").alias("n_merged"),
+        F.col("kth_h").alias("kth_merged"),
+        F.col("est_distinct").alias("est_merged"),
+    )
+    direct = kmv.kmv_estimate(
+        kmv.kmv_sketch(keys, "shingle", [], k=64), k=64
+    ).select(
+        F.col("kth_h").alias("kth_direct"),
+        F.col("est_distinct").alias("est_direct"),
+    )
+    hk = keys.select(
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    exact = hk.agg(
+        F.count_distinct("h").cast("bigint").alias("exact_distinct")
+    )
+    return merged.crossJoin(direct).crossJoin(exact)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

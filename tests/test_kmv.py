@@ -254,3 +254,23 @@ def test_gram_empty_input_yields_count_row_and_zero_pca(spark):
     assert [(r["i"], r["j"], int(r["s"])) for r in rows] == [(0, 0, 0)]
     v = pca_power(empty, dim=4, iterations=3).collect()
     assert [int(r["loading"]) for r in v] == [0, 0, 0, 0]
+
+
+def test_merge_equals_direct_sketch(spark):
+    """kmv_merge over per-group sketches must reproduce the direct
+    global sketch bit-for-bit — bottom-k is grouping-insensitive."""
+    rows = [(i, f"g{i % 5}", f"k{i}") for i in range(400)]
+    df = _df(spark, rows)
+    per_group = kmv.kmv_sketch(df, "key", ["source"], k=16)
+    merged = sorted(
+        (r["h"], r["rank"])
+        for r in kmv.kmv_merge(per_group, k=16).collect()
+    )
+    direct = sorted(
+        (r["h"], r["rank"])
+        for r in kmv.kmv_sketch(df, "key", [], k=16).collect()
+    )
+    assert merged == direct
+    est = kmv.kmv_estimate(kmv.kmv_merge(per_group, k=16), k=16).collect()[0]
+    assert est["n_sketch"] == 16
+    assert 250 < est["est_distinct"] < 650
