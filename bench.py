@@ -246,6 +246,9 @@ EXTRA = [
     # cross join of three 1-row aggregates (merged/direct/exact):
     # count() computes both sketch constructions and the exact audit.
     "text_kmv_merge",
+    # query-keyed joins of two eager rankings (frozen IVF + exact):
+    # count() computes both rankings and the metric aggregates.
+    "similarity_ivf_ranking_quality",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

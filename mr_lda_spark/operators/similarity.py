@@ -1840,3 +1840,87 @@ def margin_mining_lsh(
         )
     )
     return _margin_tail(top, threshold)
+
+
+def ranking_quality(
+    approx: DataFrame, exact: DataFrame, k: int
+) -> DataFrame:
+    """Per-query ranking-quality metrics of an APPROXIMATE top-k
+    ranking against the EXACT one — recall hits, reciprocal rank of
+    the true nearest neighbor, and nDCG@k with graded relevance
+    rel = k+1 − exact_rank.  The evaluation layer the recall-audit
+    rows (`dedup_minhash_recall`, `similarity_ivfflat_recall`) stop
+    short of: recall says HOW MANY true neighbors survive pruning,
+    nDCG/MRR say WHERE the ranking puts them.
+
+    Both inputs are (query_id, rank, neighbor_id) relations.  Engine
+    determinism: the only libm call (log2 of small integer positions)
+    lives in per-position terms quantized to integers at 1e6 scale
+    before summation; rr_ppm is integer floor division; ndcg is one
+    IEEE division of two exact integer sums, rounded once.  All joins
+    are query-keyed on answer-sized relations (queries × k rows).
+    """
+    a, e = approx.alias("a"), exact.alias("e")
+    rel = a.join(
+        e,
+        (F.col("a.query_id") == F.col("e.query_id"))
+        & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+        "left",
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.rank").alias("pos"),
+        F.coalesce(F.lit(k + 1) - F.col("e.rank"), F.lit(0)).alias(
+            "rel"
+        ),
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.sum(
+            F.round(
+                F.col("rel") * 1e6 / F.log2(F.col("pos") + 1), 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("dcg_q"),
+        F.sum((F.col("rel") > 0).cast("int"))
+        .cast("int")
+        .alias("n_hits"),
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(
+            F.round(
+                (F.lit(k + 1) - F.col("rank"))
+                * 1e6
+                / F.log2(F.col("rank") + 1),
+                0,
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("idcg_q")
+    )
+    top1 = (
+        exact.filter(F.col("rank") == 1)
+        .select("query_id", "neighbor_id")
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(
+                F.expr("1000000 div rank"), F.lit(0)
+            )
+            .cast("int")
+            .alias("rr_ppm"),
+        )
+    )
+    return (
+        dcg.join(idcg, "query_id")
+        .join(top1, "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            "rr_ppm",
+            "dcg_q",
+            "idcg_q",
+            F.round(
+                F.col("dcg_q") / F.col("idcg_q").cast("double"), 6
+            ).alias("ndcg"),
+        )
+    )

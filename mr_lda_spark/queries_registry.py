@@ -11003,6 +11003,80 @@ def text_kmv_merge(spark, sf_dir):
     return merged.crossJoin(direct).crossJoin(exact)
 
 
+_RANKEVAL_K = 10
+# The existing k=3 oracle texts, re-cut at k=10 (the single rank
+# bound is the only difference; asserted below so a macro edit that
+# changes the bound's spelling fails loudly at import).
+_SQL_EXACT_TOPK10 = _SQL_EXACT_TOPK.replace(
+    f"WHERE rank <= {SIM_K}", f"WHERE rank <= {_RANKEVAL_K}"
+)
+assert _SQL_EXACT_TOPK10 != _SQL_EXACT_TOPK
+_SQL_IVF_FROZEN_TOPK10 = (
+    _SQL_KMEANS_FROZEN_CTES
+    + ORACLES["similarity_ivfflat_frozen_topk"][
+        len(_SQL_KMEANS_FROZEN_CTES):
+    ].replace(f"WHERE rank <= {SIM_K}", f"WHERE rank <= {_RANKEVAL_K}")
+)
+assert _SQL_IVF_FROZEN_TOPK10 != ORACLES["similarity_ivfflat_frozen_topk"]
+
+
+@register(
+    "similarity_ivf_ranking_quality",
+    f"""
+    WITH approx AS (SELECT * FROM ({_SQL_IVF_FROZEN_TOPK10})),
+    exact AS (SELECT * FROM ({_SQL_EXACT_TOPK10})),
+    rel AS (
+      SELECT a.query_id, a.rank AS pos,
+             COALESCE({_RANKEVAL_K + 1} - e.rank, 0) AS rel
+      FROM approx a LEFT JOIN exact e
+        ON e.query_id = a.query_id
+       AND e.neighbor_id = a.neighbor_id
+    ), dcg AS (
+      SELECT query_id,
+             CAST(sum(CAST(round(rel * 1000000.0 / log2(pos + 1))
+                           AS BIGINT)) AS BIGINT) AS dcg_q,
+             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS INT)
+               AS n_hits
+      FROM rel GROUP BY 1
+    ), idcg AS (
+      SELECT query_id,
+             CAST(sum(CAST(round(({_RANKEVAL_K + 1} - rank)
+                                 * 1000000.0 / log2(rank + 1))
+                           AS BIGINT)) AS BIGINT) AS idcg_q
+      FROM exact GROUP BY 1
+    ), top1 AS (
+      SELECT e1.query_id,
+             CAST(COALESCE(1000000 // a.rank, 0) AS INT) AS rr_ppm
+      FROM (SELECT query_id, neighbor_id FROM exact WHERE rank = 1) e1
+      LEFT JOIN approx a ON a.query_id = e1.query_id
+                        AND a.neighbor_id = e1.neighbor_id
+    )
+    SELECT d.query_id, n_hits, rr_ppm, dcg_q, idcg_q,
+           round(CAST(dcg_q AS DOUBLE) / idcg_q, 6) AS ndcg
+    FROM dcg d
+    JOIN idcg i ON i.query_id = d.query_id
+    JOIN top1 t ON t.query_id = d.query_id
+    """,
+)
+def similarity_ivf_ranking_quality(spark, sf_dir):
+    """Ranking-quality evaluation of the partial-probe IVF against the
+    exact ranking (`operators/similarity.ranking_quality`): per query,
+    recall hits, reciprocal rank of the true nearest neighbor (integer
+    ppm), and nDCG@10 with graded relevance — WHERE the pruned index
+    puts the true neighbors, not just how many survive (the layer the
+    recall-audit rows stop short of).  Both rankings are themselves
+    deterministic oracle-backed rows (frozen-Lloyd IVF at nprobe=2,
+    brute-force exact), so the metrics are fully SQL-recomputable;
+    log2 position terms are quantized to integers before summation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
+    approx = similarity.ivfflat_frozen_topk(
+        emb, queries, k=_RANKEVAL_K, n_clusters=8, nprobe=2
+    )
+    exact = similarity.cosine_topk(emb, queries, k=_RANKEVAL_K)
+    return similarity.ranking_quality(approx, exact, k=_RANKEVAL_K)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

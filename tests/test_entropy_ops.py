@@ -338,3 +338,62 @@ class TestWeightedSampleGrouped:
             df, "w", k=10, group_col="source"
         ).collect()
         assert len(got) == 2
+
+
+class TestRankingQuality:
+    def _rank_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, ["query_id", "rank", "neighbor_id"]
+        )
+
+    def test_identical_rankings_perfect(self, spark):
+        from mr_lda_spark.operators.similarity import ranking_quality
+
+        exact = self._rank_df(
+            spark, [(1, r, 100 + r) for r in range(1, 6)]
+        )
+        got = ranking_quality(exact, exact, k=5).collect()[0]
+        assert got["n_hits"] == 5
+        assert got["rr_ppm"] == 1000000
+        assert got["ndcg"] == 1.0
+        assert got["dcg_q"] == got["idcg_q"]
+
+    def test_matches_python_mirror_on_degraded(self, spark):
+        import math
+
+        from mr_lda_spark.operators.similarity import ranking_quality
+
+        k = 4
+        exact = self._rank_df(
+            spark, [(1, 1, 10), (1, 2, 20), (1, 3, 30), (1, 4, 40)]
+        )
+        # approx: misses item 10 (the true top-1), reorders the rest.
+        approx = self._rank_df(
+            spark, [(1, 1, 20), (1, 2, 40), (1, 3, 99), (1, 4, 30)]
+        )
+        got = ranking_quality(approx, exact, k=k).collect()[0]
+        rel = {20: 3, 40: 1, 99: 0, 30: 2}  # k+1 - exact_rank
+        dcg = sum(
+            round(rel[i] * 1e6 / math.log2(p + 1))
+            for p, i in [(1, 20), (2, 40), (3, 99), (4, 30)]
+        )
+        idcg = sum(
+            round((k + 1 - r) * 1e6 / math.log2(r + 1))
+            for r in range(1, k + 1)
+        )
+        assert got["n_hits"] == 3
+        assert got["rr_ppm"] == 0  # true top-1 absent
+        assert got["dcg_q"] == dcg
+        assert got["idcg_q"] == idcg
+        assert got["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+
+    def test_rr_floor_division(self, spark):
+        from mr_lda_spark.operators.similarity import ranking_quality
+
+        exact = self._rank_df(spark, [(1, r, r) for r in range(1, 4)])
+        # true top-1 (item 1) found at position 3 -> rr = 1e6 // 3
+        approx = self._rank_df(
+            spark, [(1, 1, 3), (1, 2, 2), (1, 3, 1)]
+        )
+        got = ranking_quality(approx, exact, k=3).collect()[0]
+        assert got["rr_ppm"] == 333333
