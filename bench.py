@@ -249,6 +249,9 @@ EXTRA = [
     # query-keyed joins of two eager rankings (frozen IVF + exact):
     # count() computes both rankings and the metric aggregates.
     "similarity_ivf_ranking_quality",
+    # broadcast vocab probe + grouped count: count() computes the
+    # dictionary build and the token-stream membership join.
+    "text_oov_rate_by_source",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

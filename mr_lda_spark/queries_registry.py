@@ -11077,6 +11077,66 @@ def similarity_ivf_ranking_quality(spark, sf_dir):
     return similarity.ranking_quality(approx, exact, k=_RANKEVAL_K)
 
 
+@register(
+    "text_oov_rate_by_source",
+    f"""
+    WITH stats AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM ({_SQL_TOKENS_STOPPED}) GROUP BY term
+    ),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY df DESC, tf DESC, term ASC)
+               AS INT) AS term_id, term
+      FROM stats
+      WHERE df >= 0.02 * (SELECT count(*) FROM documents)
+    ),
+    vocab AS (SELECT term FROM ranked WHERE term_id <= 25),
+    toks AS (
+      SELECT t.doc_id, t.term, d.source
+      FROM ({_SQL_TOKENS_STOPPED}) t
+      JOIN documents d ON d.doc_id = t.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(1000000 * sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0
+                              END) // count(*) AS INT) AS oov_ppm
+    FROM toks LEFT JOIN vocab v ON v.term = toks.term
+    GROUP BY source
+    """,
+)
+def text_oov_rate_by_source(spark, sf_dir):
+    """Per-source out-of-vocabulary rate against the capped-25
+    dictionary (`parse_term_dict_capped`'s vocab ceiling): which
+    domains a fixed vocabulary covers and which it starves — the
+    diagnostic that decides a tokenizer/vocab refresh in an LM
+    pipeline.  Integer-exact throughout (counts + one ppm floor
+    division); the vocabulary is broadcast-sized by construction
+    (≤ max_vocab rows), so the membership probe is a broadcast join
+    against the token stream — no shuffle beyond the source
+    aggregate."""
+    docs, n_docs, _, tokens_stop, _ = _parse_shared(spark, sf_dir)
+    vocab = parse.build_dictionary(
+        parse.term_stats(tokens_stop), n_docs,
+        min_df_frac=MIN_DF_FRAC, max_vocab=25,
+    ).select("term")
+    toks = tokens_stop.join(docs.select("doc_id", "source"), "doc_id")
+    flagged = toks.join(
+        F.broadcast(vocab.withColumn("__inv", F.lit(1))), "term", "left"
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.col("__inv").isNull().cast("bigint"))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN __inv IS NULL THEN 1 ELSE 0"
+            " END) div count(*) AS INT)"
+        ).alias("oov_ppm"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
