@@ -252,6 +252,9 @@ EXTRA = [
     # broadcast vocab probe + grouped count: count() computes the
     # dictionary build and the token-stream membership join.
     "text_oov_rate_by_source",
+    # Arrow-batched real-PNG decode kernel: count() runs the decode
+    # (the hash column is the kernel's output, nothing prunable).
+    "multimodal_png_dhash",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

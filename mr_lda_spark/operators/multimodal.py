@@ -727,6 +727,55 @@ def png_image_stats(media: DataFrame) -> DataFrame:
     ).mapInPandas(kernel, schema=PNG_STATS_SCHEMA)
 
 
+PNG_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        T.StructField("n_gradient_bits", T.IntegerType()),
+    ]
+)
+
+
+def png_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded PNGs — the
+    image analogue of SimHash near-dup fingerprints: decode the gray-8
+    payload (full chunk-walk/inflate/unfilter), nearest-neighbor
+    sample a ``grid × grid`` pixel lattice, and set bit r·(grid−1)+c
+    iff sample(r,c) < sample(r,c+1).  grid=8 gives a 56-bit hash (fits
+    int64); visually-near-identical images land within a few bits, so
+    the hash feeds the existing Hamming-banded pair machinery
+    (``dedup.simhash_near_dupes``' pigeonhole bands) unchanged.
+
+    Everything is integer-deterministic (nearest-neighbor index
+    arithmetic, strict < comparisons), so a SQL oracle recomputes the
+    hash from the pre-image bytes — the decode round-trip is proved by
+    the hash matching, the multimodal_png_stats pattern."""
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {k.name: [] for k in PNG_DHASH_SCHEMA.fields}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_png_gray8(bytes(p))
+                h, w = px.shape
+                ri = (np.arange(grid) * h) // grid
+                ci = (np.arange(grid) * w) // grid
+                s = px[np.ix_(ri, ci)].astype(np.int64)
+                bits = (s[:, :-1] < s[:, 1:]).flatten()
+                val = int(
+                    (bits.astype(np.int64)
+                     << np.arange(bits.size, dtype=np.int64)).sum()
+                )
+                rows["media_id"].append(mid)
+                rows["dhash"].append(val)
+                rows["n_gradient_bits"].append(int(bits.sum()))
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(kernel, schema=PNG_DHASH_SCHEMA)
+
+
 Y4M_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

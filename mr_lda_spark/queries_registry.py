@@ -11137,6 +11137,52 @@ def text_oov_rate_by_source(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_png_dhash",
+    """
+    WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, text, unnest(range(0, 8)) AS r FROM v),
+    gc AS (SELECT doc_id, text, r, unnest(range(0, 7)) AS c FROM g),
+    cmp AS (
+      SELECT doc_id, r, c,
+             CASE WHEN (2 * r * 16 + 2 * c) < length(text)
+                  THEN ord(substr(text, 2 * r * 16 + 2 * c + 1, 1)) % 256
+                  ELSE 0 END AS pa,
+             CASE WHEN (2 * r * 16 + 2 * c + 2) < length(text)
+                  THEN ord(substr(text, 2 * r * 16 + 2 * c + 3, 1)) % 256
+                  ELSE 0 END AS pb
+      FROM gc
+    )
+    SELECT doc_id AS media_id,
+           CAST(sum(CASE WHEN pa < pb
+                         THEN CAST(1 AS BIGINT) << (r * 7 + c)
+                         ELSE 0 END) AS BIGINT) AS dhash,
+           CAST(sum(CASE WHEN pa < pb THEN 1 ELSE 0 END) AS INT)
+             AS n_gradient_bits
+    FROM cmp GROUP BY 1
+    """,
+)
+def multimodal_png_dhash(spark, sf_dir):
+    """Perceptual dHash over REAL decoded PNGs
+    (`operators/multimodal.png_dhash`) — the image near-dup
+    fingerprint: 56 horizontal-gradient bits over an 8×8
+    nearest-neighbor lattice of the decoded gray-8 image.  The oracle
+    recomputes the hash from the PRE-IMAGE text bytes, so a match
+    proves the whole chunk-walk/inflate/unfilter decode round-trip AND
+    the integer lattice arithmetic (the multimodal_png_stats pattern,
+    extended from a mean to a 56-bit exact structure).  The hash slots
+    into the existing Hamming-banded pair machinery (SimHash
+    pigeonhole bands) for image near-dup at corpus scale."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.real_media_from_documents(
+        _t(spark, sf_dir, "documents")
+    )
+    return mm.png_dhash(media)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -319,3 +319,26 @@ def test_media_payload_uses_code_points_not_utf8(spark):
     cps = [ord(c) % 256 for c in text]
     assert wav["n_frames"] == len(text)  # 5 chars, not 8 utf-8 bytes
     assert wav["mean_amp"] == pytest.approx(sum(cps) / len(cps), abs=1e-6)
+
+
+def test_png_dhash_perceptual_property(spark):
+    """Identical images hash identically; a tiny brightness wiggle on
+    ONE pixel flips at most 2 of the 56 gradient bits (the perceptual
+    locality that makes dHash a near-dup fingerprint, unlike the
+    avalanche of a cryptographic hash)."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    base = "x" * 300
+    # doc_ids divisible by 3 become images in real_media_from_documents
+    tweaked = base[:50] + "y" + base[51:]
+    docs = spark.createDataFrame(
+        [(0, base), (3, base), (6, tweaked)],
+        "doc_id long, text string",
+    )
+    media = mm.real_media_from_documents(docs)
+    got = {r["media_id"]: r["dhash"] for r in mm.png_dhash(media).collect()}
+    assert got[0] == got[3]
+    hamming = bin(got[0] ^ got[6]).count("1")
+    assert hamming <= 2
