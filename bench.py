@@ -255,6 +255,9 @@ EXTRA = [
     # Arrow-batched real-PNG decode kernel: count() runs the decode
     # (the hash column is the kernel's output, nothing prunable).
     "multimodal_png_dhash",
+    # Arrow-batched real-WAV / real-Y4M decode kernels, same forcing.
+    "multimodal_wav_fingerprint",
+    "multimodal_y4m_scene_cuts",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -11183,6 +11183,118 @@ def multimodal_png_dhash(spark, sf_dir):
     return mm.png_dhash(media)
 
 
+@register(
+    "multimodal_wav_fingerprint",
+    """
+    WITH a AS (
+      SELECT doc_id, text, length(text) AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ), w AS (
+      SELECT doc_id, text, n,
+             CASE WHEN n = 0 THEN 0 ELSE (n + 63) // 64 END AS nw
+      FROM a
+    ), win AS (
+      SELECT doc_id, u.b AS b,
+             list_sum(list_transform(
+               string_split(substr(text, u.b * 64 + 1, 64), ''),
+               c -> ord(c) % 256)) AS e
+      FROM w, unnest(range(0, nw)) AS u(b)
+    ), bits AS (
+      SELECT w1.doc_id,
+             CASE WHEN w1.e < w2.e
+                  THEN CAST(1 AS BIGINT) << w1.b ELSE 0 END AS bit
+      FROM win w1 JOIN win w2
+        ON w2.doc_id = w1.doc_id AND w2.b = w1.b + 1
+      WHERE w1.b < 32
+    ), fp AS (
+      SELECT doc_id, CAST(sum(bit) AS BIGINT) AS fingerprint
+      FROM bits GROUP BY 1
+    ), tot AS (
+      SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(
+               string_split(text, ''), c -> ord(c) % 256)), 0)
+               AS BIGINT) AS total_energy
+      FROM a
+    )
+    SELECT w.doc_id AS media_id,
+           CAST(w.n AS INT) AS n_frames,
+           CAST(w.nw AS INT) AS n_windows,
+           coalesce(fp.fingerprint, 0) AS fingerprint,
+           tot.total_energy
+    FROM w
+    LEFT JOIN fp ON fp.doc_id = w.doc_id
+    JOIN tot ON tot.doc_id = w.doc_id
+    """,
+)
+def multimodal_wav_fingerprint(spark, sf_dir):
+    """Acoustic fingerprint over REAL decoded WAV audio
+    (`operators/multimodal.wav_fingerprint`): 64-sample window
+    energies, bit b set iff energy(b) < energy(b+1) over the first 32
+    adjacent pairs — the (heavily simplified) chromaprint idea, the
+    audio twin of `multimodal_png_dhash`.  Integer-exact end to end,
+    so the oracle recomputes the fingerprint from the pre-image code
+    points and a match proves the RIFF/WAV parse round-trip."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.real_media_from_documents(
+        _t(spark, sf_dir, "documents")
+    )
+    return mm.wav_fingerprint(media)
+
+
+@register(
+    "multimodal_y4m_scene_cuts",
+    """
+    WITH v AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) = 0 THEN 1
+                  ELSE (length(text) + 63) // 64 END AS nf
+      FROM documents WHERE doc_id % 3 = 2
+    ), px AS (
+      SELECT doc_id, u.f AS f, w.i AS i,
+             CASE WHEN (u.f * 64 + w.i) < length(text)
+                  THEN ord(substr(text, u.f * 64 + w.i + 1, 1)) % 256
+                  ELSE 0 END AS p
+      FROM v, unnest(range(0, nf)) AS u(f),
+              unnest(range(0, 64)) AS w(i)
+    ), sad AS (
+      SELECT a.doc_id, a.f, CAST(sum(abs(a.p - b.p)) AS BIGINT) AS s
+      FROM px a JOIN px b
+        ON b.doc_id = a.doc_id AND b.f = a.f + 1 AND b.i = a.i
+      GROUP BY 1, 2
+    )
+    SELECT v.doc_id AS media_id,
+           CAST(v.nf AS INT) AS n_frames,
+           CAST(coalesce(sum(CASE WHEN s > 2000 THEN 1 ELSE 0 END), 0)
+                AS INT) AS n_cuts,
+           CAST(coalesce(sum(s), 0) AS BIGINT) AS total_sad,
+           CAST(coalesce(max(s), 0) AS BIGINT) AS max_sad
+    FROM v LEFT JOIN sad ON sad.doc_id = v.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def multimodal_y4m_scene_cuts(spark, sf_dir):
+    """Scene-change detection over REAL decoded Y4M video
+    (`operators/multimodal.y4m_scene_cuts`): per adjacent frame pair
+    the integer sum of absolute luma differences; pairs above 2000 are
+    cuts — the frame-sampling primitive of a video curation pipeline
+    (sample around cuts, skip static spans).  All-integer, recomputed
+    by the oracle from the pre-image bytes: stricter than the
+    mean-luma stats row because SAD is order-sensitive across the
+    whole frame sequence, so a frame-boundary parse bug cannot
+    hash-match."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.real_media_from_documents(
+        _t(spark, sf_dir, "documents")
+    )
+    return mm.y4m_scene_cuts(media)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

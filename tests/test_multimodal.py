@@ -342,3 +342,49 @@ def test_png_dhash_perceptual_property(spark):
     assert got[0] == got[3]
     hamming = bin(got[0] ^ got[6]).count("1")
     assert hamming <= 2
+
+
+def test_wav_fingerprint_locality(spark):
+    """Identical audio fingerprints collide; one flipped sample moves
+    at most the 2 energy comparisons its window touches."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    base = "abcdefgh" * 50  # 400 samples -> 7 windows
+    tweak = base[:100] + "z" + base[101:]
+    docs = spark.createDataFrame(
+        [(1, base), (4, base), (7, tweak)], "doc_id long, text string"
+    )
+    media = mm.real_media_from_documents(docs)
+    got = {
+        r["media_id"]: r for r in mm.wav_fingerprint(media).collect()
+    }
+    assert got[1]["fingerprint"] == got[4]["fingerprint"]
+    assert got[1]["n_windows"] == 7
+    flipped = bin(got[1]["fingerprint"] ^ got[7]["fingerprint"]).count("1")
+    assert flipped <= 2
+
+
+def test_y4m_scene_cuts_planted_cut(spark):
+    """A video whose frames repeat has zero cuts; planting one
+    radically different frame produces exactly the two expected cut
+    boundaries (in and out)."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    frame_a = "m" * 64
+    frame_b = "!" * 64  # |ord('m')-ord('!')| = 76 per px -> SAD 4864
+    static = frame_a * 5
+    cutty = frame_a * 2 + frame_b + frame_a * 2
+    docs = spark.createDataFrame(
+        [(2, static), (5, cutty)], "doc_id long, text string"
+    )
+    media = mm.real_media_from_documents(docs)
+    got = {
+        r["media_id"]: r for r in mm.y4m_scene_cuts(media).collect()
+    }
+    assert got[2]["n_cuts"] == 0 and got[2]["total_sad"] == 0
+    assert got[5]["n_cuts"] == 2
+    assert got[5]["max_sad"] == 64 * abs(ord("m") - ord("!"))
