@@ -258,6 +258,10 @@ EXTRA = [
     # Arrow-batched real-WAV / real-Y4M decode kernels, same forcing.
     "multimodal_wav_fingerprint",
     "multimodal_y4m_scene_cuts",
+    # the banded pair search materializes at construction
+    # (localCheckpoint, the funnel lifecycle); count() forces only the
+    # checkpointed pair relation.
+    "multimodal_image_near_dupes",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -439,8 +439,11 @@ def simhash_near_dupes(
     bits: int = 32,
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
-    """SimHash near-dup pairs: (a, b, hamming) where the fingerprints
+    """EAGER by default — executes Spark jobs at construction (pass
+    ``materialize=False`` for lazy composition / plan inspection).
+    SimHash near-dup pairs: (a, b, hamming) where the fingerprints
     differ in ≤ ``max_hamming`` bits.
 
     Pigeonhole banding: the ``bits``-bit fingerprint splits into
@@ -456,25 +459,58 @@ def simhash_near_dupes(
     ``max_bucket_size`` optionally drops degenerate hot buckets (e.g.
     the all-zeros band from boilerplate shingles) before the pair
     explosion; ``None`` keeps the result exact.
+
+    Delegates to :func:`hamming_banded_pairs` — the banding kernel is
+    hash-agnostic and also serves the image dHash near-dup row.
     """
-    # The fingerprint relation feeds both sides of the band self-join —
-    # persist it (doc_id + one long per doc, tiny) or the two-shuffle
-    # simhash computation runs twice; materialize eagerly or the two
-    # join sides race to fill the cache concurrently and BOTH run it.
-    fp = simhash(docs, text_col, bits).persist()
+    return hamming_banded_pairs(
+        simhash(docs, text_col, bits),
+        bits=bits,
+        max_hamming=max_hamming,
+        hash_col="simhash",
+        max_bucket_size=max_bucket_size,
+        materialize=materialize,
+    )
+
+
+def hamming_banded_pairs(
+    fp: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+    max_bucket_size: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """EAGER by default — executes Spark jobs at construction (the
+    funnel/triangles lifecycle rule): generic pigeonhole-banded
+    Hamming pair search over any (id, ``bits``-bit hash) relation —
+    the kernel behind ``simhash_near_dupes`` (text) and the image
+    dHash near-dup row (`multimodal.png_dhash` fingerprints).
+
+    The fingerprint relation feeds both sides of the band self-join —
+    it is persisted (id + one long per row, tiny), the pair result is
+    eagerly localCheckpointed, and the cache is released before
+    returning, so no persisted relation outlives the call (the
+    pagerank-leak class fixed r11).  ``materialize=False`` returns the
+    LAZY plan for inspection/plan-guards and leaves the persist
+    lifecycle to the caller (the fingerprint cache is NOT released on
+    that path).
+    """
+    fp = fp.persist()
     fp.count()
     n_bands = max_hamming + 1
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
     banded = fp.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
                         F.expr(
-                            f"(simhash >> {bounds[i]}) & "
+                            f"({hash_col} >> {bounds[i]}) & "
                             f"{(1 << (bounds[i + 1] - bounds[i])) - 1}"
                         ).alias("band_val"),
                     )
@@ -483,8 +519,8 @@ def simhash_near_dupes(
             )
         ).alias("bv"),
     ).select(
-        "doc_id",
-        "simhash",
+        "__id",
+        "__h",
         F.col("bv.band").alias("band"),
         F.col("bv.band_val").alias("band_val"),
     )
@@ -494,12 +530,12 @@ def simhash_near_dupes(
             F.count(F.lit(1)).over(Window.partitionBy("band", "band_val")),
         ).filter(F.col("bucket_n") <= max_bucket_size)
     a = banded.select(
-        "band", "band_val", F.col("doc_id").alias("a"), F.col("simhash").alias("ha")
+        "band", "band_val", F.col("__id").alias("a"), F.col("__h").alias("ha")
     )
     b = banded.select(
-        "band", "band_val", F.col("doc_id").alias("b"), F.col("simhash").alias("hb")
+        "band", "band_val", F.col("__id").alias("b"), F.col("__h").alias("hb")
     )
-    return (
+    pairs = (
         a.join(b, ["band", "band_val"])
         .filter(F.col("a") < F.col("b"))
         .select(
@@ -510,6 +546,11 @@ def simhash_near_dupes(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if not materialize:
+        return pairs
+    out = pairs.localCheckpoint()
+    fp.unpersist()
+    return out
 
 
 def _capped_pair_counts(

@@ -11295,6 +11295,72 @@ def multimodal_y4m_scene_cuts(spark, sf_dir):
     return mm.y4m_scene_cuts(media)
 
 
+_DHASH_SQL_CTE = """
+    v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    g AS (SELECT doc_id, text, unnest(range(0, 8)) AS r FROM v),
+    gc AS (SELECT doc_id, text, r, unnest(range(0, 7)) AS c FROM g),
+    dcmp AS (
+      SELECT doc_id, r, c,
+             CASE WHEN (2 * r * 16 + 2 * c) < length(text)
+                  THEN ord(substr(text, 2 * r * 16 + 2 * c + 1, 1)) % 256
+                  ELSE 0 END AS pa,
+             CASE WHEN (2 * r * 16 + 2 * c + 2) < length(text)
+                  THEN ord(substr(text, 2 * r * 16 + 2 * c + 3, 1)) % 256
+                  ELSE 0 END AS pb
+      FROM gc
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN pa < pb
+                           THEN CAST(1 AS BIGINT) << (r * 7 + c)
+                           ELSE 0 END) AS BIGINT) AS dhash
+      FROM dcmp GROUP BY 1
+    )
+"""
+
+
+@register(
+    "multimodal_image_near_dupes",
+    f"""
+    WITH {_DHASH_SQL_CTE},
+    banded AS (
+      SELECT doc_id, dhash, u.band AS band,
+             (dhash >> (u.band * 8)) & 255 AS band_val
+      FROM fp, unnest(range(0, 7)) AS u(band)
+    )
+    SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS hamming
+    FROM banded a JOIN banded b
+      ON b.band = a.band AND b.band_val = a.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    """,
+)
+def multimodal_image_near_dupes(spark, sf_dir):
+    """Image near-dup pairs by perceptual dHash + pigeonhole banding:
+    the 56-bit fingerprints split into seven 8-bit bands, candidates
+    share a band exactly (any pair within hamming 6 must — Manku et
+    al.'s guarantee), and the exact bit_count(xor) filter keeps true
+    near-dups.  This composes `multimodal.png_dhash` (real PNG decode)
+    into the SAME `dedup.hamming_banded_pairs` kernel the text SimHash
+    row uses — one blocking engine, two modalities.  The corpus's
+    shared 256-byte prefixes yield real hamming-0 pairs at sf0.1, so
+    the row is populated, not vacuously empty."""
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    media = mm.real_media_from_documents(
+        _t(spark, sf_dir, "documents")
+    )
+    fp = mm.png_dhash(media).select(
+        F.col("media_id").alias("doc_id"), "dhash"
+    )
+    return dedup.hamming_banded_pairs(
+        fp, bits=56, max_hamming=6, hash_col="dhash"
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -274,3 +274,57 @@ def test_merge_equals_direct_sketch(spark):
     est = kmv.kmv_estimate(kmv.kmv_merge(per_group, k=16), k=16).collect()[0]
     assert est["n_sketch"] == 16
     assert 250 < est["est_distinct"] < 650
+
+
+class TestHammingBandedPairs:
+    def test_generic_kernel_matches_bruteforce(self, spark):
+        from mr_lda_spark.operators.dedup import hamming_banded_pairs
+
+        hashes = [
+            (1, 0b10110011),
+            (2, 0b10110010),  # hamming 1 to id 1
+            (3, 0b01001100),  # far from 1/2
+            (4, 0b01001100),  # identical to 3
+        ]
+        fp = spark.createDataFrame(hashes, "doc_id long, h long")
+        got = sorted(
+            (r["a"], r["b"], r["hamming"])
+            for r in hamming_banded_pairs(
+                fp, bits=8, max_hamming=2, hash_col="h"
+            ).collect()
+        )
+        want = []
+        for i, (ia, ha) in enumerate(hashes):
+            for ib, hb in hashes[i + 1:]:
+                d = bin(ha ^ hb).count("1")
+                if d <= 2:
+                    want.append((ia, ib, d))
+        assert got == sorted(want)
+        assert (1, 2, 1) in got and (3, 4, 0) in got
+
+    def test_no_persisted_relations_after_return(self, spark):
+        """The pagerank-leak rule: the fingerprint cache must be
+        released before the materialized pairs return."""
+        from mr_lda_spark.operators.dedup import hamming_banded_pairs
+
+        before = len(spark.sparkContext._jsc.getPersistentRDDs())
+        fp = spark.createDataFrame(
+            [(i, i * 7) for i in range(50)], "doc_id long, h long"
+        )
+        hamming_banded_pairs(fp, bits=16, max_hamming=3, hash_col="h")
+        after = len(spark.sparkContext._jsc.getPersistentRDDs())
+        assert after <= before
+
+    def test_lazy_path_plan_inspectable(self, spark):
+        from mr_lda_spark.operators.dedup import hamming_banded_pairs
+
+        fp = spark.createDataFrame(
+            [(i, i * 3) for i in range(20)], "doc_id long, h long"
+        )
+        lazy = hamming_banded_pairs(
+            fp, bits=16, max_hamming=2, hash_col="h", materialize=False
+        )
+        plan = lazy._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan
