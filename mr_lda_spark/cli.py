@@ -489,6 +489,51 @@ def cmd_curate(args) -> None:
     )
 
 
+def cmd_media(args) -> None:
+    """Multimodal feature extraction over a documents parquet: the
+    docs become REAL PNG/WAV/Y4M payloads (the same synthesis the
+    oracle-backed registry rows prove byte-for-byte) and the chosen
+    op runs its Arrow-batched decode kernel; features land as parquet
+    with a JSON audit."""
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import multimodal as mm
+    from mr_lda_spark.session import ensure_package_shipped
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-media")
+    ensure_package_shipped(spark)
+    docs = spark.read.parquet(args.input)
+    media = mm.real_media_from_documents(docs)
+    if args.op == "png-dhash":
+        out = mm.png_dhash(media)
+    elif args.op == "wav-fingerprint":
+        out = mm.wav_fingerprint(media)
+    elif args.op == "scene-cuts":
+        out = mm.y4m_scene_cuts(media)
+    else:  # image-near-dupes
+        from mr_lda_spark.operators import dedup
+
+        fp = mm.png_dhash(media).select(
+            F.col("media_id").alias("doc_id"), "dhash"
+        )
+        out = dedup.hamming_banded_pairs(
+            fp, bits=56, max_hamming=args.max_hamming, hash_col="dhash"
+        )
+    write_table(out, args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "op": args.op,
+                "input_docs": docs.count(),
+                "output_rows": n,
+                "output": args.output,
+            }
+        )
+    )
+
+
 def cmd_sample(args) -> None:
     """Deterministic weighted sample of a documents parquet: each row
     races min(weight, cap) md5 tickets, the k smallest keys win; the
@@ -991,6 +1036,23 @@ def build_parser() -> argparse.ArgumentParser:
     psa.add_argument("--weight-cap", type=int, default=64)
     psa.add_argument("--id-col", default="doc_id")
     psa.set_defaults(fn=cmd_sample)
+
+    pme = sub.add_parser(
+        "media",
+        help="multimodal feature extraction: png-dhash | "
+        "wav-fingerprint | scene-cuts | image-near-dupes "
+        "(real codec round-trips; beyond the reference)",
+    )
+    pme.add_argument("--input", required=True, help="documents parquet")
+    pme.add_argument("--output", required=True)
+    pme.add_argument(
+        "--op",
+        choices=["png-dhash", "wav-fingerprint", "scene-cuts",
+                 "image-near-dupes"],
+        default="png-dhash",
+    )
+    pme.add_argument("--max-hamming", type=int, default=6)
+    pme.set_defaults(fn=cmd_media)
 
     pdu = sub.add_parser(
         "dedup",

@@ -294,3 +294,36 @@ def test_cli_sample_weighted(tmp_path):
         assert [r[1] for r in rows] == list(range(1, 16))
         outs.append(rows)
     assert outs[0] == outs[1]
+
+
+def test_cli_media_ops(tmp_path):
+    """`media` runs a real-codec feature op end-to-end: dhash rows for
+    every image-kind doc, and the near-dup op emits the banded pair
+    relation."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    out_dhash = str(tmp_path / "media_dhash")
+    stdout = _run(
+        ["media", "--input", src, "--output", out_dhash,
+         "--op", "png-dhash"],
+        cwd=str(tmp_path),
+    )
+    audit = json.loads(stdout.strip().splitlines()[-1])
+    con = duckdb.connect()
+    n_img = con.execute(
+        f"SELECT count(*) FROM '{src}' WHERE doc_id % 3 = 0"
+    ).fetchone()[0]
+    assert audit["output_rows"] == n_img
+    n = con.execute(
+        f"SELECT count(*), count(DISTINCT dhash) FROM '{out_dhash}/*.parquet'"
+    ).fetchone()
+    assert n[0] == n_img and n[1] > 1
+
+    out_pairs = str(tmp_path / "media_pairs")
+    stdout = _run(
+        ["media", "--input", src, "--output", out_pairs,
+         "--op", "image-near-dupes", "--max-hamming", "6"],
+        cwd=str(tmp_path),
+    )
+    audit = json.loads(stdout.strip().splitlines()[-1])
+    assert audit["op"] == "image-near-dupes"
+    assert audit["output_rows"] >= 0
