@@ -1091,14 +1091,41 @@ def weighted_sample(
     (per-partition heap + driver merge of k·P rows — no full sort,
     no single-reducer shuffle).
     """
+    from pyspark.sql import Window
+
+    best = _min_ticket_keys(df, weight_col, id_col, weight_cap)
+    topk = best.orderBy("min_key", id_col).limit(int(k))
+    win = Window.orderBy("min_key", id_col)
+    return topk.select(
+        id_col,
+        "w_capped",
+        "min_key",
+        F.row_number().over(win).cast("int").alias("rank"),
+    )
+
+
+def _min_ticket_keys(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    weight_cap: int,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Shared capped-ticket kernel of ``weighted_sample`` and
+    ``weighted_sample_grouped`` — ONE definition of the ticket format
+    (the ':wrs:' md5 salt, 15-hex-digit 60-bit keys, the weight
+    floor/cap), so the two samplers and their DuckDB oracles cannot
+    silently desynchronize.  Returns (id, extra…, w_capped, min_key),
+    map-side-combined per id."""
     w = F.least(
         F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
         F.lit(int(weight_cap)),
     )
     rep = df.select(
-        F.col(id_col), w.cast("int").alias("w_capped")
+        F.col(id_col), *extra_cols, w.cast("int").alias("w_capped")
     ).select(
         id_col,
+        *extra_cols,
         "w_capped",
         F.explode(F.sequence(F.lit(1), F.col("w_capped"))).alias("__i"),
     )
@@ -1118,20 +1145,10 @@ def weighted_sample(
         16,
         10,
     ).cast("bigint")
-    best = (
-        rep.select(id_col, "w_capped", key.alias("__key"))
-        .groupBy(id_col, "w_capped")
+    return (
+        rep.select(id_col, *extra_cols, "w_capped", key.alias("__key"))
+        .groupBy(id_col, *extra_cols, "w_capped")
         .agg(F.min("__key").alias("min_key"))
-    )
-    from pyspark.sql import Window
-
-    topk = best.orderBy("min_key", id_col).limit(int(k))
-    win = Window.orderBy("min_key", id_col)
-    return topk.select(
-        id_col,
-        "w_capped",
-        "min_key",
-        F.row_number().over(win).cast("int").alias("rank"),
     )
 
 
@@ -1154,44 +1171,27 @@ def weighted_sample_grouped(
     partition ever holds more than one group's candidates — the
     groups × k result is answer-sized.
     """
-    w = F.least(
-        F.greatest(F.col(weight_col).cast("long"), F.lit(1)),
-        F.lit(int(weight_cap)),
-    )
-    rep = df.select(
-        F.col(id_col), F.col(group_col), w.cast("int").alias("w_capped")
-    ).select(
-        id_col,
-        group_col,
-        "w_capped",
-        F.explode(F.sequence(F.lit(1), F.col("w_capped"))).alias("__i"),
-    )
-    key = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":",
-                    F.col(id_col).cast("string"),
-                    F.lit("wrs"),
-                    F.col("__i").cast("string"),
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    best = (
-        rep.select(id_col, group_col, "w_capped", key.alias("__key"))
-        .groupBy(id_col, group_col, "w_capped")
-        .agg(F.min("__key").alias("min_key"))
-    )
     from pyspark.sql import Window
 
+    best = _min_ticket_keys(
+        df, weight_col, id_col, weight_cap, extra_cols=(group_col,)
+    )
+    # Salted two-stage top-k (the kmv._bottom_k shape): a single
+    # group window would sort EVERY candidate of a dominant group in
+    # one partition; the salt stage bounds partitions and the global
+    # winners are always inside the union of per-salt winners.
+    salted = best.withColumn("__salt", F.pmod(F.col("min_key"), F.lit(64)))
+    w1 = Window.partitionBy(group_col, "__salt").orderBy(
+        "min_key", id_col
+    )
+    c1 = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= int(k))
+        .drop("__r1", "__salt")
+    )
     win = Window.partitionBy(group_col).orderBy("min_key", id_col)
     return (
-        best.withColumn("rank", F.row_number().over(win).cast("int"))
+        c1.withColumn("rank", F.row_number().over(win).cast("int"))
         .filter(F.col("rank") <= int(k))
         .select(id_col, group_col, "w_capped", "min_key", "rank")
     )

@@ -493,13 +493,22 @@ def hamming_banded_pairs(
     eagerly localCheckpointed, and the cache is released before
     returning, so no persisted relation outlives the call (the
     pagerank-leak class fixed r11).  ``materialize=False`` returns the
-    LAZY plan for inspection/plan-guards and leaves the persist
-    lifecycle to the caller (the fingerprint cache is NOT released on
-    that path).
+    TRULY lazy plan — no persist, no job — for inspection/plan-guards
+    and lazy composition (the fingerprint subtree then appears once
+    per join side; callers running it hot should persist fp
+    themselves).
     """
-    fp = fp.persist()
-    fp.count()
     n_bands = max_hamming + 1
+    if n_bands > bits:
+        # Zero-width bands (band_val 0 for every row) would collapse
+        # the equi-join into an all-pairs explosion — refuse loudly.
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} bands over "
+            f"only {bits} hash bits; require max_hamming + 1 <= bits"
+        )
+    if materialize:
+        fp = fp.persist()
+        fp.count()
     bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
     banded = fp.select(
         F.col(id_col).alias("__id"),

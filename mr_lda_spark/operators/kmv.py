@@ -91,7 +91,16 @@ def kmv_merge(
     the per-group k smallest).  This is the property that makes KMV a
     distributed/temporal aggregate — 1000 shard (or day) sketches
     merge into exactly the sketch one global pass would build, on
-    sketch-sized data (groups × k rows, the corpus is never touched)."""
+    sketch-sized data (groups × k rows, the corpus is never touched).
+
+    INVARIANT: the merge ``k`` must not exceed the k the input
+    sketches were built with — values ranked past the input k were
+    discarded at sketch time, so a larger merge-k would return an
+    undersized relation that ``kmv_estimate`` misreads as the
+    exact-collapse case.  The rank column carries the evidence: any
+    input group reaching rank == merge-k proves its sketch held at
+    least k values, so equal-k usage (the registered rows) is always
+    safe."""
     return _bottom_k(
         sketches.select("h").distinct(), [], k, buckets
     )

@@ -850,6 +850,13 @@ def png_dhash(media: DataFrame, grid: int = 8) -> DataFrame:
     arithmetic, strict < comparisons), so a SQL oracle recomputes the
     hash from the pre-image bytes — the decode round-trip is proved by
     the hash matching, the multimodal_png_stats pattern."""
+    if grid * (grid - 1) > 63:
+        # 64-bit packing: shifts >= 64 silently wrap on x86 numpy,
+        # colliding distinct images — refuse loudly instead.
+        raise ValueError(
+            f"grid={grid} needs {grid * (grid - 1)} bits; "
+            "grid*(grid-1) must fit an int64 (<= 63)"
+        )
 
     def kernel(batches):
         for pdf in batches:

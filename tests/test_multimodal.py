@@ -388,3 +388,11 @@ def test_y4m_scene_cuts_planted_cut(spark):
     assert got[2]["n_cuts"] == 0 and got[2]["total_sad"] == 0
     assert got[5]["n_cuts"] == 2
     assert got[5]["max_sad"] == 64 * abs(ord("m") - ord("!"))
+
+
+def test_png_dhash_rejects_overflow_grid(spark):
+    from mr_lda_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(0, "x" * 300)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="int64"):
+        mm.png_dhash(mm.real_media_from_documents(docs), grid=9)

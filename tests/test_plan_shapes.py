@@ -85,8 +85,19 @@ def test_events_hourly_partial_agg(spark):
 
 def test_simhash_pairs_banded_no_cartesian(spark):
     """Pigeonhole banding must keep the SimHash pair search an
-    equi-join — a CartesianProduct here is the 100 TB scale-killer."""
-    plan = _explain(spark, "dedup_simhash_pairs")
+    equi-join — a CartesianProduct here is the 100 TB scale-killer.
+    materialize=False: the registered row eagerly localCheckpoints
+    (the r11 cache-lifecycle refactor), so its executed plan is just a
+    checkpoint scan — the REAL lazy join plan must be inspected
+    (the triangles-guard vacuity lesson, ADVICE r10 #1)."""
+    from mr_lda_spark.operators import dedup
+
+    lazy = dedup.simhash_near_dupes(
+        spark.read.parquet(f"{SF}/documents.parquet"),
+        max_hamming=6,
+        materialize=False,
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:400]
     assert "BroadcastNestedLoopJoin" not in plan, plan[:400]
 
