@@ -262,6 +262,9 @@ EXTRA = [
     # (localCheckpoint, the funnel lifecycle); count() forces only the
     # checkpointed pair relation.
     "multimodal_image_near_dupes",
+    # three-way join of grouped aggregates (both sketches + exact
+    # audit): count() computes all three.
+    "text_kmv_vs_hll_distinct",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

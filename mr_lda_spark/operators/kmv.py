@@ -210,3 +210,21 @@ def kmv_pair_set_ops(
         union_est.alias("union_est"),
         inter_est.alias("inter_est"),
     )
+
+
+def kmv_estimate_grouped(sk: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Per-group distinct-count estimate from grouped bottom-k
+    sketches: (group…, n_sketch, kth_h, est_distinct) — the grouped
+    form of :func:`kmv_estimate`, same exact-collapse rule.  Runs on
+    the sketch relation alone (groups × k rows)."""
+    agg = sk.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_sketch"),
+        F.max("h").alias("kth_h"),
+    )
+    est = F.when(
+        F.col("n_sketch") == k,
+        F.round(F.lit((k - 1) * HASH_SPACE) / F.col("kth_h"), 2),
+    ).otherwise(F.col("n_sketch").cast("double"))
+    return agg.select(
+        *group_cols, "n_sketch", "kth_h", est.alias("est_distinct")
+    )

@@ -11361,6 +11361,88 @@ def multimodal_image_near_dupes(spark, sf_dir):
     )
 
 
+_SQL_SHINGLES3_SOURCE = f"""
+  SELECT d.source, s.shingle
+  FROM ({_sql_shingles(3)}) s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+
+@register(
+    "text_kmv_vs_hll_distinct",
+    f"""
+    WITH keys AS ({_SQL_SHINGLES3_SOURCE}),
+    hkeys AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM keys
+    ), sk AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rank
+      FROM hkeys QUALIFY rank <= {_KMV_K}
+    ), kmv_side AS (
+      SELECT source, CAST(count(*) AS INT) AS n_sketch,
+             max(h) AS kth_h,
+             CASE WHEN count(*) = {_KMV_K}
+                  THEN round({_KMV_K - 1} * 1152921504606846976.0
+                             / max(h), 2)
+                  ELSE CAST(count(*) AS DOUBLE) END AS kmv_est
+      FROM sk GROUP BY 1
+    ), hll_side AS (
+      SELECT * FROM (
+        {_sql_hll_est(_sql_hll_regs("SELECT * FROM keys", "source"),
+                      "source")}
+      )
+    ), exact AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct
+      FROM hkeys GROUP BY 1
+    )
+    SELECT k.source, n_sketch, kth_h, kmv_est,
+           h.est_distinct AS hll_est, e.exact_distinct
+    FROM kmv_side k
+    JOIN hll_side h ON h.source = k.source
+    JOIN exact e ON e.source = k.source
+    """,
+)
+def text_kmv_vs_hll_distinct(spark, sf_dir):
+    """Head-to-head sketch accuracy row: per-source distinct-trigram
+    cardinality estimated by BOTH deterministic sketch families — the
+    256-value KMV bottom-k (`kmv.kmv_estimate_grouped`) and the
+    2^8-register HLL (`hll.hll_estimate`) — against the exact audit,
+    in one relation.  The practical sizing question ("which sketch,
+    at what state, for which accuracy") becomes a query instead of a
+    doc claim: both estimates, both state sizes (256 hashes vs 256
+    registers), one exact column.  Estimates are engine-reproduced
+    hash-for-hash; `exact_distinct` counts distinct 60-bit hashes
+    (≡ distinct shingles modulo vanishing collision odds, the KMV
+    row's convention)."""
+    from mr_lda_spark.operators import hll, kmv
+
+    docs = _t(spark, sf_dir, "documents")
+    keys = textops.shingles(docs, "text", 3).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    sk = kmv.kmv_sketch(keys, "shingle", ["source"], k=_KMV_K)
+    kmv_side = kmv.kmv_estimate_grouped(sk, ["source"], k=_KMV_K).select(
+        "source", "n_sketch", "kth_h",
+        F.col("est_distinct").alias("kmv_est"),
+    )
+    hll_side = hll.hll_estimate(
+        hll.hll_registers(keys, "shingle", ["source"], p=_HLL_P),
+        ["source"],
+        p=_HLL_P,
+    ).select("source", F.col("est_distinct").alias("hll_est"))
+    hk = keys.select(
+        "source",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    exact = hk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    return kmv_side.join(hll_side, "source").join(exact, "source")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)

@@ -356,3 +356,22 @@ class TestHammingBandedPairs:
         assert "CartesianProduct" not in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
             or "BroadcastHashJoin" in plan
+
+
+def test_estimate_grouped_matches_ungrouped_per_group(spark):
+    """kmv_estimate_grouped restricted to one group ≡ kmv_estimate on
+    that group's sketch alone."""
+    rows = [(i, f"g{i % 2}", f"k{i}") for i in range(300)]
+    df = _df(spark, rows)
+    sk = kmv.kmv_sketch(df, "key", ["source"], k=32)
+    grouped = {
+        r["source"]: (r["n_sketch"], r["kth_h"], r["est_distinct"])
+        for r in kmv.kmv_estimate_grouped(sk, ["source"], k=32).collect()
+    }
+    for g in ("g0", "g1"):
+        single = kmv.kmv_estimate(
+            sk.filter(F.col("source") == g), k=32
+        ).collect()[0]
+        assert grouped[g] == (
+            single["n_sketch"], single["kth_h"], single["est_distinct"]
+        )
