@@ -265,6 +265,10 @@ EXTRA = [
     # three-way join of grouped aggregates (both sketches + exact
     # audit): count() computes all three.
     "text_kmv_vs_hll_distinct",
+    # quantile refinement rounds run eagerly at construction (the
+    # exact-quantile histogram protocol); count() forces the
+    # sources x ps result.
+    "text_entropy_quantiles_by_source",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

@@ -11443,6 +11443,61 @@ def text_kmv_vs_hll_distinct(spark, sf_dir):
     return kmv_side.join(hll_side, "source").join(exact, "source")
 
 
+_SQL_DOC_ENTROPY_SOURCE = """
+    WITH ch AS (
+      SELECT doc_id, source, unnest(string_split(text, '')) AS ch
+      FROM documents
+    ), per AS (
+      SELECT doc_id, source, ch, count(*) AS c
+      FROM ch WHERE ch <> '' GROUP BY 1, 2, 3
+    ), doc AS (
+      SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CAST(round(c * log2(c) * 1000000) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM per GROUP BY 1, 2
+    )
+    SELECT doc_id, source,
+           round(log2(n) - s / (n * 1000000.0), 4) AS entropy_bits
+    FROM doc
+"""
+
+
+@register(
+    "text_entropy_quantiles_by_source",
+    f"""
+    WITH ent AS ({_SQL_DOC_ENTROPY_SOURCE})
+    SELECT source, CAST(0.1 AS DOUBLE) AS p,
+           quantile_disc(entropy_bits, 0.1) AS value
+    FROM ent GROUP BY 1
+    UNION ALL
+    SELECT source, CAST(0.5 AS DOUBLE),
+           quantile_disc(entropy_bits, 0.5) FROM ent GROUP BY 1
+    UNION ALL
+    SELECT source, CAST(0.9 AS DOUBLE),
+           quantile_disc(entropy_bits, 0.9) FROM ent GROUP BY 1
+    """,
+)
+def text_entropy_quantiles_by_source(spark, sf_dir):
+    """Composition row: per-source EXACT quantiles of the per-doc
+    character entropy — `char_entropy` feeding
+    `quantile.exact_quantiles` grouped mode, the calibration query
+    behind a per-domain (rather than global) entropy floor, the
+    adaptive_quality_filter idea on the entropy axis.  The quantile
+    selection is discrete (an existing per-doc value, itself
+    deterministic by the entropy family's integer quantization), so
+    the whole composition is hash-exact; driver state stays
+    |sources| × |ps| scalar triples."""
+    from mr_lda_spark.operators.quantile import exact_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    ent = textops.char_entropy(docs, keep_cols=("source",)).filter(
+        F.col("n_chars") > 0
+    )
+    return exact_quantiles(
+        ent, "entropy_bits", [0.1, 0.5, 0.9], by=["source"]
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY.md §7.2 slice: parse → dictionary → top-20 terms."""
     return parse_term_dict(spark, sf_dir).orderBy("term_id").limit(TOPK_TERMS)
