@@ -489,6 +489,46 @@ def cmd_curate(args) -> None:
     )
 
 
+def cmd_stats(args) -> None:
+    """Corpus-analysis reports over a documents parquet: per-source
+    character-entropy aggregates, lexical diversity (Simpson/hapax/
+    TTR), or the pairwise Jensen-Shannon divergence matrix — the
+    curation diagnostics, written as parquet with a JSON audit."""
+    from pyspark.sql import functions as F
+
+    from mr_lda_spark.operators import textops
+    from mr_lda_spark.sources.corpus import write_table
+
+    spark = _spark("mrlda-stats")
+    docs = spark.read.parquet(args.input)
+    if args.op == "entropy":
+        ent = textops.char_entropy_stateless(
+            docs, keep_cols=("source",)
+        ).filter(F.col("n_chars") > 0)
+        out = ent.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("entropy_bits").alias("min_entropy"),
+            F.max("entropy_bits").alias("max_entropy"),
+        )
+    elif args.op == "diversity":
+        out = textops.lexical_diversity(docs)
+    else:  # js-divergence
+        out = textops.source_divergence(docs)
+    write_table(out, args.output)
+    n = spark.read.parquet(args.output).count()
+    print(
+        json.dumps(
+            {
+                "op": args.op,
+                "input_docs": docs.count(),
+                "output_rows": n,
+                "output": args.output,
+            }
+        )
+    )
+
+
 def cmd_media(args) -> None:
     """Multimodal feature extraction over a documents parquet: the
     docs become REAL PNG/WAV/Y4M payloads (the same synthesis the
@@ -1053,6 +1093,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pme.add_argument("--max-hamming", type=int, default=6)
     pme.set_defaults(fn=cmd_media)
+
+    pst = sub.add_parser(
+        "stats",
+        help="corpus-analysis reports: entropy | diversity | "
+        "js-divergence (beyond the reference)",
+    )
+    pst.add_argument("--input", required=True, help="documents parquet")
+    pst.add_argument("--output", required=True)
+    pst.add_argument(
+        "--op",
+        choices=["entropy", "diversity", "js-divergence"],
+        default="entropy",
+    )
+    pst.set_defaults(fn=cmd_stats)
 
     pdu = sub.add_parser(
         "dedup",

@@ -327,3 +327,24 @@ def test_cli_media_ops(tmp_path):
     audit = json.loads(stdout.strip().splitlines()[-1])
     assert audit["op"] == "image-near-dupes"
     assert audit["output_rows"] >= 0
+
+
+def test_cli_stats_reports(tmp_path):
+    """`stats` writes each analysis report with consistent shapes."""
+    src = "/root/testdata/sf0.001/documents.parquet"
+    con = duckdb.connect()
+    n_src = con.execute(
+        f"SELECT count(DISTINCT source) FROM '{src}'"
+    ).fetchone()[0]
+    for op, expect_rows in [
+        ("entropy", n_src),
+        ("diversity", n_src),
+        ("js-divergence", n_src * (n_src - 1) // 2),
+    ]:
+        out_dir = str(tmp_path / f"stats_{op}")
+        stdout = _run(
+            ["stats", "--input", src, "--output", out_dir, "--op", op],
+            cwd=str(tmp_path),
+        )
+        audit = json.loads(stdout.strip().splitlines()[-1])
+        assert audit["output_rows"] == expect_rows, op
