@@ -82,7 +82,10 @@ def _bottom_k(
 
 
 def kmv_merge(
-    sketches: DataFrame, k: int, buckets: int = 64
+    sketches: DataFrame,
+    k: int,
+    buckets: int = 64,
+    built_k: int | None = None,
 ) -> DataFrame:
     """Merge per-group bottom-k sketches into ONE global sketch of the
     union: distinct the hash values, keep the k smallest — a valid KMV
@@ -93,14 +96,23 @@ def kmv_merge(
     merge into exactly the sketch one global pass would build, on
     sketch-sized data (groups × k rows, the corpus is never touched).
 
-    INVARIANT: the merge ``k`` must not exceed the k the input
-    sketches were built with — values ranked past the input k were
-    discarded at sketch time, so a larger merge-k would return an
-    undersized relation that ``kmv_estimate`` misreads as the
-    exact-collapse case.  The rank column carries the evidence: any
-    input group reaching rank == merge-k proves its sketch held at
-    least k values, so equal-k usage (the registered rows) is always
-    safe."""
+    INVARIANT (ENFORCED, ADVICE r11): the merge ``k`` must not exceed
+    the k the input sketches were built with — values ranked past the
+    input k were discarded at sketch time, so a larger merge-k would
+    silently return an undersized relation that ``kmv_estimate``
+    misreads as the exact-collapse case, a confidently wrong exact
+    count.  Callers merging at a smaller k than they sketched with
+    pass ``built_k`` (the sketch-time k); the default ``None`` means
+    equal-k usage (``built_k == k``, the registered rows' shape),
+    which is always safe.  The check is a driver-side comparison of
+    two ints — no job is triggered."""
+    if built_k is not None and k > built_k:
+        raise ValueError(
+            f"kmv_merge k={k} exceeds the input sketches' built_k="
+            f"{built_k}: ranks past built_k were discarded at sketch "
+            "time, so the merged relation would be undersized and "
+            "kmv_estimate would misread it as an exact collapse"
+        )
     return _bottom_k(
         sketches.select("h").distinct(), [], k, buckets
     )

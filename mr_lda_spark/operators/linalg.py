@@ -41,9 +41,10 @@ def gram_moments(
     vec_col: str = "embedding",
     dim: int = 64,
     scale: int = 1_000_000,
+    out_type: str = "long",
 ) -> DataFrame:
     """One-pass exact second-moment statistics of an embedding column
-    → (i, j, s DECIMAL(38,0)) with 1-based component indices:
+    → (i, j, s) with 1-based component indices:
 
     - ``(i, j)`` with ``1 ≤ i ≤ j ≤ dim``: the Gram entry
       Σ_rows q_i·q_j over quantized components (upper triangle —
@@ -55,7 +56,20 @@ def gram_moments(
     covariance, or correlation DRIVER-SIDE on d² numbers: for
     example cov_ij = (s_ij − s_i·s_j/n) / (n·scale²).  Rows with a
     NULL or wrong-length vector are counted out (dropped) rather than
-    silently zero-padded."""
+    silently zero-padded.
+
+    The cross-batch sum is ALWAYS exact decimal(38,0) inside the
+    plan; ``out_type`` controls the boundary representation (the
+    parity standing rule — Spark materializes DecimalType to pandas
+    as object-Decimal while DuckDB's DECIMAL lands float64, so a raw
+    decimal output column can never driver-hash-match).  The default
+    ``"long"`` is exact while ``n·(scale·‖x‖∞)² < 2^63`` — at
+    scale = 10⁶ and unit-bounded components that is n < 9.2·10⁶ rows
+    (the shipped sf0.1 table's bound is 6.7·10¹⁴, four orders inside);
+    past it, request ``out_type="decimal(38,0)"`` and consume the
+    exact relation programmatically the way :func:`pca_power` does,
+    or ``"double"`` where an inexact-but-engine-agreed boundary is
+    acceptable."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iu, ju = np.triu_indices(dim)
@@ -97,8 +111,13 @@ def gram_moments(
             [(0, 0, 0)], schema=_GRAM_SCHEMA
         )
         partials = partials.unionByName(seed)
-    return partials.groupBy("i", "j").agg(
+    agg = partials.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+    if out_type == "decimal(38,0)":
+        return agg
+    return agg.select(
+        "i", "j", F.col("s").cast(out_type).alias("s")
     )
 
 
@@ -110,8 +129,8 @@ def pca_power(
     iterations: int = 12,
 ) -> DataFrame:
     """Top principal component by INTEGER-EXACT power iteration →
-    (i, loading) with 1-based component index and micro-unit
-    DECIMAL(38,0) loadings (max-abs-normalized to ±scale).
+    (i, loading) with 1-based component index and micro-unit BIGINT
+    loadings (max-abs-normalized to ±scale, so int64 is exact).
 
     The heavy lifting is the distributed one-pass
     :func:`gram_moments`; the iteration itself runs on the
@@ -145,13 +164,17 @@ def pca_power(
 
     Headroom (documented, not hoped): |M| ≤ 2·n²·(scale·‖x‖∞)², and
     |w| ≤ d·|M|·scale — at n = 10⁹ rows, d = 64, unit-normed inputs
-    that is ~10³⁷, inside DECIMAL(38,0)/HUGEINT.  Past that, lower
-    ``scale``."""
-    from decimal import Decimal
-
+    that is ~10³⁷, inside DECIMAL(38,0)/HUGEINT (the collected gram
+    relation is therefore requested in its exact decimal form — the
+    driver-stable BIGINT boundary applies only to OUTPUT columns).
+    Past that, lower ``scale``.  The output ``loading`` is max-abs
+    normalized to ±scale by construction, so BIGINT always holds it
+    exactly — the driver-hashable boundary costs nothing here."""
     stats = {
         (r["i"], r["j"]): int(r["s"])
-        for r in gram_moments(vecs, vec_col, dim, scale).collect()
+        for r in gram_moments(
+            vecs, vec_col, dim, scale, out_type="decimal(38,0)"
+        ).collect()
     }
     # .get defaults: an input with no valid vectors has ONLY the
     # seeded count row — every moment defaults to 0 and the iteration
@@ -182,6 +205,6 @@ def pca_power(
         )
     spark = vecs.sparkSession
     return spark.createDataFrame(
-        [(i + 1, Decimal(v[i])) for i in range(dim)],
-        "i int, loading decimal(38,0)",
+        [(i + 1, int(v[i])) for i in range(dim)],
+        "i int, loading long",
     )

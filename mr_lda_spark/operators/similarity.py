@@ -1910,17 +1910,27 @@ def ranking_quality(
             .alias("rr_ppm"),
         )
     )
+    # Spine = the EXACT side (idcg/top1 cover every exact query);
+    # dcg comes from the approximate ranking, so a query whose
+    # approximate result set is EMPTY has no dcg row — an inner join
+    # would silently drop exactly the worst-scoring queries from the
+    # evaluation (ADVICE r11).  Left-join and coalesce to the honest
+    # zeros instead: n_hits=0, dcg_q=0, ndcg=0.0.
     return (
-        dcg.join(idcg, "query_id")
-        .join(top1, "query_id")
+        idcg.join(dcg, "query_id", "left")
+        .join(top1, "query_id", "left")
         .select(
             "query_id",
-            "n_hits",
-            "rr_ppm",
-            "dcg_q",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.coalesce("rr_ppm", F.lit(0)).cast("int").alias("rr_ppm"),
+            F.coalesce("dcg_q", F.lit(0))
+            .cast("bigint")
+            .alias("dcg_q"),
             "idcg_q",
             F.round(
-                F.col("dcg_q") / F.col("idcg_q").cast("double"), 6
+                F.coalesce("dcg_q", F.lit(0))
+                / F.col("idcg_q").cast("double"),
+                6,
             ).alias("ndcg"),
         )
     )

@@ -1241,10 +1241,17 @@ def lexical_diversity(
     complement of the per-doc repetition filters.
 
     Everything is exact: counts are integers, the Simpson numerator
-    runs in decimal(38,0) (c² at planetary token counts wraps int64 —
-    the copurchase-lift rule), and the two ratios are single IEEE
-    divisions of exact integers, rounded once.  One vocabulary-sized
-    aggregation; no joins.
+    SUM runs in decimal(38,0) (c² at planetary token counts wraps
+    int64 — the copurchase-lift rule) and is cast to BIGINT only at
+    the output boundary (the parity standing rule: Spark decimal
+    materializes as object-Decimal, DuckDB's as float64 — a raw
+    decimal output can never driver-hash-match; the cast is exact
+    while Σc(c−1) < 2^63, i.e. per-source token counts < 3·10⁹ —
+    the shipped corpora are ≤1.5·10⁴), and the two ratios are single
+    IEEE divisions of exact integers, rounded once.  A 1-token source
+    defines simpson = 0.0 explicitly (Spark's non-ANSI 0/0 is NULL,
+    DuckDB's is NaN — the guard keeps both engines on the same
+    defined value).  One vocabulary-sized aggregation; no joins.
     """
     toks = docs.select(
         F.col(group_col).alias("source"),
@@ -1267,14 +1274,19 @@ def lexical_diversity(
         "n_tokens",
         "vocab",
         "hapax",
-        "simpson_num",
-        F.round(
-            F.col("simpson_num").cast("double")
-            / (
-                F.col("n_tokens").cast("double")
-                * (F.col("n_tokens") - 1).cast("double")
+        F.col("simpson_num").cast("bigint").alias("simpson_num"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(
+                F.col("simpson_num").cast("double")
+                / (
+                    F.col("n_tokens").cast("double")
+                    * (F.col("n_tokens") - 1).cast("double")
+                ),
+                6,
             ),
-            6,
-        ).alias("simpson"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("simpson"),
         F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("ttr"),
     )

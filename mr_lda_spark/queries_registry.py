@@ -3588,18 +3588,18 @@ def embedding_outliers(spark, sf_dir):
     ),
     gram AS (
       SELECT x.i AS i, y.i AS j,
-             CAST(sum(CAST(x.qx AS HUGEINT) * y.qx) AS DECIMAL(38,0)) AS s
+             CAST(sum(CAST(x.qx AS HUGEINT) * y.qx) AS BIGINT) AS s
       FROM q x JOIN q y ON x.vec_id = y.vec_id AND y.i >= x.i
       GROUP BY 1, 2
     ),
     firsts AS (
       SELECT i, CAST(0 AS INTEGER) AS j,
-             CAST(sum(qx) AS DECIMAL(38,0)) AS s
+             CAST(sum(qx) AS BIGINT) AS s
       FROM q GROUP BY 1
     ),
     cnt AS (
       SELECT CAST(0 AS INTEGER) AS i, CAST(0 AS INTEGER) AS j,
-             CAST(count(*) AS DECIMAL(38,0)) AS s
+             CAST(count(*) AS BIGINT) AS s
       FROM ok
     )
     SELECT i, j, s FROM gram
@@ -3679,7 +3679,7 @@ def _pca_power_oracle_sql(iterations: int) -> str:
       FROM w{r} CROSS JOIN (SELECT max(abs(w)) AS mx FROM w{r}) t
     )"""
     sql += (
-        f"\n    SELECT i, CAST(v AS DECIMAL(38,0)) AS loading"
+        f"\n    SELECT i, CAST(v AS BIGINT) AS loading"
         f" FROM v{iterations}"
     )
     return sql
@@ -3703,18 +3703,18 @@ _PCA_ITERATIONS = 12
     ),
     gram AS (
       SELECT x.i AS i, y.i AS j,
-             CAST(sum(CAST(x.qx AS HUGEINT) * y.qx) AS DECIMAL(38,0)) AS s
+             CAST(sum(CAST(x.qx AS HUGEINT) * y.qx) AS BIGINT) AS s
       FROM q x JOIN q y ON x.vec_id = y.vec_id AND y.i >= x.i
       GROUP BY 1, 2
     ),
     firsts AS (
       SELECT i, CAST(0 AS INTEGER) AS j,
-             CAST(sum(qx) AS DECIMAL(38,0)) AS s
+             CAST(sum(qx) AS BIGINT) AS s
       FROM q GROUP BY 1
     ),
     cnt AS (
       SELECT CAST(0 AS INTEGER) AS i, CAST(0 AS INTEGER) AS j,
-             CAST(count(*) AS DECIMAL(38,0)) AS s
+             CAST(count(*) AS BIGINT) AS s
       FROM ok
     )
     SELECT i, j, s FROM gram
@@ -10650,10 +10650,11 @@ def documents_stream_entropy_gate(spark, sf_dir):
            CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS hapax,
            CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1))
-                AS DECIMAL(38,0)) AS simpson_num,
-           round(CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
-                 / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1.0)), 6)
-             AS simpson,
+                AS BIGINT) AS simpson_num,
+           CASE WHEN sum(c) > 1 THEN
+             round(CAST(sum(CAST(c AS DECIMAL(38,0)) * (c - 1)) AS DOUBLE)
+                   / (CAST(sum(c) AS DOUBLE) * (sum(c) - 1.0)), 6)
+           ELSE 0.0 END AS simpson,
            round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr
     FROM cnt GROUP BY source
     """,
@@ -11051,11 +11052,16 @@ assert _SQL_IVF_FROZEN_TOPK10 != ORACLES["similarity_ivfflat_frozen_topk"]
       LEFT JOIN approx a ON a.query_id = e1.query_id
                         AND a.neighbor_id = e1.neighbor_id
     )
-    SELECT d.query_id, n_hits, rr_ppm, dcg_q, idcg_q,
-           round(CAST(dcg_q AS DOUBLE) / idcg_q, 6) AS ndcg
-    FROM dcg d
-    JOIN idcg i ON i.query_id = d.query_id
-    JOIN top1 t ON t.query_id = d.query_id
+    SELECT i.query_id,
+           CAST(COALESCE(n_hits, 0) AS INT) AS n_hits,
+           CAST(COALESCE(rr_ppm, 0) AS INT) AS rr_ppm,
+           CAST(COALESCE(dcg_q, 0) AS BIGINT) AS dcg_q,
+           idcg_q,
+           round(CAST(COALESCE(dcg_q, 0) AS DOUBLE) / idcg_q, 6)
+             AS ndcg
+    FROM idcg i
+    LEFT JOIN dcg d ON d.query_id = i.query_id
+    LEFT JOIN top1 t ON t.query_id = i.query_id
     """,
 )
 def similarity_ivf_ranking_quality(spark, sf_dir):

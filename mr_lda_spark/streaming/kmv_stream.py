@@ -56,12 +56,18 @@ def kmv_sketch_stream(
 ) -> DataFrame:
     """Streaming bottom-k: (group, hs[≤k]) maintained in GroupState.
     The hash is the repo-wide md5 60-bit prefix, so the drained state
-    equals the batch ``kmv.kmv_sketch`` relation exactly."""
+    equals the batch ``kmv.kmv_sketch`` relation exactly — including
+    the NULL-key drop: batch ``kmv_sketch`` filters NULL keys before
+    hashing, and without the mirror filter here a NULL key's NULL
+    hash reaches the Arrow batch as NaN and ``int(h)`` in the tracker
+    raises (ADVICE r11), breaking bit-equality for any non-shingle
+    caller."""
     from mr_lda_spark.operators.kmv import _h60
 
     h = _h60(F.col(key_col))
     return (
-        keys_stream.select(F.col(group_col).alias("source"), h.alias("h"))
+        keys_stream.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col).alias("source"), h.alias("h"))
         .groupBy("source")
         .applyInPandasWithState(
             _kmv_tracker(k),

@@ -283,7 +283,12 @@ class TestLexicalDiversity:
         assert int(s2["simpson_num"]) == 0
         assert s2["simpson"] == 0.0
 
-    def test_simpson_num_is_decimal(self, spark):
+    def test_simpson_num_is_bigint_at_boundary(self, spark):
+        """The SUM runs in decimal(38,0) inside the plan but the
+        OUTPUT column must be BIGINT — Spark materializes DecimalType
+        to pandas as object-Decimal while DuckDB's DECIMAL lands
+        float64, so a raw decimal output can never driver-hash-match
+        (the r11 hash-red root cause)."""
         from mr_lda_spark.operators.textops import lexical_diversity
 
         df = spark.createDataFrame(
@@ -291,7 +296,20 @@ class TestLexicalDiversity:
         )
         schema = {f.name: f.dataType.simpleString()
                   for f in lexical_diversity(df).schema.fields}
-        assert schema["simpson_num"] == "decimal(38,0)"
+        assert schema["simpson_num"] == "bigint"
+
+    def test_one_token_source_simpson_defined_zero(self, spark):
+        """A 1-token source divides by N(N-1)=0: Spark's non-ANSI
+        divide yields NULL, DuckDB's 0/0 yields NaN — the operator
+        pins the defined value 0.0 on both engines (ADVICE r11)."""
+        from mr_lda_spark.operators.textops import lexical_diversity
+
+        df = spark.createDataFrame(
+            [(1, "solo", "s")], ["doc_id", "text", "source"]
+        )
+        row = lexical_diversity(df).collect()[0]
+        assert row["n_tokens"] == 1
+        assert row["simpson"] == 0.0
 
 
 def test_duplicate_registration_raises():
@@ -397,3 +415,31 @@ class TestRankingQuality:
         )
         got = ranking_quality(approx, exact, k=3).collect()[0]
         assert got["rr_ppm"] == 333333
+
+    def test_empty_approx_query_scores_zero_not_dropped(self, spark):
+        """ADVICE r11: a query present in the exact ranking whose
+        approximate result set is EMPTY must appear with honest zeros
+        (n_hits=0, dcg_q=0, rr_ppm=0, ndcg=0.0), not vanish from the
+        metrics relation — an evaluation that drops exactly the worst
+        cases overstates quality."""
+        from mr_lda_spark.operators.similarity import ranking_quality
+
+        exact = self._rank_df(
+            spark,
+            [(1, r, 100 + r) for r in range(1, 4)]
+            + [(2, r, 200 + r) for r in range(1, 4)],
+        )
+        # approx covers query 1 perfectly, query 2 not at all
+        approx = self._rank_df(
+            spark, [(1, r, 100 + r) for r in range(1, 4)]
+        )
+        got = {r["query_id"]: r
+               for r in ranking_quality(approx, exact, k=3).collect()}
+        assert set(got) == {1, 2}
+        q2 = got[2]
+        assert q2["n_hits"] == 0
+        assert q2["rr_ppm"] == 0
+        assert q2["dcg_q"] == 0
+        assert q2["ndcg"] == 0.0
+        assert q2["idcg_q"] > 0
+        assert got[1]["ndcg"] == 1.0

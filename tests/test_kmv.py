@@ -375,3 +375,46 @@ def test_estimate_grouped_matches_ungrouped_per_group(spark):
         assert grouped[g] == (
             single["n_sketch"], single["kth_h"], single["est_distinct"]
         )
+
+
+def test_merge_k_larger_than_built_k_refused():
+    """ADVICE r11: a merge-k larger than the sketch-time k would
+    silently return an undersized relation that kmv_estimate misreads
+    as the exact-collapse case.  The built_k parameter turns that
+    silent wrongness into a driver-side ValueError (no Spark job)."""
+    with pytest.raises(ValueError, match="built_k"):
+        kmv.kmv_merge(None, k=64, built_k=32)
+
+
+def test_stream_null_keys_match_batch(spark, tmp_path):
+    """ADVICE r11: batch kmv_sketch drops NULL keys before hashing;
+    the streaming twin must mirror that filter — without it a NULL
+    key's NULL hash reaches the Arrow batch as NaN and the tracker's
+    int(h) raises, breaking batch/stream bit-equality for any
+    non-shingle caller."""
+    import uuid
+
+    from mr_lda_spark.streaming.kmv_stream import (
+        kmv_drain_stream,
+        kmv_sketch_stream,
+    )
+
+    rows = [("s0", f"k{i}") for i in range(40)] + [("s0", None), ("s1", None)]
+    d = spark.createDataFrame(rows, "source string, key string")
+    src = str(tmp_path / "kmv_nulls")
+    d.coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("source string, key string")
+        .parquet(src)
+    )
+    drained = kmv_drain_stream(
+        spark,
+        kmv_sketch_stream(stream, "key", "source", k=8),
+        f"kmvnull_{uuid.uuid4().hex[:8]}",
+    )
+    batch = kmv.kmv_sketch(d, "key", ["source"], k=8)
+    a = sorted(tuple(r) for r in drained.collect())
+    b = sorted((r["source"], r["h"], r["rank"]) for r in batch.collect())
+    assert a == b
+    # the all-NULL group contributes nothing on either side
+    assert all(s == "s0" for s, _, _ in a)

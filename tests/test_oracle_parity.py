@@ -7,6 +7,7 @@ must go red locally even when every value matches).
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from mr_lda_spark import TABLES, queries_registry
 from tools import parity
@@ -61,6 +62,50 @@ def test_typed_comparator_catches_bool_int_drift(duck):
     ) == [("flag", "bool", "int")]
     assert parity.kind_mismatches(
         schema, parity.duck_types(duck, "SELECT true AS flag")) == []
+
+
+def test_decimal_pandas_dtypes_diverge_between_engines(spark, duck):
+    """Empirical proof of the r11 hash-red root cause, pinned as a
+    regression test: the SAME exact value in a decimal(38,0) column
+    materializes to pandas as object-dtype decimal.Decimal on Spark's
+    driver path but float64 on DuckDB's — so the driver's typed hash
+    diverges on every row even when values are identical.  The typed
+    layer must therefore flag spark-decimal against duck-DECIMAL
+    (they were wrongly equated as kind "float" before r12)."""
+    from decimal import Decimal
+
+    sdf = spark.range(1).select(
+        F.lit(29).cast("decimal(38,0)").alias("s")
+    )
+    spd = sdf.toPandas()
+    dpd = duck.execute("SELECT CAST(29 AS DECIMAL(38,0)) AS s").df()
+    assert spd["s"].dtype == object
+    assert isinstance(spd["s"].iloc[0], Decimal)
+    assert str(dpd["s"].dtype) == "float64"
+    # the kind model now sees the divergence the hash sees
+    assert parity.spark_kind("decimal(38,0)") == "decimal"
+    assert parity.duck_kind("DECIMAL(38,0)") == "float"
+    mism = parity.kind_mismatches(
+        sdf.schema,
+        parity.duck_types(duck, "SELECT CAST(29 AS DECIMAL(38,0)) AS s"),
+    )
+    assert mism == [("s", "decimal", "float")]
+
+
+def test_every_oracle_sql_is_decimal_free(duck):
+    """The parity standing rule, enforced by construction (sibling of
+    the HUGEINT sweep): exact wide arithmetic belongs INSIDE the
+    plan; no oracle may DESCRIBE to a DECIMAL output column, because
+    the paired Spark query would have to ship a DecimalType column to
+    schema-match — and Spark decimal can never driver-hash-match
+    DuckDB's float64 materialization (the 4 hash-red rows of r11)."""
+    offenders = {}
+    for name, sql in queries_registry.ORACLES.items():
+        dec = [c for c, t in parity.duck_types(duck, sql).items()
+               if t.upper().startswith("DECIMAL")]
+        if dec:
+            offenders[name] = dec
+    assert not offenders, f"decimal-output oracles: {offenders}"
 
 
 def test_every_oracle_sql_is_hugeint_free(duck):

@@ -19,11 +19,26 @@ Two layers, matching how the driver's correctness gate can diverge:
    (Python ``15 == 15.0`` and ``True == 1``).
 
 Kinds are deliberately coarse: int widths never drift the driver hash
-(both engines materialize int64), and DECIMAL/HUGEINT both surface as
-float64 in pandas, so they normalize to ``float``.  Non-numeric,
+(both engines materialize int64), and DuckDB DECIMAL/HUGEINT surface
+as float64 in pandas, so they normalize to ``float``.  Non-numeric,
 non-bool columns ("other": timestamps, dates, arrays, structs) are
 left to the value layer — their Python representations don't have a
 silent-equality trap.
+
+STANDING RULE (the r11 decimal lesson — 4 driver-hash-red rows):
+Spark's pandas materialization of DecimalType is ``object`` dtype
+holding ``decimal.Decimal`` instances, while DuckDB's DECIMAL lands
+``float64`` — so the two engines NEVER hash-agree on a decimal output
+column even when every value is identical.  The convention is
+therefore: exact wide arithmetic (decimal(38,0) / HUGEINT) INSIDE the
+plan, driver-stable kinds at the output boundary — cast final decimal
+columns to BIGINT where the value bound fits int64 (document the
+headroom), or to DOUBLE on BOTH sides where a >2^53 bound must
+survive.  ``spark_kind`` maps decimal to its own enforced kind
+(``"decimal"``) precisely so any future registered query shipping a
+raw decimal output fails the typed sweep the way it would fail the
+driver; ``tests/test_oracle_parity.py`` asserts the dtype divergence
+empirically and sweeps the registry for decimal outputs.
 """
 
 from __future__ import annotations
@@ -51,7 +66,7 @@ _SPARK_KIND = {
     "boolean": "bool", "string": "str",
 }
 
-_ENFORCED = {"int", "float", "bool"}  # kinds whose drift we fail on
+_ENFORCED = {"int", "float", "bool", "decimal"}  # fail on drift
 
 
 def duck_kind(column_type: str) -> str:
@@ -64,7 +79,11 @@ def duck_kind(column_type: str) -> str:
 def spark_kind(simple_string: str) -> str:
     s = simple_string.lower()
     if s.startswith("decimal"):
-        return "float"
+        # NOT "float": Spark's pandas path materializes DecimalType
+        # as object-dtype decimal.Decimal (unlike DuckDB's float64),
+        # so a Spark decimal output can never driver-hash-match ANY
+        # DuckDB column — give it its own enforced kind.
+        return "decimal"
     return _SPARK_KIND.get(s, "other")
 
 
