@@ -269,6 +269,11 @@ EXTRA = [
     # exact-quantile histogram protocol); count() forces the
     # sources x ps result.
     "text_entropy_quantiles_by_source",
+    # r12 addition (recorded, not in the total): gram end-consumer —
+    # one distributed gram pass + broadcast joins of d^2-sized
+    # relations; count() computes the Arrow matmul blocks, the
+    # decimal combine, and the correlation joins.
+    "embedding_correlation_pairs",
 ]
 
 # Queries whose top shape is an outer join against a unique-keyed

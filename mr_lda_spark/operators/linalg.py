@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["gram_moments", "pca_power"]
+__all__ = ["gram_moments", "pca_power", "correlation_pairs"]
 
 _GRAM_SCHEMA = "i int, j int, s long"
 
@@ -207,4 +207,76 @@ def pca_power(
     return spark.createDataFrame(
         [(i + 1, int(v[i])) for i in range(dim)],
         "i int, loading long",
+    )
+
+
+def correlation_pairs(
+    vecs: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Pairwise Pearson correlations between embedding DIMENSIONS —
+    the end-consumer composition of :func:`gram_moments` (the
+    feature-correlation audit a representation pipeline runs before
+    whitening or pruning redundant dimensions): (i, j, corr) for
+    every 1 ≤ i < j ≤ dim.
+
+    All sufficient statistics come from the ONE distributed gram
+    pass; everything after it is joins between d²-sized relations
+    (the answer-sized tier — for d = 64 the largest is 2 016 rows).
+    Exactness follows the `profile.correlation_matrix` design: the
+    covariance numerators n·s_ij − s_i·s_j and the two variance
+    factors stay in decimal(38,0) (exact to 10³⁸ — n·s_ij at
+    n = 10⁹ unit-normed rows is ~10²⁷, far inside), and only the
+    final corr is IEEE: a fixed expression of correctly-rounded ops
+    (decimal→double conversion, ·, /, sqrt are all exactly
+    specified), so both engines produce the identical double from
+    the identical integers; round(·, 6) is cosmetic.  The variance
+    product is computed in DOUBLE (va·vb can pass 10³⁸ where
+    decimal/INT128 would overflow) — still deterministic, same fixed
+    expression both sides.  Zero-variance dimensions yield NULL corr
+    (undefined, not 0 — the profile.correlation_matrix convention)."""
+    g = gram_moments(
+        vecs, vec_col, dim, scale, out_type="decimal(38,0)"
+    )
+    n = g.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").alias("n")
+    )
+    firsts = g.filter((F.col("j") == 0) & (F.col("i") >= 1)).select(
+        F.col("i").alias("k"), F.col("s").alias("sk")
+    )
+    diag = g.filter(
+        (F.col("i") == F.col("j")) & (F.col("i") >= 1)
+    ).select(F.col("i").alias("k"), F.col("s").alias("skk"))
+    pairs = g.filter((F.col("i") >= 1) & (F.col("j") > F.col("i")))
+    fi = firsts.select(
+        F.col("k").alias("i"), F.col("sk").alias("si")
+    )
+    fj = firsts.select(
+        F.col("k").alias("j"), F.col("sk").alias("sj")
+    )
+    di = diag.select(F.col("k").alias("i"), F.col("skk").alias("sii"))
+    dj = diag.select(F.col("k").alias("j"), F.col("skk").alias("sjj"))
+    j = (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(fi), "i")
+        .join(F.broadcast(fj), "j")
+        .join(F.broadcast(di), "i")
+        .join(F.broadcast(dj), "j")
+    )
+    num = F.col("n") * F.col("s") - F.col("si") * F.col("sj")
+    va = F.col("n") * F.col("sii") - F.col("si") * F.col("si")
+    vb = F.col("n") * F.col("sjj") - F.col("sj") * F.col("sj")
+    return j.select(
+        "i",
+        "j",
+        F.when(
+            (va > 0) & (vb > 0),
+            F.round(
+                num.cast("double")
+                / F.sqrt(va.cast("double") * vb.cast("double")),
+                6,
+            ),
+        ).alias("corr"),
     )

@@ -3774,6 +3774,65 @@ def embedding_pca_power(spark, sf_dir):
 
 
 @register(
+    "embedding_correlation_pairs",
+    """
+    WITH ok AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (
+      SELECT vec_id, CAST(i AS INTEGER) AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS qx
+      FROM ok, unnest(range(1, 65)) AS u(i)
+    ),
+    gram AS (
+      SELECT x.i AS i, y.i AS j, sum(CAST(x.qx AS HUGEINT) * y.qx) AS s
+      FROM q x JOIN q y ON x.vec_id = y.vec_id AND y.i > x.i
+      GROUP BY 1, 2
+    ),
+    diag AS (
+      SELECT i, sum(CAST(qx AS HUGEINT) * qx) AS skk
+      FROM q GROUP BY 1
+    ),
+    firsts AS (
+      SELECT i, sum(CAST(qx AS HUGEINT)) AS sk FROM q GROUP BY 1
+    ),
+    nval AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM ok)
+    SELECT g.i, g.j,
+           CASE WHEN (n * di.skk - fi.sk * fi.sk) > 0
+                 AND (n * dj.skk - fj.sk * fj.sk) > 0
+           THEN round(
+             CAST(n * g.s - fi.sk * fj.sk AS DOUBLE)
+             / sqrt(CAST(n * di.skk - fi.sk * fi.sk AS DOUBLE)
+                    * CAST(n * dj.skk - fj.sk * fj.sk AS DOUBLE)), 6)
+           ELSE NULL END AS corr
+    FROM gram g
+    CROSS JOIN nval
+    JOIN firsts fi ON fi.i = g.i
+    JOIN firsts fj ON fj.i = g.j
+    JOIN diag di ON di.i = g.i
+    JOIN diag dj ON dj.i = g.j
+    """,
+)
+def embedding_correlation_pairs(spark, sf_dir):
+    """Pairwise Pearson correlations between embedding dimensions
+    (`operators/linalg.correlation_pairs`) — the END-CONSUMER
+    composition of the gram sufficient statistics (the feature-
+    correlation audit run before whitening or pruning redundant
+    dimensions): ONE distributed gram pass, then broadcast joins
+    between d²-sized relations; covariance numerators and variance
+    factors stay decimal(38,0)-exact inside the plan and only the
+    final corr is a fixed IEEE expression of the exact integers,
+    rounded once — so the double matches DuckDB's bit-for-bit (the
+    profile.correlation_matrix design, lifted to the linalg
+    family)."""
+    from mr_lda_spark.operators.linalg import correlation_pairs
+
+    return correlation_pairs(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+@register(
     "events_stream_join",
     """
     SELECT v.user_id, v.event_id AS view_id, b.event_id AS purchase_id,

@@ -187,3 +187,61 @@ def test_gram_stream_equals_batch_across_microbatches(spark, tmp_path):
     b = sorted((r["i"], r["j"], str(r["s"])) for r in batch.collect())
     assert g == b
     assert len(g) == d * (d + 1) // 2 + d + 1
+
+
+# --------------------------------------------------- correlation_pairs
+
+
+def test_correlation_pairs_matches_numpy(spark):
+    """corr over the QUANTIZED integers must equal np.corrcoef of the
+    quantized matrix (the operator's contract is exactness over the
+    quantized relation, not the float input)."""
+    from mr_lda_spark.operators.linalg import correlation_pairs
+
+    rng = np.random.default_rng(21)
+    d, n = 5, 300
+    base = rng.normal(size=(n, d))
+    base[:, 1] = base[:, 0] * 0.8 + base[:, 1] * 0.2  # planted corr
+    got = {
+        (r["i"], r["j"]): r["corr"]
+        for r in correlation_pairs(
+            _df(spark, base.tolist(), dim=d), dim=d
+        ).collect()
+    }
+    q = np.floor(base.astype(np.float32).astype(np.float64) * 1e6 + 0.5)
+    ref = np.corrcoef(q.T)
+    assert len(got) == d * (d - 1) // 2
+    for (i, j), c in got.items():
+        assert abs(c - ref[i - 1, j - 1]) < 1e-6
+    assert abs(got[(1, 2)]) > 0.9  # the planted pair
+
+
+def test_correlation_zero_variance_dimension_null(spark):
+    """A constant dimension has zero variance — corr is NULL
+    (undefined), not 0 (the profile.correlation_matrix convention)."""
+    from mr_lda_spark.operators.linalg import correlation_pairs
+
+    rows = [[1.0, float(i), float(i % 3)] for i in range(20)]
+    got = {
+        (r["i"], r["j"]): r["corr"]
+        for r in correlation_pairs(
+            _df(spark, rows, dim=3), dim=3
+        ).collect()
+    }
+    assert got[(1, 2)] is None and got[(1, 3)] is None
+    assert got[(2, 3)] is not None
+
+
+def test_correlation_single_gram_pass_broadcast_joins(spark):
+    """The composition must reuse ONE distributed gram relation and
+    finish on broadcast joins of d²-sized relations — no shuffle join,
+    no cartesian beyond the 1-row scalar crossJoin."""
+    from mr_lda_spark.operators.linalg import correlation_pairs
+
+    rng = np.random.default_rng(23)
+    df = correlation_pairs(
+        _df(spark, rng.normal(size=(30, 4)).tolist(), dim=4), dim=4
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
