@@ -270,9 +270,11 @@ EXTRA = [
     # sources x ps result.
     "text_entropy_quantiles_by_source",
     # r12 addition (recorded, not in the total): gram end-consumer —
-    # one distributed gram pass + broadcast joins of d^2-sized
-    # relations; count() computes the Arrow matmul blocks, the
-    # decimal combine, and the correlation joins.
+    # the gram pass materializes at construction (localCheckpoint,
+    # the funnel lifecycle — REQUIRED: group-key filters push into
+    # each consumer's exchange and defeat ReuseExchange, so the lazy
+    # plan would re-run the corpus kernel 6x); count() forces the
+    # broadcast correlation joins over the checkpointed relation.
     "embedding_correlation_pairs",
 ]
 

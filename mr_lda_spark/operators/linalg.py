@@ -215,6 +215,7 @@ def correlation_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     scale: int = 1_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise Pearson correlations between embedding DIMENSIONS —
     the end-consumer composition of :func:`gram_moments` (the
@@ -236,10 +237,25 @@ def correlation_pairs(
     product is computed in DOUBLE (va·vb can pass 10³⁸ where
     decimal/INT128 would overflow) — still deterministic, same fixed
     expression both sides.  Zero-variance dimensions yield NULL corr
-    (undefined, not 0 — the profile.correlation_matrix convention)."""
+    (undefined, not 0 — the profile.correlation_matrix convention).
+
+    ``materialize=True`` (the default, the funnel/graph lifecycle)
+    localCheckpoints the 2 145-row gram relation at construction —
+    REQUIRED for the one-pass claim: the five consumers below filter
+    on the GROUP KEYS (i, j), and Catalyst pushes those predicates
+    through the aggregate INTO each branch's exchange, so the
+    canonicalized exchanges differ and ReuseExchange never fires —
+    the lazy plan re-runs the full corpus scan + Arrow matmul kernel
+    six times (plan-audited: 6 MapInPandas, 0 ReusedExchange).  One
+    eager job on an answer-sized relation buys back five corpus
+    passes at 100 TB.  ``materialize=False`` keeps the fully lazy
+    plan for composition/inspection — callers accept the recompute
+    or persist the gram themselves."""
     g = gram_moments(
         vecs, vec_col, dim, scale, out_type="decimal(38,0)"
     )
+    if materialize:
+        g = g.localCheckpoint()
     n = g.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("s").alias("n")
     )

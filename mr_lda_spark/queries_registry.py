@@ -3820,7 +3820,10 @@ def embedding_correlation_pairs(spark, sf_dir):
     (`operators/linalg.correlation_pairs`) — the END-CONSUMER
     composition of the gram sufficient statistics (the feature-
     correlation audit run before whitening or pruning redundant
-    dimensions): ONE distributed gram pass, then broadcast joins
+    dimensions): ONE distributed gram pass (localCheckpointed at
+    construction — group-key filters defeat ReuseExchange, so the
+    lazy plan would re-run the corpus kernel 6×; see the operator
+    docstring), then broadcast joins
     between d²-sized relations; covariance numerators and variance
     factors stay decimal(38,0)-exact inside the plan and only the
     final corr is a fixed IEEE expression of the exact integers,

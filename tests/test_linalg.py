@@ -233,15 +233,32 @@ def test_correlation_zero_variance_dimension_null(spark):
 
 
 def test_correlation_single_gram_pass_broadcast_joins(spark):
-    """The composition must reuse ONE distributed gram relation and
-    finish on broadcast joins of d²-sized relations — no shuffle join,
-    no cartesian beyond the 1-row scalar crossJoin."""
+    """The composition must run the distributed gram kernel ONCE and
+    finish on broadcast joins of d²-sized relations.  This is only
+    true because materialize=True checkpoints the gram relation: the
+    five consumers filter on the GROUP KEYS (i, j), Catalyst pushes
+    those predicates through the aggregate into each branch's
+    exchange, the canonicalized exchanges differ, and ReuseExchange
+    never fires — the lazy plan re-runs the corpus scan + Arrow
+    matmul six times.  Asserted both ways so the hazard stays
+    documented-by-test."""
     from mr_lda_spark.operators.linalg import correlation_pairs
 
     rng = np.random.default_rng(23)
-    df = correlation_pairs(
-        _df(spark, rng.normal(size=(30, 4)).tolist(), dim=4), dim=4
-    )
+    src = _df(spark, rng.normal(size=(30, 4)).tolist(), dim=4)
+    df = correlation_pairs(src, dim=4)
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # materialized: downstream plan reads the checkpointed 2145-row
+    # relation — the Arrow kernel appears ZERO times
+    assert plan.count("MapInPandas") == 0
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+    lazy = correlation_pairs(src, dim=4, materialize=False)
+    lplan = lazy._jdf.queryExecution().executedPlan().toString()
+    # the lazy path exists for composition/inspection, and the
+    # recompute hazard is real (this is the regression witness: if a
+    # Spark upgrade starts reusing the exchange, this count drops and
+    # the eager default can be revisited)
+    assert lplan.count("MapInPandas") >= 2
+    assert "CartesianProduct" not in lplan
