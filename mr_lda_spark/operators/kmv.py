@@ -137,7 +137,10 @@ def kmv_estimate(sk: DataFrame, k: int) -> DataFrame:
 
 
 def kmv_pair_set_ops(
-    sk: DataFrame, group_col: str, k: int = 64
+    sk: DataFrame,
+    group_col: str,
+    k: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise distinct-union and distinct-intersection ESTIMATES for
     every group pair, computed from the bottom-k sketches alone.
@@ -152,7 +155,20 @@ def kmv_pair_set_ops(
     touched only by ``kmv_sketch``.  The h_k → double conversion and
     the two divisions are single IEEE ops over md5-determined
     integers, rounded once — cross-engine exact.
-    """
+
+    ``materialize=True`` (default, the funnel/graph lifecycle)
+    localCheckpoints the input sketch at construction: this function
+    references ``sk`` SIX times (labels, the pair spine, both merge
+    sides, both membership probes), and when ``sk`` is a lazy
+    ``kmv_sketch`` each reference replays the full corpus shingle
+    scan + two-stage windows (plan-audited: 34 WindowGroupLimit
+    nodes in the registered source-overlap row before the fix — the
+    pushdown-defeats-ReuseExchange class, see
+    ``linalg.correlation_pairs``).  One eager job on the
+    sketch-sized (groups × k) relation buys back five corpus passes;
+    ``materialize=False`` keeps the lazy plan for inspection."""
+    if materialize:
+        sk = sk.localCheckpoint()
     g = F.col(group_col)
     labels = sk.select(g.alias("ga")).distinct()
     # Broadcast the label side: the inequality pair join must compile

@@ -1843,7 +1843,10 @@ def margin_mining_lsh(
 
 
 def ranking_quality(
-    approx: DataFrame, exact: DataFrame, k: int
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-query ranking-quality metrics of an APPROXIMATE top-k
     ranking against the EXACT one — recall hits, reciprocal rank of
@@ -1859,7 +1862,21 @@ def ranking_quality(
     before summation; rr_ppm is integer floor division; ndcg is one
     IEEE division of two exact integer sums, rounded once.  All joins
     are query-keyed on answer-sized relations (queries × k rows).
-    """
+
+    ``materialize=True`` (default, the funnel/graph lifecycle)
+    localCheckpoints BOTH input rankings at construction: the metric
+    references `exact` three times (relevance join, idcg, top1) and
+    `approx` twice, and each ranking is typically itself a top-k
+    window over the full corpus — without materialization the plan
+    recomputes those corpus passes per reference (the same
+    pushdown-defeats-ReuseExchange class as
+    `linalg.correlation_pairs`; plan-audited at 18 WindowGroupLimit
+    nodes before the fix, 0 after).  The checkpointed relations are
+    answer-sized (queries × k rows).  ``materialize=False`` keeps
+    the lazy plan for composition/inspection."""
+    if materialize:
+        approx = approx.localCheckpoint()
+        exact = exact.localCheckpoint()
     a, e = approx.alias("a"), exact.alias("e")
     rel = a.join(
         e,

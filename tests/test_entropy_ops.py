@@ -443,3 +443,35 @@ class TestRankingQuality:
         assert q2["ndcg"] == 0.0
         assert q2["idcg_q"] > 0
         assert got[1]["ndcg"] == 1.0
+
+
+def test_ranking_quality_materializes_inputs_once(spark):
+    """The metric references `exact` 3x and `approx` 2x; without the
+    construction-time localCheckpoint each reference recomputes the
+    input ranking (typically a full-corpus top-k window — the
+    pushdown-defeats-ReuseExchange class).  Materialized: the
+    downstream plan contains ZERO window/top-k machinery; lazy: the
+    repeated references are visible (the regression witness)."""
+    from pyspark.sql import Window
+    from mr_lda_spark.operators.similarity import ranking_quality
+
+    base = spark.createDataFrame(
+        [(q, v, float((q * 7 + v) % 11)) for q in (1, 2) for v in range(8)],
+        ["query_id", "neighbor_id", "score"],
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc())
+    rank = base.select(
+        "query_id", "neighbor_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 3)
+
+    mat = ranking_quality(rank, rank, k=3)
+    mplan = mat._jdf.queryExecution().executedPlan().toString()
+    assert mplan.count("WindowGroupLimit") + mplan.count("Window") == 0
+
+    lazy = ranking_quality(rank, rank, k=3, materialize=False)
+    lplan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert lplan.count("WindowGroupLimit") + lplan.count("Window") >= 2
+    # values identical either way
+    assert sorted(map(tuple, mat.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
