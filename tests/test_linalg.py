@@ -262,3 +262,26 @@ def test_correlation_single_gram_pass_broadcast_joins(spark):
     # the eager default can be revisited)
     assert lplan.count("MapInPandas") >= 2
     assert "CartesianProduct" not in lplan
+
+
+def test_gram_out_type_double_and_decimal_paths(spark):
+    """The three boundary representations agree on values: long
+    (default, driver-hashable), decimal(38,0) (exact internal form,
+    pca_power's collect path), double (the >2^53-bound escape —
+    inexact past 2^53 but engine-agreed below it)."""
+    rng = np.random.default_rng(31)
+    rows = rng.normal(size=(25, 4)).tolist()
+    base = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(_df(spark, rows), dim=4).collect()
+    }
+    dec = gram_moments(_df(spark, rows), dim=4, out_type="decimal(38,0)")
+    dbl = gram_moments(_df(spark, rows), dim=4, out_type="double")
+    assert dec.schema["s"].dataType.simpleString() == "decimal(38,0)"
+    assert dbl.schema["s"].dataType.simpleString() == "double"
+    assert {
+        (r["i"], r["j"]): int(r["s"]) for r in dec.collect()
+    } == base
+    assert {
+        (r["i"], r["j"]): int(r["s"]) for r in dbl.collect()
+    } == base
