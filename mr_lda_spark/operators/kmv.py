@@ -65,7 +65,16 @@ def _bottom_k(
     hashes: DataFrame, group_cols: list[str], k: int, buckets: int = 64
 ) -> DataFrame:
     """Salted two-stage bottom-k over a distinct (group…, h) relation —
-    the shared selection kernel of ``kmv_sketch`` and ``kmv_merge``."""
+    the shared selection kernel of ``kmv_sketch`` and ``kmv_merge``.
+
+    The sketch-time k is stamped into the ``rank`` column's schema
+    METADATA (``{"kmv_built_k": k}``) so the relation carries its own
+    truncation evidence: ``kmv_merge`` reads it to enforce the
+    merge-k ≤ built-k invariant without relying on the caller to
+    volunteer ``built_k`` (ADVICE r12 — the omission bypass).
+    Column metadata survives select/filter/join/parquet round-trips
+    and is invisible to dtype comparison, so no registered output
+    schema changes."""
     d = hashes.withColumn(
         "salt", F.pmod(F.col("h"), F.lit(int(buckets)))
     )
@@ -76,9 +85,24 @@ def _bottom_k(
         .drop("r1", "salt")
     )
     w2 = Window.partitionBy(*group_cols).orderBy("h")
-    return c1.withColumn(
-        "rank", F.row_number().over(w2).cast("int")
-    ).filter(F.col("rank") <= k)
+    rank_col = (
+        F.row_number()
+        .over(w2)
+        .cast("int")
+        .alias("rank", metadata={"kmv_built_k": int(k)})
+    )
+    return c1.select("*", rank_col).filter(F.col("rank") <= k)
+
+
+def _built_k_evidence(sketches: DataFrame) -> int | None:
+    """Sketch-time k recorded by ``_bottom_k`` in the ``rank`` column's
+    metadata, or None when the relation carries no evidence (a
+    hand-built or drained-and-reshaped relation)."""
+    for field in sketches.schema.fields:
+        if field.name == "rank":
+            bk = (field.metadata or {}).get("kmv_built_k")
+            return int(bk) if bk is not None else None
+    return None
 
 
 def kmv_merge(
@@ -96,17 +120,32 @@ def kmv_merge(
     merge into exactly the sketch one global pass would build, on
     sketch-sized data (groups × k rows, the corpus is never touched).
 
-    INVARIANT (ENFORCED, ADVICE r11): the merge ``k`` must not exceed
-    the k the input sketches were built with — values ranked past the
-    input k were discarded at sketch time, so a larger merge-k would
-    silently return an undersized relation that ``kmv_estimate``
-    misreads as the exact-collapse case, a confidently wrong exact
-    count.  Callers merging at a smaller k than they sketched with
-    pass ``built_k`` (the sketch-time k); the default ``None`` means
-    equal-k usage (``built_k == k``, the registered rows' shape),
-    which is always safe.  The check is a driver-side comparison of
-    two ints — no job is triggered."""
-    if built_k is not None and k > built_k:
+    INVARIANT (ENFORCED, ADVICE r11 + r12): the merge ``k`` must not
+    exceed the k the input sketches were built with — values ranked
+    past the input k were discarded at sketch time, so a larger
+    merge-k would silently return an undersized relation that
+    ``kmv_estimate`` misreads as the exact-collapse case, a
+    confidently wrong exact count.  The sketch-time k is read from
+    the evidence ``_bottom_k`` stamps into the ``rank`` column's
+    metadata, so the check CANNOT be bypassed by omission (ADVICE
+    r12): a relation with no evidence AND no explicit ``built_k`` is
+    refused outright.  An explicit ``built_k`` overrides the
+    metadata (for hand-built or drained-and-reshaped sketch
+    relations whose caller knows the truncation point).  The check
+    is a driver-side comparison of two ints — no job is triggered."""
+    if built_k is None:
+        built_k = _built_k_evidence(sketches)
+        if built_k is None:
+            raise ValueError(
+                "kmv_merge: the input relation carries no sketch-time-k "
+                "evidence (no kmv_built_k metadata on a 'rank' column) "
+                "and no built_k was passed — refusing to merge, because "
+                f"a sketch built at k < {k} would silently yield an "
+                "undersized relation that kmv_estimate misreads as an "
+                "exact collapse.  Build the sketch with kmv_sketch, or "
+                "declare the truncation point with built_k=."
+            )
+    if k > built_k:
         raise ValueError(
             f"kmv_merge k={k} exceeds the input sketches' built_k="
             f"{built_k}: ranks past built_k were discarded at sketch "
@@ -166,7 +205,22 @@ def kmv_pair_set_ops(
     pushdown-defeats-ReuseExchange class, see
     ``linalg.correlation_pairs``).  One eager job on the
     sketch-sized (groups × k) relation buys back five corpus passes;
-    ``materialize=False`` keeps the lazy plan for inspection."""
+    ``materialize=False`` keeps the lazy plan for inspection.
+
+    Fault-tolerance tradeoff (ADVICE r12, applies to every
+    ``materialize`` site in the package): ``localCheckpoint``
+    truncates lineage and stores the blocks on EXECUTORS only, so an
+    executor loss / dynamic-allocation decommission after
+    construction fails every downstream action unrecoverably —
+    unlike persist-and-count, which recomputes.  It is the right
+    default here because the checkpointed relation is ANSWER-SIZED
+    (groups × k rows — re-running the whole query on failure is
+    cheaper than reliable-checkpoint I/O on every run) and because
+    the clean-plan audit requires true lineage truncation (persist
+    alone leaves the pushdown-de-canonicalized exchanges in the
+    plan).  On a cluster with expected executor churn, disable
+    dynamic allocation for the job, or pass ``materialize=False``
+    and ``.persist()`` + count the sketch yourself."""
     if materialize:
         sk = sk.localCheckpoint()
     g = F.col(group_col)

@@ -69,7 +69,16 @@ def gram_moments(
     past it, request ``out_type="decimal(38,0)"`` and consume the
     exact relation programmatically the way :func:`pca_power` does,
     or ``"double"`` where an inexact-but-engine-agreed boundary is
-    acceptable."""
+    acceptable.
+
+    The bound is ENFORCED, not hoped (ADVICE r12): under non-ANSI
+    Spark a decimal→bigint cast past the bound yields silent NULL
+    sums (DuckDB's BIGINT cast would error), quietly corrupting
+    downstream covariance/correlation.  Integral ``out_type`` casts
+    are therefore wrapped in ``assert_true(|s| ≤ 2⁶³−1)`` inside the
+    plan — an input past the documented headroom fails the job
+    loudly in BOTH ANSI modes, on the answer-sized aggregate (d²
+    rows), costing nothing in the hot path."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iu, ju = np.triu_indices(dim)
@@ -116,9 +125,31 @@ def gram_moments(
     )
     if out_type == "decimal(38,0)":
         return agg
-    return agg.select(
-        "i", "j", F.col("s").cast(out_type).alias("s")
-    )
+    out = F.col("s").cast(out_type)
+    if out_type in ("long", "bigint"):
+        # Silent-NULL guard (ADVICE r12): non-ANSI Spark casts an
+        # out-of-range decimal to NULL instead of erroring.  s is
+        # never NULL by construction (a SUM over ≥1 non-null row per
+        # group key), so assert_true's condition is always a real
+        # boolean; on the in-bound path assert_true is NULL and the
+        # WHEN passes the cast value through unchanged — same value,
+        # same hash, answer-sized evaluation.
+        bound = F.lit("9223372036854775807").cast("decimal(38,0)")
+        guard = F.assert_true(
+            F.abs(F.col("s")) <= bound,
+            F.concat(
+                F.lit(
+                    "gram_moments: exact decimal sum overflows the "
+                    f"{out_type} boundary cast (|s| > 2^63-1) — the "
+                    "documented n*(scale*max|x|)^2 < 2^63 headroom "
+                    "was exceeded; request out_type='decimal(38,0)' "
+                    "or lower scale.  Offending s="
+                ),
+                F.col("s").cast("string"),
+            ),
+        )
+        out = F.when(guard.isNull(), F.col("s").cast(out_type))
+    return agg.select("i", "j", out.alias("s"))
 
 
 def pca_power(
@@ -250,7 +281,20 @@ def correlation_pairs(
     eager job on an answer-sized relation buys back five corpus
     passes at 100 TB.  ``materialize=False`` keeps the fully lazy
     plan for composition/inspection — callers accept the recompute
-    or persist the gram themselves."""
+    or persist the gram themselves.
+
+    Fault-tolerance tradeoff (ADVICE r12): ``localCheckpoint``
+    truncates lineage and stores blocks on executors only — an
+    executor loss after construction fails downstream actions
+    unrecoverably, where persist-and-count would recompute.  Chosen
+    deliberately: the checkpointed gram is answer-sized (2 145 rows
+    at d = 64; rerunning the query on a rare executor loss is cheaper
+    than reliable-checkpoint I/O every run), and the clean-plan
+    audit needs true lineage truncation (persist leaves the
+    de-canonicalized exchanges in the plan).  Under expected
+    executor churn, pass ``materialize=False`` and persist+count
+    the gram yourself; see ``kmv.kmv_pair_set_ops`` for the full
+    statement of the rule."""
     g = gram_moments(
         vecs, vec_col, dim, scale, out_type="decimal(38,0)"
     )

@@ -1873,7 +1873,16 @@ def ranking_quality(
     `linalg.correlation_pairs`; plan-audited at 18 WindowGroupLimit
     nodes before the fix, 0 after).  The checkpointed relations are
     answer-sized (queries × k rows).  ``materialize=False`` keeps
-    the lazy plan for composition/inspection."""
+    the lazy plan for composition/inspection.
+
+    Fault-tolerance tradeoff (ADVICE r12): localCheckpoint blocks
+    live on executors only — an executor loss after construction
+    fails downstream actions unrecoverably (persist-and-count would
+    recompute).  Accepted here because the relations are
+    answer-sized and the clean-plan audit requires true lineage
+    truncation; under expected executor churn use
+    ``materialize=False`` + persist+count.  Full rule:
+    ``kmv.kmv_pair_set_ops`` docstring."""
     if materialize:
         approx = approx.localCheckpoint()
         exact = exact.localCheckpoint()

@@ -386,6 +386,53 @@ def test_merge_k_larger_than_built_k_refused():
         kmv.kmv_merge(None, k=64, built_k=32)
 
 
+class TestMergeKEvidence:
+    """ADVICE r12: the merge-k invariant must not be bypassable by
+    OMITTING built_k — the sketch relation itself carries the
+    sketch-time k as metadata on the rank column, and kmv_merge
+    enforces against that evidence."""
+
+    def test_metadata_evidence_blocks_oversized_merge(self, spark):
+        rows = [(i, f"g{i % 3}", f"k{i}") for i in range(200)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=16)
+        # built_k omitted: the stamped metadata (16) must still refuse
+        # a merge at k=64 — the exact bypass ADVICE r12 flagged.
+        with pytest.raises(ValueError, match="built_k=16"):
+            kmv.kmv_merge(sk, k=64)
+
+    def test_metadata_survives_filter_and_select(self, spark):
+        rows = [(i, f"g{i % 3}", f"k{i}") for i in range(200)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=16)
+        narrowed = sk.filter(F.col("source") != "g9").select(
+            "source", "h", "rank"
+        )
+        with pytest.raises(ValueError, match="built_k=16"):
+            kmv.kmv_merge(narrowed, k=32)
+        # equal-or-smaller merge-k still passes through the evidence
+        assert kmv.kmv_merge(narrowed, k=8).count() == 8
+
+    def test_evidence_free_relation_refused_without_built_k(self, spark):
+        """A hand-built relation with no kmv_built_k metadata and no
+        explicit built_k is refused outright — the check cannot be
+        skipped by omission."""
+        bare = spark.createDataFrame(
+            [("a", 10, 1), ("a", 20, 2)], "source string, h long, rank int"
+        )
+        with pytest.raises(ValueError, match="no sketch-time-k evidence"):
+            kmv.kmv_merge(bare, k=2)
+        # declaring the truncation point re-enables the merge
+        assert kmv.kmv_merge(bare, k=2, built_k=2).count() == 2
+
+    def test_merged_sketch_carries_its_own_k(self, spark):
+        rows = [(i, f"g{i % 3}", f"k{i}") for i in range(200)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=16)
+        merged = kmv.kmv_merge(sk, k=8)
+        # the merged relation's evidence is the MERGE k, so a second
+        # merge at a larger k is refused too (re-merge safety)
+        with pytest.raises(ValueError, match="built_k=8"):
+            kmv.kmv_merge(merged, k=16)
+
+
 def test_stream_null_keys_match_batch(spark, tmp_path):
     """ADVICE r11: batch kmv_sketch drops NULL keys before hashing;
     the streaming twin must mirror that filter — without it a NULL

@@ -285,3 +285,44 @@ def test_gram_out_type_double_and_decimal_paths(spark):
     assert {
         (r["i"], r["j"]): int(r["s"]) for r in dbl.collect()
     } == base
+
+
+def test_gram_bigint_overflow_fails_loudly_not_null(spark):
+    """ADVICE r12: under non-ANSI Spark the decimal->bigint boundary
+    cast past 2^63-1 yields silent NULL sums (DuckDB would error),
+    quietly corrupting downstream covariance.  The guard must fail
+    the JOB instead: components of 1000.0 quantize to 1e9 micro-units,
+    so 10 rows put every gram cell at 1e19 > 2^63-1."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    rows = [[1000.0, 1000.0] for _ in range(10)]
+    over = gram_moments(_df(spark, rows, dim=2), dim=2)
+    with pytest.raises(Exception) as exc:
+        over.collect()
+    # Spark surfaces assert_true as a Py4J-wrapped RuntimeError whose
+    # message carries the guard text; accept either wrapping.
+    assert "gram_moments" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError
+    )
+    # the exact decimal path carries the same input losslessly...
+    dec = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(
+            _df(spark, rows, dim=2), dim=2, out_type="decimal(38,0)"
+        ).collect()
+    }
+    assert dec[(1, 1)] == 10 * (10**9) ** 2
+    # ...and in-bound inputs pass through the guard value-unchanged.
+    small = [[0.5, -0.25], [1.0, 0.125]]
+    guarded = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(_df(spark, small, dim=2), dim=2).collect()
+    }
+    exact = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(
+            _df(spark, small, dim=2), dim=2, out_type="decimal(38,0)"
+        ).collect()
+    }
+    assert guarded == exact
