@@ -62,3 +62,57 @@ def test_parity_file_has_no_orphan_rows():
         f"{os.path.basename(path)} has rows for unregistered queries: "
         f"{orphans}"
     )
+
+
+def test_nooracle_ledger_matches_registry():
+    """NOORACLE.md (VERDICT r12 "Next round" #2) is the consolidated
+    justification ledger for every registry row WITHOUT an oracle_sql
+    entry.  It must stay in lockstep with the registry: a no-oracle
+    row missing from the ledger means an unjustified weaker check
+    reached the driver; a ledger row no longer in the registry (or
+    now oracle-backed) is stale documentation masquerading as
+    evidence."""
+    ledger_path = os.path.join(_REPO, "NOORACLE.md")
+    assert os.path.exists(ledger_path), "NOORACLE.md missing"
+    with open(ledger_path) as fh:
+        text = fh.read()
+    documented = set(
+        re.findall(r"^\| `([a-z0-9_]+)` \|", text, flags=re.M)
+    )
+    actual = set(queries_registry.QUERIES) - set(queries_registry.ORACLES)
+    missing = sorted(actual - documented)
+    stale = sorted(documented - actual)
+    assert not missing, (
+        "no-oracle registry rows absent from NOORACLE.md (add a table "
+        f"row with reason + pinning evidence): {missing}"
+    )
+    assert not stale, (
+        "NOORACLE.md documents rows that are no longer no-oracle "
+        f"registry rows: {stale}"
+    )
+
+
+def test_nooracle_pinning_evidence_resolves():
+    """Every golden/frozen sibling row named in a NOORACLE.md pin must
+    itself be an ORACLE-BACKED registry row, and every named test file
+    must exist — the ledger's evidence must be followable, not
+    decorative."""
+    with open(os.path.join(_REPO, "NOORACLE.md")) as fh:
+        text = fh.read()
+    rows = re.findall(r"^\| `([a-z0-9_]+)` \| \w+ .*? \| (.*) \|$",
+                      text, flags=re.M)
+    assert rows, "NOORACLE.md table parse failed"
+    no_oracle = set(queries_registry.QUERIES) - set(queries_registry.ORACLES)
+    for name, pin in rows:
+        for sibling in re.findall(r"`([a-z0-9_]+)`", pin):
+            if sibling in queries_registry.QUERIES:
+                assert sibling in queries_registry.ORACLES or (
+                    sibling in no_oracle and sibling != name
+                ), (
+                    f"{name}: pinning row `{sibling}` is neither "
+                    "oracle-backed nor a cross-referenced ledger row"
+                )
+        for path in re.findall(r"`(tests/[a-z0-9_]+\.py)", pin):
+            assert os.path.exists(os.path.join(_REPO, path)), (
+                f"{name}: pinning test file {path} does not exist"
+            )
