@@ -199,13 +199,20 @@ def kmv_pair_set_ops(
     localCheckpoints the input sketch at construction: this function
     references ``sk`` SIX times (labels, the pair spine, both merge
     sides, both membership probes), and when ``sk`` is a lazy
-    ``kmv_sketch`` each reference replays the full corpus shingle
-    scan + two-stage windows (plan-audited: 34 WindowGroupLimit
-    nodes in the registered source-overlap row before the fix — the
-    pushdown-defeats-ReuseExchange class, see
-    ``linalg.correlation_pairs``).  One eager job on the
-    sketch-sized (groups × k) relation buys back five corpus passes;
-    ``materialize=False`` keeps the lazy plan for inspection.
+    ``kmv_sketch`` the STATIC plan replicates the corpus kernel per
+    reference (plan-audited: 34 WindowGroupLimit nodes in the
+    registered source-overlap row before the fix).  Measured honestly
+    (SCALING_r13_materialize, the ×1/×10/×100 probe): Spark's runtime
+    exchange reuse deduplicates the expensive corpus-side shuffle
+    across those branches at execution (the final adaptive plan
+    carries ReusedExchange nodes), so on a reuse-enabled engine the
+    lazy path's aggregate task time is ~parity — the eager default
+    here is PLAN HYGIENE (lineage depth, compile size, and a guard
+    for ``spark.sql.exchange.reuse=false`` / non-AQE environments),
+    unlike ``linalg.correlation_pairs`` where the replicated kernel
+    is pre-exchange map work that nothing can reuse and the eager
+    path buys back ~4× aggregate task time.  ``materialize=False``
+    keeps the lazy plan for inspection.
 
     Fault-tolerance tradeoff (ADVICE r12, applies to every
     ``materialize`` site in the package): ``localCheckpoint``

@@ -279,7 +279,13 @@ def correlation_pairs(
     the lazy plan re-runs the full corpus scan + Arrow matmul kernel
     six times (plan-audited: 6 MapInPandas, 0 ReusedExchange).  One
     eager job on an answer-sized relation buys back five corpus
-    passes at 100 TB.  ``materialize=False`` keeps the fully lazy
+    passes at 100 TB.  PROBE-PINNED, not just plan-derived
+    (SCALING_r13_materialize, ×1/×10/×100): the replicated kernel is
+    PRE-exchange Arrow map work that runtime exchange reuse cannot
+    deduplicate — the lazy path pays ~4× aggregate executor task
+    time at every size and its wall disadvantage grows 1.6× → 2.9×
+    by ×100 (map-side partial-agg sharing accounts for 4× vs the
+    naive 6×).  ``materialize=False`` keeps the fully lazy
     plan for composition/inspection — callers accept the recompute
     or persist the gram themselves.
 

@@ -1867,13 +1867,21 @@ def ranking_quality(
     localCheckpoints BOTH input rankings at construction: the metric
     references `exact` three times (relevance join, idcg, top1) and
     `approx` twice, and each ranking is typically itself a top-k
-    window over the full corpus — without materialization the plan
-    recomputes those corpus passes per reference (the same
-    pushdown-defeats-ReuseExchange class as
-    `linalg.correlation_pairs`; plan-audited at 18 WindowGroupLimit
-    nodes before the fix, 0 after).  The checkpointed relations are
-    answer-sized (queries × k rows).  ``materialize=False`` keeps
-    the lazy plan for composition/inspection.
+    window over the full corpus — the STATIC lazy plan replicates
+    those rankings per reference (plan-audited at 18
+    WindowGroupLimit nodes before the fix, 0 after).  Measured
+    honestly (SCALING_r13_materialize, ×1/×10/×100): runtime
+    exchange reuse deduplicates the corpus-side shuffles across the
+    branches at execution (ReusedExchange in the final adaptive
+    plan), so the lazy path's aggregate task time is ~parity on a
+    reuse-enabled engine — the eager default is PLAN HYGIENE
+    (lineage depth, compile size, a guard for
+    ``spark.sql.exchange.reuse=false`` / non-AQE), unlike
+    `linalg.correlation_pairs` whose pre-exchange Arrow kernel is
+    genuinely recomputed (~4× task time bought back there).  The
+    checkpointed relations are answer-sized (queries × k rows).
+    ``materialize=False`` keeps the lazy plan for
+    composition/inspection.
 
     Fault-tolerance tradeoff (ADVICE r12): localCheckpoint blocks
     live on executors only — an executor loss after construction

@@ -24,10 +24,29 @@ Protocol (mirrors tools/probe_r12_polylda.py):
 - min of PASSES runs per cell; per-mode executed-plan corpus-kernel
   node counts (MapInPandas / ArrowEvalPython / WindowGroupLimit)
   recorded next to the walls so the slope ties to the plan shape;
-- the expected signature: lazy/eager wall ratio GROWS from ×1 to ×10
-  (the recompute cost is corpus-sized, the checkpoint cost is
-  answer-sized), pinning the scale claim the way SCALING_r11_lda
-  pinned the β mode switch.
+- aggregate executor task time is recorded next to wall per cell:
+  on local[32] the lazy plan's replicated branches run concurrently
+  on idle cores, so wall alone understates recompute — task time is
+  what a busy 1000-executor cluster pays;
+- expected signature: lazy/eager GROWS with corpus size where the
+  replicated kernel is genuinely recomputed.
+
+FINDING (this probe, r13): the claim splits by kernel position.
+- correlation_pairs: the replicated kernel is PRE-exchange Arrow map
+  work (MapInPandas) — nothing can reuse it; lazy pays ~4x aggregate
+  task time at every size and the wall ratio grows 1.6 -> 2.9 by
+  x100.  The r12 fix is a real compute win here, probe-pinned.
+- ranking_quality / kmv_pair_set_ops: the replicated branches sit
+  POST-exchange (WindowGroupLimit over a shuffle of the corpus-side
+  relation), and Spark's runtime exchange reuse deduplicates the
+  expensive shuffle even though the static plan prints N branches
+  (final adaptive plans carry ReusedExchange nodes — counted below);
+  measured task-time ratio ~1.0 at x1/x10/x100.  The r12 fix there
+  is PLAN HYGIENE (lineage depth, compile size, and a guard for
+  environments with spark.sql.exchange.reuse disabled), not compute —
+  the r12 "five corpus passes bought back" reading of the WGL count
+  overstated runtime recompute for those two ops, and this probe is
+  the correction of record.
 
 Usage: python tools/probe_r13_materialize.py [out_json]
 """
@@ -59,11 +78,19 @@ def _clone(df, id_col, step, times):
 
 
 def _plan_nodes(df):
+    # Execute FIRST so AQE finalizes: the static plan's node counts
+    # overstate runtime recompute wherever runtime exchange reuse
+    # fires — ReusedExchange in the FINAL plan is the witness that
+    # separates genuinely replicated kernels (pre-exchange map work:
+    # MapInPandas) from branches that share one shuffle at runtime.
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return {
         "MapInPandas": plan.count("MapInPandas"),
         "ArrowEvalPython": plan.count("ArrowEvalPython"),
         "WindowGroupLimit": plan.count("WindowGroupLimit"),
+        "ReusedExchange": plan.count("ReusedExchange"),
+        "is_final_plan": "isFinalPlan=true" in plan,
     }
 
 
@@ -79,15 +106,46 @@ def main() -> None:
     from mr_lda_spark.operators.linalg import correlation_pairs
     from mr_lda_spark.session import get_spark
 
-    spark = get_spark("probe-r13-materialize")
+    # UI on: the probe reads cumulative executorRunTime from the
+    # status REST API — on local[32] the lazy plan's replicated
+    # corpus branches run CONCURRENTLY on idle cores, so WALL clock
+    # alone understates the recompute (the cluster-relevant cost is
+    # the aggregate task time a busy 1000-executor cluster would pay).
+    spark = get_spark(
+        "probe-r13-materialize", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    def _cum_run_ms() -> int:
+        import urllib.request
+
+        url = (
+            "http://localhost:4040/api/v1/applications/"
+            f"{app_id}/stages?status=complete"
+        )
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            stages = json.load(resp)
+        return sum(st.get("executorRunTime", 0) for st in stages)
 
     docs1 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     emb1 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # ×100 added after the first run: at sf0.1 the ×1/×10 cells are
+    # 2-5 s walls dominated by fixed stage/barrier overhead (the
+    # local[32] memory-local-shuffle caveat, PERF_NOTES_r09 §1), so
+    # the two ops with several-second fixed costs were noise-bound —
+    # a third point two decades up lets the corpus-sized recompute
+    # dominate the answer-sized checkpoint unambiguously.
     docs10 = _clone(docs1, "doc_id", 10_000_000, 10).localCheckpoint()
     emb10 = _clone(emb1, "vec_id", 100_000, 10).localCheckpoint()
-    n_docs = {"x1": docs1.count(), "x10": docs10.count()}
-    n_vecs = {"x1": emb1.count(), "x10": emb10.count()}
+    docs100 = _clone(docs1, "doc_id", 10_000_000, 100).localCheckpoint()
+    emb100 = _clone(emb1, "vec_id", 100_000, 100).localCheckpoint()
+    n_docs = {
+        "x1": docs1.count(), "x10": docs10.count(), "x100": docs100.count()
+    }
+    n_vecs = {
+        "x1": emb1.count(), "x10": emb10.count(), "x100": emb100.count()
+    }
 
     def corr_builder(emb, materialize):
         return correlation_pairs(emb, dim=64, materialize=materialize)
@@ -117,27 +175,35 @@ def main() -> None:
         "text_kmv_source_overlap_pairs": (kmv_builder, "docs"),
     }
     inputs = {
-        "emb": {"x1": emb1, "x10": emb10},
-        "docs": {"x1": docs1, "x10": docs10},
+        "emb": {"x1": emb1, "x10": emb10, "x100": emb100},
+        "docs": {"x1": docs1, "x10": docs10, "x100": docs100},
     }
 
     results: dict[str, dict] = {}
     for name, (builder, kind) in ops.items():
         row: dict[str, dict] = {}
-        for mult in ("x1", "x10"):
+        for mult in ("x1", "x10", "x100"):
             cell: dict[str, float] = {}
             for mode, materialize in (("eager", True), ("lazy", False)):
-                walls = []
+                walls, cpus = [], []
                 for _ in range(PASSES):
                     spark.catalog.clearCache()
+                    c0 = _cum_run_ms()
                     t0 = time.perf_counter()
                     out = builder(inputs[kind][mult], materialize)
                     rows = out.collect()
                     walls.append(round(time.perf_counter() - t0, 3))
+                    cpus.append(round((_cum_run_ms() - c0) / 1000.0, 3))
                 cell[f"{mode}_sec"] = min(walls)
+                cell[f"{mode}_tasktime_sec"] = min(cpus)
                 cell[f"{mode}_rows"] = len(rows)
             cell["lazy_over_eager"] = round(
                 cell["lazy_sec"] / cell["eager_sec"], 3
+            )
+            cell["lazy_over_eager_tasktime"] = round(
+                cell["lazy_tasktime_sec"]
+                / max(cell["eager_tasktime_sec"], 1e-9),
+                3,
             )
             row[mult] = cell
             print(f"{name} {mult}: {cell}", flush=True)
@@ -148,6 +214,14 @@ def main() -> None:
         }
         row["advantage_growth_x10_over_x1"] = round(
             row["x10"]["lazy_over_eager"] / row["x1"]["lazy_over_eager"], 3
+        )
+        row["advantage_growth_x100_over_x1"] = round(
+            row["x100"]["lazy_over_eager"] / row["x1"]["lazy_over_eager"], 3
+        )
+        row["tasktime_growth_x100_over_x1"] = round(
+            row["x100"]["lazy_over_eager_tasktime"]
+            / row["x1"]["lazy_over_eager_tasktime"],
+            3,
         )
         results[name] = row
 
