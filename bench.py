@@ -594,12 +594,24 @@ def _polylda_per_iteration(spark, sf_dir: str) -> dict[str, float]:
     ]
     iters = 2
     t0 = time.perf_counter()
-    poly_plan.train_poly(
+    _, state = poly_plan.train_poly(
         spark, corpus, num_terms, num_topics=4,
         max_iterations=iters, max_gamma_iter=15, converge=0.0, seed=1,
     )
     dt = time.perf_counter() - t0
-    return {"polylda_sec_per_iteration_k4": round(dt / iters, 3)}
+    # Same decomposition as the mono instrument (VERDICT r12 #4): at
+    # iters=2 "steady" is iteration 2's wall — still separates the
+    # session-fixed first-iteration share from the marginal cost.
+    metrics = {"polylda_sec_per_iteration_k4": round(dt / iters, 3)}
+    iter_seconds = list(state.iter_seconds)
+    if len(iter_seconds) >= 2:
+        metrics["polylda_sec_per_iteration_steady"] = round(
+            iter_seconds[-1], 3
+        )
+        metrics["polylda_iter_overhead_sec"] = round(
+            iter_seconds[0] - iter_seconds[-1], 3
+        )
+    return metrics
 
 
 if __name__ == "__main__":
