@@ -294,7 +294,15 @@ def test_registry_sweep_no_cartesian_no_pickled_udf(spark):
     # flags are allowlisted WITH their reasons; any new name tripping
     # a threshold is either a real recompute (fix: the funnel/graph
     # materialize lifecycle) or a new benign case to be justified
-    # here.
+    # here.  Calibration (the r13 probe, SCALING_r13_materialize):
+    # static multiplicity is an UPPER BOUND on runtime recompute —
+    # post-exchange branches (WindowGroupLimit) may share one shuffle
+    # at execution via runtime exchange reuse, while pre-exchange map
+    # kernels (MapInPandas/ArrowEval) replicate for real.  The guard
+    # deliberately gates on the static upper bound: it is the review
+    # invariant that survives reuse-disabled engines and AQE config
+    # drift (verify a flagged plan's runtime cost with
+    # tools/explain_audit.py --runtime before allowlisting).
     multiplicity_allow = {
         # persist-and-count at construction: toString prints the
         # InMemoryRelation's child plan per reference, over-counting

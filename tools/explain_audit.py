@@ -4,7 +4,16 @@ of registered queries into a markdown report — the plan-level evidence
 (pushdown, broadcast vs shuffle joins, no cartesian products, codegen
 spans) behind the scale claims in README.md.
 
-Usage: python3 tools/explain_audit.py [out.md] [query ...]
+Usage: python3 tools/explain_audit.py [out.md] [--runtime] [query ...]
+
+``--runtime`` additionally EXECUTES each query and appends the final
+adaptive plan's reuse/kernel node counts.  Rationale (the r13 probe
+lesson, SCALING_r13_materialize.json): static plan-node multiplicity
+is an UPPER BOUND on runtime recompute — post-exchange branches that
+print N times in the static plan may share one shuffle at execution
+(ReusedExchange in the ``isFinalPlan=true`` plan), while pre-exchange
+map kernels (MapInPandas) replicate for real.  The static dump stays
+the review gate; the runtime counts say which multiplicities cost.
 """
 from __future__ import annotations
 
@@ -107,6 +116,8 @@ DEFAULT = [
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
+    runtime = "--runtime" in args
+    args = [a for a in args if a != "--runtime"]
     out_path = args[0] if args and args[0].endswith(".md") else "PLANS.md"
     names = [a for a in args if not a.endswith(".md")] or DEFAULT
 
@@ -137,6 +148,17 @@ def main() -> None:
             df._jdf.queryExecution(), "formatted"
         )
         lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
+        if runtime:
+            df.collect()
+            fin = df._jdf.queryExecution().executedPlan().toString()
+            lines += [
+                "Runtime (final adaptive plan): "
+                f"ReusedExchange={fin.count('ReusedExchange')} "
+                f"MapInPandas={fin.count('MapInPandas')} "
+                f"WindowGroupLimit={fin.count('WindowGroupLimit')} "
+                f"final={'isFinalPlan=true' in fin}",
+                "",
+            ]
     with open(out_path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {out_path} ({len(names)} plans)")
