@@ -132,7 +132,13 @@ def kmv_merge(
     refused outright.  An explicit ``built_k`` overrides the
     metadata (for hand-built or drained-and-reshaped sketch
     relations whose caller knows the truncation point).  The check
-    is a driver-side comparison of two ints — no job is triggered."""
+    is a driver-side comparison of two ints — no job is triggered.
+
+    Evidence scope: the metadata describes the relation ``_bottom_k``
+    stamped it on.  A UNION of sketches built at DIFFERENT k keeps
+    only one side's column metadata (Spark's unionByName semantics),
+    so mixed-k unions must declare ``built_k = min(k_1, …, k_n)``
+    explicitly — the conservative truncation point of the union."""
     if built_k is None:
         built_k = _built_k_evidence(sketches)
         if built_k is None:
