@@ -120,25 +120,32 @@ def kmv_merge(
     merge into exactly the sketch one global pass would build, on
     sketch-sized data (groups × k rows, the corpus is never touched).
 
-    INVARIANT (ENFORCED, ADVICE r11 + r12): the merge ``k`` must not
-    exceed the k the input sketches were built with — values ranked
-    past the input k were discarded at sketch time, so a larger
-    merge-k would silently return an undersized relation that
+    INVARIANT (ENFORCED, ADVICE r11 + r12 + r13): the merge ``k`` must
+    not exceed the k the input sketches were built with — values
+    ranked past the input k were discarded at sketch time, so a
+    larger merge-k would silently return an undersized relation that
     ``kmv_estimate`` misreads as the exact-collapse case, a
     confidently wrong exact count.  The sketch-time k is read from
     the evidence ``_bottom_k`` stamps into the ``rank`` column's
     metadata, so the check CANNOT be bypassed by omission (ADVICE
-    r12): a relation with no evidence AND no explicit ``built_k`` is
-    refused outright.  An explicit ``built_k`` overrides the
-    metadata (for hand-built or drained-and-reshaped sketch
-    relations whose caller knows the truncation point).  The check
-    is a driver-side comparison of two ints — no job is triggered.
+    r12) — a relation with no evidence AND no explicit ``built_k`` is
+    refused outright — NOR by contradiction (ADVICE r13): an explicit
+    ``built_k`` that EXCEEDS stamped evidence is refused too, because
+    the relation provably discarded ranks past the stamped k whatever
+    the caller believes.  The explicit override is reserved for (a)
+    evidence-free relations (hand-built / drained-and-reshaped, the
+    caller declares the truncation point) and (b) declaring a
+    truncation point STRICTER than the evidence (``built_k`` <
+    stamped k — conservative, always safe).  The check is a
+    driver-side comparison of ints — no job is triggered.
 
     Evidence scope: the metadata describes the relation ``_bottom_k``
-    stamped it on.  A UNION of sketches built at DIFFERENT k keeps
-    only one side's column metadata (Spark's unionByName semantics),
-    so mixed-k unions must declare ``built_k = min(k_1, …, k_n)``
-    explicitly — the conservative truncation point of the union."""
+    stamped it on.  A raw ``unionByName`` of sketches built at
+    DIFFERENT k keeps only one side's column metadata (Spark's union
+    semantics) — use :func:`kmv_union`, which reads every input's
+    evidence and re-stamps the union with ``min(k_1, …, k_n)``, the
+    conservative truncation point; its output merges here with no
+    manual ``built_k`` at all."""
     if built_k is None:
         built_k = _built_k_evidence(sketches)
         if built_k is None:
@@ -158,8 +165,87 @@ def kmv_merge(
             "time, so the merged relation would be undersized and "
             "kmv_estimate would misread it as an exact collapse"
         )
+    evidence = _built_k_evidence(sketches)
+    if evidence is not None and built_k > evidence:
+        raise ValueError(
+            f"kmv_merge: explicit built_k={built_k} contradicts the "
+            f"relation's stamped sketch-time evidence (kmv_built_k="
+            f"{evidence}): ranks past {evidence} were provably "
+            "discarded when this sketch was built, so trusting the "
+            "larger claim would silently yield an undersized relation "
+            "that kmv_estimate misreads as an exact collapse.  The "
+            "override is reserved for evidence-free relations or for "
+            "declaring a STRICTER truncation point (built_k <= "
+            "stamped k); for unions of sketches built at different k "
+            "use kmv_union, which stamps min-k itself."
+        )
     return _bottom_k(
         sketches.select("h").distinct(), [], k, buckets
+    )
+
+
+def kmv_union(
+    sketches: list[DataFrame],
+    built_ks: list[int | None] | None = None,
+) -> DataFrame:
+    """Union sketch RELATIONS built at (possibly) DIFFERENT k into one
+    relation stamped with the union's honest truncation point,
+    ``min(k_1, …, k_n)`` — the mixed-k story VERDICT r13 #3 asked to
+    close with behavior instead of a scope note.
+
+    Why min-k is the correct stamp: a bottom-k_i sketch of set S_i
+    contains, in particular, the bottom-min_k of S_i (bottom-k is
+    monotone in k), so the union relation provably contains every
+    candidate a direct bottom-min_k sketch of ∪S_i would keep —
+    ``kmv_merge(union, k ≤ min_k)`` is therefore exactly the sketch
+    one global pass at that k would build.  Ranks past min_k from the
+    larger-k sides are extra (never harmful) candidates; the stamp
+    records only what is GUARANTEED.
+
+    Every input must carry ``_bottom_k``'s metadata evidence, or have
+    its truncation point declared in the parallel ``built_ks`` list
+    (None entries mean "read the metadata"); an input with neither is
+    refused — same omission rule as :func:`kmv_merge`.  A declared
+    ``built_ks`` entry that exceeds that input's stamped evidence is
+    refused — same contradiction rule.  Column-name alignment is
+    ``unionByName`` (inputs must share the sketch schema).  All
+    driver-side int comparisons; no job is triggered."""
+    if not sketches:
+        raise ValueError("kmv_union: no input sketch relations")
+    if built_ks is not None and len(built_ks) != len(sketches):
+        raise ValueError(
+            f"kmv_union: built_ks has {len(built_ks)} entries for "
+            f"{len(sketches)} sketch relations"
+        )
+    ks: list[int] = []
+    for idx, sk in enumerate(sketches):
+        evidence = _built_k_evidence(sk)
+        declared = built_ks[idx] if built_ks is not None else None
+        if declared is not None and evidence is not None and declared > evidence:
+            raise ValueError(
+                f"kmv_union: built_ks[{idx}]={declared} contradicts "
+                f"that relation's stamped evidence (kmv_built_k="
+                f"{evidence}) — ranks past {evidence} were provably "
+                "discarded at sketch time"
+            )
+        bk = declared if declared is not None else evidence
+        if bk is None:
+            raise ValueError(
+                f"kmv_union: input {idx} carries no sketch-time-k "
+                "evidence and no built_ks entry — refusing, because "
+                "an unknown truncation point poisons the union's "
+                "min-k stamp.  Build it with kmv_sketch or declare "
+                "built_ks."
+            )
+        ks.append(int(bk))
+    min_k = min(ks)
+    out = sketches[0]
+    for sk in sketches[1:]:
+        out = out.unionByName(sk)
+    others = [c for c in out.columns if c != "rank"]
+    return out.select(
+        *others,
+        F.col("rank").alias("rank", metadata={"kmv_built_k": min_k}),
     )
 
 

@@ -465,3 +465,81 @@ def test_stream_null_keys_match_batch(spark, tmp_path):
     assert a == b
     # the all-NULL group contributes nothing on either side
     assert all(s == "s0" for s, _, _ in a)
+
+
+class TestMergeKContradiction:
+    """ADVICE r13: an explicit built_k that EXCEEDS stamped evidence
+    must be refused — otherwise kmv_merge(sk_built_at_16, k=64,
+    built_k=64) silently returns the undersized relation the
+    invariant exists to prevent.  The override is reserved for
+    evidence-free relations and for STRICTER truncation claims."""
+
+    def test_explicit_built_k_exceeding_evidence_refused(self, spark):
+        rows = [(i, f"g{i % 3}", f"k{i}") for i in range(200)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=16)
+        with pytest.raises(ValueError, match="contradicts"):
+            kmv.kmv_merge(sk, k=64, built_k=64)
+
+    def test_stricter_built_k_than_evidence_allowed(self, spark):
+        """Declaring a truncation point BELOW the stamped k is always
+        safe (more conservative than the proof) — it must pass."""
+        rows = [(i, f"g{i % 3}", f"k{i}") for i in range(200)]
+        sk = kmv.kmv_sketch(_df(spark, rows), "key", ["source"], k=16)
+        assert kmv.kmv_merge(sk, k=8, built_k=8).count() == 8
+
+
+class TestKmvUnion:
+    """VERDICT r13 #3: mixed-k unions as BEHAVIOR — kmv_union reads
+    every input's evidence and stamps the union with min-k, so the
+    downstream kmv_merge needs no manual built_k and the invariant
+    holds end-to-end."""
+
+    def _two_sketches(self, spark, k_a=32, k_b=8):
+        rows_a = [(i, "A", f"key{i}") for i in range(300)]
+        rows_b = [(i, "B", f"key{i + 150}") for i in range(300)]
+        sk_a = kmv.kmv_sketch(_df(spark, rows_a), "key", ["source"], k=k_a)
+        sk_b = kmv.kmv_sketch(_df(spark, rows_b), "key", ["source"], k=k_b)
+        return sk_a, sk_b
+
+    def test_union_stamps_min_k(self, spark):
+        sk_a, sk_b = self._two_sketches(spark)
+        u = kmv.kmv_union([sk_a, sk_b])
+        stamped = dict(u.schema["rank"].metadata)
+        assert stamped["kmv_built_k"] == 8
+
+    def test_merge_of_mixed_union_equals_direct_min_k_sketch(self, spark):
+        """bottom-8 of (bottom-32(A) ∪ bottom-8(B)) must equal the
+        bottom-8 sketch of A∪B built in one pass — the containment
+        property that makes min-k the honest stamp."""
+        sk_a, sk_b = self._two_sketches(spark)
+        merged = kmv.kmv_merge(kmv.kmv_union([sk_a, sk_b]), k=8)
+        all_rows = [(i, "all", f"key{i}") for i in range(300)] + [
+            (i, "all", f"key{i + 150}") for i in range(300)
+        ]
+        direct = kmv.kmv_sketch(_df(spark, all_rows), "key", ["source"], k=8)
+        got = sorted((r["h"], r["rank"]) for r in merged.collect())
+        want = sorted((r["h"], r["rank"]) for r in direct.collect())
+        assert got == want
+
+    def test_merge_past_min_k_refused_without_manual_built_k(self, spark):
+        """The exact mixed-k hazard: merging the union at the LARGER
+        side's k must be refused by the stamped min-k evidence."""
+        sk_a, sk_b = self._two_sketches(spark)
+        with pytest.raises(ValueError, match="built_k=8"):
+            kmv.kmv_merge(kmv.kmv_union([sk_a, sk_b]), k=32)
+
+    def test_union_refuses_evidence_free_input(self, spark):
+        sk_a, _ = self._two_sketches(spark)
+        bare = spark.createDataFrame(
+            [("X", 10, 1), ("X", 20, 2)], "source string, h long, rank int"
+        )
+        with pytest.raises(ValueError, match="no sketch-time-k"):
+            kmv.kmv_union([sk_a, bare])
+        # declaring the bare input's truncation point re-enables it
+        u = kmv.kmv_union([sk_a, bare], built_ks=[None, 2])
+        assert dict(u.schema["rank"].metadata)["kmv_built_k"] == 2
+
+    def test_union_refuses_contradicting_built_ks_entry(self, spark):
+        sk_a, _ = self._two_sketches(spark, k_a=16)
+        with pytest.raises(ValueError, match="contradicts"):
+            kmv.kmv_union([sk_a], built_ks=[64])
