@@ -35,6 +35,18 @@ __all__ = ["gram_moments", "pca_power", "correlation_pairs"]
 
 _GRAM_SCHEMA = "i int, j int, s long"
 
+# Signed max per integral out_type — the silent-NULL cast guard's
+# bound table (symmetric |s| <= max is fine: a sum at exactly the
+# asymmetric MIN would be refused one value early, loud not wrong).
+_INTEGRAL_BOUNDS = {
+    "long": (1 << 63) - 1,
+    "bigint": (1 << 63) - 1,
+    "int": (1 << 31) - 1,
+    "integer": (1 << 31) - 1,
+    "smallint": (1 << 15) - 1,
+    "tinyint": (1 << 7) - 1,
+}
+
 
 def gram_moments(
     vecs: DataFrame,
@@ -71,17 +83,48 @@ def gram_moments(
     or ``"double"`` where an inexact-but-engine-agreed boundary is
     acceptable.
 
-    The bound is ENFORCED, not hoped (ADVICE r12): under non-ANSI
-    Spark a decimal→bigint cast past the bound yields silent NULL
-    sums (DuckDB's BIGINT cast would error), quietly corrupting
-    downstream covariance/correlation.  Integral ``out_type`` casts
-    are therefore wrapped in ``assert_true(|s| ≤ 2⁶³−1)`` inside the
-    plan — an input past the documented headroom fails the job
-    loudly in BOTH ANSI modes, on the answer-sized aggregate (d²
-    rows), costing nothing in the hot path."""
+    The bound is ENFORCED at BOTH tiers (ADVICE r12 + r13):
+
+    - **Boundary tier** — under non-ANSI Spark a decimal→integral
+      cast past the type's bound yields silent NULL sums (DuckDB
+      would error), quietly corrupting downstream covariance.  Every
+      integral ``out_type`` (long/bigint/int/integer/smallint/
+      tinyint) is wrapped in ``assert_true(|s| ≤ type max)`` inside
+      the plan — answer-sized (d² rows), free in the hot path.
+    - **Kernel tier** — the per-batch int64 matmul would otherwise
+      WRAP silently inside a single Arrow batch, and a wrapped cell
+      can land back inside ±2⁶³−1 where the boundary guard cannot
+      see it (ADVICE r13).  The kernel therefore bounds ``max|q|``
+      and chunk size BEFORE the matmul: quantization overflow and
+      non-finite components fail loudly, a batch whose B·max|q|²
+      bound exceeds 2⁶³−1 is split into exact sub-batch partials
+      (the cross-batch decimal sum absorbs them — same result, a few
+      extra answer-sized rows per partition), and only a SINGLE ROW
+      whose cell bound max|q|² overflows int64 — unfixable at any
+      chunking — raises.  Cost when headroom is ample (the normal
+      case: B·scale² ≈ 10¹⁶ at Arrow's 10⁴-row batches): one
+      O(B·d) abs-max per batch, no extra partials."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         iu, ju = np.triu_indices(dim)
+        int64_max = (1 << 63) - 1
+
+        def emit(qc: np.ndarray) -> pd.DataFrame:
+            g = qc.T @ qc
+            return pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu + 1, np.arange(1, dim + 1), [0]]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [ju + 1, np.zeros(dim, np.int64), [0]]
+                    ).astype(np.int32),
+                    "s": np.concatenate(
+                        [g[iu, ju], qc.sum(axis=0), [qc.shape[0]]]
+                    ).astype(np.int64),
+                }
+            )
+
         for pdf in batches:
             vs = [
                 v
@@ -91,22 +134,45 @@ def gram_moments(
             if not vs:
                 continue
             x = np.asarray(vs, dtype=np.float64)
-            q = np.floor(x * float(scale) + 0.5).astype(np.int64)
-            g = q.T @ q
-            out = pd.DataFrame(
-                {
-                    "i": np.concatenate(
-                        [iu + 1, np.arange(1, dim + 1), [0]]
-                    ).astype(np.int32),
-                    "j": np.concatenate(
-                        [ju + 1, np.zeros(dim, np.int64), [0]]
-                    ).astype(np.int32),
-                    "s": np.concatenate(
-                        [g[iu, ju], q.sum(axis=0), [len(vs)]]
-                    ).astype(np.int64),
-                }
+            qf = np.floor(x * float(scale) + 0.5)
+            # Per-batch headroom, ENFORCED before any int64 arithmetic
+            # (ADVICE r13): the int64 matmul wraps SILENTLY inside a
+            # batch, and a wrapped cell can land back inside ±2^63-1
+            # where the decimal-boundary guard below cannot see it.
+            # Three tiers:
+            #   1. quantization itself must fit int64 (also catches
+            #      non-finite components — NaN/inf fail this compare),
+            fmx = float(np.abs(qf).max())
+            if not fmx < float(int64_max):
+                raise ValueError(
+                    "gram_moments: quantized component magnitude "
+                    f"{fmx!r} overflows int64 at scale={scale} (or the "
+                    "input contains non-finite components) — lower "
+                    "scale or clean the column"
+                )
+            q = qf.astype(np.int64)
+            mx = int(np.abs(q).max())
+            #   2. a SINGLE row's cell |q_i·q_j| ≤ mx² must fit — past
+            #      this no chunking can help; fail loudly,
+            if mx and mx * mx > int64_max:
+                raise ValueError(
+                    "gram_moments: a single row's gram cell bound "
+                    f"max|q|^2 = {mx}^2 overflows int64 at "
+                    f"scale={scale} — lower scale"
+                )
+            #   3. a chunk of B rows bounds every cell by B·mx² (and
+            #      every first moment by B·mx ≤ B·mx²), so cap B at
+            #      (2^63-1)//mx² and emit one exact partial per chunk;
+            #      the cross-batch decimal sum absorbs the extras.
+            #      Exact Python-int arithmetic throughout the bound.
+            rows = q.shape[0]
+            chunk = (
+                rows
+                if mx == 0
+                else max(1, min(rows, int64_max // (mx * mx)))
             )
-            yield out
+            for lo in range(0, rows, chunk):
+                yield emit(q[lo : lo + chunk])
 
     partials = vecs.select(vec_col).mapInPandas(kernel, schema=_GRAM_SCHEMA)
     # Seed the (0,0) count key with 0 so an input with NO valid vectors
@@ -126,24 +192,26 @@ def gram_moments(
     if out_type == "decimal(38,0)":
         return agg
     out = F.col("s").cast(out_type)
-    if out_type in ("long", "bigint"):
-        # Silent-NULL guard (ADVICE r12): non-ANSI Spark casts an
-        # out-of-range decimal to NULL instead of erroring.  s is
-        # never NULL by construction (a SUM over ≥1 non-null row per
-        # group key), so assert_true's condition is always a real
-        # boolean; on the in-bound path assert_true is NULL and the
-        # WHEN passes the cast value through unchanged — same value,
-        # same hash, answer-sized evaluation.
-        bound = F.lit("9223372036854775807").cast("decimal(38,0)")
+    int_bound = _INTEGRAL_BOUNDS.get(out_type.strip().lower())
+    if int_bound is not None:
+        # Silent-NULL guard (ADVICE r12, widened to EVERY integral
+        # out_type in r14 — int/smallint/tinyint have the same
+        # silent-NULL cast hazard at their own bounds): non-ANSI
+        # Spark casts an out-of-range decimal to NULL instead of
+        # erroring.  s is never NULL by construction (a SUM over ≥1
+        # non-null row per group key), so assert_true's condition is
+        # always a real boolean; on the in-bound path assert_true is
+        # NULL and the WHEN passes the cast value through unchanged —
+        # same value, same hash, answer-sized evaluation.
+        bound = F.lit(str(int_bound)).cast("decimal(38,0)")
         guard = F.assert_true(
             F.abs(F.col("s")) <= bound,
             F.concat(
                 F.lit(
                     "gram_moments: exact decimal sum overflows the "
-                    f"{out_type} boundary cast (|s| > 2^63-1) — the "
-                    "documented n*(scale*max|x|)^2 < 2^63 headroom "
-                    "was exceeded; request out_type='decimal(38,0)' "
-                    "or lower scale.  Offending s="
+                    f"{out_type} boundary cast (|s| > {int_bound}) — "
+                    "request out_type='decimal(38,0)' or lower "
+                    "scale.  Offending s="
                 ),
                 F.col("s").cast("string"),
             ),

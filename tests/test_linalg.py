@@ -292,12 +292,16 @@ def test_gram_bigint_overflow_fails_loudly_not_null(spark):
     cast past 2^63-1 yields silent NULL sums (DuckDB would error),
     quietly corrupting downstream covariance.  The guard must fail
     the JOB instead: components of 1000.0 quantize to 1e9 micro-units,
-    so 10 rows put every gram cell at 1e19 > 2^63-1."""
+    so 10 rows put every gram cell at 1e19 > 2^63-1.  Partitioning is
+    EXPLICIT (ADVICE r13): repartition(10) pins the one-row-per-batch
+    shape this test exercises (the cross-batch decimal sum tripping
+    the boundary guard) regardless of core count; the one-partition
+    shape has its own test below (kernel-tier chunking)."""
     import pytest
     from py4j.protocol import Py4JJavaError
 
     rows = [[1000.0, 1000.0] for _ in range(10)]
-    over = gram_moments(_df(spark, rows, dim=2), dim=2)
+    over = gram_moments(_df(spark, rows, dim=2).repartition(10), dim=2)
     with pytest.raises(Exception) as exc:
         over.collect()
     # Spark surfaces assert_true as a Py4J-wrapped RuntimeError whose
@@ -326,3 +330,72 @@ def test_gram_bigint_overflow_fails_loudly_not_null(spark):
         ).collect()
     }
     assert guarded == exact
+
+
+def test_gram_single_partition_chunking_keeps_decimal_exact(spark):
+    """ADVICE r13 (the kernel-tier wrap): on ONE partition the whole
+    10-row batch hits the int64 matmul at once — per-cell 1e19 wraps
+    to -8.45e18, which lands back INSIDE ±2^63-1 where the boundary
+    guard cannot see it.  The kernel must chunk the batch (B·max|q|²
+    headroom → sub-batch partials) so the decimal path stays exact
+    and the long-boundary guard still fires on the true sum."""
+    import pytest
+
+    rows = [[1000.0, 1000.0] for _ in range(10)]
+    src = _df(spark, rows, dim=2).coalesce(1)
+    dec = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in gram_moments(
+            src, dim=2, out_type="decimal(38,0)"
+        ).collect()
+    }
+    assert dec[(1, 1)] == 10 * (10**9) ** 2  # wrapped would be < 0
+    assert dec[(0, 0)] == 10  # chunk partials must not double-count
+    with pytest.raises(Exception) as exc:
+        gram_moments(src, dim=2).collect()
+    assert "gram_moments" in str(exc.value)
+
+
+def test_gram_single_row_past_int64_raises_in_kernel(spark):
+    """A single row whose cell bound max|q|² overflows int64 cannot be
+    chunked around — the kernel must raise loudly (lower scale), not
+    wrap.  4000.0 quantizes to 4e9; 1.6e19 > 2^63-1."""
+    import pytest
+
+    src = _df(spark, [[4000.0, 4000.0]], dim=2).coalesce(1)
+    with pytest.raises(Exception, match="single row"):
+        gram_moments(src, dim=2, out_type="decimal(38,0)").collect()
+
+
+def test_gram_non_finite_component_raises(spark):
+    """NaN/inf components previously wrapped through astype(int64)
+    into garbage micro-units; the quantization-tier check fails them
+    loudly instead."""
+    import pytest
+
+    src = _df(spark, [[float("nan"), 1.0]], dim=2).coalesce(1)
+    with pytest.raises(Exception, match="non-finite"):
+        gram_moments(src, dim=2, out_type="decimal(38,0)").collect()
+
+
+def test_gram_int_out_type_guard_and_pass_through(spark):
+    """ADVICE r13 (low): the silent-NULL cast guard must cover EVERY
+    integral out_type at its own bound, not just long/bigint.  20
+    rows of 0.5 put the diagonal at 5e12 > 2^31-1 → out_type='int'
+    must fail the job; a genuinely int-sized input passes through
+    value-unchanged."""
+    import pytest
+
+    rows = [[0.5, 0.5] for _ in range(20)]
+    with pytest.raises(Exception) as exc:
+        gram_moments(_df(spark, rows, dim=2), dim=2, out_type="int").collect()
+    assert "gram_moments" in str(exc.value)
+    small = [[0.001, 0.002]]
+    got = {
+        (r["i"], r["j"]): r["s"]
+        for r in gram_moments(
+            _df(spark, small, dim=2), dim=2, out_type="int"
+        ).collect()
+    }
+    assert got[(1, 1)] == 1000 * 1000 and got[(2, 2)] == 2000 * 2000
+    assert got[(0, 0)] == 1
