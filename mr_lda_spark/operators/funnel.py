@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.lifecycle import cut_lineage
+
 __all__ = [
     "funnel_steps", "funnel_steps_windowed", "touch_attribution",
     "markov_transitions",
@@ -33,12 +35,15 @@ def funnel_steps_windowed(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Conversion funnel with a PER-STEP DEADLINE.  NOTE:
     materialize=True (the default) runs Spark jobs EAGERLY at call
     time and returns a localCheckpoint scan — pass materialize=False
-    for lazy composition / plan inspection (ADVICE r10).
+    for lazy composition / plan inspection (ADVICE r10), or
+    ``materialize="reliable"`` for the executor-churn tier (final
+    cut via persist+count instead of localCheckpoint — recomputable
+    through retained lineage; see ``operators/lifecycle.py``).
 
     Step i must occur
     strictly after step i-1 and within ``max_gap_us`` microseconds of
@@ -118,8 +123,10 @@ def funnel_steps_windowed(
     # Materialize the per-user result (≤ one row per user — the small
     # end of the funnel) so the feasible caches can be released now;
     # localCheckpoint blocks are GC-managed, unlike CacheManager
-    # entries keyed by logical plan.
-    result = result.localCheckpoint()
+    # entries keyed by logical plan.  Reliable tier: persist+count —
+    # a lost block recomputes (the released feasible caches re-fill
+    # lazily on that path).
+    result = cut_lineage(result, materialize)
     for h in cached:
         h.unpersist()
     return result

@@ -29,6 +29,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.lifecycle import (
+    cut_lineage,
+    cut_lineage_round,
+    release,
+)
+
 __all__ = ["pagerank", "oriented_edges", "triangles",
            "triangle_participation", "kcore", "link_prediction",
            "bfs_levels"]
@@ -82,7 +88,7 @@ def _triangles_from_oriented(o: DataFrame) -> DataFrame:
     return wedges.join(closing, ["p", "q"]).select("u", "p", "q")
 
 
-def triangles(edges: DataFrame, materialize: bool = True) -> DataFrame:
+def triangles(edges: DataFrame, materialize: bool | str = True) -> DataFrame:
     """All triangles of an undirected graph, one row (u, v, w) each.
     NOTE: materialize=True (the default) runs Spark jobs EAGERLY at
     call time and returns a localCheckpoint scan — pass
@@ -106,11 +112,13 @@ def triangles(edges: DataFrame, materialize: bool = True) -> DataFrame:
     into partial aggregates and checkpoints only the per-node counts.
     materialize=False returns the fully lazy plan with NO persist at
     all (plan inspection / guards; a plan that is never executed must
-    not register CacheManager entries nothing can release)."""
+    not register CacheManager entries nothing can release);
+    materialize="reliable" cuts the triangle list with persist+count
+    instead (executor-churn tier, ``operators/lifecycle.py``)."""
     if not materialize:
         return _triangles_from_oriented(oriented_edges(edges))
     o = oriented_edges(edges).persist()
-    tri = _triangles_from_oriented(o).localCheckpoint()
+    tri = cut_lineage(_triangles_from_oriented(o), materialize)
     o.unpersist()
     return tri
 
@@ -144,7 +152,7 @@ def pagerank(
     damping_den: int = 100,
     scale: int = 1_000_000,
     checkpoint: bool = True,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Integer-exact PageRank over directed ``edges`` (columns
     ``src``, ``dst``) → (node, pr) with micro-unit BIGINT ranks.
@@ -164,7 +172,12 @@ def pagerank(
     CacheManager after return.  materialize=False returns the fully
     lazy unrolled plan with NO persist or checkpoint at all (plan
     inspection / guards; a never-executed plan must not register
-    cache entries nothing can release).
+    cache entries nothing can release).  materialize="reliable"
+    (executor-churn tier, ``operators/lifecycle.py``): per-round cuts
+    and the final cut use persist instead of localCheckpoint, so a
+    lost block recomputes through retained lineage; the per-round
+    handles are released once the final ranks are counted, and the
+    caller releases the result with ``.unpersist()``.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # Loop-invariant: the (src, dst, deg) relation and the node set
@@ -185,6 +198,7 @@ def pagerank(
     # try/finally: a failed count/loop-job/checkpoint must still
     # release the invariants, or the failure path reinstates the exact
     # r10 leak this lifecycle exists to prevent (self-review r11).
+    handles: list[DataFrame] = []
     try:
         if materialize:
             ed.count()
@@ -214,17 +228,21 @@ def pagerank(
                 )
             )
             if checkpoint and materialize:
-                ranks = ranks.localCheckpoint(eager=False)
+                ranks = cut_lineage_round(ranks, materialize, handles)
         if materialize:
             # Eager: cut the loop lineage and detach from the
             # invariants BEFORE releasing them, so callers can't
             # re-trigger the freed caches and the session accumulates
-            # nothing per invocation.
-            ranks = ranks.localCheckpoint()
+            # nothing per invocation.  (Reliable tier: persist+count
+            # — persist returns self, so the final ranks handle may
+            # also sit in `handles`; the identity filter below keeps
+            # it cached while the per-round intermediates release.)
+            ranks = cut_lineage(ranks, materialize)
     finally:
         if materialize:
             ed.unpersist()
             nodes.unpersist()
+            release([h for h in handles if h is not ranks])
     return ranks
 
 
@@ -232,7 +250,7 @@ def kcore(
     edges: DataFrame,
     k: int = 3,
     rounds: int = 8,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """k-core of an undirected graph (canonical edge list ``a < b``)
     → (node, core_deg): the maximal subgraph where every node keeps
@@ -257,13 +275,17 @@ def kcore(
     round with ``localCheckpoint`` exactly like the pagerank /
     connected-components loops so a deep peel doesn't stack a
     quadratically-replanned DAG.  materialize=False returns the fully
-    lazy unrolled plan with no checkpoint (plan inspection)."""
+    lazy unrolled plan with no checkpoint (plan inspection);
+    materialize="reliable" cuts with persist instead and releases the
+    per-round handles once the final counts are materialized
+    (executor-churn tier, ``operators/lifecycle.py``)."""
     sym = edges.select(
         F.col("a").alias("s"), F.col("b").alias("t")
     ).unionByName(
         edges.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
     e = sym
+    handles: list[DataFrame] = []
     for _ in range(int(rounds)):
         alive = (
             e.groupBy("s")
@@ -277,13 +299,15 @@ def kcore(
             .select("s", "t")
         )
         if materialize:
-            e = e.localCheckpoint(eager=False)
+            e = cut_lineage_round(e, materialize, handles)
     out = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("core_deg"))
         .select(F.col("s").alias("node"), "core_deg")
     )
-    return out.localCheckpoint() if materialize else out
+    out = cut_lineage(out, materialize)
+    release(handles)
+    return out
 
 
 def link_prediction(
@@ -343,7 +367,7 @@ def bfs_levels(
     edges: DataFrame,
     seeds: DataFrame,
     max_rounds: int = 8,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Multi-source BFS over an undirected graph (canonical edge list
     ``a < b``; ``seeds`` a (node) relation) → (node, dist): the
@@ -365,7 +389,10 @@ def bfs_levels(
     forever), so the relations agree exactly whether or not the
     traversal has converged, and a property test pins convergence
     within the registered bound.  materialize=False: fully lazy, no
-    checkpoint (plan inspection)."""
+    checkpoint (plan inspection).  materialize="reliable": per-round
+    cuts use persist instead of localCheckpoint (recomputable under
+    executor churn); intermediates release once the returned relation
+    is counted (``operators/lifecycle.py``)."""
     sym = edges.select(
         F.col("a").alias("s"), F.col("b").alias("t")
     ).unionByName(
@@ -375,8 +402,9 @@ def bfs_levels(
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("int").alias("dist"),
     )
+    handles: list[DataFrame] = []
     if materialize:
-        dist = dist.localCheckpoint()
+        dist = cut_lineage_round(dist, materialize, handles, eager=True)
     frontier = dist
     for r in range(1, int(max_rounds) + 1):
         cand = (
@@ -388,11 +416,17 @@ def bfs_levels(
             "dist", F.lit(r).cast("int")
         )
         if materialize:
-            new = new.localCheckpoint()
+            new = cut_lineage_round(new, materialize, handles, eager=True)
             if new.isEmpty():
                 break
         dist = dist.unionByName(new)
         if materialize:
-            dist = dist.localCheckpoint(eager=False)
+            dist = cut_lineage_round(dist, materialize, handles)
         frontier = new
+    if materialize == "reliable":
+        # Materialize the returned relation, then release every
+        # per-round intermediate (persist returns self, so `dist`
+        # itself may sit in `handles` — keep it cached by identity).
+        dist.count()
+        release([h for h in handles if h is not dist])
     return dist

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.lifecycle import cut_lineage
+
 # Hash space: 60-bit md5 prefix, the repo-wide cross-engine hash.
 HASH_SPACE = float(1 << 60)
 
@@ -271,7 +273,7 @@ def kmv_pair_set_ops(
     sk: DataFrame,
     group_col: str,
     k: int = 64,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Pairwise distinct-union and distinct-intersection ESTIMATES for
     every group pair, computed from the bottom-k sketches alone.
@@ -306,22 +308,23 @@ def kmv_pair_set_ops(
     path buys back ~4× aggregate task time.  ``materialize=False``
     keeps the lazy plan for inspection.
 
-    Fault-tolerance tradeoff (ADVICE r12, applies to every
-    ``materialize`` site in the package): ``localCheckpoint``
-    truncates lineage and stores the blocks on EXECUTORS only, so an
-    executor loss / dynamic-allocation decommission after
-    construction fails every downstream action unrecoverably —
-    unlike persist-and-count, which recomputes.  It is the right
-    default here because the checkpointed relation is ANSWER-SIZED
-    (groups × k rows — re-running the whole query on failure is
-    cheaper than reliable-checkpoint I/O on every run) and because
-    the clean-plan audit requires true lineage truncation (persist
-    alone leaves the pushdown-de-canonicalized exchanges in the
-    plan).  On a cluster with expected executor churn, disable
-    dynamic allocation for the job, or pass ``materialize=False``
-    and ``.persist()`` + count the sketch yourself."""
-    if materialize:
-        sk = sk.localCheckpoint()
+    Fault-tolerance tiers (ADVICE r12 → selectable in r14, VERDICT
+    r13 #2; applies to every ``materialize`` site in the package):
+    ``localCheckpoint`` truncates lineage and stores the blocks on
+    EXECUTORS only, so an executor loss / dynamic-allocation
+    decommission after construction fails every downstream action
+    unrecoverably — unlike persist-and-count, which recomputes.  It
+    is the right default here because the checkpointed relation is
+    ANSWER-SIZED (groups × k rows — re-running the whole query on
+    failure is cheaper than reliable-checkpoint I/O on every run)
+    and because the clean-plan audit requires true lineage
+    truncation (persist alone leaves the pushdown-de-canonicalized
+    exchanges in the plan).  On a cluster with expected executor
+    churn pass ``materialize="reliable"`` — persist(MEMORY_AND_DISK)
+    + count, eager AND recomputable through retained lineage (the
+    caller releases the cache with ``.unpersist()`` when done).
+    Full tier statement: ``operators/lifecycle.py``."""
+    sk = cut_lineage(sk, materialize)
     g = F.col(group_col)
     labels = sk.select(g.alias("ga")).distinct()
     # Broadcast the label side: the inequality pair join must compile

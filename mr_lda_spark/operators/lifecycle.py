@@ -1,0 +1,103 @@
+"""Selectable lineage-cut tiers behind every ``materialize=`` site —
+DEPLOY.md's checkpoint-tier rule as BEHAVIOR, not a hand-rolled recipe
+(VERDICT r13 #2).
+
+Three tiers, one argument:
+
+- ``True`` / ``"local"`` (default): ``localCheckpoint()`` — eager,
+  TRUE lineage truncation (the clean-plan audits depend on it; persist
+  alone leaves the pushdown-de-canonicalized exchanges in the plan),
+  blocks live on EXECUTORS only.  An executor loss / dynamic-allocation
+  decommission after construction fails every downstream action
+  unrecoverably.  The right default when the cut relation is
+  ANSWER-SIZED: re-running the whole query on a rare loss is cheaper
+  than reliable-checkpoint I/O on every run.
+- ``"reliable"``: ``persist(MEMORY_AND_DISK)`` + ``count()`` — eager
+  and RECOMPUTABLE: lineage is retained, so a lost block is rebuilt
+  from source instead of failing the action.  The price is plan
+  hygiene (static plan dumps show the full retained tree) and a
+  CacheManager entry the CALLER releases (``result.unpersist()``)
+  when done — persist blocks are not GC-managed the way
+  localCheckpoint blocks are.  The tier for clusters with expected
+  executor churn (aggressive spot/dynamic allocation), where the
+  corpus-sized re-run a lost localCheckpoint forces is the thing
+  being avoided.
+- ``False`` / ``None``: no cut — the fully lazy plan (composition /
+  plan inspection; callers own any persistence).
+
+Iterative operators (pagerank / k-core / BFS / funnels) use
+:func:`cut_lineage_round` inside their loops: the local tier cuts with
+a LAZY localCheckpoint (materialized by the next action, the existing
+behavior), the reliable tier persists and TRACKS the handle so the
+operator can release every intermediate once the final relation is
+materialized — a loss mid-loop then recomputes through retained
+lineage instead of failing.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+
+__all__ = ["cut_lineage", "cut_lineage_round", "release"]
+
+# bool is accepted for backward compatibility at every site; the
+# strings select the tier explicitly.
+MaterializeMode = "bool | str | None"
+
+
+def _bad_mode(mode) -> ValueError:
+    return ValueError(
+        "materialize must be True/'local' (localCheckpoint — answer-"
+        "sized default), 'reliable' (persist MEMORY_AND_DISK + count — "
+        "recomputable under executor churn), or False/None (lazy); "
+        f"got {mode!r}"
+    )
+
+
+def cut_lineage(df: DataFrame, mode) -> DataFrame:
+    """Eagerly cut (or keep) ``df``'s lineage per the tier above —
+    the FINAL cut of an operator's lifecycle."""
+    if mode is False or mode is None:
+        return df
+    if mode is True or mode == "local":
+        return df.localCheckpoint()
+    if mode == "reliable":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        return out
+    raise _bad_mode(mode)
+
+
+def cut_lineage_round(
+    df: DataFrame,
+    mode,
+    handles: list[DataFrame],
+    eager: bool = False,
+) -> DataFrame:
+    """Per-round cut inside an iterative loop.  Local tier:
+    ``localCheckpoint(eager=eager)`` (GC-managed, the pre-r14
+    behavior).  Reliable tier: persist tracked in ``handles`` for
+    :func:`release` after the final cut; ``eager=True`` counts now
+    (rounds whose emptiness gates the loop need it)."""
+    if mode is False or mode is None:
+        return df
+    if mode is True or mode == "local":
+        return df.localCheckpoint(eager=eager)
+    if mode == "reliable":
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        handles.append(out)
+        if eager:
+            out.count()
+        return out
+    raise _bad_mode(mode)
+
+
+def release(handles: list[DataFrame]) -> None:
+    """Unpersist every tracked per-round handle (reliable tier only —
+    the local tier tracks nothing).  Safe after the final relation is
+    materialized: its blocks survive, and a later loss recomputes
+    through the retained lineage."""
+    for h in handles:
+        h.unpersist()
+    handles.clear()

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.lifecycle import cut_lineage
+
 __all__ = ["gram_moments", "pca_power", "correlation_pairs"]
 
 _GRAM_SCHEMA = "i int, j int, s long"
@@ -314,7 +316,7 @@ def correlation_pairs(
     vec_col: str = "embedding",
     dim: int = 64,
     scale: int = 1_000_000,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Pairwise Pearson correlations between embedding DIMENSIONS —
     the end-consumer composition of :func:`gram_moments` (the
@@ -357,23 +359,25 @@ def correlation_pairs(
     plan for composition/inspection — callers accept the recompute
     or persist the gram themselves.
 
-    Fault-tolerance tradeoff (ADVICE r12): ``localCheckpoint``
-    truncates lineage and stores blocks on executors only — an
-    executor loss after construction fails downstream actions
-    unrecoverably, where persist-and-count would recompute.  Chosen
-    deliberately: the checkpointed gram is answer-sized (2 145 rows
-    at d = 64; rerunning the query on a rare executor loss is cheaper
-    than reliable-checkpoint I/O every run), and the clean-plan
-    audit needs true lineage truncation (persist leaves the
-    de-canonicalized exchanges in the plan).  Under expected
-    executor churn, pass ``materialize=False`` and persist+count
-    the gram yourself; see ``kmv.kmv_pair_set_ops`` for the full
-    statement of the rule."""
+    Fault-tolerance tiers (ADVICE r12 → selectable in r14, VERDICT
+    r13 #2): the default ``localCheckpoint`` stores blocks on
+    executors only — an executor loss after construction fails
+    downstream actions unrecoverably, where persist-and-count would
+    recompute.  Chosen deliberately: the checkpointed gram is
+    answer-sized (2 145 rows at d = 64; rerunning the query on a rare
+    executor loss is cheaper than reliable-checkpoint I/O every run),
+    and the clean-plan audit needs true lineage truncation (persist
+    leaves the de-canonicalized exchanges in the plan).  Under
+    EXPECTED executor churn pass ``materialize="reliable"``:
+    persist(MEMORY_AND_DISK)+count keeps the gram eager AND
+    recomputable (a lost block rebuilds through retained lineage —
+    which also means the static plan keeps the full tree; the one
+    gram pass is still executed once per run).  Full tier statement:
+    ``operators/lifecycle.py``."""
     g = gram_moments(
         vecs, vec_col, dim, scale, out_type="decimal(38,0)"
     )
-    if materialize:
-        g = g.localCheckpoint()
+    g = cut_lineage(g, materialize)
     n = g.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("s").alias("n")
     )

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.lifecycle import cut_lineage
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -1846,7 +1848,7 @@ def ranking_quality(
     approx: DataFrame,
     exact: DataFrame,
     k: int,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Per-query ranking-quality metrics of an APPROXIMATE top-k
     ranking against the EXACT one — recall hits, reciprocal rank of
@@ -1883,17 +1885,18 @@ def ranking_quality(
     ``materialize=False`` keeps the lazy plan for
     composition/inspection.
 
-    Fault-tolerance tradeoff (ADVICE r12): localCheckpoint blocks
-    live on executors only — an executor loss after construction
-    fails downstream actions unrecoverably (persist-and-count would
-    recompute).  Accepted here because the relations are
-    answer-sized and the clean-plan audit requires true lineage
-    truncation; under expected executor churn use
-    ``materialize=False`` + persist+count.  Full rule:
-    ``kmv.kmv_pair_set_ops`` docstring."""
-    if materialize:
-        approx = approx.localCheckpoint()
-        exact = exact.localCheckpoint()
+    Fault-tolerance tiers (ADVICE r12 → selectable in r14, VERDICT
+    r13 #2): localCheckpoint blocks live on executors only — an
+    executor loss after construction fails downstream actions
+    unrecoverably (persist-and-count would recompute).  Accepted as
+    the default because the relations are answer-sized and the
+    clean-plan audit requires true lineage truncation; under
+    expected executor churn pass ``materialize="reliable"`` —
+    persist(MEMORY_AND_DISK)+count on both rankings, eager AND
+    recomputable through retained lineage.  Full tier statement:
+    ``operators/lifecycle.py``."""
+    approx = cut_lineage(approx, materialize)
+    exact = cut_lineage(exact, materialize)
     a, e = approx.alias("a"), exact.alias("e")
     rel = a.join(
         e,

@@ -1,0 +1,173 @@
+"""materialize tiers (operators/lifecycle.py — VERDICT r13 #2): the
+DEPLOY.md checkpoint-tier rule as selectable behavior.
+
+Three pins per site class:
+- VALUE: the reliable tier returns exactly what the local tier does.
+- PLAN: reliable cuts via persist (InMemoryTableScan in the executed
+  plan, lineage retained) where local cuts via localCheckpoint
+  (ExistingRDD scan, lineage truncated).
+- RECOMPUTE: after ``unpersist()`` a reliable result still collects to
+  the same rows — the retained-lineage recovery path that is the
+  tier's whole reason to exist (a localCheckpoint relation has no
+  lineage to recompute through).
+Plus the cache lifecycle: iterative operators release every per-round
+handle, leaving at most the final result cached.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_lda_spark.operators.lifecycle import cut_lineage
+
+
+def _rows(df):
+    return sorted(tuple(str(x) for x in r) for r in df.collect())
+
+
+def _plan(df):
+    # Derive a FRESH QueryExecution (select("*") wraps the same
+    # logical plan): persist() returns self, and the original df's
+    # executedPlan is a lazy val that may have been forced before the
+    # CacheManager entry existed — the fresh plan goes through cache
+    # lookup and shows the InMemoryTableScan a downstream consumer
+    # would actually get.
+    return df.select("*")._jdf.queryExecution().executedPlan().toString()
+
+
+def _cached_rdd_ids(spark):
+    return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def test_cut_lineage_rejects_unknown_mode(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError, match="reliable"):
+        cut_lineage(df, "eager")
+    with pytest.raises(ValueError, match="reliable"):
+        cut_lineage(df, 2)
+
+
+def test_cut_lineage_tiers_plan_shape(spark):
+    src = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    )
+    agg = src.groupBy("g").agg(F.sum("id").alias("s"))
+    local = cut_lineage(agg, True)
+    assert "ExistingRDD" in _plan(local)  # true truncation
+    reliable = cut_lineage(agg, "reliable")
+    p = _plan(reliable)
+    assert "InMemoryTableScan" in p  # persist-backed
+    assert _rows(local) == _rows(reliable)
+    # RECOMPUTE pin: drop the cache — lineage is retained, so the
+    # relation rebuilds instead of failing.
+    reliable.unpersist()
+    assert _rows(reliable) == _rows(local)
+    assert cut_lineage(agg, False) is agg
+    assert cut_lineage(agg, None) is agg
+
+
+def test_correlation_pairs_reliable_tier(spark):
+    import numpy as np
+
+    from mr_lda_spark.operators.linalg import correlation_pairs
+
+    rng = np.random.default_rng(41)
+    src = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in
+         enumerate(rng.normal(size=(40, 4)).tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    local = correlation_pairs(src, dim=4)
+    reliable = correlation_pairs(src, dim=4, materialize="reliable")
+    assert _rows(local) == _rows(reliable)
+    assert "InMemoryTableScan" in _plan(reliable)
+    reliable.unpersist()  # release the caller-owned cache
+
+
+def test_kmv_pair_set_ops_reliable_tier(spark):
+    from mr_lda_spark.operators import kmv
+
+    rows = [(i, f"s{i % 4}", f"key{i % 90}") for i in range(400)]
+    src = spark.createDataFrame(rows, ["id", "source", "key"])
+    sk = kmv.kmv_sketch(src, "key", ["source"], k=16)
+    local = kmv.kmv_pair_set_ops(sk, "source", k=16)
+    reliable = kmv.kmv_pair_set_ops(sk, "source", k=16, materialize="reliable")
+    assert _rows(local) == _rows(reliable)
+    assert "InMemoryTableScan" in _plan(reliable)
+
+
+def test_ranking_quality_reliable_tier(spark):
+    from mr_lda_spark.operators.similarity import ranking_quality
+
+    rank = spark.createDataFrame(
+        [(q, r, q * 10 + r) for q in range(5) for r in range(1, 4)],
+        "query_id int, rank int, neighbor_id int",
+    )
+    local = ranking_quality(rank, rank, k=3)
+    reliable = ranking_quality(rank, rank, k=3, materialize="reliable")
+    assert _rows(local) == _rows(reliable)
+    assert "InMemoryTableScan" in _plan(reliable)
+
+
+def _edges(spark):
+    e = [(i, (i * 3 + 1) % 17) for i in range(17)] + [
+        (i, (i + 1) % 17) for i in range(17)
+    ]
+    canon = sorted({(min(a, b), max(a, b)) for a, b in e if a != b})
+    return spark.createDataFrame(canon, "a long, b long")
+
+
+def test_graph_reliable_tier_values_and_release(spark):
+    """pagerank / kcore / bfs under the reliable tier: identical
+    relations, per-round handles released (at most the final result
+    remains cached — deterministic, not GC-timed)."""
+    from mr_lda_spark.operators import graph
+
+    ed = _edges(spark)
+    directed = ed.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(ed.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    seeds = spark.createDataFrame([(0,)], "node long")
+
+    for op, args in [
+        (graph.pagerank, (directed, 3)),
+        (graph.kcore, (ed, 2, 4)),
+        (graph.bfs_levels, (ed, seeds, 4)),
+        (graph.triangles, (ed,)),
+    ]:
+        local = op(*args)
+        before = _cached_rdd_ids(spark)
+        reliable = op(*args, materialize="reliable")
+        after = _cached_rdd_ids(spark)
+        assert _rows(local) == _rows(reliable), op.__name__
+        # every per-round intermediate released; only the returned
+        # relation's persist may remain
+        assert len(after - before) <= 1, op.__name__
+        reliable.unpersist()
+        # retained lineage: still collectable after the cache drops
+        assert _rows(reliable) == _rows(local), op.__name__
+
+
+def test_funnel_reliable_tier(spark):
+    from mr_lda_spark.operators.funnel import funnel_steps_windowed
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    evs = []
+    for u in range(6):
+        for j, s in enumerate(["view", "cart", "buy"][: (u % 3) + 1]):
+            evs.append((u, s, base + datetime.timedelta(minutes=u + j)))
+    df = spark.createDataFrame(
+        evs, "user_id long, event_type string, ts timestamp"
+    )
+    steps = ["view", "cart", "buy"]
+    local = funnel_steps_windowed(df, steps, 3_600_000_000)
+    before = _cached_rdd_ids(spark)
+    reliable = funnel_steps_windowed(
+        df, steps, 3_600_000_000, materialize="reliable"
+    )
+    after = _cached_rdd_ids(spark)
+    assert _rows(local) == _rows(reliable)
+    assert len(after - before) <= 1  # feasible caches released
+    reliable.unpersist()
+    assert _rows(reliable) == _rows(local)
