@@ -442,6 +442,7 @@ def main() -> None:
     # round-close notes can diff the full set.  Round number from
     # SPARK_GRAFT_ROUND, else inferred as max(BENCH_r*.json)+1 (the
     # driver snapshots BENCH_r{N} after this run).
+    full_path = None
     try:
         rnd = os.environ.get("SPARK_GRAFT_ROUND")
         if rnd is None:
@@ -481,15 +482,35 @@ def main() -> None:
         # SPARK_GRAFT_ROUND.  Either way the stdout JSON line (which
         # the driver snapshot parses) must still print below —
         # BENCH_FULL is supplementary, never load-bearing.
-        pass
+        full_path = None
 
+    # The stdout line must PARSE in the driver's snapshot, which keeps
+    # only a ~2 KiB tail of it (VERDICT r13 "What's wrong" #3: r13's
+    # 4 KiB line was clipped mid-JSON and recorded `parsed: null`).
+    # Keep the contract ({metric, value, unit, queries, sf}) but limit
+    # `queries` to the HEADLINE rows + the aggregate/instrument keys
+    # (~1.5 KiB); every EXTRA row still lands in BENCH_FULL_rN.json,
+    # pointed at by `full_table`.
+    agg_keys = {
+        "r1_comparable_total",
+        "single_shot_r1_comparable_total",
+        "single_shot_headline_total",
+    }
+    stdout_queries = {
+        k: v
+        for k, v in per_query.items()
+        if k in HEADLINE
+        or k in agg_keys
+        or k.startswith(("lda_", "polylda_"))
+    }
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": per_query,
+                "queries": stdout_queries,
+                "full_table": full_path,
                 # Per-iteration E+M wall times from the engine's own
                 # instrumentation (LdaState.iter_seconds) — makes an
                 # iteration-level regression visible without deriving
@@ -592,24 +613,30 @@ def _polylda_per_iteration(spark, sf_dir: str) -> dict[str, float]:
     num_terms = [
         dicts.filter(F.col("lang") == i).count() for i in range(len(langs))
     ]
-    iters = 2
+    iters = 3
     t0 = time.perf_counter()
     _, state = poly_plan.train_poly(
         spark, corpus, num_terms, num_topics=4,
         max_iterations=iters, max_gamma_iter=15, converge=0.0, seed=1,
     )
     dt = time.perf_counter() - t0
-    # Same decomposition as the mono instrument (VERDICT r12 #4): at
-    # iters=2 "steady" is iteration 2's wall — still separates the
-    # session-fixed first-iteration share from the marginal cost.
+    # Same decomposition as the mono instrument (VERDICT r12 #4),
+    # same estimator too (ADVICE r13 #5): iters raised 2 → 3 so
+    # "steady" is the MEDIAN of iterations 2+ rather than a single
+    # iteration-2 sample inheriting full single-shot host noise.
     metrics = {"polylda_sec_per_iteration_k4": round(dt / iters, 3)}
     iter_seconds = list(state.iter_seconds)
     if len(iter_seconds) >= 2:
-        metrics["polylda_sec_per_iteration_steady"] = round(
-            iter_seconds[-1], 3
+        tail = sorted(iter_seconds[1:])
+        mid = len(tail) // 2
+        steady = (
+            tail[mid]
+            if len(tail) % 2
+            else (tail[mid - 1] + tail[mid]) / 2.0
         )
+        metrics["polylda_sec_per_iteration_steady"] = round(steady, 3)
         metrics["polylda_iter_overhead_sec"] = round(
-            iter_seconds[0] - iter_seconds[-1], 3
+            iter_seconds[0] - steady, 3
         )
     return metrics
 

@@ -149,8 +149,17 @@ def main() -> None:
         )
         lines += [f"## {name}", "", "```", plan.rstrip(), "```", ""]
         if runtime:
-            df.collect()
-            fin = df._jdf.queryExecution().executedPlan().toString()
+            # Execute WITHOUT materializing rows on the driver (ADVICE
+            # r13: collect() on a corpus-sized registered row would
+            # OOM the audit tool).  The count must run on the SAME
+            # QueryExecution whose plan we print — a df.count() or
+            # noop write builds a separate QE and the original's
+            # adaptive plan would never finalize — so act on the
+            # executedPlan's own RDD: a JVM-side row count, nothing
+            # crosses to Python.
+            qe = df._jdf.queryExecution()
+            qe.executedPlan().execute().count()
+            fin = qe.executedPlan().toString()
             lines += [
                 "Runtime (final adaptive plan): "
                 f"ReusedExchange={fin.count('ReusedExchange')} "
