@@ -6290,7 +6290,17 @@ def curation_perplexity_filter(spark, sf_dir):
     log-likelihood under the trained LDA state, keep docs at or above
     the corpus 25th percentile.  The threshold is a scalar aggregate
     broadcast into the filter — one scoring pass, no corpus shuffle.
-    Rows-only (stochastic-EM scorer)."""
+    Rows-only (stochastic-EM scorer).
+
+    The scored per-token relation is localCheckpointed before the two
+    consumers (threshold aggregate + filter stream): the E-step
+    scorer is PRE-exchange Arrow map work, which runtime exchange
+    reuse cannot deduplicate (the r13 probe rule, re-confirmed by the
+    r14 registry-wide AUDIT + a paired measurement: the lazy shape
+    re-runs the scorer per consumer, ~1.4× wall at sf0.1 and growing
+    with corpus share).  Same recipe as the relational sibling
+    ``curation.lm_perplexity_filter``'s persist, cut at the
+    doc-count-sized (3 scalar cols) boundary."""
     from mr_lda_spark.plans import lda as lda_plan
 
     _, corpus_doc = _lda_setup(spark, sf_dir)
@@ -6313,6 +6323,7 @@ def curation_perplexity_filter(spark, sf_dir):
                 "ll_per_token"
             ),
         )
+        .localCheckpoint()
     )
     thr = per_tok.agg(
         F.expr("percentile(ll_per_token, 0.25)").alias("thr")

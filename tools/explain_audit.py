@@ -160,12 +160,17 @@ def main() -> None:
             qe = df._jdf.queryExecution()
             qe.executedPlan().execute().count()
             fin = qe.executedPlan().toString()
+            final = "isFinalPlan=true" in fin
+            # the finalized string prints the Initial Plan section
+            # too — count the final section only, or every node
+            # doubles
+            fin = fin.split("== Initial Plan ==")[0]
             lines += [
                 "Runtime (final adaptive plan): "
                 f"ReusedExchange={fin.count('ReusedExchange')} "
                 f"MapInPandas={fin.count('MapInPandas')} "
                 f"WindowGroupLimit={fin.count('WindowGroupLimit')} "
-                f"final={'isFinalPlan=true' in fin}",
+                f"final={final}",
                 "",
             ]
     with open(out_path, "w") as f:

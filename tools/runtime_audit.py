@@ -97,8 +97,14 @@ def main() -> int:
             row["static"] = {n: static.count(n) for n in NODES_STATIC}
             qe.executedPlan().execute().count()
             fin = qe.executedPlan().toString()
+            is_final = "isFinalPlan=true" in fin
+            # A finalized AdaptiveSparkPlan prints BOTH "== Final
+            # Plan ==" and "== Initial Plan ==" sections — counting
+            # the raw string doubles every node.  Count the final
+            # section only.
+            fin = fin.split("== Initial Plan ==")[0]
             row["runtime"] = {n: fin.count(n) for n in NODES_RUNTIME}
-            row["runtime"]["final"] = "isFinalPlan=true" in fin
+            row["runtime"]["final"] = is_final
             row["flag"] = row["runtime"]["MapInPandas"] >= 2
             row["ok"] = True
         except Exception as exc:  # noqa: BLE001 - audit records, never dies
