@@ -193,6 +193,7 @@ def cmd_train(args) -> None:
             eta_seeds=eta,
             gamma_init=gamma_init,
             symmetric_alpha=args.symmetric_alpha,
+            corpus_checkpoint=args.corpus_checkpoint,
         )
         final_corpus = gamma_df
     else:
@@ -208,6 +209,7 @@ def cmd_train(args) -> None:
             log_eta=log_eta,
             seed=args.seed,
             random_start_gamma=args.random_start,
+            corpus_checkpoint=args.corpus_checkpoint,
         )
     out = args.output
     write_table(
@@ -361,6 +363,7 @@ def cmd_train_poly(args) -> None:
         max_iterations=args.iteration,
         max_gamma_iter=args.gamma_iteration,
         seed=args.seed,
+        corpus_checkpoint=args.corpus_checkpoint,
     )
     out = args.output
     write_table(dicts, os.path.join(out, "term"))
@@ -952,6 +955,17 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="gamma-<i> snapshot dir to resume from (reference -modelindex)",
     )
+    pt.add_argument(
+        "--corpus-checkpoint",
+        choices=["local", "reliable"],
+        default="local",
+        help="lineage-cut tier for the EM loop: local = "
+        "localCheckpoint (fast, executor-resident); reliable = "
+        "checkpoint() to spark's checkpoint dir (set "
+        "spark.sparkContext.setCheckpointDir / "
+        "spark.checkpoint.dir) - survives executor loss on "
+        "preemptible clusters",
+    )
     pt.add_argument("--seed", type=int, default=42)
     pt.set_defaults(fn=cmd_train)
 
@@ -979,6 +993,12 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="MODELDIR",
         help="held-out mode (the reference's -test): score the corpus "
         "under a trained model dir instead of training",
+    )
+    ptp.add_argument(
+        "--corpus-checkpoint",
+        choices=["local", "reliable"],
+        default="local",
+        help="lineage-cut tier for the EM loop (see train)",
     )
     ptp.set_defaults(fn=cmd_train_poly)
 

@@ -39,7 +39,12 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-__all__ = ["cut_lineage", "cut_lineage_round", "release"]
+__all__ = [
+    "cut_lineage",
+    "cut_lineage_round",
+    "cut_corpus_lineage",
+    "release",
+]
 
 # bool is accepted for backward compatibility at every site; the
 # strings select the tier explicitly.
@@ -90,6 +95,41 @@ def cut_lineage_round(
         if eager:
             out.count()
         return out
+    raise _bad_mode(mode)
+
+
+def cut_corpus_lineage(df: DataFrame, mode) -> DataFrame:
+    """CORPUS-sized tier — the LDA/polyLDA trainers' lineage cuts
+    (static corpus once, carried γ/β per iteration), where the
+    answer-sized tradeoff inverts: recomputing a lost corpus-sized
+    localCheckpoint block means re-running the whole training job, so
+    DEPLOY.md's rule for preemptible/dynamic-allocation clusters is a
+    RELIABLE ``checkpoint()`` to the session's checkpoint directory
+    (HDFS/object store), not persist+count (which would double memory
+    pressure on the largest relations and still die with the
+    executor).
+
+    - ``True`` / ``"local"`` (default): ``localCheckpoint()`` — the
+      fast path for stable executors (no checkpoint-dir I/O per cut).
+    - ``"reliable"``: eager ``checkpoint()`` — requires
+      ``spark.sparkContext.setCheckpointDir(...)`` (refused loudly
+      otherwise); every cut survives executor loss, so a preempted
+      node costs one task retry instead of the whole training run.
+    - ``False`` / ``None``: no cut (plan inspection only — an EM loop
+      without lineage cuts replans quadratically).
+    """
+    if mode is False or mode is None:
+        return df
+    if mode is True or mode == "local":
+        return df.localCheckpoint()
+    if mode == "reliable":
+        if df.sparkSession.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "corpus_checkpoint='reliable' requires a checkpoint "
+                "directory (HDFS/object store on a cluster): call "
+                "spark.sparkContext.setCheckpointDir(...) first"
+            )
+        return df.checkpoint()
     raise _bad_mode(mode)
 
 

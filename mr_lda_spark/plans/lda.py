@@ -45,6 +45,7 @@ from pyspark.sql import types as T
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma, gammaln
+from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
 
 DEFAULT_LOG_ETA = math.log(1e-12)  # Settings.java:58
 
@@ -369,6 +370,7 @@ def train(
     truncate_beta: int | None = None,
     gamma_tol: float = 0.0,
     estep_backend=None,
+    corpus_checkpoint: bool | str = "local",
 ) -> tuple[DataFrame, LdaState]:
     """Run the EM loop.  Returns (corpus with final γ column, state).
 
@@ -379,6 +381,12 @@ def train(
     ``numpy_sweep_backend`` for the contract) — the accelerator hook:
     a CuPy/JAX implementation of the same (B, n_max, K) tensor algebra
     plugs in here without touching the Spark plan.
+
+    ``corpus_checkpoint`` selects the training lifecycle's lineage-cut
+    tier ("local" default / "reliable" for preemptible clusters —
+    ``operators/lifecycle.cut_corpus_lineage``); it governs BOTH the
+    one-time corpus cut and the per-iteration carried-γ cut, because a
+    lost block of either kills a mid-flight training run equally.
     """
     from mr_lda_spark.session import ensure_package_shipped
 
@@ -401,10 +409,9 @@ def train(
     n_parts = spark.sparkContext.defaultParallelism
     has_gamma = "gamma" in corpus_doc.columns
     cols = ["doc_id", "term_ids", "term_counts"] + (["gamma"] if has_gamma else [])
-    base = (
-        corpus_doc.select(*cols)
-        .repartition(n_parts, "doc_id")
-        .localCheckpoint()  # the ONE materialization of the input lineage
+    base = cut_corpus_lineage(  # the ONE materialization of the input
+        corpus_doc.select(*cols).repartition(n_parts, "doc_id"),
+        corpus_checkpoint,
     )
     static_corpus = base.select("doc_id", "term_ids", "term_counts")
     gamma_df = base.select("doc_id", "gamma") if has_gamma else None
@@ -504,10 +511,11 @@ def train(
             else:  # elbo
                 elbo += r["s"]
 
-        next_gamma = (
-            out.filter(F.col("kind") == "doc")
-            .select("doc_id", F.col("vec").alias("gamma"))
-            .localCheckpoint()  # tiny: D×K doubles; cuts lineage
+        next_gamma = cut_corpus_lineage(  # D×K doubles; cuts lineage
+            out.filter(F.col("kind") == "doc").select(
+                "doc_id", F.col("vec").alias("gamma")
+            ),
+            corpus_checkpoint,
         )
         out.unpersist()
         # Both consumers (stats collect + gamma localCheckpoint) have

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma, gammaln
+from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
 from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA, LdaState, init_elog_beta
 
 _JOIN_ESTEP_SCHEMA = T.StructType(
@@ -236,6 +237,7 @@ def train_beta_join(
     gamma_tol: float = 0.0,
     gamma_init: DataFrame | None = None,
     symmetric_alpha: bool = False,
+    corpus_checkpoint: bool | str = "local",
 ) -> tuple[DataFrame, LdaState]:
     """EM loop with distributed β.  ``corpus_tall`` is the encoded
     corpus (doc_id, term_id, term_count).  Returns (gamma DataFrame,
@@ -272,21 +274,34 @@ def train_beta_join(
 
     # Pre-partition the corpus by term_id ONCE; every iteration's β
     # join then reuses this partitioning (no corpus re-shuffle).
-    tall = corpus_tall.repartition(
-        shuffle_partitions or spark.sparkContext.defaultParallelism, "term_id"
-    ).localCheckpoint()
+    # corpus_checkpoint selects the lineage-cut tier for the WHOLE
+    # training lifecycle (corpus + per-iteration β/γ — a lost block of
+    # any of them kills the run): operators/lifecycle.cut_corpus_lineage.
+    tall = cut_corpus_lineage(
+        corpus_tall.repartition(
+            shuffle_partitions or spark.sparkContext.defaultParallelism,
+            "term_id",
+        ),
+        corpus_checkpoint,
+    )
     num_docs = tall.select("doc_id").distinct().count()
     state.total_tokens = float(
         tall.agg(F.sum("term_count")).collect()[0][0] or 0.0
     )
 
-    beta_df = beta_init_dataframe(spark, num_terms, K, seed).repartition(
-        shuffle_partitions or spark.sparkContext.defaultParallelism, "term_id"
-    ).localCheckpoint()
+    beta_df = cut_corpus_lineage(
+        beta_init_dataframe(spark, num_terms, K, seed).repartition(
+            shuffle_partitions or spark.sparkContext.defaultParallelism,
+            "term_id",
+        ),
+        corpus_checkpoint,
+    )
     gamma_df = (
         None
         if gamma_init is None
-        else gamma_init.select("doc_id", "gamma").localCheckpoint()
+        else cut_corpus_lineage(
+            gamma_init.select("doc_id", "gamma"), corpus_checkpoint
+        )
     )
 
     eta_rel = None
@@ -320,8 +335,8 @@ def train_beta_join(
                 .otherwise(F.lit(float(LOG_ETA_OTHER)))
                 .alias("log_eta"),
             )
-            .localCheckpoint()
         )
+        eta_rel = cut_corpus_lineage(eta_rel, corpus_checkpoint)
 
     digamma_udf = F.pandas_udf(
         lambda s: pd.Series(digamma(s.to_numpy())), "double"
@@ -413,9 +428,14 @@ def train_beta_join(
             )
             .select("term_id", F.col("p.elog").alias("beta"))
         )
-        beta_next = beta_next.repartition(
-            shuffle_partitions or spark.sparkContext.defaultParallelism, "term_id"
-        ).localCheckpoint()
+        beta_next = cut_corpus_lineage(
+            beta_next.repartition(
+                shuffle_partitions
+                or spark.sparkContext.defaultParallelism,
+                "term_id",
+            ),
+            corpus_checkpoint,
+        )
 
         # --- α stats + ELBO: plain aggregations, K+1 numbers pulled ---
         alpha_rows = (
@@ -431,10 +451,11 @@ def train_beta_join(
         elbo = (
             out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
         )
-        gamma_df = (
-            out.filter(F.col("kind") == "doc")
-            .select(F.col("id").alias("doc_id"), F.col("vec").alias("gamma"))
-            .localCheckpoint()
+        gamma_df = cut_corpus_lineage(
+            out.filter(F.col("kind") == "doc").select(
+                F.col("id").alias("doc_id"), F.col("vec").alias("gamma")
+            ),
+            corpus_checkpoint,
         )
         out.unpersist()
         beta_df = beta_next

@@ -25,6 +25,7 @@ from pyspark.sql import types as T
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma, gammaln
+from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
 from mr_lda_spark.plans.lda import init_elog_beta, _mstep_beta
 
 _POLY_ESTEP_SCHEMA = T.StructType(
@@ -281,11 +282,14 @@ def train_poly(
     seed: int = 42,
     converge: float = 1e-6,
     gamma_tol: float = 0.0,
+    corpus_checkpoint: bool | str = "local",
 ) -> tuple[DataFrame, PolyLdaState]:
     """EM loop for polylingual LDA; mirrors plans.lda.train but with a
     (lang, term, topic)-keyed M-step (the TripleOfInts shuffle key of
     polylda/DocumentMapper.java:31-32 becomes a lang-partitioned
-    aggregation)."""
+    aggregation).  ``corpus_checkpoint`` selects the lineage-cut tier
+    ("local" / "reliable" — ``operators/lifecycle.cut_corpus_lineage``)
+    for the corpus and the per-iteration carried γ."""
     from mr_lda_spark.session import ensure_package_shipped
 
     ensure_package_shipped(spark)
@@ -313,10 +317,9 @@ def train_poly(
     cols = ["doc_id", "lang_term_ids", "lang_term_counts"] + (
         ["gamma"] if has_gamma else []
     )
-    base = (
-        poly_corpus_doc.select(*cols)
-        .repartition(n_parts, "doc_id")
-        .localCheckpoint()
+    base = cut_corpus_lineage(
+        poly_corpus_doc.select(*cols).repartition(n_parts, "doc_id"),
+        corpus_checkpoint,
     )
     static_corpus = base.select("doc_id", "lang_term_ids", "lang_term_counts")
     gamma_df = base.select("doc_id", "gamma") if has_gamma else None
@@ -393,10 +396,11 @@ def train_poly(
             axis=0,
         )
         elbo = out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
-        next_gamma = (
-            out.filter(F.col("kind") == "doc")
-            .select("doc_id", F.col("vec").alias("gamma"))
-            .localCheckpoint()
+        next_gamma = cut_corpus_lineage(
+            out.filter(F.col("kind") == "doc").select(
+                "doc_id", F.col("vec").alias("gamma")
+            ),
+            corpus_checkpoint,
         )
         out.unpersist()
         eb_bc.unpersist()

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma
+from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
 from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA, init_elog_beta
 from mr_lda_spark.plans.lda_join import _JOIN_ESTEP_SCHEMA, _join_estep_kernel
 from mr_lda_spark.plans.polylda import PolyLdaState
@@ -91,6 +92,7 @@ def train_poly_join(
     shuffle_partitions: int | None = None,
     collect_beta: bool = True,
     gamma_tol: float = 0.0,
+    corpus_checkpoint: bool | str = "local",
 ) -> tuple[DataFrame, PolyLdaState]:
     """EM loop with distributed per-language β.  ``poly_tall`` is the
     encoded polylingual corpus (doc_id, lang, term_id, term_count).
@@ -120,24 +122,23 @@ def train_poly_join(
     n_parts = shuffle_partitions or spark.sparkContext.defaultParallelism
     # Pre-partition the packed corpus by key ONCE; every iteration's β
     # join then reuses this partitioning (no corpus re-shuffle).
-    tall = (
+    tall = cut_corpus_lineage(
         poly_tall.select(
             "doc_id",
             pack_key(F.col("lang"), F.col("term_id")).alias("key"),
             "term_count",
-        )
-        .repartition(n_parts, "key")
-        .localCheckpoint()
+        ).repartition(n_parts, "key"),
+        corpus_checkpoint,
     )
     num_docs = tall.select("doc_id").distinct().count()
     state.total_tokens = float(
         tall.agg(F.sum("term_count")).collect()[0][0] or 0.0
     )
 
-    beta_df = (
+    beta_df = cut_corpus_lineage(
         poly_beta_init_dataframe(spark, num_terms_per_lang, K, seed)
-        .repartition(n_parts, "key")
-        .localCheckpoint()
+        .repartition(n_parts, "key"),
+        corpus_checkpoint,
     )
     gamma_df = None
 
@@ -207,7 +208,9 @@ def train_poly_join(
             )
             .select("key", F.col("p.elog").alias("beta"))
         )
-        beta_next = beta_next.repartition(n_parts, "key").localCheckpoint()
+        beta_next = cut_corpus_lineage(
+            beta_next.repartition(n_parts, "key"), corpus_checkpoint
+        )
 
         # --- α stats + ELBO: plain aggregations, K+1 numbers pulled ---
         alpha_rows = (
@@ -223,10 +226,11 @@ def train_poly_join(
         elbo = (
             out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
         )
-        gamma_df = (
-            out.filter(F.col("kind") == "doc")
-            .select(F.col("id").alias("doc_id"), F.col("vec").alias("gamma"))
-            .localCheckpoint()
+        gamma_df = cut_corpus_lineage(
+            out.filter(F.col("kind") == "doc").select(
+                F.col("id").alias("doc_id"), F.col("vec").alias("gamma")
+            ),
+            corpus_checkpoint,
         )
         out.unpersist()
         beta_df = beta_next

@@ -171,3 +171,85 @@ def test_funnel_reliable_tier(spark):
     assert len(after - before) <= 1  # feasible caches released
     reliable.unpersist()
     assert _rows(reliable) == _rows(local)
+
+
+def _tiny_corpus(spark):
+    rows = [
+        (d, [1 + (d + j) % 5 for j in range(3)], [1 + j % 2 for j in range(3)])
+        for d in range(12)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, term_ids array<int>, term_counts array<int>",
+    )
+
+
+def test_corpus_checkpoint_reliable_requires_dir_then_matches_local(
+    spark, tmp_path
+):
+    """The CORPUS tier (cut_corpus_lineage / corpus_checkpoint):
+    'reliable' refuses loudly without a checkpoint directory, and with
+    one set the EM loop produces bit-identical state to the 'local'
+    tier (deterministic seed, fixed iterations)."""
+    import numpy as np
+
+    from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
+    from mr_lda_spark.plans import lda
+
+    corpus = _tiny_corpus(spark)
+    sc = spark.sparkContext
+    if sc.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            cut_corpus_lineage(corpus, "reliable")
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    kw = dict(
+        num_terms=5, num_topics=3, max_iterations=2,
+        max_gamma_iter=10, converge=0.0, seed=7,
+    )
+    g_local, s_local = lda.train(
+        spark, corpus, corpus_checkpoint="local", **kw
+    )
+    g_rel, s_rel = lda.train(
+        spark, corpus, corpus_checkpoint="reliable", **kw
+    )
+    assert np.allclose(s_local.elog_beta, s_rel.elog_beta, atol=0, rtol=0)
+    assert s_local.elbo == s_rel.elbo
+    a = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_local.collect())
+    b = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_rel.collect())
+    assert a == b
+    # the reliable cut is a REAL reliable checkpoint: files on disk
+    import glob
+    assert glob.glob(str(tmp_path / "ckpt" / "**" / "rdd-*"), recursive=True)
+
+
+def test_corpus_checkpoint_reliable_join_mode(spark, tmp_path):
+    """Same equality pin for the distributed-beta trainer (the scale
+    path a preemptible cluster is most likely to run)."""
+    import numpy as np
+
+    from mr_lda_spark.plans import lda_join
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt2"))
+    rows = [
+        (d, 1 + (d + j) % 5, 1 + j % 2)
+        for d in range(12)
+        for j in range(3)
+    ]
+    tall = spark.createDataFrame(
+        rows, "doc_id long, term_id int, term_count int"
+    )
+    kw = dict(
+        num_terms=5, num_topics=3, max_iterations=2,
+        max_gamma_iter=10, converge=0.0, seed=7,
+    )
+    g_local, s_local = lda_join.train_beta_join(
+        spark, tall, corpus_checkpoint="local", **kw
+    )
+    g_rel, s_rel = lda_join.train_beta_join(
+        spark, tall, corpus_checkpoint="reliable", **kw
+    )
+    assert np.allclose(s_local.elog_beta, s_rel.elog_beta, atol=0, rtol=0)
+    a = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_local.collect())
+    b = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_rel.collect())
+    assert a == b
