@@ -25,6 +25,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mr_lda_spark.operators.textops import shingles
+from mr_lda_spark.operators.lifecycle import (
+    cut_lineage,
+    cut_lineage_round,
+    release,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -439,10 +444,12 @@ def simhash_near_dupes(
     bits: int = 32,
     max_hamming: int = 6,
     max_bucket_size: int | None = None,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """EAGER by default — executes Spark jobs at construction (pass
-    ``materialize=False`` for lazy composition / plan inspection).
+    ``materialize=False`` for lazy composition / plan inspection,
+    ``"reliable"`` for the executor-churn tier —
+    ``operators/lifecycle.py``).
     SimHash near-dup pairs: (a, b, hamming) where the fingerprints
     differ in ≤ ``max_hamming`` bits.
 
@@ -480,10 +487,12 @@ def hamming_banded_pairs(
     id_col: str = "doc_id",
     hash_col: str = "simhash",
     max_bucket_size: int | None = None,
-    materialize: bool = True,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """EAGER by default — executes Spark jobs at construction (the
-    funnel/triangles lifecycle rule): generic pigeonhole-banded
+    funnel/triangles lifecycle rule; ``materialize="reliable"`` cuts
+    the pair result with persist+count instead of localCheckpoint —
+    ``operators/lifecycle.py``): generic pigeonhole-banded
     Hamming pair search over any (id, ``bits``-bit hash) relation —
     the kernel behind ``simhash_near_dupes`` (text) and the image
     dHash near-dup row (`multimodal.png_dhash` fingerprints).
@@ -557,7 +566,7 @@ def hamming_banded_pairs(
     )
     if not materialize:
         return pairs
-    out = pairs.localCheckpoint()
+    out = cut_lineage(pairs, materialize)
     fp.unpersist()
     return out
 
@@ -765,6 +774,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 50,
+    materialize: bool | str = True,
 ) -> DataFrame:
     """Connected components over an undirected near-dup pair graph:
     (doc_id, cluster) where ``cluster`` is the smallest doc_id in the
@@ -786,30 +796,42 @@ def connected_components(
     Convergence is detected by the (monotonically decreasing) sum of
     labels: one scalar agg per round, no extra join.
     """
-    edges = (
+    handles: list[DataFrame] = []
+    edges = cut_lineage_round(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        materialize,
+        handles,
+        eager=True,
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("cluster")
-    ).localCheckpoint()
+    labels = cut_lineage_round(
+        edges.select(F.col("src").alias("node")).distinct().select(
+            "node", F.col("node").alias("cluster")
+        ),
+        materialize,
+        handles,
+        eager=True,
+    )
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
     for _ in range(max_iter):
         prop = edges.join(
             labels, edges["src"] == labels["node"]
         ).select(F.col("dst").alias("node"), "cluster")
-        labels = (
+        labels = cut_lineage_round(
             labels.union(prop)
             .groupBy("node")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
+            .agg(F.min("cluster").alias("cluster")),
+            materialize,
+            handles,
         )
         cur_sum = labels.agg(F.sum("cluster")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # Reliable tier: labels is persisted and already materialized by
+    # the convergence agg; release every other per-round handle.
+    release([h for h in handles if h is not labels])
     return labels.select(F.col("node").alias("doc_id"), "cluster")
 
 

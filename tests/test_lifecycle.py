@@ -253,3 +253,35 @@ def test_corpus_checkpoint_reliable_join_mode(spark, tmp_path):
     a = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_local.collect())
     b = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_rel.collect())
     assert a == b
+
+
+def test_dedup_reliable_tier(spark):
+    """hamming_banded_pairs + connected_components under the reliable
+    tier: identical relations, per-round handles released, retained
+    lineage collects after unpersist."""
+    from mr_lda_spark.operators.dedup import (
+        connected_components,
+        hamming_banded_pairs,
+    )
+
+    fp = spark.createDataFrame(
+        [(i, (i * 37) % 64) for i in range(60)], "doc_id long, h long"
+    )
+    local = hamming_banded_pairs(fp, bits=16, max_hamming=2, hash_col="h")
+    reliable = hamming_banded_pairs(
+        fp, bits=16, max_hamming=2, hash_col="h", materialize="reliable"
+    )
+    assert _rows(local) == _rows(reliable)
+    assert "InMemoryTableScan" in _plan(reliable)
+    reliable.unpersist()
+    assert _rows(reliable) == _rows(local)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    c_local = connected_components(pairs)
+    before = _cached_rdd_ids(spark)
+    c_rel = connected_components(pairs, materialize="reliable")
+    after = _cached_rdd_ids(spark)
+    assert _rows(c_local) == _rows(c_rel)
+    assert len(after - before) <= 1  # only the final labels may stay
