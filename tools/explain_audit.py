@@ -160,7 +160,11 @@ def main() -> None:
             qe = df._jdf.queryExecution()
             qe.executedPlan().execute().count()
             fin = qe.executedPlan().toString()
-            final = "isFinalPlan=true" in fin
+            # non-adaptive (map-only) plans have nothing to finalize
+            final = (
+                "isFinalPlan=true" in fin
+                or "AdaptiveSparkPlan" not in fin
+            )
             # the finalized string prints the Initial Plan section
             # too — count the final section only, or every node
             # doubles

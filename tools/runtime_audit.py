@@ -97,7 +97,13 @@ def main() -> int:
             row["static"] = {n: static.count(n) for n in NODES_STATIC}
             qe.executedPlan().execute().count()
             fin = qe.executedPlan().toString()
-            is_final = "isFinalPlan=true" in fin
+            # A map-only plan never enters AQE — there is no adaptive
+            # plan to finalize, so "executed" is the honest value, not
+            # false.
+            is_final = (
+                "isFinalPlan=true" in fin
+                or "AdaptiveSparkPlan" not in fin
+            )
             # A finalized AdaptiveSparkPlan prints BOTH "== Final
             # Plan ==" and "== Initial Plan ==" sections — counting
             # the raw string doubles every node.  Count the final
