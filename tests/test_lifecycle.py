@@ -224,8 +224,19 @@ def test_corpus_checkpoint_reliable_requires_dir_then_matches_local(
 
 
 def test_corpus_checkpoint_reliable_join_mode(spark, tmp_path):
-    """Same equality pin for the distributed-beta trainer (the scale
-    path a preemptible cluster is most likely to run)."""
+    """Equality pin for the distributed-beta trainer (the scale path a
+    preemptible cluster is most likely to run).
+
+    Unlike the mono trainer (whose sufficient statistics merge through
+    a fixed-order driver-side combine and pin bit-exact above), the
+    join-mode β is reduced by DataFrame ``sum`` over a shuffle, so the
+    partial-aggregation merge order varies with task completion order.
+    Measured run-to-run spread at THE SAME tier: up to ~9e-16 absolute
+    (local vs local) and ~3e-12 on an unseen-term cell near -852
+    (reliable vs reliable) — i.e. accumulated double ULPs, tier-
+    independent.  The pin therefore asserts agreement to 1e-9 relative
+    (6 decades above the measured noise floor, ~6 below any real
+    divergence a wrong checkpoint cut would cause)."""
     import numpy as np
 
     from mr_lda_spark.plans import lda_join
@@ -249,10 +260,12 @@ def test_corpus_checkpoint_reliable_join_mode(spark, tmp_path):
     g_rel, s_rel = lda_join.train_beta_join(
         spark, tall, corpus_checkpoint="reliable", **kw
     )
-    assert np.allclose(s_local.elog_beta, s_rel.elog_beta, atol=0, rtol=0)
-    a = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_local.collect())
-    b = sorted((r["doc_id"], tuple(r["gamma"])) for r in g_rel.collect())
-    assert a == b
+    assert np.allclose(s_local.elog_beta, s_rel.elog_beta, rtol=1e-9)
+    a = {r["doc_id"]: np.asarray(r["gamma"]) for r in g_local.collect()}
+    b = {r["doc_id"]: np.asarray(r["gamma"]) for r in g_rel.collect()}
+    assert a.keys() == b.keys()
+    for doc_id in a:
+        assert np.allclose(a[doc_id], b[doc_id], rtol=1e-9), doc_id
 
 
 def test_dedup_reliable_tier(spark):
