@@ -44,6 +44,7 @@ __all__ = [
     "cut_lineage_round",
     "cut_corpus_lineage",
     "release",
+    "ReliableCheckpointSweeper",
 ]
 
 # bool is accepted for backward compatibility at every site; the
@@ -131,6 +132,95 @@ def cut_corpus_lineage(df: DataFrame, mode) -> DataFrame:
             )
         return df.checkpoint()
     raise _bad_mode(mode)
+
+
+class ReliableCheckpointSweeper:
+    """Deterministic reclamation of SUPERSEDED reliable-checkpoint
+    generations — the disk half of the corpus tier's fault-tolerance
+    story.
+
+    Spark never deletes reliable checkpoint files on its own:
+    ``spark.cleaner.referenceTracking.cleanCheckpoints`` defaults to
+    false, and even when enabled deletion rides driver GC of the RDD
+    reference — timing a long EM run cannot rely on.  Without
+    intervention every per-iteration γ/β ``checkpoint()`` leaves a
+    corpus-scale ``rdd-*`` directory on the checkpoint store for the
+    life of the application: at D=10¹⁰ docs, K=100 the γ table alone
+    is ~8 TB PER ITERATION of dead files.
+
+    - :meth:`cut` delegates to :func:`cut_corpus_lineage`; in reliable
+      mode it additionally diffs the checkpoint directory's ``rdd-*``
+      entries (Hadoop ``FileSystem.globStatus`` — portable to
+      HDFS/object stores) to learn which directories the new cut
+      created, remembers them under ``slot``, and queues the slot's
+      PREVIOUS generation for deletion.
+    - :meth:`sweep` deletes everything queued.  Trainers call it at
+      the TOP of each iteration (and once after the loop): by then
+      every relation of the just-finished iteration is materialized in
+      its own checkpoint, so nothing can reference the superseded
+      generation.  Deleting at supersede time instead would be wrong —
+      within an iteration, relations built BEFORE the newer cut (the
+      persisted E-step ``out``) can still re-read the older files on
+      task retry or persist eviction.
+
+    Slot-less cuts (``slot=None`` — the one-time corpus/η cuts) and
+    non-reliable modes pass straight through untracked; the final
+    generation of every slot is intentionally retained (it backs the
+    DataFrames the trainer returns; it is reclaimed with the
+    application's checkpoint directory).  Single-threaded per instance
+    — concurrent checkpoints from OTHER threads of the same session
+    would be mis-attributed by the directory diff, so one sweeper
+    serves exactly one sequential trainer loop.
+    """
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._slots: dict[str, list[str]] = {}
+        self._pending: list[str] = []
+
+    def _fs(self):
+        """(Hadoop FileSystem, checkpoint-dir URI) — None, None when
+        no checkpoint dir is set (non-reliable modes never need it)."""
+        ckpt_dir = self._spark.sparkContext.getCheckpointDir()
+        if ckpt_dir is None:
+            return None, None
+        path = self._spark._jvm.org.apache.hadoop.fs.Path(ckpt_dir)
+        fs = path.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        return fs, ckpt_dir
+
+    def _rdd_dirs(self) -> set:
+        fs, ckpt_dir = self._fs()
+        if fs is None:
+            return set()
+        glob = self._spark._jvm.org.apache.hadoop.fs.Path(
+            ckpt_dir.rstrip("/") + "/rdd-*"
+        )
+        statuses = fs.globStatus(glob)
+        if statuses is None:
+            return set()
+        return {s.getPath().toString() for s in statuses}
+
+    def cut(self, df: DataFrame, mode, slot: "str | None" = None) -> DataFrame:
+        if mode != "reliable" or slot is None:
+            return cut_corpus_lineage(df, mode)
+        before = self._rdd_dirs()
+        out = cut_corpus_lineage(df, mode)
+        created = self._rdd_dirs() - before
+        if created:  # defensively keep the old generation if the new
+            # cut left no visible directory (never observed; a wrongly
+            # deleted live generation would fail the run, a kept dead
+            # one only costs disk)
+            self._pending.extend(self._slots.get(slot, ()))
+            self._slots[slot] = sorted(created)
+        return out
+
+    def sweep(self) -> None:
+        if not self._pending:
+            return
+        fs, _ = self._fs()
+        for uri in self._pending:
+            fs.delete(self._spark._jvm.org.apache.hadoop.fs.Path(uri), True)
+        self._pending.clear()
 
 
 def release(handles: list[DataFrame]) -> None:

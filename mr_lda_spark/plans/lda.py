@@ -45,7 +45,10 @@ from pyspark.sql import types as T
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma, gammaln
-from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
+from mr_lda_spark.operators.lifecycle import (
+    ReliableCheckpointSweeper,
+    cut_corpus_lineage,
+)
 
 DEFAULT_LOG_ETA = math.log(1e-12)  # Settings.java:58
 
@@ -409,6 +412,11 @@ def train(
     n_parts = spark.sparkContext.defaultParallelism
     has_gamma = "gamma" in corpus_doc.columns
     cols = ["doc_id", "term_ids", "term_counts"] + (["gamma"] if has_gamma else [])
+    # Reliable mode: superseded per-iteration gamma checkpoints are
+    # deleted at the next loop top, bounding checkpoint-store disk at
+    # the live generation (gamma gen 0 lives inside `base` and is
+    # never slot-tracked, so the corpus cut always survives).
+    ckpt_gc = ReliableCheckpointSweeper(spark)
     base = cut_corpus_lineage(  # the ONE materialization of the input
         corpus_doc.select(*cols).repartition(n_parts, "doc_id"),
         corpus_checkpoint,
@@ -434,6 +442,7 @@ def train(
     prev_elbo = None
     for it in range(max_iterations):
         iter_t0 = _time.perf_counter()
+        ckpt_gc.sweep()  # generation it-2's gamma is unreachable now
         # Broadcast the V×K model once per iteration (torrent, one copy
         # per executor) instead of closure-capturing it into every task.
         eb_bc = spark.sparkContext.broadcast(state.elog_beta)
@@ -511,11 +520,12 @@ def train(
             else:  # elbo
                 elbo += r["s"]
 
-        next_gamma = cut_corpus_lineage(  # D×K doubles; cuts lineage
+        next_gamma = ckpt_gc.cut(  # D×K doubles; cuts lineage
             out.filter(F.col("kind") == "doc").select(
                 "doc_id", F.col("vec").alias("gamma")
             ),
             corpus_checkpoint,
+            slot="gamma",
         )
         out.unpersist()
         # Both consumers (stats collect + gamma localCheckpoint) have
@@ -567,6 +577,8 @@ def train(
             break
         prev_elbo = elbo
 
+    ckpt_gc.sweep()  # last superseded generation; the live gamma
+    # backs the returned relation
     final = (
         static_corpus.join(gamma_df, "doc_id", "left")
         if gamma_df is not None

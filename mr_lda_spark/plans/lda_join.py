@@ -39,7 +39,10 @@ from pyspark.sql import types as T
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma, gammaln
-from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
+from mr_lda_spark.operators.lifecycle import (
+    ReliableCheckpointSweeper,
+    cut_corpus_lineage,
+)
 from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA, LdaState, init_elog_beta
 
 _JOIN_ESTEP_SCHEMA = T.StructType(
@@ -277,6 +280,11 @@ def train_beta_join(
     # corpus_checkpoint selects the lineage-cut tier for the WHOLE
     # training lifecycle (corpus + per-iteration β/γ — a lost block of
     # any of them kills the run): operators/lifecycle.cut_corpus_lineage.
+    # In reliable mode the sweeper bounds checkpoint-store disk at the
+    # LIVE generation: superseded per-iteration β/γ directories are
+    # deleted at the next loop top (never at supersede time — the
+    # persisted E-step `out` may still re-read them on eviction).
+    ckpt_gc = ReliableCheckpointSweeper(spark)
     tall = cut_corpus_lineage(
         corpus_tall.repartition(
             shuffle_partitions or spark.sparkContext.defaultParallelism,
@@ -289,18 +297,21 @@ def train_beta_join(
         tall.agg(F.sum("term_count")).collect()[0][0] or 0.0
     )
 
-    beta_df = cut_corpus_lineage(
+    beta_df = ckpt_gc.cut(
         beta_init_dataframe(spark, num_terms, K, seed).repartition(
             shuffle_partitions or spark.sparkContext.defaultParallelism,
             "term_id",
         ),
         corpus_checkpoint,
+        slot="beta",
     )
     gamma_df = (
         None
         if gamma_init is None
-        else cut_corpus_lineage(
-            gamma_init.select("doc_id", "gamma"), corpus_checkpoint
+        else ckpt_gc.cut(
+            gamma_init.select("doc_id", "gamma"),
+            corpus_checkpoint,
+            slot="gamma",
         )
     )
 
@@ -351,6 +362,7 @@ def train_beta_join(
         # counters), so growth probes and benches read the loop
         # directly instead of dividing the train total.
         iter_t0 = _time.perf_counter()
+        ckpt_gc.sweep()  # generation i-1 is unreachable now
         joined = tall.join(beta_df, "term_id")
         docs = joined.groupBy("doc_id").agg(
             F.collect_list("term_id").alias("term_ids"),
@@ -428,13 +440,14 @@ def train_beta_join(
             )
             .select("term_id", F.col("p.elog").alias("beta"))
         )
-        beta_next = cut_corpus_lineage(
+        beta_next = ckpt_gc.cut(
             beta_next.repartition(
                 shuffle_partitions
                 or spark.sparkContext.defaultParallelism,
                 "term_id",
             ),
             corpus_checkpoint,
+            slot="beta",
         )
 
         # --- α stats + ELBO: plain aggregations, K+1 numbers pulled ---
@@ -451,11 +464,12 @@ def train_beta_join(
         elbo = (
             out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
         )
-        gamma_df = cut_corpus_lineage(
+        gamma_df = ckpt_gc.cut(
             out.filter(F.col("kind") == "doc").select(
                 F.col("id").alias("doc_id"), F.col("vec").alias("gamma")
             ),
             corpus_checkpoint,
+            slot="gamma",
         )
         out.unpersist()
         beta_df = beta_next
@@ -485,6 +499,8 @@ def train_beta_join(
             break
         prev_elbo = elbo
 
+    ckpt_gc.sweep()  # last superseded generation; the live one backs
+    # the returned gamma_df / beta_df
     # API parity: expose β as a matrix (model-sized pull; the loop
     # above never needed it on the driver).
     mat = np.full((num_terms + 1, K), DEFAULT_LOG_ETA)

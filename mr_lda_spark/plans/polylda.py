@@ -25,7 +25,10 @@ from pyspark.sql import types as T
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma, gammaln
-from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
+from mr_lda_spark.operators.lifecycle import (
+    ReliableCheckpointSweeper,
+    cut_corpus_lineage,
+)
 from mr_lda_spark.plans.lda import init_elog_beta, _mstep_beta
 
 _POLY_ESTEP_SCHEMA = T.StructType(
@@ -317,6 +320,8 @@ def train_poly(
     cols = ["doc_id", "lang_term_ids", "lang_term_counts"] + (
         ["gamma"] if has_gamma else []
     )
+    ckpt_gc = ReliableCheckpointSweeper(spark)  # bounds reliable-
+    # mode checkpoint disk at the live gamma generation (plans/lda.py)
     base = cut_corpus_lineage(
         poly_corpus_doc.select(*cols).repartition(n_parts, "doc_id"),
         corpus_checkpoint,
@@ -338,6 +343,7 @@ def train_poly(
     prev_elbo = None
     for _ in range(max_iterations):
         iter_t0 = _time.perf_counter()
+        ckpt_gc.sweep()
         eb_bc = spark.sparkContext.broadcast(state.elog_betas)
         kernel = _poly_estep_kernel(
             state.alpha, eb_bc, max_gamma_iter, learning=True,
@@ -396,11 +402,12 @@ def train_poly(
             axis=0,
         )
         elbo = out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
-        next_gamma = cut_corpus_lineage(
+        next_gamma = ckpt_gc.cut(
             out.filter(F.col("kind") == "doc").select(
                 "doc_id", F.col("vec").alias("gamma")
             ),
             corpus_checkpoint,
+            slot="gamma",
         )
         out.unpersist()
         eb_bc.unpersist()
@@ -422,6 +429,7 @@ def train_poly(
             break
         prev_elbo = elbo
 
+    ckpt_gc.sweep()
     final = (
         static_corpus.join(gamma_df, "doc_id", "left")
         if gamma_df is not None

@@ -44,7 +44,10 @@ from pyspark.sql import functions as F
 
 from mr_lda_spark.functions.alpha import update_alpha_vector
 from mr_lda_spark.functions.special import digamma
-from mr_lda_spark.operators.lifecycle import cut_corpus_lineage
+from mr_lda_spark.operators.lifecycle import (
+    ReliableCheckpointSweeper,
+    cut_corpus_lineage,
+)
 from mr_lda_spark.plans.lda import DEFAULT_LOG_ETA, init_elog_beta
 from mr_lda_spark.plans.lda_join import _JOIN_ESTEP_SCHEMA, _join_estep_kernel
 from mr_lda_spark.plans.polylda import PolyLdaState
@@ -122,6 +125,8 @@ def train_poly_join(
     n_parts = shuffle_partitions or spark.sparkContext.defaultParallelism
     # Pre-partition the packed corpus by key ONCE; every iteration's β
     # join then reuses this partitioning (no corpus re-shuffle).
+    ckpt_gc = ReliableCheckpointSweeper(spark)  # bounds reliable-
+    # mode checkpoint disk at the live β/γ generation (plans/lda_join.py)
     tall = cut_corpus_lineage(
         poly_tall.select(
             "doc_id",
@@ -135,10 +140,11 @@ def train_poly_join(
         tall.agg(F.sum("term_count")).collect()[0][0] or 0.0
     )
 
-    beta_df = cut_corpus_lineage(
+    beta_df = ckpt_gc.cut(
         poly_beta_init_dataframe(spark, num_terms_per_lang, K, seed)
         .repartition(n_parts, "key"),
         corpus_checkpoint,
+        slot="beta",
     )
     gamma_df = None
 
@@ -149,6 +155,7 @@ def train_poly_join(
     prev_elbo = None
     for _ in range(max_iterations):
         iter_t0 = _time.perf_counter()
+        ckpt_gc.sweep()
         joined = tall.join(beta_df, "key")
         # The kernel's column contract is the mono one (term_ids /
         # term_counts / betas); packed keys ride through it as opaque
@@ -208,8 +215,10 @@ def train_poly_join(
             )
             .select("key", F.col("p.elog").alias("beta"))
         )
-        beta_next = cut_corpus_lineage(
-            beta_next.repartition(n_parts, "key"), corpus_checkpoint
+        beta_next = ckpt_gc.cut(
+            beta_next.repartition(n_parts, "key"),
+            corpus_checkpoint,
+            slot="beta",
         )
 
         # --- α stats + ELBO: plain aggregations, K+1 numbers pulled ---
@@ -226,11 +235,12 @@ def train_poly_join(
         elbo = (
             out.filter(F.col("kind") == "doc").agg(F.sum("ll")).collect()[0][0]
         )
-        gamma_df = cut_corpus_lineage(
+        gamma_df = ckpt_gc.cut(
             out.filter(F.col("kind") == "doc").select(
                 F.col("id").alias("doc_id"), F.col("vec").alias("gamma")
             ),
             corpus_checkpoint,
+            slot="gamma",
         )
         out.unpersist()
         beta_df = beta_next
@@ -247,6 +257,7 @@ def train_poly_join(
             break
         prev_elbo = elbo
 
+    ckpt_gc.sweep()  # live generation backs the returned gamma/beta
     if collect_beta:
         # API parity with broadcast mode: expose per-language matrices
         # (model-sized pull; the loop above never needed it).

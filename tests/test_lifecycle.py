@@ -298,3 +298,81 @@ def test_dedup_reliable_tier(spark):
     after = _cached_rdd_ids(spark)
     assert _rows(c_local) == _rows(c_rel)
     assert len(after - before) <= 1  # only the final labels may stay
+
+
+def _rdd_dirs_under(root):
+    import glob as _glob
+
+    return sorted(
+        _glob.glob(str(root) + "/**/rdd-*", recursive=True)
+    )
+
+
+def test_reliable_sweeper_deletes_superseded_only(spark, tmp_path):
+    """ReliableCheckpointSweeper: cutting a slot twice queues the first
+    generation; sweep() deletes exactly it — the live generation stays
+    readable and slot-less (permanent) cuts are never touched."""
+    from mr_lda_spark.operators.lifecycle import ReliableCheckpointSweeper
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "gc"))
+    gc = ReliableCheckpointSweeper(spark)
+
+    corpus = gc.cut(spark.range(50), "reliable")  # slot=None: permanent
+    gen1 = gc.cut(spark.range(10), "reliable", slot="gamma")
+    n_after_gen1 = len(_rdd_dirs_under(tmp_path / "gc"))
+    gen2 = gc.cut(spark.range(20), "reliable", slot="gamma")
+    # both generations (plus the permanent cut) on disk before sweep
+    assert len(_rdd_dirs_under(tmp_path / "gc")) == n_after_gen1 + 1
+    gc.sweep()
+    assert len(_rdd_dirs_under(tmp_path / "gc")) == n_after_gen1
+    # live generation and permanent cut still readable from disk
+    assert gen2.count() == 20
+    assert corpus.count() == 50
+    # idempotent / empty-queue sweep is a no-op
+    gc.sweep()
+    # local tier passes through untracked (no checkpoint-dir activity)
+    n = len(_rdd_dirs_under(tmp_path / "gc"))
+    gc.cut(spark.range(5), "local", slot="gamma")
+    gc.sweep()
+    assert len(_rdd_dirs_under(tmp_path / "gc")) == n
+    del gen1
+
+
+def test_corpus_checkpoint_reliable_disk_bounded(spark, tmp_path):
+    """The checkpoint-store footprint of a reliable-tier training run
+    is O(live generation), not O(iterations): the same number of
+    rdd-* directories remains after 1 and after 4 EM iterations, for
+    both the mono and the join-mode trainer."""
+    from mr_lda_spark.plans import lda, lda_join
+
+    corpus = spark.createDataFrame(
+        [(d, [1 + d % 5, 1 + (d + 1) % 5], [2, 1]) for d in range(12)],
+        "doc_id long, term_ids array<int>, term_counts array<int>",
+    )
+    tall = spark.createDataFrame(
+        [(d, 1 + (d + j) % 5, 1 + j % 2) for d in range(12) for j in range(3)],
+        "doc_id long, term_id int, term_count int",
+    )
+    kw = dict(
+        num_terms=5, num_topics=3, max_gamma_iter=10, converge=0.0, seed=7
+    )
+
+    counts = {}
+    for mode, it in (("mono", 1), ("mono", 4), ("join", 1), ("join", 4)):
+        d = tmp_path / f"{mode}{it}"
+        spark.sparkContext.setCheckpointDir(str(d))
+        if mode == "mono":
+            lda.train(
+                spark, corpus, corpus_checkpoint="reliable",
+                max_iterations=it, **kw,
+            )
+        else:
+            lda_join.train_beta_join(
+                spark, tall, corpus_checkpoint="reliable",
+                max_iterations=it, **kw,
+            )
+        counts[(mode, it)] = len(_rdd_dirs_under(d))
+
+    # mono: corpus base + live gamma; join: tall + live beta + live gamma
+    assert counts[("mono", 1)] == counts[("mono", 4)] == 2
+    assert counts[("join", 1)] == counts[("join", 4)] == 3
