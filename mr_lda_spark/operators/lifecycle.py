@@ -149,11 +149,14 @@ class ReliableCheckpointSweeper:
     is ~8 TB PER ITERATION of dead files.
 
     - :meth:`cut` delegates to :func:`cut_corpus_lineage`; in reliable
-      mode it additionally diffs the checkpoint directory's ``rdd-*``
-      entries (Hadoop ``FileSystem.globStatus`` — portable to
-      HDFS/object stores) to learn which directories the new cut
-      created, remembers them under ``slot``, and queues the slot's
-      PREVIOUS generation for deletion.
+      mode it additionally reads the new cut's ``rdd-*`` directory
+      straight off the returned plan (``LogicalRDD.rdd
+      .getCheckpointFile`` — exact even under concurrent checkpoints
+      elsewhere in the session; a Hadoop ``globStatus`` directory diff
+      is the fallback when that internal read fails), remembers it
+      under ``slot``, and queues the slot's PREVIOUS generation for
+      deletion.  Deletion itself goes through Hadoop ``FileSystem`` —
+      portable to HDFS/object stores.
     - :meth:`sweep` deletes everything queued.  Trainers call it at
       the TOP of each iteration (and once after the loop): by then
       every relation of the just-finished iteration is materialized in
@@ -167,10 +170,11 @@ class ReliableCheckpointSweeper:
     non-reliable modes pass straight through untracked; the final
     generation of every slot is intentionally retained (it backs the
     DataFrames the trainer returns; it is reclaimed with the
-    application's checkpoint directory).  Single-threaded per instance
-    — concurrent checkpoints from OTHER threads of the same session
-    would be mis-attributed by the directory diff, so one sweeper
-    serves exactly one sequential trainer loop.
+    application's checkpoint directory).  One sweeper serves one
+    sequential trainer loop; with exact plan-level attribution (the
+    normal path) concurrent trainers in the same session cannot
+    cross-delete each other's generations — only the globStatus
+    FALLBACK path retains that single-writer assumption.
     """
 
     def __init__(self, spark):
@@ -200,18 +204,34 @@ class ReliableCheckpointSweeper:
             return set()
         return {s.getPath().toString() for s in statuses}
 
+    @staticmethod
+    def _checkpoint_file(df: DataFrame) -> "str | None":
+        """EXACT attribution: a checkpointed Dataset's analyzed plan is
+        a LogicalRDD over the checkpointed RDD, whose
+        ``getCheckpointFile`` is the very ``rdd-*`` directory this cut
+        wrote — immune to concurrent checkpoints elsewhere in the
+        session (the directory-diff fallback below is not)."""
+        try:
+            opt = df._jdf.queryExecution().analyzed().rdd().getCheckpointFile()
+            if opt.isDefined():
+                return opt.get()
+        except Exception:  # noqa: BLE001 — internal-API read; fall back
+            pass
+        return None
+
     def cut(self, df: DataFrame, mode, slot: "str | None" = None) -> DataFrame:
         if mode != "reliable" or slot is None:
             return cut_corpus_lineage(df, mode)
         before = self._rdd_dirs()
         out = cut_corpus_lineage(df, mode)
-        created = self._rdd_dirs() - before
-        if created:  # defensively keep the old generation if the new
-            # cut left no visible directory (never observed; a wrongly
-            # deleted live generation would fail the run, a kept dead
-            # one only costs disk)
+        exact = self._checkpoint_file(out)
+        created = [exact] if exact else sorted(self._rdd_dirs() - before)
+        if created:  # defensively keep the old generation if neither
+            # attribution found the new directory (never observed; a
+            # wrongly deleted live generation would fail the run, a
+            # kept dead one only costs disk)
             self._pending.extend(self._slots.get(slot, ()))
-            self._slots[slot] = sorted(created)
+            self._slots[slot] = created
         return out
 
     def sweep(self) -> None:

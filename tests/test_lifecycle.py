@@ -376,3 +376,28 @@ def test_corpus_checkpoint_reliable_disk_bounded(spark, tmp_path):
     # mono: corpus base + live gamma; join: tall + live beta + live gamma
     assert counts[("mono", 1)] == counts[("mono", 4)] == 2
     assert counts[("join", 1)] == counts[("join", 4)] == 3
+
+
+def test_reliable_sweeper_exact_attribution(spark, tmp_path):
+    """The sweeper attributes each cut to the exact rdd-* directory on
+    the returned plan (LogicalRDD.rdd.getCheckpointFile), so a FOREIGN
+    checkpoint taken between two generations of the same slot is never
+    swept — the failure mode a pure directory-diff would have under
+    concurrent trainers."""
+    from mr_lda_spark.operators.lifecycle import ReliableCheckpointSweeper
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "xa"))
+    gc = ReliableCheckpointSweeper(spark)
+
+    gen1 = gc.cut(spark.range(10), "reliable", slot="gamma")
+    # exact attribution: the recorded slot dir IS the plan's checkpoint file
+    assert gc._slots["gamma"] == [gc._checkpoint_file(gen1)]
+    foreign = spark.range(77).checkpoint()  # another trainer's cut
+    gen2 = gc.cut(spark.range(20), "reliable", slot="gamma")
+    assert gc._slots["gamma"] == [gc._checkpoint_file(gen2)]
+    gc.sweep()
+    # gen1 swept; gen2 AND the foreign checkpoint survive
+    assert gen2.count() == 20
+    assert foreign.count() == 77
+    remaining = _rdd_dirs_under(tmp_path / "xa")
+    assert len(remaining) == 2
