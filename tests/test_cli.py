@@ -348,3 +348,51 @@ def test_cli_stats_reports(tmp_path):
         )
         audit = json.loads(stdout.strip().splitlines()[-1])
         assert audit["output_rows"] == expect_rows, op
+
+
+@pytest.mark.slow
+def test_cli_train_reliable_tier(tmp_path):
+    """--corpus-checkpoint reliable end-to-end exactly as a
+    spark-submit user would run it: the checkpoint dir arrives via the
+    public ``spark.checkpoint.dir`` conf (PYSPARK_SUBMIT_ARGS here),
+    training succeeds, checkpoint files land in that dir, and the
+    sweeper leaves only the live generation behind."""
+    import glob
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "'/root/testdata/sf0.001/documents.parquet' LIMIT 60"
+    ).fetchall()
+    (tmp_path / "corpus.txt").write_text(
+        "".join(f"doc{d}\t{t}\n" for d, t in rows)
+    )
+    _run(
+        ["parse", "--input", "corpus.txt", "--output", "./out",
+         "--format", "raw"],
+        tmp_path,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        SPARK_GRAFT_CPUS="4",
+        PYSPARK_SUBMIT_ARGS=(
+            f"--conf spark.checkpoint.dir={ckpt} pyspark-shell"
+        ),
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "mr_lda_spark.cli",
+         "train", "--input", "./out", "--output", "./model",
+         "--topic", "2", "--iteration", "3", "--gamma-iteration", "5",
+         "--corpus-checkpoint", "reliable"],
+        cwd=tmp_path, env=env, capture_output=True, text=True,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["iterations"] == 3
+    # reliable cuts really went to the conf'd dir, and the sweeper
+    # left only the live generation (corpus base + final gamma)
+    rdd_dirs = glob.glob(str(ckpt / "**" / "rdd-*"), recursive=True)
+    assert len(rdd_dirs) == 2, rdd_dirs
