@@ -235,12 +235,22 @@ class ReliableCheckpointSweeper:
         return out
 
     def sweep(self) -> None:
+        """Best-effort: a failed delete (transient object-store error,
+        permissions) must never abort the training run it is cleaning
+        up after — the directory is retried at the next sweep, and a
+        directory that stays undeletable only costs disk."""
         if not self._pending:
             return
         fs, _ = self._fs()
+        retry: list[str] = []
         for uri in self._pending:
-            fs.delete(self._spark._jvm.org.apache.hadoop.fs.Path(uri), True)
-        self._pending.clear()
+            try:
+                fs.delete(
+                    self._spark._jvm.org.apache.hadoop.fs.Path(uri), True
+                )
+            except Exception:  # noqa: BLE001 — hygiene, not correctness
+                retry.append(uri)
+        self._pending[:] = retry
 
 
 def release(handles: list[DataFrame]) -> None:
