@@ -37,7 +37,11 @@ if _REPO not in sys.path:
 K = 4
 ITERS = 3
 GAMMA_ITER = 15
-FACTORS = (1, 10)
+# override with e.g. PROBE_FACTORS=1,10,100 — x100 is the decade where
+# the reliable write becomes corpus-scale I/O
+FACTORS = tuple(
+    int(f) for f in os.environ.get("PROBE_FACTORS", "1,10").split(",")
+)
 
 
 def _dir_stats(root: str) -> dict:
