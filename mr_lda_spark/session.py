@@ -113,16 +113,55 @@ def normalize_events_ts(df, ts_type):
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# Corpus tables whose per-ROW downstream work is CPU-heavy (tokenize /
+# shingle / trigram / hash explodes, Arrow vector kernels).  All of that
+# work is map-side — it runs BEFORE the first exchange, inside the scan
+# stage — so its parallelism is the SCAN's split count, not the shuffle
+# partition count.  Dimension tables (nation/region/supplier/...) are
+# deliberately NOT here: they broadcast, and an exchange in front of a
+# BroadcastExchange is pure overhead.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
+def spread_scan(df, spark: SparkSession):
+    """Scale-adaptive scan parallelism (optimization guide §2: derive
+    partitioning from the input, never a constant tuned for one mode).
+
+    A table that arrives in fewer splits than the session has cores
+    serializes every per-row kernel above it: parquet splitting floors
+    at ``spark.sql.files.openCostInBytes`` (4 MB) and respects row-group
+    boundaries, so a small single-file corpus is ONE task no matter how
+    many cores exist — measured at sf0.1: curation_pipeline's language-ID
+    trigram scan was a single task burning ~10 s of CPU while 31 cores
+    idled.  The same applies at any scale to unsplittable inputs (gzip).
+
+    When the scan already yields >= defaultParallelism splits (every
+    production-scale table), this returns the input UNCHANGED — no
+    exchange is added.  Otherwise one round-robin repartition to the
+    default parallelism spreads the rows; the shuffled bytes are by
+    construction small (fewer splits than cores ⇒ the table is at most
+    cores × maxPartitionBytes).  Row-level results are partitioning-
+    independent engine-wide (oracle-enforced), so this is plan-only.
+    """
+    if df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
     ``events.ts`` is normalized via ``normalize_events_ts`` so
     downstream ops see a uniform TIMESTAMP regardless of generator
-    version.
+    version.  Corpus tables (``_SPREAD_TABLES``) get scale-adaptive
+    scan parallelism via :func:`spread_scan`.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return normalize_events_ts(df, df.schema["ts"].dataType)
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if name in _SPREAD_TABLES:
+        df = spread_scan(df, spark)
+    return df

@@ -25,11 +25,21 @@ DOCS_SCHEMA = T.StructType(
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # maxFilesPerTrigger=1 means every micro-batch scans ONE file =
+    # ONE partition, at any cluster size — so the CPU-heavy per-row
+    # kernels above this source (shingle/trigram/hash explodes) would
+    # run single-task per trigger.  The repartition spreads each
+    # micro-batch across the session's cores BEFORE the explode; the
+    # downstream stateful aggregate is associative, so the drained
+    # state is identical (guide §2: partitioning derived from the
+    # source's real split count — here pinned at 1 by the trigger —
+    # not a constant).
     return (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 

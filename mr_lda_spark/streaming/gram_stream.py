@@ -25,11 +25,15 @@ EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
 
 
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One file per trigger = one scan partition per micro-batch at any
+    # scale; spread each batch across the cores before the Arrow
+    # quantize/matmul kernel (same rationale as read_documents_stream).
     return (
         spark.readStream.schema(EMB_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 

@@ -213,8 +213,14 @@ def test_token_budget_no_global_window(spark):
 
 def test_label_centroids_single_shuffle(spark):
     plan, _ = _plan(spark, "embedding_label_centroids")
-    # posexplode + one (label, pos) aggregation: exactly one exchange.
-    assert plan.count("Exchange") == 1
+    # posexplode + one (label, pos) aggregation: exactly one KEYED
+    # exchange.  The scale-adaptive scan spread (session.spread_scan,
+    # r14 optimization) may add one round-robin exchange right above a
+    # small scan — that one carries raw rows, not aggregation state,
+    # and disappears at production split counts, so the pin is on the
+    # hash-partitioned shuffle alone.
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2
 
 
 def test_q6_all_predicates_pushed(spark):
