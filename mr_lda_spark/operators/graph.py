@@ -398,35 +398,56 @@ def bfs_levels(
     ).unionByName(
         edges.select(F.col("b").alias("s"), F.col("a").alias("t"))
     )
+    # Loop-invariant hoist (the pagerank r09 lesson, applied here in
+    # r14): every round's frontier join reads `sym`, so left lazy it
+    # re-executes the CALLER's whole edge lineage (for the registered
+    # co-purchase query: a lineitem self-join + distinct) once per
+    # round — measured at sf0.1: 8 rounds re-ran the edge build 8×.
+    # Persisted for the duration of the loop, released in `finally`
+    # so a failed round cannot leak the cache.
+    if materialize:
+        sym = sym.persist()
     dist = seeds.select(
         F.col(seeds.columns[0]).alias("node"),
         F.lit(0).cast("int").alias("dist"),
     )
     handles: list[DataFrame] = []
-    if materialize:
-        dist = cut_lineage_round(dist, materialize, handles, eager=True)
-    frontier = dist
-    for r in range(1, int(max_rounds) + 1):
-        cand = (
-            frontier.join(sym, frontier["node"] == sym["s"])
-            .select(F.col("t").alias("node"))
-            .distinct()
-        )
-        new = cand.join(dist, "node", "left_anti").withColumn(
-            "dist", F.lit(r).cast("int")
-        )
+    try:
         if materialize:
-            new = cut_lineage_round(new, materialize, handles, eager=True)
-            if new.isEmpty():
-                break
-        dist = dist.unionByName(new)
+            dist = cut_lineage_round(dist, materialize, handles, eager=True)
+        frontier = dist
+        for r in range(1, int(max_rounds) + 1):
+            cand = (
+                frontier.join(sym, frontier["node"] == sym["s"])
+                .select(F.col("t").alias("node"))
+                .distinct()
+            )
+            new = cand.join(dist, "node", "left_anti").withColumn(
+                "dist", F.lit(r).cast("int")
+            )
+            if materialize:
+                # ONE job gates the round: the lazy cut materializes
+                # inside the count() that also tests emptiness (the
+                # previous eager-cut + isEmpty shape paid two driver
+                # round-trips per round for the same information).
+                new = cut_lineage_round(new, materialize, handles)
+                if new.count() == 0:
+                    break
+            dist = dist.unionByName(new)
+            if materialize:
+                dist = cut_lineage_round(dist, materialize, handles)
+            frontier = new
+        if materialize == "reliable":
+            # Materialize the returned relation, then release every
+            # per-round intermediate (persist returns self, so `dist`
+            # itself may sit in `handles` — keep it cached by identity).
+            dist.count()
+            release([h for h in handles if h is not dist])
+    finally:
+        # Safe to release even before the lazy per-round cuts have
+        # materialized: every returned `dist` is a union of per-round
+        # cut relations (sym is not in its lineage), and unpersist
+        # only drops the cache, never recomputability.
         if materialize:
-            dist = cut_lineage_round(dist, materialize, handles)
-        frontier = new
-    if materialize == "reliable":
-        # Materialize the returned relation, then release every
-        # per-round intermediate (persist returns self, so `dist`
-        # itself may sit in `handles` — keep it cached by identity).
-        dist.count()
-        release([h for h in handles if h is not dist])
+            sym.unpersist()
     return dist

@@ -8572,15 +8572,22 @@ def graph_pagerank_suppliers(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Narrow node keys (optimization guide §2.3, r14): the iterative
+    # joins/aggregations run on BIGINT node ids — customer k ↦ 2k,
+    # supplier k ↦ 2k+1, a bijection into the even/odd longs — instead
+    # of the "c<k>"/"s<k>" strings, which made every per-iteration
+    # hash, compare and shuffle byte-wise string work (measured ~25 s
+    # aggregate task CPU per iteration stage at sf0.1).  The ranks are
+    # key-representation-independent (same groups, same integer
+    # arithmetic); the string form is re-derived in the FINAL
+    # projection only, before the (pr desc, node) top-100 order, so
+    # the output — including the string tie-break at the LIMIT
+    # boundary — is bit-identical to the oracle's.
     e0 = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
-                "src"
-            ),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
-                "dst"
-            ),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -8588,7 +8595,17 @@ def graph_pagerank_suppliers(spark, sf_dir):
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = graph.pagerank(edges, iterations=3)
-    return ranks.orderBy(F.desc("pr"), "node").limit(100)
+    node_str = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("long").cast("string"))
+    )
+    return (
+        ranks.select(node_str.alias("node"), "pr")
+        .orderBy(F.desc("pr"), "node")
+        .limit(100)
+    )
 
 
 @register(
