@@ -95,14 +95,26 @@ def _parse_shared(spark, sf_dir):
     n_docs = docs.count()
     tokens_raw = parse.tokenize(docs).persist()
     tokens_stop = parse.tokenize(docs, stopwords=STOPWORDS).persist()
+    # Persist the V-row stats relation BETWEEN the two consumers
+    # inside build_dictionary (r14 optimization): its scalable='auto'
+    # decision counts the filtered stats, and left lazy that count ran
+    # the full token-stream aggregation once for the decision and then
+    # AGAIN for the dictionary materialization — at corpus scale the
+    # duplicated pass is a full corpus aggregation.  With the persist,
+    # the decision count fills a term-sized cache the ranking then
+    # reads.
+    stats = parse.term_stats(tokens_stop).persist()
     dictionary = parse.build_dictionary(
-        parse.term_stats(tokens_stop), n_docs, min_df_frac=MIN_DF_FRAC
+        stats, n_docs, min_df_frac=MIN_DF_FRAC
     ).persist()
     # Materialize eagerly, in dependency order: queries that read
     # tokens_stop AND dictionary in one plan otherwise race the
     # unpopulated caches from independent stages (each recomputing the
-    # tokenize).  The dictionary count fills tokens_stop on the way.
+    # tokenize).  The dictionary count fills tokens_stop + stats on
+    # the way; stats then unpersists — it exists to dedupe the two
+    # passes inside this one call, not to serve later queries.
     dictionary.count()
+    stats.unpersist()
     tokens_raw.count()
     state = (docs, n_docs, tokens_raw, tokens_stop, dictionary)
     _PARSE_CACHE[key] = state
@@ -9434,15 +9446,26 @@ def dedup_minhash_recall(spark, sf_dir):
     ex = dedup.jaccard_near_dupes_exact(
         docs, threshold=0.2, max_shingle_df=JACCARD_MAX_SHINGLE_DF
     ).select("a", "b")
-    lsh = lsh.persist()
-    ex = ex.persist()
-    tp = lsh.join(ex, ["a", "b"]).count()
-    n_lsh = lsh.count()
-    n_ex = ex.count()
-    lsh_only = lsh.join(ex, ["a", "b"], "left_anti").count()
-    ex_only = ex.join(lsh, ["a", "b"], "left_anti").count()
-    lsh.unpersist()
-    ex.unpersist()
+    # ONE pass for all five counts (r14 optimization): both pair
+    # relations are unique-keyed on (a, b), so a full-outer join is
+    # exactly their union with presence flags, and one aggregate reads
+    # off tp / only-counts — the previous shape persisted both sides
+    # and ran FIVE sequential count jobs (inner, two sizes, two
+    # anti-joins) over the same data.  Counts are identical by
+    # construction; at corpus scale this is 1 shuffle of each pair
+    # relation instead of 5 passes over their caches.
+    both = lsh.withColumn("_l", F.lit(1)).join(
+        ex.withColumn("_e", F.lit(1)), ["a", "b"], "full_outer"
+    )
+    c = both.agg(
+        F.count("_l").alias("n_lsh"),
+        F.count("_e").alias("n_ex"),
+        F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNotNull(), 1)).alias("tp"),
+        F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNull(), 1)).alias("lsh_only"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNull(), 1)).alias("ex_only"),
+    ).collect()[0]
+    tp, n_lsh, n_ex = c["tp"], c["n_lsh"], c["n_ex"]
+    lsh_only, ex_only = c["lsh_only"], c["ex_only"]
     row = [
         (
             n_lsh,
