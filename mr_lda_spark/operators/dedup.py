@@ -625,27 +625,27 @@ def _capped_pair_counts(
             (F.size("ds") >= 2) & (F.size("ds") <= max_shingle_df)
         )
     )
-    flat = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["doc_id"].alias("a"),
-                    x["n_sh"].alias("n_a"),
-                    y["doc_id"].alias("b"),
-                    y["n_sh"].alias("n_b"),
-                ),
-            ),
-        )
-    )
+    # Pair expansion as TWO codegen Generate nodes (posexplode the
+    # anchor, explode the sorted tail) instead of one interpreted
+    # nested transform/flatten building every pair struct in Catalyst's
+    # expression interpreter — measured 1.6-1.9x faster on the pair
+    # stage at sf0.1 (0.6 s vs 1.0-1.8 s over 1.13 M pairs), identical
+    # output (r14 optimization; same pair set, same grouping).
+    tail = F.slice(F.col("ds"), F.col("i") + F.lit(2), F.size(F.col("ds")))
     if new_from is not None:
         # b = max(a, b) (lists are sorted), so `b >= new_from` ≡
         # "pair touches the new batch".  Pruned pre-explode: the
         # old-old quadratic mass never reaches the shuffle.
-        flat = F.filter(flat, lambda p: p["b"] >= F.lit(new_from))
-    pairs = doc_lists.select(F.explode(flat).alias("p")).select(
-        "p.a", "p.n_a", "p.b", "p.n_b"
+        tail = F.filter(tail, lambda y: y["doc_id"] >= F.lit(new_from))
+    pairs = (
+        doc_lists.select("ds", F.posexplode("ds").alias("i", "x"))
+        .select("x", F.explode(tail).alias("y"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("x.n_sh").alias("n_a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("y.n_sh").alias("n_b"),
+        )
     )
     return pairs.groupBy("a", "n_a", "b", "n_b").agg(
         F.count(F.lit(1)).alias("n_common")
