@@ -41,10 +41,16 @@ SIM_K = 3
 JACCARD_MAX_SHINGLE_DF = 100
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = False) -> DataFrame:
     from mr_lda_spark.session import read_table
 
-    return read_table(spark, sf_dir, name)
+    # spread=True: scale-adaptive scan spread (session.spread_scan) —
+    # opt-in per consumer, each call site cites its interleaved A/B
+    # (r14 optimization; a blanket spread was measured and REVERTED:
+    # it regressed partial-agg-heavy and media-synthesis consumers
+    # 1.5-6x while only CPU-bound map work wins).
+    return read_table(spark, sf_dir, name, spread=spread)
 
 
 def register(name: str, oracle: str | None = None):
@@ -1717,7 +1723,7 @@ def dedup_minhash_near_dupes(spark, sf_dir):
     compared as the sorted minhash CSV the engine md5-compacts
     (md5 equality ≡ string equality)."""
     return dedup.near_duplicates_minhash(
-        _t(spark, sf_dir, "documents"), threshold=0.2
+        _t(spark, sf_dir, "documents", spread=True), threshold=0.2
     )
 
 
@@ -1766,7 +1772,7 @@ def dedup_edit_distance_pairs(spark, sf_dir):
     corpus is ASCII, where Spark's code-point edits equal DuckDB's
     byte edits."""
     return dedup.edit_distance_pairs(
-        _t(spark, sf_dir, "documents"), max_distance=64
+        _t(spark, sf_dir, "documents", spread=True), max_distance=64
     )
 
 
@@ -2014,7 +2020,7 @@ def similarity_kmeans_frozen(spark, sf_dir):
     argmax join, tall per-dim mean, carry rule).  The training-quality
     sampled-Lloyd quantizer (kmeans_centroids) stays rows-only."""
     return similarity.kmeans_frozen(
-        _t(spark, sf_dir, "embeddings"), k=8, iterations=1
+        _t(spark, sf_dir, "embeddings", spread=True), k=8, iterations=1
     )
 
 
@@ -2063,7 +2069,7 @@ def similarity_ivfflat_frozen_topk(spark, sf_dir):
     candidates, and the exact-cosine re-rank.  This greens the probe
     PRUNING itself (recall < 1 vs cosine_topk by construction, yet
     exactly reproducible); trained/seeded IVF stays rows-only."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
     return similarity.ivfflat_frozen_topk(
         emb, queries, k=SIM_K, n_clusters=8, nprobe=2
@@ -2221,7 +2227,7 @@ def dedup_semdedup_kmeans(spark, sf_dir):
     verify.  The label-partitioned variant (dedup_semdedup_pairs)
     remains for pre-labeled corpora."""
     return similarity.semdedup_kmeans_pairs(
-        _t(spark, sf_dir, "embeddings"), k=8, iterations=1, threshold=0.35
+        _t(spark, sf_dir, "embeddings", spread=True), k=8, iterations=1, threshold=0.35
     )
 
 
@@ -8423,7 +8429,7 @@ def dedup_exact_substring(spark, sf_dir):
     a sliding-digest join — only 16-byte digests shuffle, never window
     text."""
     return dedup.exact_substring_dedup(
-        _t(spark, sf_dir, "documents"), n=_N_SUBSTR
+        _t(spark, sf_dir, "documents", spread=True), n=_N_SUBSTR
     )
 
 
@@ -8505,7 +8511,7 @@ def similarity_ivfflat_recall(spark, sf_dir):
     pruning quality, not just the pruning mechanics.  Scale: the join
     is (queries x k) vs (queries x k) — negligible next to either
     top-k."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
     approx = similarity.ivfflat_frozen_topk(
         emb, queries, k=SIM_K, n_clusters=8, nprobe=2
@@ -10870,7 +10876,7 @@ def text_kmv_source_overlap(spark, sf_dir):
     IEEE ops over md5-determined integers."""
     from mr_lda_spark.operators import kmv
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=True)
     keys = textops.shingles(docs, "text", 3).join(
         docs.select("doc_id", "source"), "doc_id"
     )
@@ -11187,7 +11193,7 @@ def similarity_ivf_ranking_quality(spark, sf_dir):
     deterministic oracle-backed rows (frozen-Lloyd IVF at nprobe=2,
     brute-force exact), so the metrics are fully SQL-recomputable;
     log2 position terms are quantized to integers before summation."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=True)
     queries = emb.filter(F.col("vec_id") < SIM_QUERIES)
     approx = similarity.ivfflat_frozen_topk(
         emb, queries, k=_RANKEVAL_K, n_clusters=8, nprobe=2

@@ -113,16 +113,6 @@ def normalize_events_ts(df, ts_type):
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-# Corpus tables whose per-ROW downstream work is CPU-heavy (tokenize /
-# shingle / trigram / hash explodes, Arrow vector kernels).  All of that
-# work is map-side — it runs BEFORE the first exchange, inside the scan
-# stage — so its parallelism is the SCAN's split count, not the shuffle
-# partition count.  Dimension tables (nation/region/supplier/...) are
-# deliberately NOT here: they broadcast, and an exchange in front of a
-# BroadcastExchange is pure overhead.
-_SPREAD_TABLES = {"documents", "embeddings"}
-
-
 def spread_scan(df, spark: SparkSession):
     """Scale-adaptive scan parallelism (optimization guide §2: derive
     partitioning from the input, never a constant tuned for one mode).
@@ -130,10 +120,8 @@ def spread_scan(df, spark: SparkSession):
     A table that arrives in fewer splits than the session has cores
     serializes every per-row kernel above it: parquet splitting floors
     at ``spark.sql.files.openCostInBytes`` (4 MB) and respects row-group
-    boundaries, so a small single-file corpus is ONE task no matter how
-    many cores exist — measured at sf0.1: curation_pipeline's language-ID
-    trigram scan was a single task burning ~10 s of CPU while 31 cores
-    idled.  The same applies at any scale to unsplittable inputs (gzip).
+    boundaries, so a small or unsplittable (gzip) file is ONE task no
+    matter how many cores exist.
 
     When the scan already yields >= defaultParallelism splits (every
     production-scale table), this returns the input UNCHANGED — no
@@ -142,19 +130,30 @@ def spread_scan(df, spark: SparkSession):
     construction small (fewer splits than cores ⇒ the table is at most
     cores × maxPartitionBytes).  Row-level results are partitioning-
     independent engine-wide (oracle-enforced), so this is plan-only.
+
+    OPT-IN, not blanket (r14 measurement): spreading pays one exchange
+    and — more importantly — trades the single fat map task's perfect
+    partial-aggregation collapse for N thin tasks' N× partial states,
+    and lets column-pruning projections (e.g. media synthesis) slide
+    below the exchange so it carries synthesized payloads.  Interleaved
+    A/B at sf0.1 showed ~0.65× on the kmeans-assignment family and the
+    candidate-text verify paths (CPU-heavy map work), but 1.5-6×
+    REGRESSIONS on npmi/multimodal/dedup_exact-class consumers.  Each
+    ``spread=True`` call site below cites its own A/B.
     """
     if df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
         return df
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str):
+def read_table(spark: SparkSession, sf_dir: str, name: str,
+               spread: bool = False):
     """Read one driver-generated parquet table (TESTDATA.md).
 
     ``events.ts`` is normalized via ``normalize_events_ts`` so
     downstream ops see a uniform TIMESTAMP regardless of generator
-    version.  Corpus tables (``_SPREAD_TABLES``) get scale-adaptive
-    scan parallelism via :func:`spread_scan`.
+    version.  ``spread=True`` applies :func:`spread_scan` — opt in
+    per consumer where the per-row map work is measured CPU-bound.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -162,6 +161,6 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
         df = spark.read.parquet(path)
         return normalize_events_ts(df, df.schema["ts"].dataType)
     df = spark.read.parquet(path)
-    if name in _SPREAD_TABLES:
+    if spread:
         df = spread_scan(df, spark)
     return df
