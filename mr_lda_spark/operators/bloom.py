@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 __all__ = [
     "bloom_positions", "bloom_build", "bloom_prefilter",
     "bloom_prefilter_jvm", "bloom_pruned_join",
@@ -152,8 +154,8 @@ def bloom_prefilter_jvm(
     bitset)."""
     spark = df.sparkSession
     arr = [int(x) for x in words.astype(np.int64)]
-    bf = spark.createDataFrame(
-        [(arr,)], "__bloom_words array<bigint>"
+    bf = local_df(
+        spark, [(arr,)], "__bloom_words array<bigint>"
     )
     cond = F.lit(True)
     for i in range(1, n_hashes + 1):

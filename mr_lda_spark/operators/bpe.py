@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 EOW = "</w>"
 
 
@@ -152,8 +154,8 @@ def train_bpe(
             ),
             "count",
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, schema="rank int, left string, right string, pair_count long"
+    return local_df(
+        spark, merges, "rank int, left string, right string, pair_count long"
     )
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 from mr_lda_spark.operators import dedup, textops
 
 
@@ -362,9 +364,10 @@ def curation_report(docs: DataFrame, **kwargs) -> DataFrame:
     total = scored.count()  # materializes the shared cache: 1 row/doc
     n_lang = after_lang.count()
     n_final = final.count()
-    return docs.sparkSession.createDataFrame(
+    return local_df(
+        docs.sparkSession,
         [(total, n_lang, n_final)],
-        schema="total_docs long, after_lang_filter long, final_docs long",
+        "total_docs long, after_lang_filter long, final_docs long",
     )
 
 
@@ -470,8 +473,8 @@ def token_budget_select(
         offsets.append((row["_bucket"], running))
         running += row["_tok"]
     spark = scored.sparkSession
-    off_df = spark.createDataFrame(
-        offsets, schema="_bucket long, _offset long"
+    off_df = local_df(
+        spark, offsets, "_bucket long, _offset long"
     )
     w = (
         Window.partitionBy("_bucket")

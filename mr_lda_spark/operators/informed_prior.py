@@ -14,6 +14,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 from mr_lda_spark.schemas import ETA
 
 LOG_ETA_SEED = np.log(1000.0)  # InformedPrior.java:43
@@ -36,7 +38,7 @@ def parse_informed_prior(
     for topic, line in enumerate(lines):
         for w in line["value"].split():
             rows.append((topic, w))
-    seeds = spark.createDataFrame(rows, schema="topic int, term string")
+    seeds = local_df(spark, rows, "topic int, term string")
     return (
         seeds.join(F.broadcast(dictionary.select("term", "term_id")), "term")
         .select("topic", "term_id")

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 from mr_lda_spark.operators.lifecycle import cut_lineage
 
 __all__ = ["gram_moments", "pca_power", "correlation_pairs"]
@@ -184,8 +186,8 @@ def gram_moments(
     # only: a batch∪stream union is unsupported, and the streaming
     # twin's incremental state makes an absent-count trigger moot.
     if not vecs.isStreaming:
-        seed = vecs.sparkSession.createDataFrame(
-            [(0, 0, 0)], schema=_GRAM_SCHEMA
+        seed = local_df(
+            vecs.sparkSession, [(0, 0, 0)], _GRAM_SCHEMA
         )
         partials = partials.unionByName(seed)
     agg = partials.groupBy("i", "j").agg(
@@ -305,7 +307,8 @@ def pca_power(
             ]
         )
     spark = vecs.sparkSession
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, int(v[i])) for i in range(dim)],
         "i int, loading long",
     )

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 DEFAULT_TOKEN_PATTERN = r"\s+"
 
 
@@ -208,8 +210,8 @@ def assign_dense_ids(
         offsets.append((pid, acc))
         acc += counts[pid]
     spark = df.sparkSession
-    offsets_df = spark.createDataFrame(
-        offsets or [(0, 0)], schema="__pid int, __offset long"
+    offsets_df = local_df(
+        spark, offsets or [(0, 0)], "__pid int, __offset long"
     )
     w = Window.partitionBy("__pid").orderBy(*order_by)
     return (

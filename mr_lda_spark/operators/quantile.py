@@ -41,6 +41,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 __all__ = ["exact_quantiles"]
 
 
@@ -125,7 +127,7 @@ def exact_quantiles(
                 s.value = s.lo
             states.append(s)
     if not states:
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
 
     for _ in range(max_rounds):
         active = [
@@ -188,7 +190,7 @@ def exact_quantiles(
     open_states = [
         (i, s) for i, s in enumerate(states) if s.value is None
     ]
-    results = spark.createDataFrame(done, out_schema) if done else None
+    results = local_df(spark, done, out_schema) if done else None
     if open_states:
         entries = [
             F.when(
@@ -204,7 +206,8 @@ def exact_quantiles(
         )
         w = Window.partitionBy("sid").orderBy("v")
         ranked = survivors.withColumn("r", F.row_number().over(w))
-        ks = spark.createDataFrame(
+        ks = local_df(
+            spark,
             [
                 (i,) + tuple(v for _, v in s.grp) + (s.k, s.p)
                 for i, (_, s) in enumerate(open_states)

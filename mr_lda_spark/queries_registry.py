@@ -16,6 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mr_lda_spark.operators.localrel import local_df
+
 from mr_lda_spark.operators import (
     dedup,
     display,
@@ -960,7 +962,8 @@ def events_value_bands(spark, sf_dir):
     BroadcastNestedLoopJoin; at scale, band the fact side first
     (bin key = floor(log(value))) to turn it into an equi-join."""
     e = _t(spark, sf_dir, "events")
-    bands = spark.createDataFrame(
+    bands = local_df(
+        spark,
         [(0.0, 10.0, "low"), (10.0, 100.0, "mid"), (100.0, 1e9, "high")],
         "lo double, hi double, band string",
     )
@@ -4401,8 +4404,8 @@ def multimodal_wav_stats_unicode(spark, sf_dir):
 
     ensure_package_shipped(spark)
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
-        _UNICODE_DOCS, "doc_id long, text string"
+    extra = local_df(
+        spark, _UNICODE_DOCS, "doc_id long, text string"
     )
     media = mm.real_media_from_documents(docs.unionByName(extra))
     return mm.wav_waveform_stats(media)
@@ -6562,8 +6565,8 @@ def _poly_top_terms(spark, state, dicts, k_top=3):
             top = np.argsort(-eb[1:, k])[:k_top] + 1
             for rank, tid in enumerate(top, 1):
                 rows.append((lang_i, k, rank, int(tid), float(eb[tid, k])))
-    out = spark.createDataFrame(
-        rows, schema="lang int, topic int, rank int, term_id int, log_beta double"
+    out = local_df(
+        spark, rows, "lang int, topic int, rank int, term_id int, log_beta double"
     )
     return out.join(
         F.broadcast(dicts.select("lang", "term_id", "term")), ["lang", "term_id"]
@@ -6881,9 +6884,10 @@ def _golden_beta_alpha_frame(spark, alpha, beta_df):
         F.col("term_id").cast("int").alias("term_id"),
         F.round("log_beta", GOLDEN_ROUND).alias("val"),
     )
-    alpha_rows = spark.createDataFrame(
+    alpha_rows = local_df(
+        spark,
         [(int(k), float(a)) for k, a in enumerate(alpha)],
-        schema="topic int, raw double",
+        "topic int, raw double",
     ).select(
         F.lit("alpha").alias("kind"),
         "topic",
@@ -7003,8 +7007,6 @@ def _golden_poly_frame(spark, state):
     """(kind, lang, topic, term_id, val) audit slice for a
     PolyLdaState: per-language E[log β] head + the shared α
     (lang = -1, term_id 0)."""
-    import pandas as pd
-
     frames = []
     for lang_i, eb in enumerate(state.elog_betas):
         hi = min(GOLDEN_POLY_TERM_SLICE, eb.shape[0] - 1)
@@ -7013,10 +7015,11 @@ def _golden_poly_frame(spark, state):
                 frames.append(("beta", lang_i, k, tid, float(eb[tid, k])))
     for k, a in enumerate(state.alpha):
         frames.append(("alpha", -1, int(k), 0, float(a)))
-    pdf = pd.DataFrame(
-        frames, columns=["kind", "lang", "topic", "term_id", "raw"]
-    )
-    return spark.createDataFrame(pdf).select(
+    return local_df(
+        spark,
+        frames,
+        "kind string, lang bigint, topic bigint, term_id bigint, raw double",
+    ).select(
         "kind",
         F.col("lang").cast("int").alias("lang"),
         F.col("topic").cast("int").alias("topic"),
@@ -9483,7 +9486,8 @@ def dedup_minhash_recall(spark, sf_dir):
             (tp * 1_000_000) // n_lsh if n_lsh else 0,
         )
     ]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         row,
         "n_lsh bigint, n_exact bigint, n_both bigint, "
         "n_lsh_only bigint, n_exact_only bigint, "

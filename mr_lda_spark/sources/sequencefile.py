@@ -55,6 +55,8 @@ import zlib
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from mr_lda_spark.operators.localrel import local_df
 from pyspark.sql import types as T
 
 SEQ_MAGIC = b"SEQ"
@@ -620,7 +622,7 @@ def read_eta(spark: SparkSession, path: str) -> DataFrame:
         for key, val in _iter_blob_records(p, data):
             topic1 = struct.unpack(">i", key)[0]
             rows.extend((topic1 - 1, tid) for tid in decode_int_array(val))
-    return spark.createDataFrame(rows, schema="topic int, term_id int")
+    return local_df(spark, rows, "topic int, term_id int")
 
 
 def write_eta(
