@@ -286,6 +286,7 @@ def kcore(
     )
     e = sym
     handles: list[DataFrame] = []
+    prev_n: int | None = None
     for _ in range(int(rounds)):
         alive = (
             e.groupBy("s")
@@ -299,7 +300,23 @@ def kcore(
             .select("s", "t")
         )
         if materialize:
+            # One job gates the round (the BFS one-job lesson, r14):
+            # the lazy per-round cut materializes inside the count()
+            # that also tests the fixpoint.  An unchanged edge count
+            # means the prune removed nothing — degrees, alive set and
+            # survivor relation are then identical next round, so
+            # every remaining round is a no-op by induction.  Skipping
+            # them changes no result: the pinned ``rounds`` is an
+            # upper bound, and rounds-past-convergence equality is
+            # property-tested (rounds vs rounds+4, test_graph.py).
+            # The driver cost is one scalar per executed round; the
+            # saving at any scale is (rounds - depth) full passes over
+            # the surviving edge relation.
             e = cut_lineage_round(e, materialize, handles)
+            n = e.count()
+            if n == prev_n:
+                break
+            prev_n = n
     out = (
         e.groupBy("s")
         .agg(F.count(F.lit(1)).alias("core_deg"))
