@@ -256,16 +256,22 @@ def kcore(
     → (node, core_deg): the maximal subgraph where every node keeps
     degree ≥ k, with each survivor's degree INSIDE that subgraph.
 
-    Peeling as a fixed number of pruning ``rounds`` (not
-    run-to-convergence): each round recomputes degrees over the
-    surviving symmetric edge relation and semi-joins out the nodes
-    below k.  A FIXED round count is what makes a cross-engine SQL
-    oracle possible — the oracle unrolls exactly the same prune
-    sequence, and once the peel has converged every further round is
-    a no-op in both engines, so any ``rounds`` ≥ the true peel depth
-    yields the identical (and correct) fixpoint.  Convergence within
-    the pinned count is property-tested (rounds vs rounds+4 equality,
-    ``tests/test_graph.py``), not assumed.
+    Peeling: ``rounds`` is an UPPER BOUND on the pruning rounds, with
+    an unchanged-edge-count early exit (materialized tiers only):
+    each round recomputes degrees over the surviving symmetric edge
+    relation and semi-joins out the nodes below k, and the loop stops
+    as soon as a round removes no edge — every later round would be a
+    no-op by induction.  The bounded round count is what makes a
+    cross-engine SQL oracle possible — the oracle unrolls exactly the
+    same prune sequence, and once the peel has converged every
+    further round is a no-op in both engines, so any ``rounds`` ≥ the
+    true peel depth yields the identical (and correct) fixpoint.
+    Convergence within the pinned count is property-tested (rounds vs
+    rounds+4 equality, ``tests/test_graph.py``), not assumed.
+    ``materialize=False`` has no per-round count to test, so the lazy
+    plan deliberately unrolls ALL ``rounds`` — plan inspection needs
+    the full unroll; lazy and eager tiers therefore execute different
+    round counts past the fixpoint while computing the same result.
 
     Scale shape (100 TB): each round is one node-keyed groupBy
     (map-side combined — degree counting) plus two left-semi joins on

@@ -298,14 +298,43 @@ def compute_fingerprints(repo_root: str) -> dict[str, str]:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     snap_round = None
+    check_round = None
     if "--snapshot" in args:
         i = args.index("--snapshot")
         snap_round = args[i + 1]
+        del args[i : i + 2]
+    if "--check" in args:
+        # Commit gate (ADVICE r14 #1): fail if the committed snapshot
+        # for round N no longer matches a live recompute of the tree —
+        # a diff here means either the snapshot is stale (re-run
+        # --snapshot N) or code moved without a re-sweep of its reach
+        # set (run tools/parity_sweep.py over the listed queries).
+        i = args.index("--check")
+        check_round = args[i + 1]
         del args[i : i + 2]
     repo_root = args[0] if args else os.path.dirname(
         os.path.dirname(os.path.abspath(__file__))
     )
     fps = compute_fingerprints(repo_root)
+    if check_round is not None:
+        snap_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "FINGERPRINTS.json",
+        )
+        with open(snap_path) as fh:
+            snaps = json.load(fh)
+        snap = snaps.get(str(check_round), {})
+        diff = sorted(
+            k for k in set(snap) | set(fps) if snap.get(k) != fps.get(k)
+        )
+        if diff:
+            print(
+                f"STALE snapshot round {check_round}: "
+                f"{len(diff)} queries differ:\n" + "\n".join(diff)
+            )
+            raise SystemExit(1)
+        print(f"FINGERPRINTS.json round {check_round}: clean ({len(fps)} queries)")
+        return
     if snap_round is None:
         print(json.dumps(fps, indent=0, sort_keys=True))
         return
