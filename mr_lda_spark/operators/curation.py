@@ -36,15 +36,28 @@ def _curate_stages(
     persisted ``scored`` frame — so an audit (``curation_report``) can
     count each stage without re-running language-ID/quality scoring.
     """
-    lang = textops.language_id(docs).select("doc_id", "pred_lang")
-    quality = textops.quality_scores(docs).select("doc_id", "quality_score")
+    # FUSED scoring spine (r15, guide §2.4 "remove shuffles outright"):
+    # quality_scores is a stateless one-row-per-doc projection, so it
+    # IS the spine — the language hit counts left-join onto it and
+    # pred_lang is derived above that one join.  The previous shape
+    # (docs.select(doc_id) ⋈ language_id(docs) ⋈ quality_scores(docs))
+    # paid THREE doc-keyed sort-merge joins and four corpus scans for
+    # the same relation (language_id's own internal join-back spine
+    # plus two assembly joins); this pays one join and two scans.
+    # Values are identical by construction: both spines are exactly
+    # one row per doc_id, so inner-join assembly over complete
+    # keysets and left-join+coalesce attach produce the same rows
+    # (oracle-verified for every curate consumer).
+    spine = textops.quality_scores(docs).select("doc_id", "quality_score")
     # Persist BELOW the filter: predicate pushdown would otherwise
     # inline the pred_lang CASE through the projections it references —
     # ~35 copies of the trigram scan in one filter condition (measured
     # 10× slower at sf0.1).  The cache is a pushdown barrier, and the
     # scored columns are reused by the final projection anyway.
     scored = (
-        docs.select("doc_id").join(lang, "doc_id").join(quality, "doc_id")
+        textops._attach_pred_lang(
+            spine, textops._language_hits_agg(docs)
+        ).select("doc_id", "pred_lang", "quality_score")
     ).persist()
     # Eager: the pipeline's final plan reads `scored` from several
     # independent stages (quality gate, final projection) — left lazy,

@@ -363,25 +363,36 @@ def near_duplicates_minhash(
     rows_per_band: int = 2,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: (a, b, jaccard) near-dup pairs.
 
     The distinct shingle sets are materialized ONCE and feed both the
     signature hashing and the verify step's three consumers — without
-    the persist the explode→distinct lineage runs four times."""
-    sets = (
-        shingles(docs, text_col, shingle_n)
-        .select("doc_id", "shingle")
-        .distinct()
-        .persist()
-    )
-    # Materialize BOTH caches eagerly: their consumers are independent
-    # stages of the one final job, and concurrent stages each
-    # recompute an unpopulated cache (the recompute multiplicity
-    # varies with scheduling — measured as bimodal 3 s / 10 s / 29 s
-    # runs of this operator under host load).  Two scalar-count jobs
-    # buy a deterministic single materialization.
-    sets.count()
+    the persist the explode→distinct lineage runs four times.
+    ``shingle_sets`` accepts an already-distinct, already-MATERIALIZED
+    (doc_id, shingle) relation when the caller holds one (the caller
+    then owns its lifecycle; nothing is persisted here for it) — the
+    audit rows score the LSH and exact pipelines over the same corpus,
+    and sharing the one distinct-shingle relation saves a full
+    shingle explode+distinct pass per extra pipeline."""
+    if shingle_sets is not None:
+        sets = shingle_sets
+    else:
+        sets = (
+            shingles(docs, text_col, shingle_n)
+            .select("doc_id", "shingle")
+            .distinct()
+            .persist()
+        )
+        # Materialize BOTH caches eagerly: their consumers are
+        # independent stages of the one final job, and concurrent
+        # stages each recompute an unpopulated cache (the recompute
+        # multiplicity varies with scheduling — measured as bimodal
+        # 3 s / 10 s / 29 s runs of this operator under host load).
+        # Two scalar-count jobs buy a deterministic single
+        # materialization.
+        sets.count()
     sigs = minhash_signatures(
         docs, text_col, num_hashes, shingle_n, shingle_sets=sets
     )
@@ -577,6 +588,7 @@ def _capped_pair_counts(
     shingle_n: int,
     max_shingle_df: int,
     new_from: int | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Shared shingle-overlap pair counting for the capped set-
     similarity family (Jaccard / containment): returns
@@ -609,8 +621,18 @@ def _capped_pair_counts(
         "hotter shingles are excluded from candidate generation",
         max_shingle_df,
     )
+    # ``shingle_sets`` (already-distinct (doc_id, shingle), caller-
+    # materialized) short-circuits the shingle scan: collect_set
+    # dedupes its input anyway, so building doc sets from the distinct
+    # relation is value-identical to building them from the raw
+    # shingle stream — and the audit rows that run BOTH this and the
+    # MinHash pipeline over one corpus then pay the explode once.
     doc_sets = (
-        shingles(docs, text_col, shingle_n)
+        (
+            shingle_sets
+            if shingle_sets is not None
+            else shingles(docs, text_col, shingle_n)
+        )
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shs"))
     )
@@ -700,6 +722,7 @@ def jaccard_near_dupes_exact(
     threshold: float = 0.2,
     max_shingle_df: int | None = None,
     new_from: int | None = None,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index
     self-join on shingles (never a cross join): pairs that share at
@@ -717,10 +740,17 @@ def jaccard_near_dupes_exact(
     docs still participate as comparison targets (a new doc duplicating
     an old one IS found); old-old pairs are pruned inside the in-array
     pair generation, before anything is exploded or shuffled.
+
+    ``shingle_sets`` accepts an already-distinct, already-materialized
+    (doc_id, shingle) relation (caller owns its lifecycle) so audit
+    rows running this AND the MinHash pipeline over one corpus pay the
+    shingle explode once — value-identical either way (collect_set /
+    distinct both dedupe).
     """
     if max_shingle_df is not None:
         common = _capped_pair_counts(
-            docs, text_col, shingle_n, max_shingle_df, new_from
+            docs, text_col, shingle_n, max_shingle_df, new_from,
+            shingle_sets=shingle_sets,
         )
         return common.select(
             "a",
@@ -737,8 +767,11 @@ def jaccard_near_dupes_exact(
     # shingle): the partial aggregation collapses the exploded shingle
     # stream map-side (~20× here) before any exchange, so the shuffled
     # relation is the small distinct set.
-    sets = shingles(docs, text_col, shingle_n).distinct().persist()
-    sets.count()  # eager: 3 independent consumers below would race
+    if shingle_sets is not None:
+        sets = shingle_sets  # caller-materialized; caller owns lifecycle
+    else:
+        sets = shingles(docs, text_col, shingle_n).distinct().persist()
+        sets.count()  # eager: 3 independent consumers below would race
     sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # A hot shingle here would fan out quadratically, which is exactly
     # what the cap exists to prevent at scale.

@@ -285,6 +285,20 @@ def language_id(
       re-evaluates them ~35× per row under predicate pushdown).  The
       explode side is doc-local, so partial aggregation collapses it
       map-side: one narrow one-row-per-doc shuffle."""
+    return _attach_pred_lang(
+        docs.select("doc_id"),
+        _language_hits_agg(docs, text_col, sample_chars),
+    )
+
+
+def _language_hits_agg(
+    docs: DataFrame, text_col: str = "text", sample_chars: int = 256
+) -> DataFrame:
+    """The (doc_id, hits_<lang>…) aggregate — language_id's shared
+    kernel (all the plan/perf reasoning in language_id's docstring
+    lives HERE).  Docs with no profile trigram at all are ABSENT from
+    the output; consumers left-join onto a one-row-per-doc spine and
+    coalesce to zero (:func:`_attach_pred_lang`)."""
     langs = list(LANG_TRIGRAMS)
     union_profile = sorted({t for p in LANG_TRIGRAMS.values() for t in p})
     padded = F.concat(
@@ -304,7 +318,7 @@ def language_id(
         )
         .filter(F.col("t").isin(*union_profile))
     )
-    agg = tri_rows.groupBy("doc_id").agg(
+    return tri_rows.groupBy("doc_id").agg(
         *[
             F.count(F.when(F.col("t").isin(*LANG_TRIGRAMS[lang]), 1))
             .cast("int")
@@ -312,12 +326,26 @@ def language_id(
             for lang in langs
         ]
     )
+
+
+def _attach_pred_lang(spine: DataFrame, agg: DataFrame) -> DataFrame:
+    """Left-join the hit counts onto a ONE-ROW-PER-DOC spine (extra
+    spine columns are carried through) and derive ``pred_lang`` —
+    argmax with the fixed tie order, 'und' on zero hits.  Factored out
+    of language_id so a pipeline that already scans the corpus for
+    another per-doc projection (curation's quality spine) can attach
+    language predictions with its ONE existing doc-keyed join instead
+    of paying a second corpus join against language_id's own
+    doc_id-only spine — same values by construction (both spines are
+    exactly one row per doc_id)."""
+    langs = list(LANG_TRIGRAMS)
+    carried = [c for c in spine.columns if c != "doc_id"]
     # Left join back: docs with no profile trigram at all → zero hits.
     with_hits = (
-        docs.select("doc_id")
-        .join(agg, "doc_id", "left")
+        spine.join(agg, "doc_id", "left")
         .select(
             "doc_id",
+            *carried,
             *[
                 F.coalesce(F.col(f"hits_{lang}"), F.lit(0)).alias(f"hits_{lang}")
                 for lang in langs
@@ -335,6 +363,7 @@ def language_id(
     pred = F.when(F.col("_best") == 0, F.lit("und")).otherwise(pred)
     return with_best.select(
         "doc_id",
+        *carried,
         *[f"hits_{lang}" for lang in langs],
         pred.alias("pred_lang"),
     )

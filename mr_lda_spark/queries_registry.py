@@ -6227,11 +6227,29 @@ def curation_modern_pipeline(spark, sf_dir):
         .join(lm, "doc_id")
         .select("doc_id", "source", "lang", "perplexity")
     )
+    # Persist + materialize the scoring relation ONCE (r15, guide
+    # §1.2/§5): `surv`'s lineage is the repetition explode + the
+    # bigram-LM scoring joins — all PRE-exchange kernel work, which
+    # runtime exchange reuse cannot dedupe across the jobs that
+    # consume it (temperature_sample's source-count broadcast, its z
+    # aggregate, and the final projection each re-entered it; the r14
+    # close profile measured this row at 69 jobs / ~129 s aggregate
+    # task CPU cold).  The persisted relation is narrow and
+    # doc-count-bounded (4 scalar cols).  Eager count: concurrent
+    # consumers racing to fill a lazy cache each re-run the scoring
+    # (the near_duplicates_minhash rule).  Like lm_perplexity_filter's
+    # persist, the cache must outlive this function (the returned
+    # DataFrame is lazy); the bench clears caches between passes.
+    surv = surv.persist()
+    surv.count()
     kept = curation.temperature_sample(surv, tau=0.5, target_docs=150)
-    return kept.select("doc_id", "source").join(
+    # kept ⊆ surv with doc_id unique on both sides, so ONE join
+    # recovers (lang, perplexity) — the previous three-way join
+    # (kept×2 + surv) re-entered the kept lineage twice for the same
+    # rows (r15, guide §2.4; result identical by construction, oracle
+    # hash-green).
+    return kept.join(
         surv.select("doc_id", "lang", "perplexity"), "doc_id"
-    ).join(
-        kept.select("doc_id", "keep_rate"), "doc_id"
     ).select("doc_id", "source", "lang", "perplexity", "keep_rate")
 
 
@@ -9449,11 +9467,26 @@ def dedup_minhash_recall(spark, sf_dir):
     Integer counts + floor-div ppm rates; both pair pipelines are
     independently hash-green rows."""
     docs = _t(spark, sf_dir, "documents")
-    lsh = dedup.near_duplicates_minhash(docs, threshold=0.2).select(
-        "a", "b"
+    # ONE distinct-shingle relation for BOTH pair pipelines (r15
+    # optimization, guide §1.2): the LSH path and the capped-exact
+    # path each rebuilt the same shingle explode(+dedupe) from the
+    # corpus — the single most expensive shared prefix of this row.
+    # collect_set / distinct are duplicate-invariant, so feeding both
+    # from the one distinct relation is value-identical; the persist
+    # is released after the one-pass audit aggregate collects.
+    sets = (
+        textops.shingles(docs, "text", 3)
+        .select("doc_id", "shingle")
+        .distinct()
+        .persist()
     )
+    sets.count()  # deterministic single materialization (no racing fills)
+    lsh = dedup.near_duplicates_minhash(
+        docs, threshold=0.2, shingle_sets=sets
+    ).select("a", "b")
     ex = dedup.jaccard_near_dupes_exact(
-        docs, threshold=0.2, max_shingle_df=JACCARD_MAX_SHINGLE_DF
+        docs, threshold=0.2, max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+        shingle_sets=sets,
     ).select("a", "b")
     # ONE pass for all five counts (r14 optimization): both pair
     # relations are unique-keyed on (a, b), so a full-outer join is
@@ -9473,6 +9506,7 @@ def dedup_minhash_recall(spark, sf_dir):
         F.count(F.when(F.col("_l").isNotNull() & F.col("_e").isNull(), 1)).alias("lsh_only"),
         F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNull(), 1)).alias("ex_only"),
     ).collect()[0]
+    sets.unpersist()
     tp, n_lsh, n_ex = c["tp"], c["n_lsh"], c["n_ex"]
     lsh_only, ex_only = c["lsh_only"], c["ex_only"]
     row = [

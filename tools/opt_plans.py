@@ -1,7 +1,8 @@
 #!/usr/bin/env python3
 """Dump .explain('formatted') for named registered queries into
-plans/r14/<query>_<tag>.txt — the before/after plan receipts for the
-optimization rounds.
+plans/<round dir>/<query>_<tag>.txt — the before/after plan receipts
+for the optimization rounds.  Round dir from $OPT_PLANS_DIR (default
+r15).
 
 Usage: python tools/opt_plans.py <tag> q1 q2 ...
 """
@@ -27,7 +28,7 @@ def main() -> None:
 
     spark = get_spark("opt-plans")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(_REPO, "plans", "r14")
+    out_dir = os.path.join(_REPO, "plans", os.environ.get("OPT_PLANS_DIR", "r15"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = queries_registry.QUERIES[name]
