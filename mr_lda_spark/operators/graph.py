@@ -118,6 +118,9 @@ def triangles(edges: DataFrame, materialize: bool | str = True) -> DataFrame:
     if not materialize:
         return _triangles_from_oriented(oriented_edges(edges))
     o = oriented_edges(edges).persist()
+    # Deterministic single materialization before the three-consumer
+    # triangle job — see triangle_participation for the rationale.
+    o.count()
     tri = cut_lineage(_triangles_from_oriented(o), materialize)
     o.unpersist()
     return tri
@@ -132,6 +135,16 @@ def triangle_participation(edges: DataFrame) -> DataFrame:
     exceed |E| on dense communities), and only the per-node counts
     are checkpointed before the cache is released."""
     o = oriented_edges(edges).persist()
+    # Eager materialization (r15): the triangle job reads `o` from
+    # THREE independent stage pipelines (both wedge sides + the
+    # closing join's probe).  Concurrent stages racing to fill an
+    # unpopulated cache each re-run the full oriented-edge lineage —
+    # including the caller's edge construction (for the registered
+    # row: a lineitem self-join + distinct) — with scheduling-
+    # dependent multiplicity (the near_duplicates_minhash rule,
+    # measured bimodal there).  One scalar count buys a deterministic
+    # single materialization.
+    o.count()
     tri = _triangles_from_oriented(o)
     corners = (
         tri.select(F.col("u").alias("node"))

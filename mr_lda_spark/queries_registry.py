@@ -8794,6 +8794,18 @@ def events_session_overlap_pairs(spark, sf_dir):
         F.col("session_start_epoch").alias("s"),
         F.col("session_end_epoch").alias("e"),
     )
+    # Persist + materialize the session relation ONCE (r15, guide
+    # §1.2): the bucket self-join consumes it on BOTH sides, and the
+    # build side travels as a BroadcastExchange — a separate job whose
+    # pre-exchange lineage runtime exchange reuse cannot dedupe
+    # (plans/r15/events_session_overlap_pairs_before.txt: the full
+    # scan→sort→Window×2→aggregate sessionize pipeline appears once
+    # per side, 0 ReusedExchange).  The cached relation is 4 scalar
+    # cols × #sessions — far smaller than the events table the window
+    # pipeline re-scans; at corpus scale this halves two full
+    # window-sort passes.  Values unchanged (cache only).
+    sess = sess.persist()
+    sess.count()
     pairs = interval_overlap_pairs(
         sess, ["user_id", "session_id"], "s", "e", bucket=3600
     )

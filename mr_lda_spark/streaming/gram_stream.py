@@ -52,15 +52,17 @@ def gram_moments_from_stream(
     detached — temp view dropped in a finally so the timeout path
     detaches too (the ADVICE r10 sink-leak class)."""
     from mr_lda_spark.operators.linalg import gram_moments
+    from mr_lda_spark.streaming._state import bounded_state_shuffle
 
-    q = (
-        gram_moments(vecs_stream, vec_col, dim, scale)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with bounded_state_shuffle(spark, dim * (dim + 1) // 2 + dim + 1):
+        q = (
+            gram_moments(vecs_stream, vec_col, dim, scale)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError(

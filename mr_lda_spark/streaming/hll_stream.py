@@ -55,14 +55,21 @@ def hll_estimate_stream(
     with the BATCH estimator.  Returns the per-group estimate
     DataFrame."""
     from mr_lda_spark.operators.hll import hll_estimate
+    from mr_lda_spark.streaming._state import bounded_state_shuffle
 
-    q = (
-        registers_stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # State bound: groups × m registers.  The group columns here are
+    # label-like (lang / source) — a couple of dozen values at any
+    # corpus size, so 32 bounds them generously (a low guess only
+    # costs a fuller store, never a wrong result: the sizing is a
+    # partition-count heuristic, state is exact either way).
+    with bounded_state_shuffle(spark, 32 * (1 << p)):
+        q = (
+            registers_stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     # Detach from the memory sink before returning: checkpoint the
     # (bounded, groups × m) register rows and drop the sink's temp
     # view, else every drain leaks one never-dropped in-memory table
@@ -102,15 +109,17 @@ def cms_table_from_stream(
     import numpy as np
 
     from mr_lda_spark.operators.sketch import cms_table
+    from mr_lda_spark.streaming._state import bounded_state_shuffle
 
-    q = (
-        cms_table(keys_stream, key_col, width, depth)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with bounded_state_shuffle(spark, depth * width):
+        q = (
+            cms_table(keys_stream, key_col, width, depth)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     # packing kept inline rather than shared with cms_build: that
     # helper drives its own collect; this one packs an already-drained
     # memory table (same 4 lines, different source of rows).  The
@@ -149,15 +158,17 @@ def ams_cells_from_stream(
     (``sketch.ams_estimate_from_cells``) then runs as a trivial batch
     query over the cell table."""
     from mr_lda_spark.operators.sketch import ams_cells
+    from mr_lda_spark.streaming._state import bounded_state_shuffle
 
-    q = (
-        ams_cells(keys_stream, key_col, width, depth)
-        .writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with bounded_state_shuffle(spark, depth * width):
+        q = (
+            ams_cells(keys_stream, key_col, width, depth)
+            .writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     # Detach from the memory sink (bounded depth × width rows) and
     # drop the sink's temp view — see hll_estimate_stream; finally so
     # the timeout path detaches too (ADVICE r10).

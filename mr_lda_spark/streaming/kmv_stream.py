@@ -95,13 +95,22 @@ def kmv_drain_stream(
     ASC); rows tying on both are identical states, so any winner is
     the same state.  Sink detach in a ``finally`` (the hll_stream
     leak-class rule)."""
-    q = (
-        sketch_stream.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    from mr_lda_spark.streaming._state import bounded_state_shuffle
+
+    # State bound: one row per group (source labels — dozens at any
+    # corpus size; 64 is generous).  Narrowing the state stage also
+    # trims the applyInPandasWithState fan-out: the Python tracker
+    # launches per shuffle partition, so session-width partitions pay
+    # a Python worker round-trip per (mostly empty) partition per
+    # micro-batch.
+    with bounded_state_shuffle(spark, 64):
+        q = (
+            sketch_stream.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError(
