@@ -101,8 +101,14 @@ def _parse_shared(spark, sf_dir):
         return _PARSE_CACHE[key]
     docs = _t(spark, sf_dir, "documents")
     n_docs = docs.count()
+    # ONE tokenize pass (r15): the stopped stream is a filter VIEW over
+    # the persisted raw token cache — `tokenize` applies the stop list
+    # as a post-explode isin filter on the same stream, so the view is
+    # value-identical to tokenize(docs, stopwords=STOPWORDS).
+    # Previously both streams ran their own full scan+split+explode
+    # pass and held two near-identical corpus-sized caches.
     tokens_raw = parse.tokenize(docs).persist()
-    tokens_stop = parse.tokenize(docs, stopwords=STOPWORDS).persist()
+    tokens_stop = tokens_raw.filter(~F.col("term").isin(list(STOPWORDS)))
     # Persist the V-row stats relation BETWEEN the two consumers
     # inside build_dictionary (r14 optimization): its scalable='auto'
     # decision counts the filtered stats, and left lazy that count ran
@@ -118,12 +124,13 @@ def _parse_shared(spark, sf_dir):
     # Materialize eagerly, in dependency order: queries that read
     # tokens_stop AND dictionary in one plan otherwise race the
     # unpopulated caches from independent stages (each recomputing the
-    # tokenize).  The dictionary count fills tokens_stop + stats on
-    # the way; stats then unpersists — it exists to dedupe the two
-    # passes inside this one call, not to serve later queries.
+    # tokenize).  The dictionary count fills tokens_raw + stats on the
+    # way (tokens_stop is a view over the raw cache, so the former
+    # second tokenize pass and its separate count are gone); stats
+    # then unpersists — it exists to dedupe the two passes inside this
+    # one call, not to serve later queries.
     dictionary.count()
     stats.unpersist()
-    tokens_raw.count()
     state = (docs, n_docs, tokens_raw, tokens_stop, dictionary)
     _PARSE_CACHE[key] = state
     return state

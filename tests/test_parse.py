@@ -120,3 +120,24 @@ def test_corpus_doc_form_alignment(spark, documents):
         F.explode("term_counts").alias("c")
     ).agg(F.sum("c")).collect()[0][0]
     assert total_tall == total_doc
+
+
+def test_parse_shared_single_token_cache(spark, sf_dir):
+    """r15: _parse_shared tokenizes ONCE — tokens_stop is a filter view
+    over the persisted raw token cache, value-identical to
+    tokenize(docs, stopwords=STOPWORDS), and holds no second cache."""
+    from mr_lda_spark import queries_registry as qr
+
+    qr._PARSE_CACHE.clear()
+    try:
+        docs, _, tokens_raw, tokens_stop, _ = qr._parse_shared(spark, sf_dir)
+        assert tokens_raw.storageLevel.useMemory  # the one token cache
+        assert not tokens_stop.storageLevel.useMemory  # a view, not a cache
+        got = sorted(map(tuple, tokens_stop.collect()))
+        want = sorted(
+            map(tuple, parse.tokenize(docs, stopwords=qr.STOPWORDS).collect())
+        )
+        assert got == want
+    finally:
+        qr._PARSE_CACHE.clear()
+        spark.catalog.clearCache()  # release the session-scoped persists
