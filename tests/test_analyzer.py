@@ -1,8 +1,11 @@
 """U1 pluggable analyzer: custom Python tokenizer via UDF path."""
 
+import pytest
+
 from mr_lda_spark.operators import parse
 
 
+@pytest.mark.slow
 def test_custom_analyzer(spark, documents):
     from mr_lda_spark.session import ensure_package_shipped
 
@@ -45,6 +48,7 @@ def test_batched_analyzer(spark, documents):
     assert rows and all("_" in r["term"] for r in rows)
 
 
+@pytest.mark.slow
 def test_column_native_analyzer(spark, documents):
     """analyzers.cjk_tokens routes through tokenize with ZERO Python
     eval nodes in the plan — the documented 100 TB fast path."""
@@ -81,6 +85,7 @@ def test_named_analyzer_registry(spark, documents):
         analyzers.by_name("nope")
 
 
+@pytest.mark.slow
 def test_str_annotated_analyzer_never_probed_with_column(spark):
     """ADVICE r3: a plain str->list analyzer must not be invoked with a
     Column at plan time — annotation routes it straight to the pandas

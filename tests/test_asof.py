@@ -1,4 +1,5 @@
 """As-of join unit semantics: backward match, ties, no-match nulls."""
+import pytest
 
 import datetime as dt
 
@@ -9,6 +10,7 @@ def _ts(s):
     return dt.datetime(2024, 1, 1, 0, 0, s)
 
 
+@pytest.mark.slow
 def test_asof_backward_match_ties_and_nulls(spark):
     left = spark.createDataFrame(
         [

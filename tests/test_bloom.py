@@ -1,6 +1,7 @@
 """Bloom membership gate (operators/bloom.py): exact-parity with the
 string-broadcast decontamination path, superset/pruning contract of
 the prefilter, and the Arrow-not-pickled plan shape."""
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -13,6 +14,7 @@ def _splits(documents):
     return tr, ev
 
 
+@pytest.mark.slow
 def test_bloom_decontaminate_matches_plain(spark, documents):
     tr, ev = _splits(documents)
     plain = sorted(map(tuple, textops.decontaminate(tr, ev, n=5).collect()))

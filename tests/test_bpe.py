@@ -60,6 +60,7 @@ def docs(spark):
     )
 
 
+@pytest.mark.slow
 def test_train_bpe_matches_reference(spark, docs):
     got = [
         (r["rank"], r["left"], r["right"], r["pair_count"])
@@ -74,6 +75,7 @@ def test_train_bpe_min_count_stops(spark, docs):
     assert bpe.train_bpe(docs, num_merges=5, min_pair_count=10**9).count() == 0
 
 
+@pytest.mark.slow
 def test_encode_bpe_reconstructs_words(spark, docs):
     """Concatenating a doc's BPE tokens and splitting on the
     end-of-word marker must reproduce the original words — encoding
@@ -92,6 +94,7 @@ def test_encode_bpe_reconstructs_words(spark, docs):
         assert r["n_bpe_tokens"] <= raw_len
 
 
+@pytest.mark.slow
 def test_encoder_agrees_with_trainer_vocab(spark, docs):
     """Encoding the training corpus with the learned merges yields
     exactly the trainer's final symbol multiset (the classic BPE
@@ -141,6 +144,7 @@ _text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
 
 @settings(max_examples=5, deadline=None)
 @given(st.lists(_text, min_size=1, max_size=6), st.integers(1, 6))
+@pytest.mark.slow
 def test_train_bpe_property_matches_reference(spark, texts, n_merges):
     """Property: on arbitrary small corpora the Spark trainer's merge
     sequence equals the independent pure-Python reference — same
@@ -157,6 +161,7 @@ def test_train_bpe_property_matches_reference(spark, texts, n_merges):
     assert got == _ref_train(texts, n_merges)
 
 
+@pytest.mark.slow
 def test_train_bpe_golden_sf0001(spark):
     """Driver-corpus golden (VERDICT r6 item #5): the first 20 merges
     the distributed trainer learns on the real sf0.001 documents table

@@ -9,6 +9,10 @@ import sys
 import duckdb
 import pytest
 
+# Driver-window gate: every CLI workflow is a spark-submit subprocess
+# (28-104 s each); the whole module is builder-side `slow`.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

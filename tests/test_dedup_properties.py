@@ -23,6 +23,7 @@ def _py_shingles(tokens, n=3):
 
 @given(doc_strategy)
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_jaccard_pipeline_matches_python(spark, docs):
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")

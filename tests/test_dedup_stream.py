@@ -1,4 +1,5 @@
 """Streaming dedup ≡ batch dedup; exactly-once parquet sink."""
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -29,6 +30,7 @@ def test_stream_dedup_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out).count() == batch.count()
 
 
+@pytest.mark.slow
 def test_near_dedup_stream_two_batches(spark, tmp_path):
     """Streaming near-dup: batch 2's near-copy of a batch-1 doc is
     rejected against HISTORY (cross-batch LSH index probe), its fresh
@@ -63,6 +65,7 @@ def test_near_dedup_stream_two_batches(spark, tmp_path):
     ) == [1, 2, 11]
 
 
+@pytest.mark.slow
 def test_near_dedup_stream_empty_batch_does_not_poison_sink(spark, tmp_path):
     """An empty micro-batch must not break the sink: no marker-with-no-
     data (which used to make every later survivors()/history read raise
@@ -99,6 +102,7 @@ def test_near_dedup_stream_empty_batch_does_not_poison_sink(spark, tmp_path):
     ) == [1, 11]
 
 
+@pytest.mark.slow
 def test_near_dedup_history_hot_bucket_capped(spark, tmp_path):
     """A degenerate band_key shared by many history docs must not fan
     out quadratically: with max_bucket_size below the bucket's size the
@@ -132,6 +136,7 @@ def test_near_dedup_history_hot_bucket_capped(spark, tmp_path):
     assert 100 in got and len(got) == n_hist + 1
 
 
+@pytest.mark.slow
 def test_stream_drains_leave_no_sink_tables(spark):
     """r10 self-review regression: every memory-sink drain helper
     (HLL / CMS / AMS / run_stream_to_batch) must detach from its

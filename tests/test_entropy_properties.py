@@ -43,6 +43,7 @@ def _py_entropy(text):
 
 @given(text_strategy)
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_entropy_both_variants_match_python(spark, texts):
     rows = [(i, t) for i, t in enumerate(texts)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -70,6 +71,7 @@ corpus_strategy = st.lists(
 
 @given(corpus_strategy)
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_js_divergence_matches_python(spark, docs):
     rows = [(i, " ".join(t), s) for i, (s, t) in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
@@ -144,6 +146,7 @@ def test_weighted_sample_matches_python(spark, id_weights, k):
     st.integers(1, 12),
 )
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_kmv_sketch_and_merge_match_python(spark, rows, k):
     df = spark.createDataFrame(
         [(i, g, f"v{v}") for i, (g, v) in enumerate(rows)],

@@ -4,6 +4,7 @@ vs a direct simulation.  Spark round-trips are expensive, so each
 property draws ONE batched corpus of many small users/keys per
 example and keeps example counts low — the variety lives in the rows,
 not the examples."""
+import pytest
 
 import datetime
 
@@ -47,6 +48,7 @@ def _brute_funnel(events, steps, gap):
     st.integers(5, 40),  # gap minutes
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_windowed_funnel_matches_bruteforce(spark, users, gap_min):
     steps = ["s0", "s1", "s2"]
     gap_us = gap_min * 60 * 1_000_000
@@ -104,6 +106,7 @@ def test_windowed_funnel_matches_bruteforce(spark, users, gap_min):
     )
 )
 @settings(max_examples=12, deadline=None)
+@pytest.mark.slow
 def test_scd2_matches_simulation(spark, obs):
     rows = [
         (f"k{k}", f"st{s}", o, o) for k, s, o in obs

@@ -29,6 +29,7 @@ def test_parse_informed_prior(spark, documents, tmp_path):
     assert len(rows) == 4
 
 
+@pytest.mark.slow
 def test_informed_prior_steers_topics(spark, documents):
     tokens = parse.tokenize(documents)
     dictionary = parse.build_dictionary(

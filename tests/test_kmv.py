@@ -199,6 +199,7 @@ class TestReviewRegressions:
         assert a == b
         assert all(r[1] is not None for r in a)
 
+    @pytest.mark.slow
     def test_drain_across_multiple_microbatches(self, spark, tmp_path):
         """Update-mode memory sinks APPEND a row per group per trigger;
         the drain must keep only the final state.  Two source files +
@@ -433,6 +434,7 @@ class TestMergeKEvidence:
             kmv.kmv_merge(merged, k=16)
 
 
+@pytest.mark.slow
 def test_stream_null_keys_match_batch(spark, tmp_path):
     """ADVICE r11: batch kmv_sketch drops NULL keys before hashing;
     the streaming twin must mirror that filter — without it a NULL

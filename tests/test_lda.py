@@ -87,6 +87,7 @@ def test_alpha_positive(trained):
     assert np.all(np.isfinite(state.alpha))
 
 
+@pytest.mark.slow
 def test_seeded_reproducibility(spark, encoded):
     """Two runs with the same seed are bitwise identical (the reference
     is NOT reproducible — Math.random() in init paths; we fix that,
@@ -106,6 +107,7 @@ def test_seeded_reproducibility(spark, encoded):
     np.testing.assert_allclose(s1.history, s2.history, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_gamma_tol_converges_to_same_model(spark, encoded):
     """Convergence-gated sweeps (gamma_tol) must reach the same optimum
     as fixed sweeps, just cheaper (SURVEY §7.3 mitigation for the
@@ -138,6 +140,7 @@ def test_infer_heldout(spark, encoded, trained):
         assert np.isfinite(r["doc_ll"])
 
 
+@pytest.mark.slow
 def test_resume_from_gamma(spark, encoded):
     """Resume (-modelindex analogue): carrying γ forward yields a
     higher-or-equal first-iteration ELBO than a cold start."""
@@ -168,6 +171,7 @@ def test_display_document_flat(spark, encoded, trained):
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in agg)
 
 
+@pytest.mark.slow
 def test_estep_backend_hook(spark, encoded):
     """The pluggable sweep backend (accelerator hook): a delegating
     backend is bit-identical to the default; a truncated backend

@@ -10,6 +10,8 @@ really ignore sf_dir (the frozen corpus is part of the configuration,
 so the driver's sf0.01 run and the sweep's sf0.1 run must agree).
 """
 
+import pytest
+
 import math
 
 from mr_lda_spark import queries_registry as reg
@@ -114,6 +116,7 @@ def test_bpe_golden_equals_pure_python_fixture():
     )
 
 
+@pytest.mark.slow
 def test_golden_ignores_sf_dir(spark):
     """The driver calls with sf0.01, the sweep with sf0.1 — the golden
     rows must return the frozen-corpus result for ANY sf_dir."""

@@ -18,6 +18,7 @@ def encoded(spark, documents):
     return tall, dictionary.count()
 
 
+@pytest.mark.slow
 def test_join_mode_matches_broadcast_mode(spark, encoded):
     tall, num_terms = encoded
     corpus_doc = parse.corpus_to_doc_form(tall)
@@ -43,6 +44,7 @@ def test_join_mode_matches_broadcast_mode(spark, encoded):
     assert gamma_df.count() == corpus_doc.count()
 
 
+@pytest.mark.slow
 def test_join_mode_elbo_monotone(spark, encoded):
     tall, num_terms = encoded
     _, state = lda_join.train_beta_join(
@@ -55,6 +57,7 @@ def test_join_mode_elbo_monotone(spark, encoded):
         assert b >= a - abs(a) * 1e-6, h
 
 
+@pytest.mark.slow
 def test_infer_join_matches_broadcast_infer(spark, encoded):
     """Held-out γ-only pass through the β join (VERDICT r5 item #2):
     per-doc γ and log-likelihood must match broadcast-mode lda.infer,
@@ -88,6 +91,7 @@ def test_infer_join_matches_broadcast_infer(spark, encoded):
         np.testing.assert_allclose(ll, bc[doc_id][1], rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_join_mode_informed_prior_matches_broadcast(spark, encoded):
     """Join-mode M-step with an informed prior: the dense distributed
     η relation must reproduce broadcast mode's dense η matrix exactly
@@ -122,6 +126,7 @@ def test_join_mode_informed_prior_matches_broadcast(spark, encoded):
     )
 
 
+@pytest.mark.slow
 def test_join_mode_gamma_tol_converges(spark, encoded):
     """Convergence-gated sweeps in the join kernel: gamma_tol > 0 still
     yields a monotone ELBO and a result near the exact-sweep run (the
@@ -146,6 +151,7 @@ def test_join_mode_gamma_tol_converges(spark, encoded):
     np.testing.assert_allclose(gated.alpha, exact.alpha, rtol=1e-2)
 
 
+@pytest.mark.slow
 def test_join_mode_resume_matches_broadcast_resume(spark, encoded):
     """Warm resume (the reference's -modelindex): a γ snapshot carried
     into join mode must reproduce broadcast mode's resumed run."""

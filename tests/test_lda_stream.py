@@ -17,6 +17,7 @@ def dictionary(spark, documents):
     return parse.build_dictionary(parse.term_stats(tokens), documents.count())
 
 
+@pytest.mark.slow
 def test_online_lda_from_stream(spark, documents, dictionary):
     model = lda_stream.train_online_from_stream(
         spark,
@@ -39,6 +40,7 @@ def test_online_lda_from_stream(spark, documents, dictionary):
     assert np.all(mass <= 1.0 + 1e-9) and np.all(mass > 0.3)
 
 
+@pytest.mark.slow
 def test_online_matches_batch_topic_quality(spark, documents, dictionary):
     """Online model's per-token perplexity on the full corpus should be
     in the regime of a short batch run (sanity, loose 2x bound)."""

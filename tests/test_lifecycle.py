@@ -116,6 +116,7 @@ def _edges(spark):
     return spark.createDataFrame(canon, "a long, b long")
 
 
+@pytest.mark.slow
 def test_graph_reliable_tier_values_and_release(spark):
     """pagerank / kcore / bfs under the reliable tier: identical
     relations, per-round handles released (at most the final result
@@ -184,6 +185,7 @@ def _tiny_corpus(spark):
     )
 
 
+@pytest.mark.slow
 def test_corpus_checkpoint_reliable_requires_dir_then_matches_local(
     spark, tmp_path
 ):
@@ -223,6 +225,7 @@ def test_corpus_checkpoint_reliable_requires_dir_then_matches_local(
     assert glob.glob(str(tmp_path / "ckpt" / "**" / "rdd-*"), recursive=True)
 
 
+@pytest.mark.slow
 def test_corpus_checkpoint_reliable_join_mode(spark, tmp_path):
     """Equality pin for the distributed-beta trainer (the scale path a
     preemptible cluster is most likely to run).
@@ -268,6 +271,7 @@ def test_corpus_checkpoint_reliable_join_mode(spark, tmp_path):
         assert np.allclose(a[doc_id], b[doc_id], rtol=1e-9), doc_id
 
 
+@pytest.mark.slow
 def test_dedup_reliable_tier(spark):
     """hamming_banded_pairs + connected_components under the reliable
     tier: identical relations, per-round handles released, retained
@@ -338,6 +342,7 @@ def test_reliable_sweeper_deletes_superseded_only(spark, tmp_path):
     del gen1
 
 
+@pytest.mark.slow
 def test_corpus_checkpoint_reliable_disk_bounded(spark, tmp_path):
     """The checkpoint-store footprint of a reliable-tier training run
     is O(live generation), not O(iterations): the same number of

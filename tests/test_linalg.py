@@ -1,6 +1,8 @@
 """gram_moments: numpy-reference parity, drop semantics for bad rows,
 covariance derivability, and plan shape."""
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -135,6 +137,7 @@ def test_pca_power_zero_matrix_yields_zero_vector(spark):
 # ----------------------------------------------------- streaming twin
 
 
+@pytest.mark.slow
 def test_gram_stream_equals_batch_across_microbatches(spark, tmp_path):
     """Three parquet files + maxFilesPerTrigger=1 → three micro-
     batches; integer-exact partials must make the drained table

@@ -22,6 +22,7 @@ def shared_corpus(spark, documents):
     return corpus_doc, dictionary.count()
 
 
+@pytest.mark.slow
 def test_native_perplexity_in_mllib_regime(spark, shared_corpus):
     corpus_doc, num_terms = shared_corpus
     _, state = lda.train(
@@ -56,6 +57,7 @@ def test_instrumentation_recorded(spark, shared_corpus):
     assert state.perplexity_history[-1] <= state.perplexity_history[0] * 1.001
 
 
+@pytest.mark.slow
 def test_snapshots_written(spark, shared_corpus, tmp_path):
     corpus_doc, num_terms = shared_corpus
     out = str(tmp_path / "snaps")
@@ -79,6 +81,7 @@ def test_snapshots_written(spark, shared_corpus, tmp_path):
     assert len(s2.history) == 1
 
 
+@pytest.mark.slow
 def test_mllib_seeded_train_is_partition_dependent(spark, shared_corpus):
     """The evidence behind lda_mllib_topics staying rows-only forever
     (VERDICT r10 #6): a fixed seed does NOT pin MLlib LDA across
@@ -102,6 +105,7 @@ def test_mllib_seeded_train_is_partition_dependent(spark, shared_corpus):
     assert float(np.abs(mats[0] - mats[1]).max()) > 1e-9
 
 
+@pytest.mark.slow
 def test_native_seeded_train_is_partition_independent(spark, shared_corpus):
     """The contrast that makes the native path golden-freezable where
     MLlib is not: plans/lda seeds gamma init by hashing doc_id, so the

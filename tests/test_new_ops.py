@@ -47,6 +47,7 @@ def test_label_centroids_matches_numpy(spark):
     assert [got[(7, i)][0] for i in range(2)] == pytest.approx(list(np_mean))
 
 
+@pytest.mark.slow
 def test_stream_join_equals_batch(spark, sf_dir):
     import uuid
 

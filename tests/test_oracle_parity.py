@@ -12,6 +12,11 @@ from pyspark.sql import functions as F
 from mr_lda_spark import TABLES, queries_registry
 from tools import parity
 
+# Driver-window gate: the per-query oracle replay duplicates the
+# driver's own CORRECTNESS sample and the builder-side full sweep
+# (tools/parity_sweep.py), so the whole module is builder-side `slow`.
+pytestmark = pytest.mark.slow
+
 SF_DIR = "/root/testdata/sf0.01"
 
 

@@ -271,6 +271,7 @@ def test_q2_window_min_no_extra_exchange(spark):
     assert len(li_scans) == 1
 
 
+@pytest.mark.slow
 def test_registry_sweep_no_cartesian_no_pickled_udf(spark):
     """Registry-wide guard: every lazily-planned query must compile
     without a CartesianProduct (the 100 TB scale-killer) and without a

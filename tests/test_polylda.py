@@ -117,6 +117,7 @@ def test_poly_betas_normalized(poly_trained):
         assert np.all(mass > 0.3)
 
 
+@pytest.mark.slow
 def test_poly_reproducible(spark, poly):
     corpus, num_terms = poly
     _, s1 = polylda.train_poly(

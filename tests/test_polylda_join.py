@@ -49,6 +49,7 @@ def poly_tall(spark, documents):
     return tall, num_terms
 
 
+@pytest.mark.slow
 def test_poly_join_matches_broadcast(spark, poly_tall):
     tall, num_terms = poly_tall
     corpus = polylda.poly_corpus_from_tall(tall, n_languages=len(LANGS))
@@ -79,6 +80,7 @@ def test_poly_join_matches_broadcast(spark, poly_tall):
     assert gamma_df.count() == corpus.count()
 
 
+@pytest.mark.slow
 def test_poly_join_gamma_matches_broadcast(spark, poly_tall):
     """Per-document γ parity, not just corpus-level aggregates."""
     tall, num_terms = poly_tall
@@ -99,6 +101,7 @@ def test_poly_join_gamma_matches_broadcast(spark, poly_tall):
         np.testing.assert_allclose(np.array(g), np.array(bc[doc_id]), rtol=1e-7)
 
 
+@pytest.mark.slow
 def test_poly_join_elbo_monotone(spark, poly_tall):
     tall, num_terms = poly_tall
     _, state = polylda_join.train_poly_join(

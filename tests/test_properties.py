@@ -46,6 +46,7 @@ def test_gammaln_recurrence(x):
     )
 )
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_logsumexp_agg_matches_numpy(spark, rows):
     from mr_lda_spark.functions.logmath import logsumexp_agg
 
@@ -72,6 +73,7 @@ def test_logsumexp_agg_matches_numpy(spark, rows):
     )
 )
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_assign_dense_ids_matches_python_sort(spark, rows):
     from pyspark.sql import functions as F
 

@@ -49,6 +49,7 @@ def test_matches_duckdb_with_heavy_ties(spark):
     assert got == _duck(vals, PS)
 
 
+@pytest.mark.slow
 def test_matches_duckdb_small_n_rank_boundaries(spark):
     for n in (1, 2, 3, 4, 5, 6, 10):
         vals = [float(i) for i in range(1, n + 1)]

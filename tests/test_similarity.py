@@ -82,6 +82,7 @@ def test_multi_sink_single_lineage(spark, emb, tmp_path):
     assert a.agg(F.sum("count")).collect()[0][0] == b.count() == emb.count()
 
 
+@pytest.mark.slow
 def test_embedding_near_dupes_lsh_recall_vs_exact(spark):
     """On planted near-duplicates (the regime the defaults are tuned
     for: cosine ≥ 0.9) the LSH path recovers nearly all exact pairs and
@@ -395,6 +396,7 @@ def test_ivfpq_partial_probe_recall(spark, emb, exact_topk):
         assert recall(n_probe) >= 0.25
 
 
+@pytest.mark.slow
 def test_kmeans_frozen_invariants(spark, emb):
     """Frozen Lloyd: every vector assigned exactly once, clusters come
     from the seed range, more iterations never raise total distortion
@@ -431,6 +433,7 @@ def test_ivfflat_frozen_partial_probe_recall(spark, emb, exact_topk):
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_frozen_partial_probe(spark, emb, exact_topk):
     """Trained frozen quantizer (2 Lloyd rounds, 16 cells) at nprobe=4:
     deterministic, recall above the probe-geometry floor, and probing

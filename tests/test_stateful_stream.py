@@ -1,5 +1,6 @@
 """applyInPandasWithState spend tracker: state must carry across
 triggers (multi-file source => multiple micro-batches)."""
+import pytest
 
 import uuid
 
@@ -18,6 +19,7 @@ SCHEMA = T.StructType(
 )
 
 
+@pytest.mark.slow
 def test_state_carries_across_triggers(spark, tmp_path):
     src = str(tmp_path / "events_src")
     rows1 = [(1, 7, 10.0), (2, 7, 20.0), (3, 8, 5.0)]
@@ -112,6 +114,7 @@ def test_rolling_kernel_eviction_bounds_state():
     assert ts == [500] and cents == [1]  # horizon = max - 100
 
 
+@pytest.mark.slow
 def test_rolling_stream_matches_batch_window(spark, tmp_path):
     """End-to-end: the drained stream equals the batch RANGE window
     on the same synthetic events (ties + boundary hits included)."""

@@ -203,6 +203,7 @@ def _ref_decontaminate_spans(train_texts, eval_texts, n):
     st.lists(_doc, min_size=1, max_size=3),
     st.integers(2, 4),
 )
+@pytest.mark.slow
 def test_decontaminate_spans_property(spark, train_texts, eval_texts, n):
     """Property: on arbitrary small corpora the Spark span cutter
     equals the independent pure-Python reference — same windows, same
